@@ -1,0 +1,348 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{DecimalType, TimestampType}
+
+import graft.Tables
+
+/** Relational analytics block (SURVEY §2B) — the SQL-analytics surface the
+  * reference delegates to DuckDB (reference README.md:8,15 "Analyze data
+  * with DuckDB", local_analytics module), re-expressed as Catalyst plans
+  * over the landed star schema.
+  *
+  * Oracle-compat conventions (SURVEY §5): money/quantity aggregates are
+  * accumulated as fixed-scale decimals so sums are bit-exact regardless of
+  * partition/accumulation order at any scale; every top-k has an explicit
+  * tie-break key.
+  */
+object Relational {
+
+  private def ts(s: String): Column = lit(s).cast(TimestampType)
+
+  /** All money inputs are exact 2-decimal values, so every money expression
+    * is computed decimal-first: one deterministic double→DECIMAL(…,2) cast
+    * at the scan, then exact decimal arithmetic — sums are bit-identical in
+    * any engine at any accumulation order (SURVEY §5). */
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def out2(c: Column): Column = c.cast(DecimalType(38, 2))
+  private def out4(c: Column): Column = c.cast(DecimalType(38, 4))
+  private def out6(c: Column): Column = c.cast(DecimalType(38, 6))
+
+  /** ep·(1−disc) as an exact scale-4 decimal. */
+  private def discPrice(ep: Column, disc: Column): Column =
+    dec2(ep) * (lit(1) - disc.cast(DecimalType(4, 2)))
+
+  /** TPC-H Q1 shape: grouped multi-aggregate full scan of the fat fact. At
+    * 100 TB this is one shuffle of ~6 grouped rows per map partition
+    * (partial agg does all the work); the scan prunes to 7 columns. */
+  def q1PricingSummary(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    li.filter(col("l_shipdate") <= ts("2000-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        out2(sum(dec2(col("l_quantity")))).as("sum_qty"),
+        out2(sum(dec2(col("l_extendedprice")))).as("sum_base_price"),
+        out4(sum(discPrice(col("l_extendedprice"), col("l_discount"))))
+          .as("sum_disc_price"),
+        out6(sum(discPrice(col("l_extendedprice"), col("l_discount"))
+          * (lit(1) + col("l_tax").cast(DecimalType(4, 2))))).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** TPC-H Q3 shape: selective dim filter → fact join → agg → top-k.
+    * customer is the small side (broadcast); orders/lineitem join is a
+    * shuffle join on the order key that AQE can skew-split. */
+  def q3ShippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = ts("1998-01-01")
+    val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(s, dir).filter(col("o_orderdate") < cutoff)
+    val li = Tables.lineitem(s, dir).filter(col("l_shipdate") > cutoff)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(out4(sum(discPrice(col("l_extendedprice"), col("l_discount"))))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape: 6-way star join, region-filtered. All dims broadcast;
+    * the only big shuffle is orders⋈lineitem. The c_nationkey=s_nationkey
+    * constraint rides along as a post-join filter on broadcast columns. */
+  def q5LocalSupplier(s: SparkSession, dir: String): DataFrame = {
+    val reg = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+    val nat = Tables.nation(s, dir)
+    val cust = Tables.customer(s, dir)
+    val sup = Tables.supplier(s, dir)
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= ts("1996-01-01") &&
+        col("o_orderdate") < ts("1997-01-01"))
+    val li = Tables.lineitem(s, dir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(out4(sum(discPrice(col("l_extendedprice"), col("l_discount"))))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** TPC-H Q6 shape: selective-predicate single-table aggregate — the
+    * pure-pushdown benchmark (all three predicates reach the parquet scan). */
+  def q6ForecastRevenue(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= ts("1996-01-01") &&
+        col("l_shipdate") < ts("1997-01-01") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(out4(sum(dec2(col("l_extendedprice")) * col("l_discount").cast(DecimalType(4, 2))))
+        .as("revenue"))
+  }
+
+  /** Join + agg + deterministic top-k: biggest customers by order volume. */
+  def q7TopkCustomers(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+    val cust = Tables.customer(s, dir)
+    ord.groupBy(col("o_custkey"))
+      .agg(out2(sum(dec2(col("o_totalprice")))).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"), col("n_orders"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(10)
+  }
+
+  /** Window functions: top-3 customers per nation by account balance.
+    * Single shuffle on the partition key; rank + running sum share it. */
+  def q8WindowRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("running_bal",
+        out2(sum(dec2(col("c_acctbal")))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0))))
+      .filter(col("rn") <= 3)
+      .select(col("c_nationkey"), col("c_custkey"), col("c_name"),
+        col("c_acctbal"), col("rn"), col("running_bal"))
+  }
+
+  /** Hierarchical ROLLUP region→nation over customer accounts. */
+  def q9Rollup(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+    val nat = Tables.nation(s, dir)
+    val reg = Tables.region(s, dir)
+    cust.join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"),
+        out2(sum(dec2(col("c_acctbal")))).as("sum_bal"))
+  }
+
+  /** Multi-column distinct counting per order status. Exact distinct on
+    * bounded-cardinality keys only (SURVEY §4); the unbounded analogue is
+    * approx_count_distinct, exercised in specs. */
+  def q10DistinctAgg(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(countDistinct(col("o_custkey")).as("n_customers"),
+        countDistinct(col("o_orderpriority")).as("n_priorities"),
+        count(lit(1)).as("n_orders"))
+  }
+
+  /** Left-semi (EXISTS): customers having at least one big order. */
+  def q11SemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables.orders(s, dir).filter(col("o_totalprice") > 400000)
+    Tables.customer(s, dir)
+      .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+  }
+
+  /** Left-anti (NOT EXISTS): customers with no big order — the complement
+    * of q11's semi-join, so both legs of the EXISTS pair are exercised. */
+  def q12AntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables.orders(s, dir).filter(col("o_totalprice") > 400000)
+    Tables.customer(s, dir)
+      .join(big, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+  }
+
+  /** Exact interpolated quantiles per return flag (median, p95), rounded to
+    * 6 dp for cross-engine double parity. */
+  def q13Percentiles(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(round(percentile(col("l_quantity"), lit(0.5)), 6).as("median_qty"),
+        round(percentile(col("l_quantity"), lit(0.95)), 6).as("p95_qty"),
+        round(percentile(col("l_extendedprice"), lit(0.5)), 6).as("median_price"))
+  }
+
+  /** TPC-H Q14 shape: conditional-aggregation ratio (promo revenue share)
+    * per ship year. Sums are exact decimals; the single ratio division is
+    * done in double and rounded in both engines. */
+  def q14ConditionalAgg(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val pt = Tables.part(s, dir)
+    val dp = discPrice(col("l_extendedprice"), col("l_discount"))
+      .cast(DecimalType(30, 4))
+    li.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .groupBy(year(col("l_shipdate")).as("ship_year"))
+      .agg(
+        round(lit(100.0) *
+          sum(when(col("p_type").startsWith("PROMO"), dp)
+            .otherwise(lit(0).cast(DecimalType(30, 4)))).cast("double") /
+          sum(dp).cast("double"), 4).as("promo_ratio"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q15 shape: scalar-subquery comparison against a global max —
+    * the top supplier(s) by quarterly revenue. The one-row max side is
+    * broadcast; no driver-side collect. */
+  def q15CorrelatedScalar(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= ts("1996-01-01") &&
+        col("l_shipdate") < ts("1996-04-01"))
+      .groupBy(col("l_suppkey").as("supplier_no"))
+      .agg(out4(sum(discPrice(col("l_extendedprice"), col("l_discount"))))
+        .as("total_revenue"))
+    val mx = rev.agg(max(col("total_revenue")).as("mx"))
+    rev.join(broadcast(mx), col("total_revenue") === col("mx"))
+      .join(Tables.supplier(s, dir), col("s_suppkey") === col("supplier_no"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** CUBE multi-granularity aggregate over the part catalog. */
+  def q16GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.part(s, dir)
+      .cube(col("p_brand"), col("p_size"))
+      .agg(count(lit(1)).as("n_parts"),
+        countDistinct(col("p_type")).as("n_types"),
+        out2(sum(dec2(col("p_retailprice")))).as("sum_price"))
+  }
+
+  /** Registry: SURVEY §2B name → operator. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "q3_shipping_priority" -> (q3ShippingPriority _),
+    "q5_local_supplier" -> (q5LocalSupplier _),
+    "q6_forecast_revenue" -> (q6ForecastRevenue _),
+    "q7_topk_customers" -> (q7TopkCustomers _),
+    "q8_window_rank" -> (q8WindowRank _),
+    "q9_rollup" -> (q9Rollup _),
+    "q10_distinct_agg" -> (q10DistinctAgg _),
+    "q11_semi_join" -> (q11SemiJoin _),
+    "q12_anti_join" -> (q12AntiJoin _),
+    "q13_percentiles" -> (q13Percentiles _),
+    "q14_conditional_agg" -> (q14ConditionalAgg _),
+    "q15_correlated_scalar" -> (q15CorrelatedScalar _),
+    "q16_grouping_sets" -> (q16GroupingSets _))
+
+  /** DuckDB oracles, column-name- and type-aligned with the plans above. */
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DECIMAL(38,6)) AS sum_charge,
+        |COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(38,4)) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q7_topk_customers" ->
+      """SELECT c_custkey, c_name,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue,
+        |COUNT(*) AS n_orders
+        |FROM orders, customer WHERE o_custkey = c_custkey
+        |GROUP BY c_custkey, c_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 10""".stripMargin,
+    "q8_window_rank" ->
+      """SELECT c_nationkey, c_custkey, c_name, c_acctbal, rn, running_bal FROM (
+        |  SELECT c_nationkey, c_custkey, c_name, c_acctbal,
+        |    row_number() OVER w AS rn,
+        |    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running_bal
+        |  FROM customer
+        |  WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+        |) WHERE rn <= 3""".stripMargin,
+    "q9_rollup" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_cust,
+        |CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_bal
+        |FROM customer, nation, region
+        |WHERE c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)""".stripMargin,
+    "q10_distinct_agg" ->
+      """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_customers,
+        |COUNT(DISTINCT o_orderpriority) AS n_priorities, COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q11_semi_join" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)""".stripMargin,
+    "q12_anti_join" ->
+      """SELECT c_custkey, c_name, c_nationkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)""".stripMargin,
+    "q13_percentiles" ->
+      """SELECT l_returnflag,
+        |ROUND(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+        |ROUND(quantile_cont(l_quantity, 0.95), 6) AS p95_qty,
+        |ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS median_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q14_conditional_agg" ->
+      """SELECT year(l_shipdate) AS ship_year,
+        |ROUND(100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+        |    THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(30,4))
+        |    ELSE CAST(0 AS DECIMAL(30,4)) END) AS DOUBLE)
+        |  / CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(30,4))) AS DOUBLE), 4) AS promo_ratio,
+        |COUNT(*) AS n_items
+        |FROM lineitem, part WHERE l_partkey = p_partkey
+        |GROUP BY year(l_shipdate)""".stripMargin,
+    "q15_correlated_scalar" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue FROM supplier, rev
+        |WHERE s_suppkey = supplier_no
+        |  AND total_revenue = (SELECT MAX(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q16_grouping_sets" ->
+      """SELECT p_brand, p_size, COUNT(*) AS n_parts,
+        |COUNT(DISTINCT p_type) AS n_types,
+        |CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+        |FROM part GROUP BY CUBE(p_brand, p_size)""".stripMargin)
+}
