@@ -1,0 +1,194 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Ingestion & ETL block (SURVEY §2A) — the reference's extract/transform/
+  * load surface re-expressed as Catalyst plans:
+  *  - envelope unwrap       ⇠ reference lambda_function.py:224-238
+  *  - record standardization⇠ reference lambda_function.py:258-270
+  *  - nested extraction     ⇠ reference lambda_function.py:273-307
+  *  - partitioned landing   ⇠ reference lambda_function.py:326-329
+  *  - run summaries         ⇠ reference lambda_function.py:353-396
+  *  - daily incremental     ⇠ reference scripts/setup_schedule.py
+  *
+  * The driver-side loop over records becomes per-row expressions (codegen,
+  * no UDFs); the per-source dispatch becomes CASE over a source tag.
+  */
+object Etl {
+
+  /** Semi-structured JSON with heterogeneous envelopes: the same payload
+    * arrives as {"results":[…]}, {"data":[…]} or bare — unwrap generically
+    * with path coalescing, exactly the reference's format sniffing. */
+  def jsonEnvelope(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val envelope =
+      when(col("event_type") === "view",
+        concat(lit("{\"results\": ["), col("props"), lit("]}")))
+        .when(col("event_type") === "click",
+          concat(lit("{\"data\": ["), col("props"), lit("]}")))
+        .otherwise(col("props"))
+    ev.withColumn("envelope", envelope)
+      .select(col("event_id"),
+        when(col("event_type") === "view", lit("results"))
+          .when(col("event_type") === "click", lit("data"))
+          .otherwise(lit("bare")).as("envelope_kind"),
+        coalesce(
+          get_json_object(col("envelope"), "$.results[0].k"),
+          get_json_object(col("envelope"), "$.data[0].k"),
+          get_json_object(col("envelope"), "$.k")).cast("int").as("k"))
+  }
+
+  /** Record standardization: content-hash id (12-hex md5), source tag,
+    * run-date stamp — the reference's `transform_data` header fields. The
+    * hash input is the full record content, so the id is deterministic and
+    * collision-stable across reruns (unlike the reference's now()-salted
+    * version, which breaks idempotent re-ingestion). */
+  def standardize(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .select(
+        substring(md5(concat_ws("_", col("source"),
+          col("doc_id").cast("string"), col("text"))), 1, 12).as("record_id"),
+        col("doc_id"), col("source"),
+        lit("2026-08-12").as("extracted_date"))
+  }
+
+  /** Per-source nested extraction with defaults + truncation: the
+    * product/sale/customer shaping, as one CASE-dispatched projection. */
+  def nestedExtract(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        when(col("source").isin("src0", "src1"), lit("marketing"))
+          .when(col("source").isin("src2", "src3"), lit("sales"))
+          .otherwise(lit("crm")).as("source_kind"),
+        substring(col("text"), 1, 200).as("description"),
+        coalesce(nullif(col("lang"), lit("")), lit("unknown")).as("lang_norm"),
+        concat(col("source"), lit("/"), col("doc_id").cast("string"))
+          .as("full_ref"),
+        col("n_chars"))
+  }
+
+  /** Type coercion & cleansing: money→decimal, tag normalization,
+    * null-defaulting — the reference's float(price) / .get(…, default). */
+  def typeCoerce(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .select(
+        col("event_id"),
+        col("value").cast(DecimalType(18, 2)).as("value_dec"),
+        upper(trim(col("event_type"))).as("event_type_norm"),
+        coalesce(get_json_object(col("props"), "$.k").cast("int"), lit(0))
+          .as("k"))
+  }
+
+  /** Hive-style date-partitioned landing (the reference's
+    * data/{source}/date=YYYY-MM-DD/ layout) — writes partitioned parquet,
+    * reads it back, and aggregates per partition. The partition column is
+    * the pruning key a 100 TB lake lives by. */
+  def partitionedWrite(s: SparkSession, dir: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_land_" +
+      s"${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+    Tables.events(s, dir)
+      .withColumn("event_date",
+        date_format(col("ts"), "yyyy-MM-dd"))
+      .write.mode("overwrite").partitionBy("event_date").parquet(out)
+    s.read.parquet(out)
+      .groupBy(col("event_date").cast("string").as("event_date"))
+      .agg(count(lit(1)).as("n_events"))
+  }
+
+  /** Execution-summary aggregation: per-source record counts and quality
+    * stats (the reference's save_execution_summary statistics block). */
+  def runSummary(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_records"),
+        sum(col("n_chars")).as("total_chars"),
+        count(when(col("n_chars") < 50, 1)).as("n_suspect_short"),
+        countDistinct(col("lang")).as("n_langs"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"))
+  }
+
+  /** Daily-cadence incremental batch: select one date window, dedupe on
+    * the natural key keeping the earliest record — idempotent re-ingestion
+    * for the scheduled daily run. */
+  def incremental(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .filter(col("ts") >= lit("2024-01-10").cast("timestamp") &&
+        col("ts") < lit("2024-01-17").cast("timestamp"))
+      .groupBy(col("user_id"), col("event_type"), col("ts"))
+      .agg(min(col("event_id")).as("event_id"),
+        count(lit(1)).as("n_dups"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_json_envelope" -> (jsonEnvelope _),
+    "etl_standardize" -> (standardize _),
+    "etl_nested_extract" -> (nestedExtract _),
+    "etl_type_coerce" -> (typeCoerce _),
+    "etl_partitioned_write" -> (partitionedWrite _),
+    "etl_run_summary" -> (runSummary _),
+    "etl_incremental" -> (incremental _))
+
+  val oracles: Map[String, String] = Map(
+    "etl_json_envelope" ->
+      """WITH enveloped AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_type = 'view' THEN 'results'
+        |         WHEN event_type = 'click' THEN 'data'
+        |         ELSE 'bare' END AS envelope_kind,
+        |    CASE WHEN event_type = 'view' THEN '{"results": [' || props || ']}'
+        |         WHEN event_type = 'click' THEN '{"data": [' || props || ']}'
+        |         ELSE props END AS envelope
+        |  FROM events)
+        |SELECT event_id, envelope_kind,
+        |  CAST(COALESCE(
+        |    json_extract_string(envelope, '$.results[0].k'),
+        |    json_extract_string(envelope, '$.data[0].k'),
+        |    json_extract_string(envelope, '$.k')) AS INT) AS k
+        |FROM enveloped""".stripMargin,
+    "etl_standardize" ->
+      """SELECT
+        |  substr(md5(source || '_' || CAST(doc_id AS VARCHAR) || '_' || text), 1, 12) AS record_id,
+        |  doc_id, source, '2026-08-12' AS extracted_date
+        |FROM documents""".stripMargin,
+    "etl_nested_extract" ->
+      """SELECT doc_id,
+        |  CASE WHEN source IN ('src0','src1') THEN 'marketing'
+        |       WHEN source IN ('src2','src3') THEN 'sales'
+        |       ELSE 'crm' END AS source_kind,
+        |  substr(text, 1, 200) AS description,
+        |  COALESCE(NULLIF(lang, ''), 'unknown') AS lang_norm,
+        |  source || '/' || CAST(doc_id AS VARCHAR) AS full_ref,
+        |  n_chars
+        |FROM documents""".stripMargin,
+    "etl_type_coerce" ->
+      """SELECT event_id,
+        |  CAST(value AS DECIMAL(18,2)) AS value_dec,
+        |  upper(trim(event_type)) AS event_type_norm,
+        |  COALESCE(CAST(json_extract_string(props, '$.k') AS INT), 0) AS k
+        |FROM events""".stripMargin,
+    "etl_partitioned_write" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+        |COUNT(*) AS n_events
+        |FROM events GROUP BY strftime(ts, '%Y-%m-%d')""".stripMargin,
+    "etl_run_summary" ->
+      """SELECT source, COUNT(*) AS n_records,
+        |  SUM(n_chars) AS total_chars,
+        |  COUNT(CASE WHEN n_chars < 50 THEN 1 END) AS n_suspect_short,
+        |  COUNT(DISTINCT lang) AS n_langs,
+        |  MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+        |FROM documents GROUP BY source""".stripMargin,
+    "etl_incremental" ->
+      """SELECT user_id, event_type, ts,
+        |  MIN(event_id) AS event_id, COUNT(*) AS n_dups
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-17 00:00:00'
+        |GROUP BY user_id, event_type, ts""".stripMargin)
+}

@@ -1,0 +1,203 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Event-stream analytics block (SURVEY §2C) — the ads-funnel queries a
+  * daily-scheduled ingestion cadence (reference scripts/setup_schedule.py)
+  * feeds. Batch forms here; the streaming twins live in graft.streaming.
+  *
+  * Scale notes (SURVEY §4): every per-user op (sessionize, funnel,
+  * attribution, retention) hangs off ONE hash partitioning by user_id —
+  * window specs and groupBys are key-aligned so Catalyst reuses the same
+  * shuffle instead of re-exchanging per step.
+  */
+object Events {
+
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def out2(c: Column): Column = c.cast(DecimalType(38, 2))
+
+  /** Per-user event order: ts with event_id tie-break keeps every window
+    * deterministic even on identical timestamps. */
+  private def byUser = Window.partitionBy(col("user_id"))
+    .orderBy(col("ts"), col("event_id"))
+
+  /** Tumbling-window hourly rollup — the batch twin of
+    * streaming.stream_windowed_counts. Partial agg collapses each map
+    * partition to (hours × types) rows before the shuffle. */
+  def tumblingWindow(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        out2(sum(dec2(col("value")))).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
+  /** Gap-based sessionization (30-min inactivity): lag marks session
+    * starts, a running sum numbers them — both windows plus the final
+    * groupBy share the single user_id shuffle. */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val gapUs = 1800L * 1000000L
+    val prevTs = lag(col("ts"), 1).over(byUser)
+    val sessioned = Tables.events(s, dir)
+      .withColumn("new_sess",
+        when(prevTs.isNull ||
+          unix_micros(col("ts")) - unix_micros(prevTs) > gapUs, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_sess")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    sessioned.groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+          .as("duration_us"),
+        out2(sum(dec2(col("value")))).as("sum_value"))
+  }
+
+  /** Ordered funnel view→click→purchase: each later step's first hit must
+    * strictly follow the previous step's. Three key-aligned aggs + joins
+    * on user_id. */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    v.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"))
+  }
+
+  /** Last-touch attribution: for every purchase, the latest click strictly
+    * before it by the same user — one window pass over the
+    * clicks∪purchases slice, no range join. */
+  def attribution(s: SparkSession, dir: String): DataFrame = {
+    val touch = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .withColumn("click_id",
+        when(col("event_type") === "click", col("event_id")))
+    touch
+      .withColumn("attributed_click_id",
+        last(col("click_id"), ignoreNulls = true)
+          .over(byUser.rowsBetween(Window.unboundedPreceding, -1)))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"), dec2(col("value")).as("purchase_value"),
+        col("attributed_click_id"))
+  }
+
+  /** Cohort retention: first-seen day × day offset → distinct actives. */
+  def retention(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val cohort = ev.groupBy(col("user_id"))
+      .agg(min(col("ts")).cast("date").as("cohort_day"))
+    val activity = ev
+      .select(col("user_id"), col("ts").cast("date").as("act_day"))
+      .distinct()
+    activity.join(cohort, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("act_day"), col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
+  /** Top-k users by spend, explicit tie-break. */
+  def topkHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(out2(sum(dec2(col("value")))).as("total_value"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("total_value").desc, col("user_id"))
+      .limit(10)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_tumbling_window" -> (tumblingWindow _),
+    "ev_sessionize" -> (sessionize _),
+    "ev_funnel" -> (funnel _),
+    "ev_attribution" -> (attribution _),
+    "ev_retention" -> (retention _),
+    "ev_topk_heavy_hitters" -> (topkHeavyHitters _))
+
+  val oracles: Map[String, String] = Map(
+    "ev_tumbling_window" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |COUNT(*) AS n_events,
+        |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value,
+        |COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY date_trunc('hour', ts), event_type""".stripMargin,
+    "ev_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |      THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        |  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |  epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+        |FROM sess GROUP BY user_id, session_id""".stripMargin,
+    "ev_funnel" ->
+      """WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
+        |    WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(e.ts) AS t_click FROM events e
+        |    JOIN v ON e.user_id = v.user_id
+        |    WHERE e.event_type = 'click' AND e.ts > v.t_view
+        |    GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase FROM events e
+        |    JOIN c ON e.user_id = c.user_id
+        |    WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        |    GROUP BY e.user_id)
+        |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |LEFT JOIN p ON v.user_id = p.user_id""".stripMargin,
+    "ev_attribution" ->
+      """WITH touch AS (
+        |  SELECT *, CASE WHEN event_type = 'click' THEN event_id END
+        |    AS click_id
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |), attributed AS (
+        |  SELECT *, last_value(click_id IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    AS attributed_click_id
+        |  FROM touch)
+        |SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+        |  CAST(value AS DECIMAL(18,2)) AS purchase_value, attributed_click_id
+        |FROM attributed WHERE event_type = 'purchase'""".stripMargin,
+    "ev_retention" ->
+      """WITH cohort AS (
+        |  SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day
+        |  FROM events GROUP BY user_id),
+        |activity AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS act_day
+        |  FROM events)
+        |SELECT cohort_day,
+        |  CAST(date_diff('day', cohort_day, act_day) AS INT) AS day_offset,
+        |  COUNT(DISTINCT a.user_id) AS n_users
+        |FROM activity a JOIN cohort c ON a.user_id = c.user_id
+        |GROUP BY cohort_day, date_diff('day', cohort_day, act_day)""".stripMargin,
+    "ev_topk_heavy_hitters" ->
+      """SELECT user_id,
+        |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value,
+        |COUNT(*) AS n_events
+        |FROM events GROUP BY user_id
+        |ORDER BY total_value DESC, user_id LIMIT 10""".stripMargin)
+}
