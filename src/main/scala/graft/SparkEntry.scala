@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Etl, Events, Relational}
+import graft.operators.{Dedup, Etl, Events, Relational, Similarity, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -12,10 +12,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Events.queries ++ Etl.queries
+    Relational.queries ++ Events.queries ++ Etl.queries ++
+      Dedup.queries ++ Similarity.queries ++ Text.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Events.oracles ++ Etl.oracles
+    Relational.oracles ++ Events.oracles ++ Etl.oracles ++
+      Dedup.oracles ++ Similarity.oracles ++ Text.oracles
 }

@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float>` embedding columns as pure Catalyst
+  * expressions (SURVEY §2E). Elements are widened to double before any
+  * arithmetic so accumulation is deterministic and oracle-comparable;
+  * reductions are sequential left folds, matching DuckDB's list_* fold
+  * order.
+  */
+object VectorFns {
+
+  private def asDouble(v: Column): Column = transform(v, _.cast("double"))
+
+  /** Sequential-fold dot product. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; null-safe on zero-norm vectors (yields null, and
+    * comparisons against it are false in both engines). */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Sign-bit LSH bucket from `planes` deterministic pseudo-random
+    * hyperplanes: plane p's component d is a hash-derived value in
+    * [-0.5, 0.5); bucket = the concatenated sign bits. Seeded hashing
+    * replaces RNG state so every executor derives identical planes. */
+  def signLshBucket(v: Column, planes: Int, dims: Int): Column =
+    signLshBucketSeeded(v, planes, dims, lit(0))
+
+  /** As signLshBucket, with a per-table seed column mixed into the plane
+    * hashes — L independent hash tables for OR-amplified LSH. */
+  def signLshBucketSeeded(
+      v: Column, planes: Int, dims: Int, seed: Column): Column = {
+    val vd = asDouble(v)
+    val bits = (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(vd, sequence(lit(0), lit(dims - 1)), (x, d) =>
+          x * (pmod(xxhash64(seed, lit(p), d), lit(1000L)).cast("double")
+            / 1000.0 - 0.5)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+}

@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFns._
+import graft.functions.VectorFns
+
+/** Deduplication block (SURVEY §2D) — exact and near-dup detection over
+  * `documents` / `embeddings`, built for 100 TB corpora: every candidate
+  * generator is bucket-local (hash group, LSH band, SimHash chunk, sign
+  * bucket), so pair comparison is O(n · bucket_width), never O(n²)
+  * (SURVEY §4).
+  */
+object Dedup {
+
+  /** Exact dedup: group by full-content hash, keep the smallest id as the
+    * canonical copy. One map-side-combinable shuffle. */
+  def exact(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+  }
+
+  /** Word-3-gram Jaccard near-dup pairs, candidates restricted to docs
+    * sharing their minimum shingle hash (1-band MinHash): the bucket join
+    * replaces the quadratic cross product; each bucket's pairs get the
+    * exact Jaccard verification. */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).select(
+      col("doc_id"),
+      wordShingles(col("text"), 3).as("shingles"))
+      .withColumn("bucket", array_min(transform(col("shingles"), x => md5(x))))
+    val a = base.select(col("doc_id").as("doc_a"),
+      col("shingles").as("sh_a"), col("bucket"))
+    val b = base.select(col("doc_id").as("doc_b"),
+      col("shingles").as("sh_b"), col("bucket"))
+    a.join(b, Seq("bucket")).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+  }
+
+  /** MinHash+LSH near-dup detection — the full scale path: k=32 seeded
+    * minima → 8 bands of 4 → band-bucket join → exact-Jaccard
+    * verification of the surviving candidates only. */
+  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val bands = 8
+    val r = 4
+    val banded = Tables.documents(s, dir).select(
+      col("doc_id"), wordShingles(col("text"), 3).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .withColumn("sig", minHashSignature(col("shingles"), bands * r))
+      .select(col("doc_id"), col("shingles"),
+        posexplode(bandHashes(col("sig"), bands, r)).as(Seq("band_id", "band_hash")))
+    val a = banded.select(col("band_id"), col("band_hash"),
+      col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+    val b = banded.select(col("band_id"), col("band_hash"),
+      col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+    a.join(b, Seq("band_id", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
+      .distinct()
+      .select(col("doc_a"), col("doc_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** SimHash near-dup pairs: 64-bit majority fingerprint; pigeonhole over
+    * 4×16-bit chunks guarantees every pair within Hamming ≤ 3 collides in
+    * at least one chunk; true Hamming verified via bit_count(xor). */
+  def simhash(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).select(
+      col("doc_id"), wordShingles(col("text"), 3).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .withColumn("fp", simHash(col("shingles")))
+    val chunked = base.select(col("doc_id"), col("fp"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("fp"), i * 16).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("chunk_id", "chunk_val")))
+    val a = chunked.select(col("chunk_id"), col("chunk_val"),
+      col("doc_id").as("doc_a"), col("fp").as("fp_a"))
+    val b = chunked.select(col("chunk_id"), col("chunk_val"),
+      col("doc_id").as("doc_b"), col("fp").as("fp_b"))
+    a.join(b, Seq("chunk_id", "chunk_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Embedding-space near-dup pairs, block-local: vectors are compared
+    * only within their block (here the label column; in a 100 TB corpus,
+    * the shard/source key), so cost is O(Σ block²) not O(n²). The
+    * LSH-bucketed alternative for unsharded corpora is
+    * Similarity.lshTopk's bucketing with a threshold filter. */
+  def embeddingCosine(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(s, dir)
+      .select(col("label"), col("vec_id"), col("embedding"))
+    val a = base.select(col("label"), col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"))
+    val b = base.select(col("label"), col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"))
+    a.join(b, Seq("label")).filter(col("vec_a") < col("vec_b"))
+      .select(col("label"), col("vec_a"), col("vec_b"),
+        round(VectorFns.cosine(col("emb_a"), col("emb_b")), 6).as("cosine"))
+      .filter(col("cosine") >= 0.3)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (exact _),
+    "dedup_ngram_jaccard" -> (ngramJaccard _),
+    "dedup_minhash_lsh" -> (minhashLsh _),
+    "dedup_simhash" -> (simhash _),
+    "dedup_embedding_cosine" -> (embeddingCosine _))
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+        |COUNT(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+        |      THEN list_transform(range(1, len(w) - 1),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        |      ELSE [] END) AS shingles
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |        FROM documents)),
+        |b AS (
+        |  SELECT doc_id, shingles,
+        |    list_min(list_transform(shingles, x -> md5(x))) AS bucket
+        |  FROM t)
+        |SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+        |  ROUND(CAST(len(list_intersect(a.shingles, b2.shingles)) AS DOUBLE)
+        |    / CAST(len(list_distinct(list_concat(a.shingles, b2.shingles))) AS DOUBLE), 6) AS jaccard
+        |FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.doc_id < b2.doc_id
+        |WHERE ROUND(CAST(len(list_intersect(a.shingles, b2.shingles)) AS DOUBLE)
+        |    / CAST(len(list_distinct(list_concat(a.shingles, b2.shingles))) AS DOUBLE), 6) >= 0.5""".stripMargin,
+    "dedup_embedding_cosine" ->
+      """WITH e AS (
+        |  SELECT label, vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |  FROM embeddings)
+        |SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  ROUND(list_dot_product(a.emb, b.emb)
+        |    / (sqrt(list_dot_product(a.emb, a.emb))
+        |       * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cosine
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE ROUND(list_dot_product(a.emb, b.emb)
+        |    / (sqrt(list_dot_product(a.emb, a.emb))
+        |       * sqrt(list_dot_product(b.emb, b.emb))), 6) >= 0.3
+        |ORDER BY vec_a, vec_b""".stripMargin)
+}

@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFns._
+import graft.functions.RollingHash.rollingHash
+
+/** Text-analysis block (SURVEY §2F) — the LLM-training-data quality
+  * operators over `documents`. All per-row work is expression-only
+  * (codegen); the only shuffles are the final aggregations.
+  */
+object Text {
+
+  /** BPE-ish token pattern: letter runs, digit runs, single punctuation. */
+  private val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Pseudo language profiles over the corpus vocabulary: disjoint
+    * function-word sets per language. Real-world language ID swaps these
+    * lists for actual stopword/character-n-gram profiles — the argmax
+    * machinery is identical. */
+  private val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "und", "nicht", "merge", "sort", "hash", "batch"),
+    "en" -> Seq("the", "a", "of", "join", "query", "fast", "table"),
+    "es" -> Seq("el", "la", "que", "scan", "filter", "row", "column"),
+    "fr" -> Seq("le", "les", "une", "group", "window", "stream", "value"),
+    "zh" -> Seq("data", "key", "line", "part", "small", "slow", "customer"))
+
+  def tokenCount(s: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      size(tokens(t)).as("n_ws_tokens"),
+      size(regexp_extract_all(t, lit(BpePattern), lit(0))).as("n_bpe_tokens"),
+      length(t).as("n_chars_calc"))
+  }
+
+  /** Quality scoring: the length/punctuation/stopword/digit signals a
+    * pre-training filter thresholds on. */
+  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val toks = tokens(t)
+    val stop = array(Seq("the", "a", "of", "and", "to", "in").map(lit): _*)
+    val nTok = size(toks).cast("double")
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      length(t).as("len_chars"),
+      round(size(regexp_extract_all(t, lit("[\\.,!\\?;:]"), lit(0)))
+        .cast("double") / length(t).cast("double"), 6).as("punct_ratio"),
+      round(size(regexp_extract_all(t, lit("[0-9]"), lit(0)))
+        .cast("double") / length(t).cast("double"), 6).as("digit_ratio"),
+      round(size(filter(toks, x => array_contains(stop, x)))
+        .cast("double") / nTok, 6).as("stopword_ratio"),
+      round((length(t).cast("double") - nTok + lit(1.0)) / nTok, 6)
+        .as("mean_word_len"))
+  }
+
+  /** Profile-scored language ID: per-language stopword hit counts, argmax
+    * with lexicographic tie-break. One projection, no shuffle. */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val scores: Seq[(String, Column)] = LangProfiles.map { case (lang, ws) =>
+      val profile = array(ws.map(lit): _*)
+      lang -> size(filter(toks, x => array_contains(profile, x)))
+    }
+    // argmax via a sorted struct array: highest score first, then language
+    // name ascending — deterministic in both engines.
+    val best = scores.map { case (lang, sc) =>
+      struct((-sc).as("neg"), lit(lang).as("lang"))
+    }
+    Tables.documents(s, dir).select(
+      (col("doc_id") +:
+        scores.map { case (l, c) => c.as(s"s_$l") }) :+
+        element_at(array_sort(array(best: _*)), 1).getField("lang")
+          .as("pred_lang"): _*)
+  }
+
+  /** Document fingerprint via the native RollingHash codegen expression. */
+  def fingerprint(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      rollingHash(col("text")).as("fingerprint"),
+      rollingHash(substring(col("text"), 1, 64)).as("prefix_fingerprint"))
+  }
+
+  /** Corpus bigram statistics: top-50 by frequency. Explode → partial agg
+    * → one shuffle over the (bounded) bigram key space. */
+  def ngramStats(s: SparkSession, dir: String): DataFrame = {
+    val w = tokens(col("text"))
+    val bigrams = when(size(w) >= 2,
+      transform(sequence(lit(1), size(w) - 1),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    Tables.documents(s, dir)
+      .select(explode(bigrams).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(50)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt_token_count" -> (tokenCount _),
+    "txt_quality_score" -> (qualityScore _),
+    "txt_lang_id" -> (langId _),
+    "txt_fingerprint" -> (fingerprint _),
+    "txt_ngram_stats" -> (ngramStats _))
+
+  val oracles: Map[String, String] = Map(
+    "txt_token_count" ->
+      """SELECT doc_id,
+        |  len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+        |  length(text) AS n_chars_calc
+        |FROM documents""".stripMargin,
+    "txt_quality_score" ->
+      """SELECT doc_id, length(text) AS len_chars,
+        |  ROUND(CAST(len(regexp_extract_all(text, '[\.,!\?;:]')) AS DOUBLE)
+        |    / CAST(length(text) AS DOUBLE), 6) AS punct_ratio,
+        |  ROUND(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+        |    / CAST(length(text) AS DOUBLE), 6) AS digit_ratio,
+        |  ROUND(CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE)
+        |    / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 6)
+        |    AS stopword_ratio,
+        |  ROUND((CAST(length(text) AS DOUBLE)
+        |      - CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)
+        |      + 1.0)
+        |    / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 6)
+        |    AS mean_word_len
+        |FROM documents""".stripMargin,
+    "txt_lang_id" ->
+      """WITH scored AS (
+        |  SELECT doc_id,
+        |    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      x -> list_contains(['der','und','nicht','merge','sort','hash','batch'], x))) AS s_de,
+        |    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      x -> list_contains(['the','a','of','join','query','fast','table'], x))) AS s_en,
+        |    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      x -> list_contains(['el','la','que','scan','filter','row','column'], x))) AS s_es,
+        |    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      x -> list_contains(['le','les','une','group','window','stream','value'], x))) AS s_fr,
+        |    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      x -> list_contains(['data','key','line','part','small','slow','customer'], x))) AS s_zh
+        |  FROM documents)
+        |SELECT doc_id, s_de, s_en, s_es, s_fr, s_zh,
+        |  CASE
+        |    WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |    WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |    WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |    WHEN s_fr >= s_zh THEN 'fr'
+        |    ELSE 'zh' END AS pred_lang
+        |FROM scored""".stripMargin,
+    "txt_ngram_stats" ->
+      """WITH toks AS (
+        |  SELECT regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |bg AS (
+        |  SELECT unnest(list_transform(range(1, len(w)),
+        |    i -> w[i] || ' ' || w[i + 1])) AS bigram
+        |  FROM toks WHERE len(w) >= 2)
+        |SELECT bigram, COUNT(*) AS n FROM bg GROUP BY bigram
+        |ORDER BY n DESC, bigram LIMIT 50""".stripMargin)
+}
