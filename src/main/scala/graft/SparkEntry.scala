@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Etl, Events, Relational, Similarity, Text}
+import graft.operators.{Dedup, Etl, Events, Multimodal, Relational, Similarity, Text}
+import graft.streaming.Streams
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -13,11 +14,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Events.queries ++ Etl.queries ++
-      Dedup.queries ++ Similarity.queries ++ Text.queries
+      Dedup.queries ++ Similarity.queries ++ Text.queries ++
+      Multimodal.queries ++ Streams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Events.oracles ++ Etl.oracles ++
-      Dedup.oracles ++ Similarity.oracles ++ Text.oracles
+      Dedup.oracles ++ Similarity.oracles ++ Text.oracles ++
+      Multimodal.oracles ++ Streams.oracles
 }

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Multimodal-column block (SURVEY §2G): image/audio/video payloads as
+  * opaque `binary` columns with typed metadata, batch-transformed per
+  * partition. The Spark-side plumbing — schema, partition-aligned batch
+  * shape, feature output contract — is real; the codec itself is a
+  * clearly-marked deterministic STUB because no image/audio libraries
+  * exist in this container. Swapping `stubDecode` for a JNI/FFmpeg/JPEG
+  * call is the only change needed on a real cluster.
+  */
+object Multimodal {
+
+  private val FeatureDims = 8
+
+  /** STUB codec: stands in for image/audio decode. Deterministic byte
+    * statistics per stride — NOT a real decoder. */
+  private def stubDecode(payload: Array[Byte]): Array[Float] = {
+    val out = new Array[Float](FeatureDims)
+    var i = 0
+    while (i < payload.length) {
+      out(i % FeatureDims) += (payload(i) & 0xff).toFloat / 255f
+      i += 1
+    }
+    out
+  }
+
+  private val pipelineSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("media_type", StringType),
+    StructField("n_bytes", IntegerType),
+    StructField("feature", ArrayType(FloatType))))
+
+  /** Binary-column pipeline: payload + metadata struct in, fixed-width
+    * feature vector out. mapPartitions keeps the codec call batched per
+    * partition (one codec context per task, zero shuffles); at 100 TB the
+    * partitioning key is the storage layout, not a re-shuffle. */
+  def binaryPipeline(s: SparkSession, dir: String): DataFrame = {
+    val withPayload = Tables.documents(s, dir).select(
+      col("doc_id"),
+      col("text").cast("binary").as("payload"),
+      struct(
+        when(pmod(col("doc_id"), lit(3)) === 0, "image/png")
+          .when(pmod(col("doc_id"), lit(3)) === 1, "audio/wav")
+          .otherwise(lit("video/mp4")).as("media_type"),
+        length(col("text")).as("n_bytes")).as("meta"))
+    val enc = RowEncoder.encoderFor(pipelineSchema)
+    withPayload.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        val meta = r.getAs[Row]("meta")
+        Row(r.getLong(0), meta.getString(0), meta.getInt(1),
+          stubDecode(payload).toSeq)
+      }
+    }(enc)
+  }
+
+  /** Frame sampling over duration metadata: every 5th "second" of a
+    * pseudo-duration derived from n_chars — the video-frame-sample shape
+    * (sequence + posexplode, no UDF, no shuffle). */
+  def frameSample(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .select(col("doc_id"), (col("n_chars") / 10).cast("int").as("duration_s"))
+      .select(col("doc_id"), col("duration_s"),
+        explode(sequence(lit(0), col("duration_s"), lit(5))).as("frame_idx"))
+      .select(col("doc_id"), col("duration_s"), col("frame_idx"),
+        substring(md5(concat_ws(":", col("doc_id"), col("frame_idx"))), 1, 16)
+          .as("frame_key"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_binary_pipeline" -> (binaryPipeline _),
+    "mm_frame_sample" -> (frameSample _))
+
+  val oracles: Map[String, String] = Map(
+    "mm_frame_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(n_chars // 10 AS INT) AS duration_s
+        |  FROM documents)
+        |SELECT doc_id, duration_s,
+        |  CAST(unnest(range(0, duration_s + 1, 5)) AS INT) AS frame_idx,
+        |  substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+        |    CAST(unnest(range(0, duration_s + 1, 5)) AS VARCHAR)), 1, 16)
+        |    AS frame_key
+        |FROM d""".stripMargin)
+}

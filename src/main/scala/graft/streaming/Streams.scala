@@ -1,0 +1,135 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming block (SURVEY §2C stream ops) — the continuous
+  * form of the scheduled-batch cadence the reference runs via EventBridge
+  * (reference scripts/setup_schedule.py): the same transforms, expressed
+  * against an unbounded source with watermarks and state.
+  *
+  * Local smoke drives the file stream synchronously
+  * (processAllAvailable over the static parquet); on a cluster the same
+  * code points at the landing bucket and runs with a real trigger.
+  */
+/** ts stays in the Dataset: dropping the watermark column would strip the
+  * watermark the event-time timeout needs. Top-level case classes: encoder
+  * codegen requires publicly accessible types. */
+case class Ev(user_id: Long, event_id: Long, ts_us: Long,
+    value: Double, ts: java.sql.Timestamp)
+case class SessionRow(user_id: Long, session_start_us: Long,
+    session_end_us: Long, n_events: Long, sum_value: Double)
+case class SessState(pending: List[Ev])
+
+object Streams {
+
+  /** events schema as landed (ts is raw TIMESTAMP(NANOS) read as long —
+    * see Tables.events). */
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  private def eventStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Tumbling-window counts with a watermark — the streaming twin of
+    * Events.tumblingWindow; epoch-aligned 1h windows make the complete
+    * output hash-identical to the batch/DuckDB form. */
+  def windowedCounts(s: SparkSession, dir: String): DataFrame = {
+    val agg = eventStream(s, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2)))
+          .cast(DecimalType(38, 2)).as("sum_value"))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete)
+      .format("memory").queryName("graft_stream_windowed")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table("graft_stream_windowed")
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("sum_value"))
+  }
+
+  /** Stateful gap sessionization via flatMapGroupsWithState: sessions
+    * close when a 30-min gap appears inside a user's (event-time-sorted)
+    * stream; the trailing open session stays in state (flushed by the
+    * event-time timeout once the watermark passes it on a live stream).
+    * The streaming twin of Events.sessionize. */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val gapUs = 1800L * 1000000L
+
+    def close(evs: List[Ev]): (List[SessionRow], List[Ev]) = {
+      val sorted = evs.sortBy(e => (e.ts_us, e.event_id))
+      val sessions = sorted.foldLeft(List.empty[List[Ev]]) { (acc, e) =>
+        acc match {
+          case cur :: rest if e.ts_us - cur.last.ts_us <= gapUs =>
+            (cur :+ e) :: rest
+          case _ => List(e) :: acc
+        }
+      }.reverse
+      val (done, open) = (sessions.dropRight(1), sessions.last)
+      (done.map(ss => SessionRow(ss.head.user_id, ss.head.ts_us,
+        ss.last.ts_us, ss.size.toLong, ss.map(_.value).sum)), open)
+    }
+
+    val fn: (Long, Iterator[Ev], GroupState[SessState]) =>
+        Iterator[SessionRow] = (user, evs, state) => {
+      val all = state.getOption.map(_.pending).getOrElse(Nil) ++ evs.toList
+      if (all.isEmpty) Iterator.empty
+      else if (state.hasTimedOut) {
+        state.remove()
+        val sorted = all.sortBy(e => (e.ts_us, e.event_id))
+        Iterator.single(SessionRow(user, sorted.head.ts_us,
+          sorted.last.ts_us, sorted.size.toLong, sorted.map(_.value).sum))
+      } else {
+        val (done, open) = close(all)
+        state.update(SessState(open))
+        state.setTimeoutTimestamp(open.last.ts_us / 1000L + 1800L * 1000L)
+        done.iterator
+      }
+    }
+
+    val out = eventStream(s, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"), col("ts"))
+      .withWatermark("ts", "30 minutes")
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+    val q = out.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName("graft_stream_sessions")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table("graft_stream_sessions")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_windowed_counts" -> (windowedCounts _),
+    "stream_sessionize" -> (sessionize _))
+
+  /** The streaming windowed agg is epoch-aligned, so the batch SQL oracle
+    * applies verbatim. stream_sessionize is rows-only (trailing open
+    * sessions stay in state — spec-checked against the batch form). */
+  val oracles: Map[String, String] = Map(
+    "stream_windowed_counts" ->
+      """SELECT date_trunc('hour', ts) AS window_start,
+        |date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+        |event_type, COUNT(*) AS n_events,
+        |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+        |FROM events GROUP BY date_trunc('hour', ts), event_type""".stripMargin)
+}

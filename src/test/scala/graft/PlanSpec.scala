@@ -1,0 +1,56 @@
+package graft
+
+/** Physical-plan assertions (SURVEY §6): the scale properties — pushdown,
+  * pruning, broadcast choice, no accidental cross products — are part of
+  * each operator's contract, not an afterthought.
+  */
+class PlanSpec extends SparkSpec {
+
+  test("q6: all three predicates reach the parquet scan") {
+    val p = plan(operators.Relational.q6ForecastRevenue(spark, sfTiny))
+    assert(p.contains("PushedFilters:"), p)
+    assert(p.contains("l_shipdate"), "shipdate filter not pushed")
+    assert(p.contains("GreaterThanOrEqual") || p.contains("IsNotNull"))
+  }
+
+  test("q1: scan prunes to the referenced columns only") {
+    val p = plan(operators.Relational.q1PricingSummary(spark, sfTiny))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_returnflag"))
+    assert(!readSchema.contains("l_partkey"),
+      s"unused column read: $readSchema")
+    assert(!readSchema.contains("l_orderkey"),
+      s"unused column read: $readSchema")
+  }
+
+  test("q5: dimension joins are broadcast") {
+    val p = plan(operators.Relational.q5LocalSupplier(spark, sfTiny))
+    assert(p.contains("BroadcastHashJoin"), p.take(500))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("whole-stage codegen covers the q1 aggregate") {
+    val df = operators.Relational.q1PricingSummary(spark, sfTiny)
+    df.collect() // AQE materializes codegen stages only at execution
+    val p = df.queryExecution.executedPlan.toString
+    // "*(N)" prefixes mark WholeStageCodegen stages in executed plans
+    assert(p.contains("*(1)"), p.take(600))
+  }
+
+  test("dedup joins are hash joins on bucket keys, never cartesian") {
+    for (op <- Seq(operators.Dedup.ngramJaccard _,
+        operators.Dedup.minhashLsh _, operators.Dedup.simhash _,
+        operators.Dedup.embeddingCosine _)) {
+      val p = plan(op(spark, sfTiny))
+      assert(!p.contains("CartesianProduct"), p.take(400))
+      assert(!p.contains("BroadcastNestedLoopJoin"), p.take(400))
+    }
+  }
+
+  test("events ops reuse one user_id exchange (single shuffle)") {
+    val p = plan(operators.Events.sessionize(spark, sfTiny))
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    // one partitioning by user_id feeds lag, running-sum and the final agg
+    assert(exchanges <= 2, s"$exchanges exchanges:\n${p.take(800)}")
+  }
+}

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+
+  test("stream windowed counts equals the batch tumbling aggregate") {
+    val streamed = streaming.Streams.windowedCounts(spark, sfTiny)
+      .select(col("window_start"), col("event_type"), col("n_events"),
+        col("sum_value"))
+      .collect().map(_.toSeq).toSet
+    val batch = operators.Events.tumblingWindow(spark, sfTiny)
+      .select(col("hour"), col("event_type"), col("n_events"),
+        col("sum_value"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+  }
+
+  test("stream sessionize emits a subset of batch sessions, same shape") {
+    val batch = operators.Events.sessionize(spark, sfTiny)
+      .select(col("user_id"),
+        unix_micros(col("session_start")).as("s"),
+        unix_micros(col("session_end")).as("e"),
+        col("n_events"))
+      .collect().map(_.toSeq).toSet
+    val streamed = streaming.Streams.sessionize(spark, sfTiny)
+      .select(col("user_id"), col("session_start_us"),
+        col("session_end_us"), col("n_events"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed.subsetOf(batch),
+      s"streaming-only sessions: ${(streamed -- batch).take(3)}")
+    // at most one trailing open session per user can be missing
+    val users = Tables.events(spark, sfTiny)
+      .select("user_id").distinct().count()
+    assert(batch.size - streamed.size <= users)
+  }
+}
