@@ -11,7 +11,19 @@ import org.apache.spark.sql.functions._
   */
 object VectorFns {
 
-  private def asDouble(v: Column): Column = transform(v, _.cast("double"))
+  /** Widen a float vector to double — materialize once per row before
+    * reuse (same compute-once discipline as TextFns). */
+  def asDouble(v: Column): Column = transform(v, _.cast("double"))
+
+  /** Dot product of already-double arrays (no per-call widening). */
+  def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Cosine from materialized double vectors + precomputed norms: one
+    * fold per pair instead of three (norms are per-row, not per-pair).
+    * Same arithmetic as cosine(), so oracle parity holds. */
+  def cosineWithNorms(a: Column, b: Column, na: Column, nb: Column): Column =
+    dotD(a, b) / (na * nb)
 
   /** Sequential-fold dot product. */
   def dot(a: Column, b: Column): Column =

@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.Tables
 import graft.functions.TextFns._
@@ -9,11 +10,41 @@ import graft.functions.VectorFns
 
 /** Deduplication block (SURVEY §2D) — exact and near-dup detection over
   * `documents` / `embeddings`, built for 100 TB corpora: every candidate
-  * generator is bucket-local (hash group, LSH band, SimHash chunk, sign
-  * bucket), so pair comparison is O(n · bucket_width), never O(n²)
+  * generator is bucket-local (hash group, LSH band, SimHash chunk, label
+  * block), so pair comparison is O(n · bucket_width), never O(n²)
   * (SURVEY §4).
+  *
+  * Shape discipline: tokens → shingles → shingle-hashes are materialized
+  * once per doc as named columns (compute-once barriers, see TextFns),
+  * the derived signature table is persisted before its self-join (at
+  * 100 TB: a checkpointed signature table), and pair generation carries
+  * only ids + join keys — the heavy array columns are re-attached to the
+  * few surviving candidates afterwards.
   */
 object Dedup {
+
+  /** (doc_id, shingles) with the tokenize/shingle work done exactly once. */
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), wordShingles(col("toks"), 3).as("shingles"))
+
+  /** Attach each side's shingle(-hash) array to an id-pair table. */
+  private def attach(pairs: DataFrame, base: DataFrame, c: String): DataFrame =
+    pairs
+      .join(base.select(col("doc_id").as("doc_a"), col(c).as("sh_a")), "doc_a")
+      .join(base.select(col("doc_id").as("doc_b"), col(c).as("sh_b")), "doc_b")
+
+  /** (doc_id, hs): distinct 3-gram shingle hashes via the native
+    * ShingleHash64 pass — no intermediate shingle strings. Jaccard over
+    * hash sets equals string Jaccard (the hash is injective in practice),
+    * so sketch verification stays exact. */
+  private def hashShingled(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"),
+        graft.functions.ShingleHash64.shingleHash64(col("toks"), 3).as("hs"))
+      .filter(size(col("hs")) > 0)
 
   /** Exact dedup: group by full-content hash, keep the smallest id as the
     * canonical copy. One map-side-combinable shuffle. */
@@ -25,43 +56,46 @@ object Dedup {
 
   /** Word-3-gram Jaccard near-dup pairs, candidates restricted to docs
     * sharing their minimum shingle hash (1-band MinHash): the bucket join
-    * replaces the quadratic cross product; each bucket's pairs get the
+    * replaces the quadratic cross product; each surviving pair gets the
     * exact Jaccard verification. */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(s, dir).select(
-      col("doc_id"),
-      wordShingles(col("text"), 3).as("shingles"))
-      .withColumn("bucket", array_min(transform(col("shingles"), x => md5(x))))
-    val a = base.select(col("doc_id").as("doc_a"),
-      col("shingles").as("sh_a"), col("bucket"))
-    val b = base.select(col("doc_id").as("doc_b"),
-      col("shingles").as("sh_b"), col("bucket"))
-    a.join(b, Seq("bucket")).filter(col("doc_a") < col("doc_b"))
+    val base = shingled(s, dir)
+      .withColumn("bucket",
+        array_min(transform(col("shingles"), x => md5(x))))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val a = base.select(col("bucket"), col("doc_id").as("doc_a"))
+    val b = base.select(col("bucket"), col("doc_id").as("doc_b"))
+    val pairs = a.join(b, "bucket").filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+    attach(pairs, base, "shingles")
       .select(col("doc_a"), col("doc_b"),
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
   }
 
-  /** MinHash+LSH near-dup detection — the full scale path: k=32 seeded
-    * minima → 8 bands of 4 → band-bucket join → exact-Jaccard
-    * verification of the surviving candidates only. */
+  /** MinHash+LSH near-dup detection — the full scale path: one string-
+    * hash pass, k=32 multiply-shift minima → 8 bands of 4 → band-bucket
+    * join on ids only → exact-Jaccard verification of survivors. */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     val bands = 8
     val r = 4
-    val banded = Tables.documents(s, dir).select(
-      col("doc_id"), wordShingles(col("text"), 3).as("shingles"))
-      .filter(size(col("shingles")) > 0)
-      .withColumn("sig", minHashSignature(col("shingles"), bands * r))
-      .select(col("doc_id"), col("shingles"),
-        posexplode(bandHashes(col("sig"), bands, r)).as(Seq("band_id", "band_hash")))
+    val base = hashShingled(s, dir)
+      .withColumn("sig",
+        graft.functions.SketchExprs.minhashSig(col("hs"), bands * r))
+      .select(col("doc_id"), col("hs"),
+        bandHashes(col("sig"), bands, r).as("bands"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val banded = base.select(col("doc_id"),
+      posexplode(col("bands")).as(Seq("band_id", "band_hash")))
     val a = banded.select(col("band_id"), col("band_hash"),
-      col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+      col("doc_id").as("doc_a"))
     val b = banded.select(col("band_id"), col("band_hash"),
-      col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
-    a.join(b, Seq("band_id", "band_hash"))
+      col("doc_id").as("doc_b"))
+    val pairs = a.join(b, Seq("band_id", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
+      .select(col("doc_a"), col("doc_b"))
       .distinct()
+    attach(pairs, base, "hs")
       .select(col("doc_a"), col("doc_b"),
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
@@ -72,10 +106,10 @@ object Dedup {
     * 4×16-bit chunks guarantees every pair within Hamming ≤ 3 collides in
     * at least one chunk; true Hamming verified via bit_count(xor). */
   def simhash(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(s, dir).select(
-      col("doc_id"), wordShingles(col("text"), 3).as("shingles"))
-      .filter(size(col("shingles")) > 0)
-      .withColumn("fp", simHash(col("shingles")))
+    val base = hashShingled(s, dir)
+      .select(col("doc_id"),
+        graft.functions.SketchExprs.simhash64(col("hs")).as("fp"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val chunked = base.select(col("doc_id"), col("fp"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("fp"), i * 16).bitwiseAND(lit(0xffffL))): _*))
@@ -100,14 +134,17 @@ object Dedup {
     * Similarity.lshTopk's bucketing with a threshold filter. */
   def embeddingCosine(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.embeddings(s, dir)
-      .select(col("label"), col("vec_id"), col("embedding"))
+      .select(col("label"), col("vec_id"),
+        VectorFns.asDouble(col("embedding")).as("vd"))
+      .withColumn("nrm", sqrt(VectorFns.dotD(col("vd"), col("vd"))))
     val a = base.select(col("label"), col("vec_id").as("vec_a"),
-      col("embedding").as("emb_a"))
+      col("vd").as("vd_a"), col("nrm").as("nrm_a"))
     val b = base.select(col("label"), col("vec_id").as("vec_b"),
-      col("embedding").as("emb_b"))
+      col("vd").as("vd_b"), col("nrm").as("nrm_b"))
     a.join(b, Seq("label")).filter(col("vec_a") < col("vec_b"))
       .select(col("label"), col("vec_a"), col("vec_b"),
-        round(VectorFns.cosine(col("emb_a"), col("emb_b")), 6).as("cosine"))
+        round(VectorFns.cosineWithNorms(col("vd_a"), col("vd_b"),
+          col("nrm_a"), col("nrm_b")), 6).as("cosine"))
       .filter(col("cosine") >= 0.3)
       .orderBy(col("vec_a"), col("vec_b"))
   }

@@ -5,37 +5,52 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
-import graft.functions.VectorFns
+import graft.functions.VectorFns._
 
 /** Similarity-search block (SURVEY §2E) over the `embeddings` table.
   * Brute force is the correctness baseline (and the oracle); LSH and IVF
   * are the 100 TB paths — each vector lands in O(1) buckets, per-bucket
   * local top-k, global merge (SURVEY §4).
+  *
+  * Every vector is widened to double and its norm precomputed ONCE per
+  * row (materialized columns), so scoring a pair costs a single fold.
+  * The arithmetic (dot/(na·nb)) is unchanged, keeping oracle parity.
   */
 object Similarity {
 
   private val K = 10
+
+  /** (id, vd, nrm): double-widened vector + precomputed norm. */
+  private def prepared(s: SparkSession, dir: String, idAs: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id").as(idAs), asDouble(col("embedding")).as("vd"))
+      .withColumn("nrm", sqrt(dotD(col("vd"), col("vd"))))
+
   /** Query set: a fixed, small id prefix — broadcast side of every probe. */
   private def querySet(s: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(s, dir).filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    prepared(s, dir, "query_id").filter(col("query_id") < 5)
+      .select(col("query_id"), col("vd").as("q_vd"), col("nrm").as("q_nrm"))
 
-  /** Exact brute-force cosine top-k per query. The query side is tiny and
-    * broadcast; the corpus is scanned once — this is the oracle baseline,
-    * not the scale path. Ranking uses the rounded score with id tie-break
-    * so ordering is reproducible across engines. */
-  def bruteForceTopk(s: SparkSession, dir: String): DataFrame = {
-    val corpus = Tables.embeddings(s, dir)
-      .select(col("vec_id").as("neighbor_id"), col("embedding"))
-    val scored = broadcast(querySet(s, dir))
-      .join(corpus, col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        round(VectorFns.cosine(col("q_emb"), col("embedding")), 6)
-          .as("cosine"))
+  private def score: org.apache.spark.sql.Column =
+    round(cosineWithNorms(col("q_vd"), col("vd"), col("q_nrm"), col("nrm")), 6)
+
+  private def topk(scored: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= K)
+  }
+
+  /** Exact brute-force cosine top-k per query: tiny broadcast query side,
+    * one corpus scan — the correctness baseline, not the scale path.
+    * Ranking uses the rounded score with id tie-break so ordering is
+    * reproducible across engines. */
+  def bruteForceTopk(s: SparkSession, dir: String): DataFrame = {
+    val scored = broadcast(querySet(s, dir))
+      .join(prepared(s, dir, "neighbor_id"),
+        col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), score.as("cosine"))
+    topk(scored)
   }
 
   /** Sign-LSH approximate top-k: L=2 independent hash tables of 4
@@ -46,28 +61,20 @@ object Similarity {
   def lshTopk(s: SparkSession, dir: String): DataFrame = {
     val planes = 4
     val tables = 2
-    def bucketed(df: DataFrame, emb: String): DataFrame =
+    def bucketed(df: DataFrame, vecCol: String): DataFrame =
       df.withColumn("table_id",
         explode(array((0 until tables).map(lit(_)): _*)))
         .withColumn("bucket",
-          // per-table plane family: offset the plane index by table
-          VectorFns.signLshBucketSeeded(col(emb), planes, 64, col("table_id")))
-    val corpus = bucketed(Tables.embeddings(s, dir)
-      .select(col("vec_id").as("neighbor_id"), col("embedding")), "embedding")
-    val qs = bucketed(querySet(s, dir), "q_emb")
+          graft.functions.VectorFns.signLshBucketSeeded(
+            col(vecCol), planes, 64, col("table_id")))
+    val corpus = bucketed(prepared(s, dir, "neighbor_id"), "vd")
+    val qs = bucketed(querySet(s, dir), "q_vd")
     val scored = broadcast(qs)
       .join(corpus, Seq("table_id", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("q_emb"), col("neighbor_id"),
-        col("embedding"))
+      .select(col("query_id"), col("neighbor_id"), score.as("cosine"))
       .distinct()
-      .select(col("query_id"), col("neighbor_id"),
-        round(VectorFns.cosine(col("q_emb"), col("embedding")), 6)
-          .as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
+    topk(scored)
   }
 
   /** IVF-style approximate top-k: coarse centroids are a deterministic
@@ -76,40 +83,29 @@ object Similarity {
     * Two broadcast joins + one windowed top-k — no cross product. */
   def ivfTopk(s: SparkSession, dir: String): DataFrame = {
     val nprobe = 4
-    val centroids = Tables.embeddings(s, dir)
-      .filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb"))
-    // assign corpus vectors to their nearest centroid
-    val assignW = Window.partitionBy(col("neighbor_id"))
-      .orderBy(col("sim").desc, col("cell_id"))
-    val assigned = Tables.embeddings(s, dir)
-      .select(col("vec_id").as("neighbor_id"), col("embedding"))
-      .crossJoin(broadcast(centroids))
-      .select(col("neighbor_id"), col("embedding"), col("cell_id"),
-        VectorFns.cosine(col("embedding"), col("c_emb")).as("sim"))
-      .withColumn("rn", row_number().over(assignW))
-      .filter(col("rn") === 1)
-      .select(col("neighbor_id"), col("embedding"), col("cell_id"))
-    // queries probe their nprobe nearest cells
-    val probeW = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("cell_id"))
-    val probes = querySet(s, dir)
-      .crossJoin(broadcast(centroids))
-      .select(col("query_id"), col("q_emb"), col("cell_id"),
-        VectorFns.cosine(col("q_emb"), col("c_emb")).as("sim"))
-      .withColumn("rn", row_number().over(probeW))
-      .filter(col("rn") <= nprobe)
-      .select(col("query_id"), col("q_emb"), col("cell_id"))
+    val centroids = prepared(s, dir, "cell_id")
+      .filter(col("cell_id") % 50 === 0)
+      .select(col("cell_id"), col("vd").as("c_vd"), col("nrm").as("c_nrm"))
+    def nearestCells(df: DataFrame, vdC: String, nrmC: String, keep: Int,
+        outCols: Seq[String]): DataFrame = {
+      val w = Window.partitionBy(col(outCols.head))
+        .orderBy(col("sim").desc, col("cell_id"))
+      df.crossJoin(broadcast(centroids))
+        .withColumn("sim", cosineWithNorms(col(vdC), col("c_vd"),
+          col(nrmC), col("c_nrm")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= keep)
+        .select((outCols :+ "cell_id").map(col): _*)
+    }
+    val assigned = nearestCells(prepared(s, dir, "neighbor_id"),
+      "vd", "nrm", 1, Seq("neighbor_id", "vd", "nrm"))
+    val probes = nearestCells(querySet(s, dir),
+      "q_vd", "q_nrm", nprobe, Seq("query_id", "q_vd", "q_nrm"))
     val scored = broadcast(probes)
       .join(assigned, Seq("cell_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        round(VectorFns.cosine(col("q_emb"), col("embedding")), 6)
-          .as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
+      .select(col("query_id"), col("neighbor_id"), score.as("cosine"))
+    topk(scored)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

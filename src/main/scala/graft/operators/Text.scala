@@ -40,10 +40,12 @@ object Text {
     * pre-training filter thresholds on. */
   def qualityScore(s: SparkSession, dir: String): DataFrame = {
     val t = col("text")
-    val toks = tokens(t)
+    val toks = col("toks") // materialized below: tokenization runs once
     val stop = array(Seq("the", "a", "of", "and", "to", "in").map(lit): _*)
     val nTok = size(toks).cast("double")
-    Tables.documents(s, dir).select(
+    Tables.documents(s, dir)
+      .withColumn("toks", tokens(t))
+      .select(
       col("doc_id"),
       length(t).as("len_chars"),
       round(size(regexp_extract_all(t, lit("[\\.,!\\?;:]"), lit(0)))
@@ -59,7 +61,7 @@ object Text {
   /** Profile-scored language ID: per-language stopword hit counts, argmax
     * with lexicographic tie-break. One projection, no shuffle. */
   def langId(s: SparkSession, dir: String): DataFrame = {
-    val toks = tokens(col("text"))
+    val toks = col("toks") // materialized below: tokenization runs once
     val scores: Seq[(String, Column)] = LangProfiles.map { case (lang, ws) =>
       val profile = array(ws.map(lit): _*)
       lang -> size(filter(toks, x => array_contains(profile, x)))
@@ -69,11 +71,13 @@ object Text {
     val best = scores.map { case (lang, sc) =>
       struct((-sc).as("neg"), lit(lang).as("lang"))
     }
-    Tables.documents(s, dir).select(
-      (col("doc_id") +:
-        scores.map { case (l, c) => c.as(s"s_$l") }) :+
-        element_at(array_sort(array(best: _*)), 1).getField("lang")
-          .as("pred_lang"): _*)
+    Tables.documents(s, dir)
+      .withColumn("toks", tokens(col("text")))
+      .select(
+        (col("doc_id") +:
+          scores.map { case (l, c) => c.as(s"s_$l") }) :+
+          element_at(array_sort(array(best: _*)), 1).getField("lang")
+            .as("pred_lang"): _*)
   }
 
   /** Document fingerprint via the native RollingHash codegen expression. */
@@ -87,12 +91,13 @@ object Text {
   /** Corpus bigram statistics: top-50 by frequency. Explode → partial agg
     * → one shuffle over the (bounded) bigram key space. */
   def ngramStats(s: SparkSession, dir: String): DataFrame = {
-    val w = tokens(col("text"))
+    val w = col("toks") // materialized below: tokenization runs once
     val bigrams = when(size(w) >= 2,
       transform(sequence(lit(1), size(w) - 1),
         i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
       .otherwise(array().cast("array<string>"))
     Tables.documents(s, dir)
+      .withColumn("toks", tokens(col("text")))
       .select(explode(bigrams).as("bigram"))
       .groupBy(col("bigram"))
       .agg(count(lit(1)).as("n"))

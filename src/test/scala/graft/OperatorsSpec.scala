@@ -34,7 +34,7 @@ class OperatorsSpec extends SparkSpec {
     // ground truth by full cross product at tiny scale
     import graft.functions.TextFns._
     val base = Tables.documents(spark, sfTiny)
-      .select(col("doc_id"), wordShingles(col("text"), 3).as("sh"))
+      .select(col("doc_id"), wordShinglesFromText(col("text"), 3).as("sh"))
     val a = base.select(col("doc_id").as("da"), col("sh").as("sa"))
     val b = base.select(col("doc_id").as("db"), col("sh").as("sb"))
     val truth = a.crossJoin(b).filter(col("da") < col("db"))
