@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{Dedup, Etl, Events, Multimodal, Relational, Similarity, Text}
+import graft.sources.JsonLanding
 import graft.streaming.Streams
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
@@ -15,12 +16,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Events.queries ++ Etl.queries ++
       Dedup.queries ++ Similarity.queries ++ Text.queries ++
-      Multimodal.queries ++ Streams.queries
+      Multimodal.queries ++ Streams.queries ++ JsonLanding.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Events.oracles ++ Etl.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ Text.oracles ++
-      Multimodal.oracles ++ Streams.oracles
+      Multimodal.oracles ++ Streams.oracles ++ JsonLanding.oracles
 }

@@ -1,0 +1,61 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** JSON landing source/sink (SURVEY §2A) — the reference lands newline-
+  * JSON under data/{source}/date=YYYY-MM-DD/ (lambda_function.py:329) and
+  * analytics reads it back. Here: standardized records written as
+  * date-partitioned JSON, read back with an EXPLICIT schema (schema
+  * inference over a 100 TB lake is a full extra scan — never rely on it),
+  * nested payloads re-parsed with from_json.
+  */
+object JsonLanding {
+
+  /** Read-back schema, declared not inferred. */
+  val landedSchema: StructType = StructType(Seq(
+    StructField("record_id", StringType),
+    StructField("source", StringType),
+    StructField("ts", TimestampType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Land standardized events as date-partitioned JSON, then read the
+    * landing back and aggregate per partition — the reference's
+    * write-then-analyze cycle in one deterministic operator. */
+  def roundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_json_land_" +
+      dir.replaceAll("[^0-9a-zA-Z]", "_")
+    Tables.events(s, dir)
+      .select(
+        substring(md5(concat_ws("_", col("event_id"), col("event_type"))),
+          1, 12).as("record_id"),
+        col("event_type").as("source"),
+        col("ts"), col("value"), col("props"),
+        date_format(col("ts"), "yyyy-MM-dd").as("event_date"))
+      .write.mode("overwrite").partitionBy("event_date").json(out)
+    s.read.schema(landedSchema.add(StructField("event_date", StringType)))
+      .json(out)
+      .withColumn("k", from_json(col("props"),
+        StructType(Seq(StructField("k", IntegerType)))).getField("k"))
+      .groupBy(col("event_date"), col("source"))
+      .agg(count(lit(1)).as("n_records"),
+        sum(col("value").cast(DecimalType(18, 2)))
+          .cast(DecimalType(38, 2)).as("sum_value"),
+        sum(col("k")).as("sum_k"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_json_landing" -> (roundtrip _))
+
+  val oracles: Map[String, String] = Map(
+    "etl_json_landing" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+        |  event_type AS source, COUNT(*) AS n_records,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value,
+        |  SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k
+        |FROM events GROUP BY strftime(ts, '%Y-%m-%d'), event_type""".stripMargin)
+}
