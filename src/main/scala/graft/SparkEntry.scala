@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Etl, Events, Multimodal, Relational, Similarity, Text}
+import graft.operators.{Dedup, Etl, Events, Multimodal, Relational, Scale, Similarity, Text}
 import graft.sources.JsonLanding
 import graft.streaming.Streams
 
@@ -16,12 +16,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Events.queries ++ Etl.queries ++
       Dedup.queries ++ Similarity.queries ++ Text.queries ++
-      Multimodal.queries ++ Streams.queries ++ JsonLanding.queries
+      Multimodal.queries ++ Streams.queries ++ JsonLanding.queries ++
+      Scale.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Events.oracles ++ Etl.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ Text.oracles ++
-      Multimodal.oracles ++ Streams.oracles ++ JsonLanding.oracles
+      Multimodal.oracles ++ Streams.oracles ++ JsonLanding.oracles ++
+      Scale.oracles
 }

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 /** Physical-plan assertions (SURVEY §6): the scale properties — pushdown,
   * pruning, broadcast choice, no accidental cross products — are part of
   * each operator's contract, not an afterthought.
@@ -44,6 +46,47 @@ class PlanSpec extends SparkSpec {
       val p = plan(op(spark, sfTiny))
       assert(!p.contains("CartesianProduct"), p.take(400))
       assert(!p.contains("BroadcastNestedLoopJoin"), p.take(400))
+    }
+  }
+
+  test("bucketed join: no exchange feeds the join (co-located buckets)") {
+    val df = operators.Scale.bucketedJoin(spark, sfTiny)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // allowed exchanges: only the final single-partition/agg shuffle —
+    // the join itself must read co-bucketed tables without re-exchange
+    val joinIdx = p.indexOf("SortMergeJoin")
+    if (joinIdx >= 0) {
+      val below = p.substring(joinIdx)
+      assert(!below.contains("Exchange hashpartitioning"),
+        below.take(600))
+    }
+  }
+
+  test("salted join equals the plain join result") {
+    val salted = operators.Scale.saltedJoin(spark, sfTiny)
+      .collect().map(_.toSeq).toSet
+    val plain = graft.Tables.lineitem(spark, sfTiny)
+      .join(graft.Tables.orders(spark, sfTiny)
+        .filter(col("o_orderpriority") === "1-URGENT"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 2)).as("sum_price"))
+      .collect().map(_.toSeq).toSet
+    assert(salted == plain)
+  }
+
+  test("approx distinct within 5% of exact") {
+    val rows = operators.Scale.approxDistinct(spark, sfTiny)
+      .join(graft.Tables.orders(spark, sfTiny)
+        .groupBy(col("o_orderstatus"))
+        .agg(countDistinct(col("o_custkey")).as("exact")), "o_orderstatus")
+      .select(col("approx_customers"), col("exact")).collect()
+    rows.foreach { r =>
+      val (a, e) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+      assert(math.abs(a - e) / e < 0.05, s"approx=$a exact=$e")
     }
   }
 
