@@ -61,21 +61,28 @@ object Events {
   }
 
   /** Ordered funnel view→click→purchase: each later step's first hit must
-    * strictly follow the previous step's. Three key-aligned aggs + joins
-    * on user_id. */
+    * strictly follow the previous step's. Three chained window projections
+    * over ONE user_id partitioning (each step's window may reference the
+    * previous step's column because the partitioning is already in place)
+    * + a key-aligned final agg — a single exchange end to end, vs. the
+    * naive 3-agg/3-join formulation's nine. */
   def funnel(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
-    val v = ev.filter(col("event_type") === "view")
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
-    val c = ev.filter(col("event_type") === "click")
-      .join(v, "user_id").filter(col("ts") > col("t_view"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
-    val p = ev.filter(col("event_type") === "purchase")
-      .join(c, "user_id").filter(col("ts") > col("t_click"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
-    v.join(c, Seq("user_id"), "left")
-      .join(p, Seq("user_id"), "left")
-      .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"))
+    val w = Window.partitionBy(col("user_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("t_view",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("t_click",
+        min(when(col("event_type") === "click" &&
+          col("ts") > col("t_view"), col("ts"))).over(w))
+      .withColumn("t_purchase",
+        min(when(col("event_type") === "purchase" &&
+          col("ts") > col("t_click"), col("ts"))).over(w))
+      .filter(col("t_view").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(max(col("t_view")).as("t_view"),
+        max(col("t_click")).as("t_click"),
+        max(col("t_purchase")).as("t_purchase"))
   }
 
   /** Last-touch attribution: for every purchase, the latest click strictly

@@ -86,21 +86,27 @@ object Similarity {
     val centroids = prepared(s, dir, "cell_id")
       .filter(col("cell_id") % 50 === 0)
       .select(col("cell_id"), col("vd").as("c_vd"), col("nrm").as("c_nrm"))
-    def nearestCells(df: DataFrame, vdC: String, nrmC: String, keep: Int,
-        outCols: Seq[String]): DataFrame = {
-      val w = Window.partitionBy(col(outCols.head))
-        .orderBy(col("sim").desc, col("cell_id"))
-      df.crossJoin(broadcast(centroids))
-        .withColumn("sim", cosineWithNorms(col(vdC), col("c_vd"),
-          col(nrmC), col("c_nrm")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= keep)
-        .select((outCols :+ "cell_id").map(col): _*)
-    }
-    val assigned = nearestCells(prepared(s, dir, "neighbor_id"),
-      "vd", "nrm", 1, Seq("neighbor_id", "vd", "nrm"))
-    val probes = nearestCells(querySet(s, dir),
-      "q_vd", "q_nrm", nprobe, Seq("query_id", "q_vd", "q_nrm"))
+    // Corpus assignment (nearest cell only): max_by aggregation instead of
+    // a per-vector rank window — partial aggregation shrinks the shuffle
+    // map-side, where a window would exchange + sort the whole corpus.
+    val assigned = prepared(s, dir, "neighbor_id")
+      .crossJoin(broadcast(centroids))
+      .withColumn("sim", cosineWithNorms(col("vd"), col("c_vd"),
+        col("nrm"), col("c_nrm")))
+      .groupBy(col("neighbor_id"))
+      .agg(first(col("vd")).as("vd"), first(col("nrm")).as("nrm"),
+        max_by(col("cell_id"),
+          struct(col("sim"), (-col("cell_id")).as("neg"))).as("cell_id"))
+    // Query probes (nprobe cells, 5 rows): the rank window is fine here.
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cell_id"))
+    val probes = querySet(s, dir)
+      .crossJoin(broadcast(centroids))
+      .withColumn("sim", cosineWithNorms(col("q_vd"), col("c_vd"),
+        col("q_nrm"), col("c_nrm")))
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("q_vd"), col("q_nrm"), col("cell_id"))
     val scored = broadcast(probes)
       .join(assigned, Seq("cell_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
