@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends SparkSpec {
+
+  private def cfg(landing: String) = Pipeline.Config(
+    sources = Seq(
+      Pipeline.Source("marketing", "part", limit = Some(100)),
+      Pipeline.Source("ads", "events"),
+      Pipeline.Source("sales", "orders"),
+      Pipeline.Source("crm", "customer"),
+      Pipeline.Source("broken", "no_such_table")),
+    landingDir = landing,
+    runDate = "2026-08-12")
+
+  test("pipeline lands every healthy source and continues past failures") {
+    val landing = java.nio.file.Files
+      .createTempDirectory("graft_pipeline").toString
+    val summary = Pipeline.run(spark, sfTiny, cfg(landing)).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(summary("marketing") == (("ok", 100L)))
+    assert(summary("ads")._1 == "ok", "events source must land (NANOS ts)")
+    assert(summary("sales")._1 == "ok" && summary("sales")._2 > 0)
+    assert(summary("crm")._1 == "ok")
+    assert(summary("broken")._1 == "error")
+    // landed layout is the reference's date-partitioned shape
+    assert(new java.io.File(s"$landing/sales/date=2026-08-12").exists())
+    // landed records carry the standardized header
+    val landed = spark.read.parquet(s"$landing/sales/date=2026-08-12")
+    assert(landed.columns.toSet ==
+      Set("record_id", "source", "extracted_date", "raw_data"))
+    assert(landed.filter(length(col("record_id")) =!= 12).count() == 0)
+    // rerun is idempotent (overwrite semantics, deterministic ids)
+    val again = Pipeline.run(spark, sfTiny, cfg(landing)).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(again("sales") == summary("sales")._2)
+  }
+}
