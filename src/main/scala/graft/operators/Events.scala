@@ -117,6 +117,29 @@ object Events {
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Campaign performance rollup — the core ads-ETL report: per-campaign
+    * funnel counts, CTR/CVR, and purchase revenue, with the campaign id
+    * parsed out of the semi-structured props payload. */
+  def campaignStats(s: SparkSession, dir: String): DataFrame = {
+    val campaign = pmod(
+      get_json_object(col("props"), "$.k").cast("int"), lit(10))
+    Tables.events(s, dir)
+      .withColumn("campaign", campaign)
+      .groupBy(col("campaign"))
+      .agg(
+        count(when(col("event_type") === "view", 1)).as("n_views"),
+        count(when(col("event_type") === "click", 1)).as("n_clicks"),
+        count(when(col("event_type") === "purchase", 1)).as("n_purchases"),
+        round(count(when(col("event_type") === "click", 1)).cast("double") /
+          nullif(count(when(col("event_type") === "view", 1)), lit(0))
+            .cast("double"), 6).as("ctr"),
+        round(count(when(col("event_type") === "purchase", 1)).cast("double") /
+          nullif(count(when(col("event_type") === "click", 1)), lit(0))
+            .cast("double"), 6).as("cvr"),
+        out2(sum(when(col("event_type") === "purchase", dec2(col("value")))))
+          .as("revenue"))
+  }
+
   /** Top-k users by spend, explicit tie-break. */
   def topkHeavyHitters(s: SparkSession, dir: String): DataFrame = {
     Tables.events(s, dir)
@@ -133,6 +156,7 @@ object Events {
     "ev_funnel" -> (funnel _),
     "ev_attribution" -> (attribution _),
     "ev_retention" -> (retention _),
+    "ev_campaign_stats" -> (campaignStats _),
     "ev_topk_heavy_hitters" -> (topkHeavyHitters _))
 
   val oracles: Map[String, String] = Map(
@@ -201,6 +225,19 @@ object Events {
         |  COUNT(DISTINCT a.user_id) AS n_users
         |FROM activity a JOIN cohort c ON a.user_id = c.user_id
         |GROUP BY cohort_day, date_diff('day', cohort_day, act_day)""".stripMargin,
+    "ev_campaign_stats" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS campaign,
+        |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_views,
+        |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_clicks,
+        |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases,
+        |  ROUND(CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS DOUBLE)
+        |    / CAST(NULLIF(COUNT(CASE WHEN event_type = 'view' THEN 1 END), 0) AS DOUBLE), 6) AS ctr,
+        |  ROUND(CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS DOUBLE)
+        |    / CAST(NULLIF(COUNT(CASE WHEN event_type = 'click' THEN 1 END), 0) AS DOUBLE), 6) AS cvr,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase'
+        |    THEN CAST(value AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS revenue
+        |FROM events
+        |GROUP BY CAST(json_extract_string(props, '$.k') AS INT) % 10""".stripMargin,
     "ev_topk_heavy_hitters" ->
       """SELECT user_id,
         |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value,
