@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** As-of (point-in-time) join (SURVEY §2C): for each left row, the latest
+  * right row at-or-before (or strictly before) it, per key.
+  *
+  * Spark has no native as-of join; the scalable formulation is NOT a
+  * range join (which explodes into an O(n·m) interval comparison) but a
+  * union + one window over the shared key partitioning: tag both sides,
+  * sort by (ts, side) inside each key, and carry the last right payload
+  * forward with an IGNORE NULLS window. One shuffle, linear work —
+  * survives 100 TB where a range join would not.
+  */
+object AsOf {
+
+  /** Generic as-of join.
+    *
+    * @param left      left (probe) rows; all its columns are kept
+    * @param right     right (state) rows
+    * @param keys      equi-join keys present on both sides
+    * @param ts        event-time column name present on both sides
+    * @param payload   right columns attached to each left row (as
+    *                  `asof_<name>`, null when no right row precedes)
+    * @param tieBreak  extra right-side ordering columns so equal-ts right
+    *                  rows resolve deterministically
+    * @param strict    true → right.ts < left.ts; false → right.ts ≤ left.ts
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      ts: String, payload: Seq[String], tieBreak: Seq[String],
+      strict: Boolean = false): DataFrame = {
+    val rTagged = right.select(
+      (keys :+ ts).map(col) ++ tieBreak.map(col) :+
+        struct(payload.map(col): _*).as("__p"): _*)
+      .withColumn("__side", lit(0))
+    val lTagged = left.withColumn("__side", lit(1))
+    val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
+    // At equal ts: side order decides ≤ vs <. Non-strict sorts right rows
+    // (side 0) before left so the frame (…, -1] still sees them; strict
+    // sorts them after. Tie-break columns order equal-ts right rows.
+    val sideOrder = if (strict) col("__side").desc else col("__side").asc
+    val order: Seq[Column] =
+      (col(ts) +: sideOrder +: tieBreak.map(c =>
+        coalesce(col(c), lit(Long.MinValue)).asc)) :+ lit(1).asc
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    unioned
+      .withColumn("__asof", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .drop("__p", "__side")
+      .withColumns(payload.map(p =>
+        s"asof_$p" -> col("__asof").getField(p)).toMap)
+      .drop("__asof")
+  }
+
+  /** Purchase-time state join: every purchase annotated with the user's
+    * most recent strictly-prior engagement (any view/click) — the
+    * point-in-time feature a bidding model trains on. */
+  def evAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts"), col("value").cast(DecimalType(18, 2)).as("purchase_value"))
+    val engagement = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"))
+    asofJoin(purchases, engagement,
+      keys = Seq("user_id"), ts = "ts",
+      payload = Seq("event_id", "event_type", "value"),
+      tieBreak = Seq("event_id"), strict = true)
+      .select(col("user_id"), col("purchase_id"),
+        col("ts").as("purchase_ts"), col("purchase_value"),
+        col("asof_event_id"), col("asof_event_type"),
+        round(col("asof_value"), 2).as("asof_value"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_asof_join" -> (evAsofJoin _))
+
+  val oracles: Map[String, String] = Map(
+    "ev_asof_join" ->
+      """WITH tagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS side,
+        |    event_type, value
+        |  FROM events WHERE event_type IN ('purchase', 'view', 'click')
+        |), joined AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+        |      OVER w AS asof_event_id,
+        |    last_value(CASE WHEN side = 0 THEN event_type END IGNORE NULLS)
+        |      OVER w AS asof_event_type,
+        |    last_value(CASE WHEN side = 0 THEN value END IGNORE NULLS)
+        |      OVER w AS asof_value
+        |  FROM tagged
+        |  WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ts, side DESC, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |)
+        |SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+        |  CAST(value AS DECIMAL(18,2)) AS purchase_value,
+        |  asof_event_id, asof_event_type, ROUND(asof_value, 2) AS asof_value
+        |FROM joined WHERE side = 1""".stripMargin)
+}
