@@ -68,6 +68,10 @@ object Dedup {
     val pairs = a.join(b, "bucket").filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
     attach(pairs, base, "shingles")
+      // size-ratio prefilter: J(A,B) <= min/max, so J >= 0.5 forces
+      // max(|A|,|B|) <= 2*min(|A|,|B|) — prunes before the intersect
+      .filter(size(col("sh_a")) <= size(col("sh_b")) * 2 &&
+        size(col("sh_b")) <= size(col("sh_a")) * 2)
       .select(col("doc_a"), col("doc_b"),
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
@@ -96,6 +100,8 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"))
       .distinct()
     attach(pairs, base, "hs")
+      .filter(size(col("sh_a")) <= size(col("sh_b")) * 2 &&
+        size(col("sh_b")) <= size(col("sh_a")) * 2)
       .select(col("doc_a"), col("doc_b"),
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= 0.5)

@@ -118,9 +118,28 @@ object Streams {
     s.table("graft_stream_sessions")
   }
 
+  /** Streaming exact dedup with a bounded-state watermark: duplicate
+    * events (same natural key) inside the watermark horizon collapse to
+    * their first occurrence — the continuous form of etl_incremental's
+    * batch dedup, with state that ages out instead of growing forever. */
+  def dedup(s: SparkSession, dir: String): DataFrame = {
+    val out = eventStream(s, dir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "ts")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_unique"))
+    val q = out.writeStream
+      .outputMode(OutputMode.Complete)
+      .format("memory").queryName("graft_stream_dedup")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table("graft_stream_dedup")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_windowed_counts" -> (windowedCounts _),
-    "stream_sessionize" -> (sessionize _))
+    "stream_sessionize" -> (sessionize _),
+    "stream_dedup" -> (dedup _))
 
   /** The streaming windowed agg is epoch-aligned, so the batch SQL oracle
     * applies verbatim. stream_sessionize is rows-only (trailing open

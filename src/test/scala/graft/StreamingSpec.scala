@@ -16,6 +16,16 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("stream dedup matches batch distinct counts") {
+    val streamed = streaming.Streams.dedup(spark, sfTiny)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = Tables.events(spark, sfTiny)
+      .select("user_id", "event_type", "ts").distinct()
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+  }
+
   test("stream sessionize emits a subset of batch sessions, same shape") {
     val batch = operators.Events.sessionize(spark, sfTiny)
       .select(col("user_id"),
