@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Randomized equivalence check: AsOf.asofJoin vs a quadratic in-memory
+  * reference over seeded random data — covers equal timestamps, missing
+  * right rows, multiple keys, both strictness modes. */
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (key, ts, id[, payload]) as tuples: encoders for class-nested case
+  // classes are not derivable
+  private val rnd = new scala.util.Random(42)
+  private val lefts = (1L to 300L).map(i =>
+    (rnd.nextInt(20).toLong, rnd.nextInt(50).toLong, i))
+  private val rights = (1L to 300L).map(i =>
+    (rnd.nextInt(20).toLong, rnd.nextInt(50).toLong, i, rnd.nextInt(100).toDouble))
+
+  private def reference(strict: Boolean): Map[Long, Option[Long]] =
+    lefts.map { case (k, ts, lid) =>
+      val cands = rights.filter { case (rk, rts, _, _) =>
+        rk == k && (if (strict) rts < ts else rts <= ts) }
+      // latest ts, then largest rid — matches tieBreak = Seq("rid")
+      lid -> cands.sortBy { case (_, rts, rid, _) => (rts, rid) }
+        .lastOption.map(_._3)
+    }.toMap
+
+  for (strict <- Seq(true, false)) {
+    test(s"asofJoin(strict=$strict) matches the quadratic reference") {
+      val got = operators.AsOf.asofJoin(
+        lefts.toDF("k", "ts", "lid"), rights.toDF("k", "ts", "rid", "payload"),
+        keys = Seq("k"), ts = "ts", payload = Seq("rid", "payload"),
+        tieBreak = Seq("rid"), strict = strict)
+        .select(col("lid"), col("asof_rid")).collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      val want = reference(strict)
+      val diffs = want.collect {
+        case (lid, w) if got.getOrElse(lid, None) != w =>
+          (lid, w, got.get(lid))
+      }
+      assert(diffs.isEmpty, s"first diffs: ${diffs.take(5)}")
+      assert(got.size == lefts.size)
+    }
+  }
+}
