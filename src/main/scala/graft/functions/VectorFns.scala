@@ -15,9 +15,10 @@ object VectorFns {
     * reuse (same compute-once discipline as TextFns). */
   def asDouble(v: Column): Column = transform(v, _.cast("double"))
 
-  /** Dot product of already-double arrays (no per-call widening). */
-  def dotD(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Dot product of already-double arrays (no per-call widening) — the
+    * native codegen expression; same sequential fold as DuckDB's
+    * list_dot_product, so oracle parity holds bit-for-bit. */
+  def dotD(a: Column, b: Column): Column = VectorExprs.dotProduct(a, b)
 
   /** Cosine from materialized double vectors + precomputed norms: one
     * fold per pair instead of three (norms are per-row, not per-pair).
