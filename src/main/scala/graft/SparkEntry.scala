@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AsOf, Dedup, Etl, Events, Multimodal, Relational, Scale, Similarity, Text}
+import graft.operators.{AsOf, Corpus, Dedup, Etl, Events, Multimodal, Relational, Sampling, Scale, Similarity, Text}
 import graft.sources.JsonLanding
 import graft.streaming.Streams
 
@@ -17,7 +17,7 @@ object SparkEntry {
     Relational.queries ++ Events.queries ++ Etl.queries ++
       Dedup.queries ++ Similarity.queries ++ Text.queries ++
       Multimodal.queries ++ Streams.queries ++ JsonLanding.queries ++
-      Scale.queries ++ AsOf.queries
+      Scale.queries ++ AsOf.queries ++ Sampling.queries ++ Corpus.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */
@@ -25,5 +25,5 @@ object SparkEntry {
     Relational.oracles ++ Events.oracles ++ Etl.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ Text.oracles ++
       Multimodal.oracles ++ Streams.oracles ++ JsonLanding.oracles ++
-      Scale.oracles ++ AsOf.oracles
+      Scale.oracles ++ AsOf.oracles ++ Sampling.oracles ++ Corpus.oracles
 }

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFns._
+
+/** Composite corpus-cleaning pipeline (SURVEY §2I): the end-to-end
+  * pre-training data flow — quality gate → exact dedup → near-dup
+  * removal — as ONE declarative plan, oracle-checked end to end. Keeps
+  * the lowest doc_id of every duplicate group/pair (deterministic), and
+  * reports the per-doc verdict so the filter is auditable, not a black
+  * box.
+  */
+object Corpus {
+
+  def clean(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+
+    // 1. quality gate
+    val quality = docs.filter(col("n_chars") >= 100)
+      .select(col("doc_id"), col("text"))
+
+    // 2. exact dedup: keep the lowest doc_id per content hash
+    val exactKeep = quality
+      .withColumn("keep_id",
+        min(col("doc_id")).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(md5(col("text")))))
+      .filter(col("doc_id") === col("keep_id"))
+      .select(col("doc_id"), col("text"))
+
+    // 3. near-dup removal: bucket-restricted Jaccard pairs (doc_a <
+    //    doc_b); any doc appearing as the higher side of a pair drops
+    val base = exactKeep
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"),
+        wordShingles(col("toks"), 3).as("shingles"))
+      .withColumn("bucket",
+        array_min(transform(col("shingles"), x => md5(x))))
+    val a = base.select(col("bucket"), col("doc_id").as("doc_a"),
+      col("shingles").as("sh_a"))
+    val b = base.select(col("bucket"), col("doc_id").as("doc_b"),
+      col("shingles").as("sh_b"))
+    // raw (unrounded) ratio: int/int division is bit-identical in both
+    // engines, and rounding first could flip the boundary
+    val rawJaccard =
+      size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b"))).cast("double")
+    val dropIds = a.join(b, "bucket").filter(col("doc_a") < col("doc_b"))
+      .filter(rawJaccard >= 0.5)
+      .select(col("doc_b").as("doc_id")).distinct()
+
+    exactKeep.join(dropIds, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_clean" -> (clean _))
+
+  val oracles: Map[String, String] = Map(
+    "corpus_clean" ->
+      """WITH quality AS (
+        |  SELECT doc_id, text FROM documents WHERE n_chars >= 100),
+        |exact_keep AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text,
+        |      MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+        |    FROM quality) WHERE doc_id = keep_id),
+        |shingled AS (
+        |  SELECT doc_id, shingles,
+        |    list_min(list_transform(shingles, x -> md5(x))) AS bucket
+        |  FROM (
+        |    SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+        |        THEN list_transform(range(1, len(w) - 1),
+        |          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        |        ELSE [] END) AS shingles
+        |    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |          FROM exact_keep))),
+        |drop_ids AS (
+        |  SELECT DISTINCT b.doc_id FROM shingled a JOIN shingled b
+        |  ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        |    / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE)
+        |    >= 0.5)
+        |SELECT doc_id FROM exact_keep
+        |WHERE doc_id NOT IN (SELECT doc_id FROM drop_ids)
+        |ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Sampling & split block (SURVEY §2I) — the train/val/test machinery of
+  * a training-data pipeline. "Random" is always content-hash order:
+  * deterministic, reproducible across engines and reruns, stable under
+  * re-partitioning — never rand()/sample() (seed-and-partition
+  * dependent, unverifiable).
+  */
+object Sampling {
+
+  /** Deterministic train/val/test assignment from the last hex nibble of
+    * the content hash: 16 buckets → 12/2/2 split. Pure projection. */
+  def hashSplit(s: SparkSession, dir: String): DataFrame = {
+    val nibble = substring(md5(col("text")), 32, 1)
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        when(nibble.isin("0", "1", "2", "3", "4", "5", "6", "7", "8",
+          "9", "a", "b"), "train")
+          .when(nibble.isin("c", "d"), "val")
+          .otherwise(lit("test")).as("split"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"))
+  }
+
+  /** Stratified 10% sample per language: rank by content-hash order
+    * inside each stratum, keep the first ceil(n/10). One shuffle on the
+    * stratum key. */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("text")), col("doc_id"))
+    val n = Window.partitionBy(col("lang"))
+    Tables.documents(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_lang", count(lit(1)).over(n))
+      .filter(col("rn") <= ceil(col("n_lang") / 10))
+      .select(col("lang"), col("doc_id"), col("rn"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "smp_hash_split" -> (hashSplit _),
+    "smp_stratified" -> (stratifiedSample _))
+
+  val oracles: Map[String, String] = Map(
+    "smp_hash_split" ->
+      """WITH assigned AS (
+        |  SELECT doc_id,
+        |    CASE WHEN substr(md5(text), 32, 1) IN
+        |        ('0','1','2','3','4','5','6','7','8','9','a','b')
+        |      THEN 'train'
+        |      WHEN substr(md5(text), 32, 1) IN ('c','d') THEN 'val'
+        |      ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT split, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id,
+        |  MAX(doc_id) AS max_doc_id
+        |FROM assigned GROUP BY split""".stripMargin,
+    "smp_stratified" ->
+      """WITH ranked AS (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(text), doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY lang) AS n_lang
+        |  FROM documents)
+        |SELECT lang, doc_id, CAST(rn AS INT) AS rn FROM ranked
+        |WHERE rn <= CAST(ceil(n_lang / 10.0) AS BIGINT)""".stripMargin)
+}
