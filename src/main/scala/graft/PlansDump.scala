@@ -1,0 +1,47 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+/** Regenerates PLANS.md: executed physical plans of representative
+  * operators, committed as reviewable evidence for the §6 performance
+  * protocol. Run: sbt "runMain graft.PlansDump". */
+object PlansDump {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.001"
+    val picks = Seq(
+      "q1_pricing_summary" ->
+        "full-scan grouped aggregate: pushdown + pruning + partial agg",
+      "q5_local_supplier" ->
+        "6-way star join: every dimension broadcast, one fact shuffle",
+      "ev_sessionize" ->
+        "sessionization: lag + running sum + agg on ONE user_id exchange",
+      "ev_funnel" ->
+        "funnel: three chained windows sharing a single partitioning",
+      "dedup_minhash_lsh" ->
+        "MinHash+LSH: native sketch expressions, id-only pair join",
+      "q17_bucketed_join" ->
+        "bucketed fact-fact join: no exchange feeds the join",
+      "ann_bruteforce_topk" ->
+        "brute-force cosine: broadcast query side, native dot product")
+    val sb = new StringBuilder
+    sb.append("# PLANS — executed physical plans (sf0.001, regenerate " +
+      "via `sbt \"runMain graft.PlansDump\"`)\n")
+    picks.foreach { case (name, why) =>
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.collect()
+      sb.append(s"\n## $name\n\n$why\n\n```\n")
+      sb.append(df.queryExecution.executedPlan.toString.take(4000))
+      sb.append("\n```\n")
+    }
+    Files.writeString(Paths.get("/root/repo/PLANS.md"), sb.toString)
+    println("PLANS.md written")
+    spark.stop()
+  }
+}

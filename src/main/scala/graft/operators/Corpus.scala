@@ -30,6 +30,8 @@ object Corpus {
             .partitionBy(md5(col("text")))))
       .filter(col("doc_id") === col("keep_id"))
       .select(col("doc_id"), col("text"))
+      // feeds both the shingle stage and the final anti-join
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // 3. near-dup removal: bucket-restricted Jaccard pairs (doc_a <
     //    doc_b); any doc appearing as the higher side of a pair drops
@@ -39,6 +41,7 @@ object Corpus {
         wordShingles(col("toks"), 3).as("shingles"))
       .withColumn("bucket",
         array_min(transform(col("shingles"), x => md5(x))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = base.select(col("bucket"), col("doc_id").as("doc_a"),
       col("shingles").as("sh_a"))
     val b = base.select(col("bucket"), col("doc_id").as("doc_b"),
