@@ -59,13 +59,15 @@ object Text {
   }
 
   /** Profile-scored language ID: per-language stopword hit counts, argmax
-    * with lexicographic tie-break. One projection, no shuffle. */
+    * with lexicographic tie-break. One projection, no shuffle; all five
+    * profiles scored in a single native pass (ProfileScores). */
   def langId(s: SparkSession, dir: String): DataFrame = {
-    val toks = col("toks") // materialized below: tokenization runs once
-    val scores: Seq[(String, Column)] = LangProfiles.map { case (lang, ws) =>
-      val profile = array(ws.map(lit): _*)
-      lang -> size(filter(toks, x => array_contains(profile, x)))
-    }
+    // "scores" is materialized as its own column so the expression runs
+    // once per row, not once per downstream reference
+    val scores: Seq[(String, Column)] =
+      LangProfiles.zipWithIndex.map { case ((lang, _), i) =>
+        lang -> element_at(col("scores"), i + 1)
+      }
     // argmax via a sorted struct array: highest score first, then language
     // name ascending — deterministic in both engines.
     val best = scores.map { case (lang, sc) =>
@@ -73,6 +75,8 @@ object Text {
     }
     Tables.documents(s, dir)
       .withColumn("toks", tokens(col("text")))
+      .withColumn("scores", graft.functions.ProfileScores.profileScores(
+        col("toks"), LangProfiles.map(_._2)))
       .select(
         (col("doc_id") +:
           scores.map { case (l, c) => c.as(s"s_$l") }) :+
