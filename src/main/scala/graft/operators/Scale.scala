@@ -47,26 +47,38 @@ object Scale {
           .as("sum_price"))
   }
 
-  /** Salted skew join: the fact side's hot keys are spread over S salt
-    * partitions, the dim side is replicated S×, and the join runs on
-    * (key, salt) — the hand-rolled form of what AQE's skew-join split
-    * does at runtime, for engines/paths where AQE can't see the skew.
-    * Produces exactly the plain join's answer (the oracle checks it). */
+  /** Salted equi-join: the fact side's hot keys are spread over S salt
+    * partitions (content-hash salt — deterministic, no RNG), the dim
+    * side is replicated S×, and the join runs on (key, salt) — the
+    * hand-rolled form of what AQE's skew-join split does at runtime, for
+    * paths where AQE can't see the skew. Result is exactly the plain
+    * inner join's (spec + oracle verified).
+    *
+    * @param saltOn fact columns hashed into the salt (any stable subset)
+    */
+  def saltedEquiJoin(fact: DataFrame, dim: DataFrame,
+      factKey: String, dimKey: String, salts: Int,
+      saltOn: Seq[String]): DataFrame = {
+    val salted = fact.withColumn("__salt",
+      pmod(xxhash64(saltOn.map(col): _*), lit(salts.toLong)))
+    val replicated = dim.withColumn("__salt",
+      explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
+    salted.join(replicated,
+      col(factKey) === col(dimKey) &&
+        salted("__salt") === replicated("__salt"))
+      .drop("__salt")
+  }
+
+  /** Salted-join operator over the star schema (oracle-checked equal to
+    * the plain join). */
   def saltedJoin(s: SparkSession, dir: String): DataFrame = {
-    val salts = 8
     val fact = Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_quantity"))
-      .withColumn("salt",
-        pmod(xxhash64(col("l_orderkey"), col("l_extendedprice"),
-          col("l_quantity")), lit(salts.toLong)))
     val dim = Tables.orders(s, dir)
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey"), col("o_orderstatus"))
-      .withColumn("salt", explode(array((0 until salts)
-        .map(i => lit(i.toLong)): _*)))
-    fact.join(dim,
-      col("l_orderkey") === col("o_orderkey") &&
-        fact("salt") === dim("salt"))
+    saltedEquiJoin(fact, dim, "l_orderkey", "o_orderkey", 8,
+      Seq("l_orderkey", "l_extendedprice", "l_quantity"))
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n_items"),
         sum(dec2(col("l_extendedprice"))).cast(DecimalType(38, 2))

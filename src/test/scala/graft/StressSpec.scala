@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scale-behavior stress checks: synthetic worst cases the SF data
+  * doesn't produce naturally. */
+class StressSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("minhash LSH survives a duplicate storm and finds all copy pairs") {
+    // replicate every document 3x with shifted ids — the candidate
+    // generator must handle exploding bucket collisions and still emit
+    // each exact-copy pair exactly once
+    val docs = Tables.documents(spark, sfTiny).select("doc_id", "text")
+    val copies = (0 until 3).map(i =>
+      docs.select((col("doc_id") + lit(i * 1000000)).as("doc_id"),
+        col("text"))).reduce(_ unionAll _)
+    copies.createOrReplaceTempView("graft_storm_docs")
+
+    // run the same pipeline as Dedup.minhashLsh against the storm table
+    import graft.functions.TextFns._
+    import graft.functions.{ShingleHash64, SketchExprs}
+    val base = copies
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"),
+        ShingleHash64.shingleHash64(col("toks"), 3).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .withColumn("sig", SketchExprs.minhashSig(col("hs"), 32))
+      .select(col("doc_id"), col("hs"),
+        bandHashes(col("sig"), 8, 4).as("bands"))
+    val banded = base.select(col("doc_id"),
+      posexplode(col("bands")).as(Seq("band_id", "band_hash")))
+    val a = banded.select(col("band_id"), col("band_hash"),
+      col("doc_id").as("doc_a"))
+    val b = banded.select(col("band_id"), col("band_hash"),
+      col("doc_id").as("doc_b"))
+    val pairs = a.join(b, Seq("band_id", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val nDocs = docs.count()
+    // every doc's 3 copies form 3 pairs; all must be candidates
+    val copyPairs = (0L until nDocs).flatMap { d =>
+      val ids = Seq(d, d + 1000000, d + 2000000)
+      for (x <- ids; y <- ids if x < y) yield (x, y)
+    }.toSet
+    val missed = copyPairs -- pairs
+    assert(missed.isEmpty, s"missed copy pairs: ${missed.take(5)}")
+    // each pair appears once (distinct) — no duplicate-candidate blowup
+    assert(pairs.size == pairs.toSeq.distinct.size)
+  }
+
+  test("salted join equals plain join under extreme single-key skew") {
+    val salts = 16
+    // one hot key with 50k rows + 1k uniform rows
+    val fact = ((1 to 50000).map(i => (1L, i.toDouble)) ++
+      (1 to 1000).map(i => (i.toLong % 100 + 2, i.toDouble)))
+      .toDF("k", "v")
+    val dim = (1L to 101L).map(k => (k, s"dim_$k")).toDF("dk", "name")
+    val salted = operators.Scale
+      .saltedEquiJoin(fact, dim, "k", "dk", salts, Seq("k", "v"))
+      .groupBy(col("name")).agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(18,2)")).as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2).toString)).toSet
+    val plain = fact.join(dim, col("k") === col("dk"))
+      .groupBy(col("name")).agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(18,2)")).as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2).toString)).toSet
+    assert(salted == plain)
+    // the hot key actually spread: its salt values cover > 1 partition
+    val spread = fact.filter(col("k") === 1)
+      .select(pmod(xxhash64(col("k"), col("v")), lit(salts.toLong)))
+      .distinct().count()
+    assert(spread > salts / 2, s"hot key only spread over $spread salts")
+  }
+}
