@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 import graft.functions.TextFns._
@@ -92,6 +93,28 @@ object Text {
       rollingHash(substring(col("text"), 1, 64)).as("prefix_fingerprint"))
   }
 
+  /** Unigram log-probability quality score — the LM-score proxy a
+    * pre-training filter thresholds on: mean log corpus-frequency of a
+    * doc's tokens. Per-token log terms are rounded then summed as exact
+    * decimals, so the per-doc score is identical under any accumulation
+    * order and across engines (a raw double sum would be
+    * shuffle-order-nondeterministic). Corpus stats side is a broadcast. */
+  def unigramLogprob(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .withColumn("toks", tokens(col("text")))
+    val exploded = docs.select(col("doc_id"), explode(col("toks")).as("tok"))
+    val freqs = exploded.groupBy(col("tok"))
+      .agg(count(lit(1)).as("tok_n"))
+    val totals = exploded.agg(count(lit(1)).as("corpus_n"))
+    val term = round(log(col("tok_n").cast("double")
+      / col("corpus_n").cast("double")), 6).cast(DecimalType(18, 6))
+    exploded.join(broadcast(freqs.crossJoin(totals)), "tok")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        round((sum(term).cast("double") / count(lit(1)).cast("double")), 4)
+          .as("mean_logprob"))
+  }
+
   /** Corpus bigram statistics: top-50 by frequency. Explode → partial agg
     * → one shuffle over the (bounded) bigram key space. */
   def ngramStats(s: SparkSession, dir: String): DataFrame = {
@@ -114,6 +137,7 @@ object Text {
     "txt_quality_score" -> (qualityScore _),
     "txt_lang_id" -> (langId _),
     "txt_fingerprint" -> (fingerprint _),
+    "txt_unigram_logprob" -> (unigramLogprob _),
     "txt_ngram_stats" -> (ngramStats _))
 
   val oracles: Map[String, String] = Map(
@@ -161,6 +185,18 @@ object Text {
         |    WHEN s_fr >= s_zh THEN 'fr'
         |    ELSE 'zh' END AS pred_lang
         |FROM scored""".stripMargin,
+    "txt_unigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |freqs AS (SELECT tok, COUNT(*) AS tok_n FROM toks GROUP BY tok),
+        |tot AS (SELECT COUNT(*) AS corpus_n FROM toks)
+        |SELECT doc_id, COUNT(*) AS n_toks,
+        |  ROUND(CAST(SUM(CAST(ROUND(ln(CAST(tok_n AS DOUBLE)
+        |      / CAST(corpus_n AS DOUBLE)), 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 4) AS mean_logprob
+        |FROM toks JOIN freqs USING (tok), tot
+        |GROUP BY doc_id""".stripMargin,
     "txt_ngram_stats" ->
       """WITH toks AS (
         |  SELECT regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
