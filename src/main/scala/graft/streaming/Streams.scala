@@ -136,15 +136,45 @@ object Streams {
     s.table("graft_stream_dedup")
   }
 
+  /** Trigger-once incremental landing: the reference's scheduled daily
+    * batch (EventBridge cron) expressed as an AvailableNow stream with a
+    * checkpoint — each invocation processes only files not yet seen, so
+    * reruns are no-ops and the landing is exactly-once. Output is the
+    * per-type rollup of everything landed (oracle = the batch rollup). */
+  def incrementalLanding(s: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^0-9a-zA-Z]", "_")
+    val tmp = System.getProperty("java.io.tmpdir")
+    val out = s"$tmp/graft_stream_land_$tag"
+    val chk = s"$tmp/graft_stream_chk_$tag"
+    val q = eventStream(s, dir)
+      .writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", chk)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(out)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2)))
+          .cast(DecimalType(38, 2)).as("sum_value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_windowed_counts" -> (windowedCounts _),
     "stream_sessionize" -> (sessionize _),
-    "stream_dedup" -> (dedup _))
+    "stream_dedup" -> (dedup _),
+    "stream_incremental_landing" -> (incrementalLanding _))
 
   /** The streaming windowed agg is epoch-aligned, so the batch SQL oracle
     * applies verbatim. stream_sessionize is rows-only (trailing open
     * sessions stay in state — spec-checked against the batch form). */
   val oracles: Map[String, String] = Map(
+    "stream_incremental_landing" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin,
     "stream_windowed_counts" ->
       """SELECT date_trunc('hour', ts) AS window_start,
         |date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,

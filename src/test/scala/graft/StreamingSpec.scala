@@ -26,6 +26,15 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("incremental landing is idempotent across reruns (checkpoint)") {
+    val first = streaming.Streams.incrementalLanding(spark, sfTiny)
+      .agg(sum("n_events")).first().getLong(0)
+    val second = streaming.Streams.incrementalLanding(spark, sfTiny)
+      .agg(sum("n_events")).first().getLong(0)
+    assert(first == Tables.events(spark, sfTiny).count())
+    assert(second == first, "rerun must not re-land already-seen files")
+  }
+
   test("stream sessionize emits a subset of batch sessions, same shape") {
     val batch = operators.Events.sessionize(spark, sfTiny)
       .select(col("user_id"),
