@@ -22,6 +22,20 @@ class OperatorsSpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle without query: $orphans")
   }
 
+  test("SURVEY §2 inventory and SparkEntry.queries stay in sync") {
+    val survey = scala.io.Source
+      .fromFile("/root/repo/SURVEY.md", "UTF-8").mkString
+    val section = survey.substring(
+      survey.indexOf("## §2"), survey.indexOf("## §3"))
+    val listed = "- \\[x\\] `([a-z0-9_]+)`".r
+      .findAllMatchIn(section).map(_.group(1)).toSet
+    val implemented = SparkEntry.queries.keySet
+    assert(listed -- implemented == Set.empty,
+      s"in SURVEY but not implemented: ${listed -- implemented}")
+    assert(implemented -- listed == Set.empty,
+      s"implemented but not in SURVEY: ${implemented -- listed}")
+  }
+
   test("dedup_exact keeps one canonical id per hash and covers the corpus") {
     val df = operators.Dedup.exact(spark, sfTiny)
     val total = df.agg(sum("n_copies")).first().getLong(0)
