@@ -65,8 +65,14 @@ object Pipeline {
             Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
       }
     }
-    results.toDF()
+    val summary = results.toDF()
       .select(col("source"), col("status"), col("nRecords").as("n_records"),
         col("error"))
+    // reference save_execution_summary: the run summary itself lands in a
+    // date-partitioned metadata area alongside the data
+    summary.write.mode("overwrite")
+      .parquet(s"${config.landingDir}/metadata/executions/" +
+        s"date=${config.runDate}")
+    summary
   }
 }

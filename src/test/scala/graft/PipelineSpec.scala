@@ -26,6 +26,10 @@ class PipelineSpec extends SparkSpec {
     assert(summary("broken")._1 == "error")
     // landed layout is the reference's date-partitioned shape
     assert(new java.io.File(s"$landing/sales/date=2026-08-12").exists())
+    // the execution summary itself lands in the metadata area
+    val metaDir = s"$landing/metadata/executions/date=2026-08-12"
+    assert(new java.io.File(metaDir).exists())
+    assert(spark.read.parquet(metaDir).count() == 5)
     // landed records carry the standardized header
     val landed = spark.read.parquet(s"$landing/sales/date=2026-08-12")
     assert(landed.columns.toSet ==
