@@ -32,6 +32,7 @@ object Bench {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           true
         } catch { case _: Throwable => false }
+      spark.catalog.clearCache() // ops persist derived tables
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

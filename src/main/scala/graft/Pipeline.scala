@@ -34,9 +34,11 @@ object Pipeline {
     * source tag, run date) on every record. */
   private def standardize(df: DataFrame, source: String, runDate: String)
       : DataFrame = {
-    val contentCols = df.columns.map(c => col(c).cast("string"))
+    // hash the JSON form: unambiguous under nulls and separator-bearing
+    // strings, unlike concat_ws (which drops nulls and can collide)
     df.select(
-      substring(md5(concat_ws("_", lit(source) +: contentCols: _*)), 1, 12)
+      substring(md5(concat(lit(source),
+        to_json(struct(df.columns.map(col): _*)))), 1, 12)
         .as("record_id"),
       lit(source).as("source"),
       lit(runDate).as("extracted_date"),

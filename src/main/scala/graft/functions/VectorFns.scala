@@ -46,13 +46,16 @@ object VectorFns {
     signLshBucketSeeded(v, planes, dims, lit(0))
 
   /** As signLshBucket, with a per-table seed column mixed into the plane
-    * hashes — L independent hash tables for OR-amplified LSH. */
+    * hashes — L independent hash tables for OR-amplified LSH. The plane
+    * index range follows the VECTOR's length (a fixed dims constant
+    * would null-pad short vectors through zip_with and poison the fold
+    * into one degenerate bucket). */
   def signLshBucketSeeded(
       v: Column, planes: Int, dims: Int, seed: Column): Column = {
     val vd = asDouble(v)
     val bits = (0 until planes).map { p =>
       val proj = aggregate(
-        zip_with(vd, sequence(lit(0), lit(dims - 1)), (x, d) =>
+        zip_with(vd, sequence(lit(0), size(vd) - 1), (x, d) =>
           x * (pmod(xxhash64(seed, lit(p), d), lit(1000L)).cast("double")
             / 1000.0 - 0.5)),
         lit(0.0), (acc, x) => acc + x)

@@ -46,7 +46,7 @@ object AsOf {
     val sideOrder = if (strict) col("__side").desc else col("__side").asc
     val order: Seq[Column] =
       (col(ts) +: sideOrder +: tieBreak.map(c =>
-        coalesce(col(c), lit(Long.MinValue)).asc)) :+ lit(1).asc
+        col(c).asc_nulls_first)) :+ lit(1).asc
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     unioned

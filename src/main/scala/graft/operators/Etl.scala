@@ -50,8 +50,9 @@ object Etl {
   def standardize(s: SparkSession, dir: String): DataFrame = {
     Tables.documents(s, dir)
       .select(
-        substring(md5(concat_ws("_", col("source"),
-          col("doc_id").cast("string"), col("text"))), 1, 12).as("record_id"),
+        substring(md5(concat(col("source"), lit("_"),
+          col("doc_id").cast("string"), lit("_"), col("text"))), 1, 12)
+          .as("record_id"),
         col("doc_id"), col("source"),
         lit("2026-08-12").as("extracted_date"))
   }
@@ -90,7 +91,8 @@ object Etl {
     * the pruning key a 100 TB lake lives by. */
   def partitionedWrite(s: SparkSession, dir: String): DataFrame = {
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_land_" +
-      s"${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+      s"${dir.replaceAll("[^0-9a-zA-Z]", "_")}_" +
+      s.sparkContext.applicationId
     Tables.events(s, dir)
       .withColumn("event_date",
         date_format(col("ts"), "yyyy-MM-dd"))

@@ -121,8 +121,10 @@ object Events {
     * funnel counts, CTR/CVR, and purchase revenue, with the campaign id
     * parsed out of the semi-structured props payload. */
   def campaignStats(s: SparkSession, dir: String): DataFrame = {
-    val campaign = pmod(
-      get_json_object(col("props"), "$.k").cast("int"), lit(10))
+    // % (sign-preserving) like the oracle's %, not pmod — they differ on
+    // negative keys
+    val campaign =
+      get_json_object(col("props"), "$.k").cast("int") % lit(10)
     Tables.events(s, dir)
       .withColumn("campaign", campaign)
       .groupBy(col("campaign"))

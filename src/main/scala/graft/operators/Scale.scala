@@ -23,7 +23,8 @@ object Scale {
     * sort-merge per bucket. The bucket count (8 here) scales with the
     * cluster; the write is the one-time landing cost. */
   def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
-    val tag = dir.replaceAll("[^0-9a-zA-Z]", "_")
+    val tag = dir.replaceAll("[^0-9a-zA-Z]", "_") + "_" +
+      s.sparkContext.applicationId.replaceAll("[^0-9a-zA-Z]", "_")
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_buckets_$tag"
     def landBucketed(df: DataFrame, table: String, key: String): String = {
       val name = s"graft_${table}_$tag"

@@ -28,7 +28,8 @@ object JsonLanding {
     * write-then-analyze cycle in one deterministic operator. */
   def roundtrip(s: SparkSession, dir: String): DataFrame = {
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_json_land_" +
-      dir.replaceAll("[^0-9a-zA-Z]", "_")
+      dir.replaceAll("[^0-9a-zA-Z]", "_") + "_" +
+      s.sparkContext.applicationId
     Tables.events(s, dir)
       .select(
         substring(md5(concat_ws("_", col("event_id"), col("event_type"))),

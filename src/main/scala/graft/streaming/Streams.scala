@@ -71,34 +71,44 @@ object Streams {
     import s.implicits._
     val gapUs = 1800L * 1000000L
 
-    def close(evs: List[Ev]): (List[SessionRow], List[Ev]) = {
-      val sorted = evs.sortBy(e => (e.ts_us, e.event_id))
-      val sessions = sorted.foldLeft(List.empty[List[Ev]]) { (acc, e) =>
-        acc match {
-          case cur :: rest if e.ts_us - cur.last.ts_us <= gapUs =>
-            (cur :+ e) :: rest
-          case _ => List(e) :: acc
-        }
-      }.reverse
-      val (done, open) = (sessions.dropRight(1), sessions.last)
-      (done.map(ss => SessionRow(ss.head.user_id, ss.head.ts_us,
-        ss.last.ts_us, ss.size.toLong, ss.map(_.value).sum)), open)
-    }
+    /** Split a user's full event list into gap-delimited sessions. */
+    def sessionsOf(evs: List[Ev]): List[List[Ev]] =
+      evs.sortBy(e => (e.ts_us, e.event_id))
+        .foldLeft(List.empty[List[Ev]]) { (acc, e) =>
+          acc match {
+            case cur :: rest if e.ts_us - cur.last.ts_us <= gapUs =>
+              (cur :+ e) :: rest
+            case _ => List(e) :: acc
+          }
+        }.reverse
 
+    def row(user: Long, ss: List[Ev]): SessionRow =
+      SessionRow(user, ss.head.ts_us, ss.last.ts_us, ss.size.toLong,
+        ss.map(_.value).sum)
+
+    // A session is FINAL only once the watermark passed its end + gap —
+    // no admissible late event can extend or merge it. Earlier gap-closed
+    // sessions stay pending until then, so multi-batch streams never emit
+    // a session the batch form would have merged.
     val fn: (Long, Iterator[Ev], GroupState[SessState]) =>
         Iterator[SessionRow] = (user, evs, state) => {
       val all = state.getOption.map(_.pending).getOrElse(Nil) ++ evs.toList
-      if (all.isEmpty) Iterator.empty
+      if (all.isEmpty) { state.remove(); Iterator.empty }
       else if (state.hasTimedOut) {
+        // watermark passed last_end + gap: every pending session is final
         state.remove()
-        val sorted = all.sortBy(e => (e.ts_us, e.event_id))
-        Iterator.single(SessionRow(user, sorted.head.ts_us,
-          sorted.last.ts_us, sorted.size.toLong, sorted.map(_.value).sum))
+        sessionsOf(all).map(row(user, _)).iterator
       } else {
-        val (done, open) = close(all)
-        state.update(SessState(open))
-        state.setTimeoutTimestamp(open.last.ts_us / 1000L + 1800L * 1000L)
-        done.iterator
+        val wmUs = state.getCurrentWatermarkMs() * 1000L
+        val (fin, pending) = sessionsOf(all)
+          .partition(ss => ss.last.ts_us + gapUs < wmUs)
+        if (pending.isEmpty) state.remove()
+        else {
+          state.update(SessState(pending.flatten))
+          state.setTimeoutTimestamp(
+            pending.last.last.ts_us / 1000L + 1800L * 1000L)
+        }
+        fin.map(row(user, _)).iterator
       }
     }
 
@@ -142,7 +152,11 @@ object Streams {
     * reruns are no-ops and the landing is exactly-once. Output is the
     * per-type rollup of everything landed (oracle = the batch rollup). */
   def incrementalLanding(s: SparkSession, dir: String): DataFrame = {
-    val tag = dir.replaceAll("[^0-9a-zA-Z]", "_")
+    // session-scoped: isolates concurrent sessions AND guarantees a fresh
+    // checkpoint per JVM (a path-keyed file-stream checkpoint would
+    // silently skip a source file rewritten in place between runs)
+    val tag = dir.replaceAll("[^0-9a-zA-Z]", "_") + "_" +
+      s.sparkContext.applicationId.replaceAll("[^0-9a-zA-Z]", "_")
     val tmp = System.getProperty("java.io.tmpdir")
     val out = s"$tmp/graft_stream_land_$tag"
     val chk = s"$tmp/graft_stream_chk_$tag"

@@ -35,23 +35,30 @@ class StreamingSpec extends SparkSpec {
     assert(second == first, "rerun must not re-land already-seen files")
   }
 
-  test("stream sessionize emits a subset of batch sessions, same shape") {
+  test("stream sessionize: finalized sessions are a per-user prefix of batch") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
     val batch = operators.Events.sessionize(spark, sfTiny)
       .select(col("user_id"),
         unix_micros(col("session_start")).as("s"),
         unix_micros(col("session_end")).as("e"),
         col("n_events"))
-      .collect().map(_.toSeq).toSet
+      .collect().map(key).toSet
     val streamed = streaming.Streams.sessionize(spark, sfTiny)
       .select(col("user_id"), col("session_start_us"),
         col("session_end_us"), col("n_events"))
-      .collect().map(_.toSeq).toSet
+      .collect().map(key)
     assert(streamed.nonEmpty)
-    assert(streamed.subsetOf(batch),
-      s"streaming-only sessions: ${(streamed -- batch).take(3)}")
-    // at most one trailing open session per user can be missing
-    val users = Tables.events(spark, sfTiny)
-      .select("user_id").distinct().count()
-    assert(batch.size - streamed.size <= users)
+    assert(streamed.toSet.subsetOf(batch),
+      s"streaming-only sessions: ${(streamed.toSet -- batch).take(3)}")
+    // watermark-final semantics: per user, the streamed sessions are a
+    // prefix (by start time) of the batch sessions — never a gap
+    val batchByUser = batch.groupBy(_._1)
+      .view.mapValues(_.toSeq.sortBy(_._2)).toMap
+    streamed.groupBy(_._1).foreach { case (u, ss) =>
+      val prefix = batchByUser(u).take(ss.length).toSet
+      assert(ss.toSet == prefix,
+        s"user $u: streamed ${ss.toSet -- prefix} not a batch prefix")
+    }
   }
 }
