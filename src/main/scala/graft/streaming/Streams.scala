@@ -67,7 +67,13 @@ object Streams {
     * stream; the trailing open session stays in state (flushed by the
     * event-time timeout once the watermark passes it on a live stream).
     * The streaming twin of Events.sessionize. */
-  def sessionize(s: SparkSession, dir: String): DataFrame = {
+  def sessionize(s: SparkSession, dir: String): DataFrame =
+    sessionizePipeline(s, eventStream(s, dir), "graft_stream_sessions")
+
+  /** The sessionization pipeline over an arbitrary event stream —
+    * package-visible so specs can drive it with a multi-batch source. */
+  private[graft] def sessionizePipeline(s: SparkSession,
+      stream: DataFrame, queryName: String): DataFrame = {
     import s.implicits._
     val gapUs = 1800L * 1000000L
 
@@ -105,14 +111,16 @@ object Streams {
         if (pending.isEmpty) state.remove()
         else {
           state.update(SessState(pending.flatten))
-          state.setTimeoutTimestamp(
-            pending.last.last.ts_us / 1000L + 1800L * 1000L)
+          // a timeout exactly at the watermark is rejected by Spark
+          state.setTimeoutTimestamp(math.max(
+            pending.last.last.ts_us / 1000L + 1800L * 1000L,
+            state.getCurrentWatermarkMs() + 1L))
         }
         fin.map(row(user, _)).iterator
       }
     }
 
-    val out = eventStream(s, dir)
+    val out = stream
       .select(col("user_id"), col("event_id"),
         unix_micros(col("ts")).as("ts_us"), col("value"), col("ts"))
       .withWatermark("ts", "30 minutes")
@@ -122,10 +130,10 @@ object Streams {
         GroupStateTimeout.EventTimeTimeout)(fn)
     val q = out.writeStream
       .outputMode(OutputMode.Append)
-      .format("memory").queryName("graft_stream_sessions")
+      .format("memory").queryName(queryName)
       .start()
     try q.processAllAvailable() finally q.stop()
-    s.table("graft_stream_sessions")
+    s.table(queryName)
   }
 
   /** Streaming exact dedup with a bounded-state watermark: duplicate

@@ -16,6 +16,59 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("multi-batch sessionize never emits a session batch would merge") {
+    // split events into 4 time-ordered files streamed one per trigger —
+    // the regression case: a gap-closed session must NOT be emitted until
+    // the watermark proves no later batch can merge it
+    val splitDir = java.nio.file.Files
+      .createTempDirectory("graft_multibatch").toString
+    val ev = Tables.events(spark, sfTiny).orderBy("ts")
+    val n = ev.count()
+    val rows = ev.collect()
+    rows.grouped((n / 4 + 1).toInt).zipWithIndex.foreach { case (chunk, i) =>
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(chunk.toList.map(r =>
+          org.apache.spark.sql.Row(r.getLong(0), unixMicros(r, 1),
+            r.getLong(2), r.getString(3), r.getDouble(4), r.getString(5)))),
+        org.apache.spark.sql.types.StructType(Seq(
+          f("event_id"), fl("ts"), f("user_id"), fs("event_type"),
+          fd("value"), fs("props"))))
+        .coalesce(1).write.parquet(s"$splitDir/batch_$i")
+      Thread.sleep(150) // distinct mtimes → file source streams in order
+    }
+    val stream = spark.readStream
+      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, " +
+        "value DOUBLE, props STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$splitDir/batch_*")
+      .withColumn("ts", expr("timestamp_micros(ts)"))
+    val streamed = streaming.Streams
+      .sessionizePipeline(spark, stream, "graft_multibatch_sessions")
+      .select(col("user_id"), col("session_start_us"),
+        col("session_end_us"), col("n_events"))
+      .collect().map(_.toSeq).toSet
+    val batch = operators.Events.sessionize(spark, sfTiny)
+      .select(col("user_id"),
+        unix_micros(col("session_start")).as("s"),
+        unix_micros(col("session_end")).as("e"), col("n_events"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed.subsetOf(batch),
+      s"multi-batch emitted merged-in-batch sessions: ${(streamed -- batch).take(3)}")
+  }
+
+  private def f(n: String) = org.apache.spark.sql.types
+    .StructField(n, org.apache.spark.sql.types.LongType)
+  private def fl(n: String) = f(n)
+  private def fs(n: String) = org.apache.spark.sql.types
+    .StructField(n, org.apache.spark.sql.types.StringType)
+  private def fd(n: String) = org.apache.spark.sql.types
+    .StructField(n, org.apache.spark.sql.types.DoubleType)
+  private def unixMicros(r: org.apache.spark.sql.Row, i: Int): Long = {
+    val ts = r.getAs[java.sql.Timestamp](i)
+    ts.getTime / 1000L * 1000000L + (ts.getNanos / 1000L) % 1000000L
+  }
+
   test("stream dedup matches batch distinct counts") {
     val streamed = streaming.Streams.dedup(spark, sfTiny)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
