@@ -13,8 +13,9 @@ import org.apache.spark.sql.types._
   * higher-order-function formulations (k × array_min(transform(...)))
   * evaluate interpreted lambdas per element — measured ~10s per op at
   * sf0.1; these run the same math as JIT'd long arithmetic in one pass.
-  * Seeded xxhash64 keeps the permutation family identical to
-  * TextFns.perm, so signatures are stable across both formulations.
+  * NOTE: the permutation family here (XXH64.hashLong(h, seed=i))
+  * intentionally differs from TextFns.perm (Spark's xxhash64 chains from
+  * seed 42) — never band-join signatures from the two formulations.
   */
 
 /** k-permutation MinHash signature over an array<long> of shingle hashes:

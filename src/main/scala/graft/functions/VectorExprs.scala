@@ -27,10 +27,16 @@ case class DotProduct(left: Expression, right: Expression)
           s"${l.catalogString} and ${r.catalogString}")
     }
 
+  override def nullable: Boolean = true
+
+  /** Length mismatch → null (a ragged/corrupt vector must not produce a
+    * plausible partial dot product; DuckDB's list_dot_product errors on
+    * the same input, so the null surfaces the data problem either way). */
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -47,12 +53,14 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       code"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        double $acc = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          $acc += $a.getDouble($i) * $b.getDouble($i);
+        int $n = $a.numElements();
+        if ($n != $b.numElements()) { ${ev.isNull} = true; } else {
+          double $acc = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            $acc += $a.getDouble($i) * $b.getDouble($i);
+          }
+          ${ev.value} = $acc;
         }
-        ${ev.value} = $acc;
       """.toString
     })
 

@@ -24,7 +24,7 @@ object VectorFns {
     * fold per pair instead of three (norms are per-row, not per-pair).
     * Same arithmetic as cosine(), so oracle parity holds. */
   def cosineWithNorms(a: Column, b: Column, na: Column, nb: Column): Column =
-    dotD(a, b) / (na * nb)
+    dotD(a, b) / nullif(na * nb, lit(0.0))
 
   /** Sequential-fold dot product. */
   def dot(a: Column, b: Column): Column =
@@ -33,17 +33,18 @@ object VectorFns {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity; null-safe on zero-norm vectors (yields null, and
-    * comparisons against it are false in both engines). */
+  /** Cosine similarity; null-safe on zero-norm vectors: the denominator
+    * nulls out instead of dividing by zero (which THROWS under Spark 4's
+    * default ANSI mode), and null comparisons are false in both engines. */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+    dot(a, b) / nullif(norm(a) * norm(b), lit(0.0))
 
   /** Sign-bit LSH bucket from `planes` deterministic pseudo-random
     * hyperplanes: plane p's component d is a hash-derived value in
     * [-0.5, 0.5); bucket = the concatenated sign bits. Seeded hashing
     * replaces RNG state so every executor derives identical planes. */
-  def signLshBucket(v: Column, planes: Int, dims: Int): Column =
-    signLshBucketSeeded(v, planes, dims, lit(0))
+  def signLshBucket(v: Column, planes: Int): Column =
+    signLshBucketSeeded(v, planes, lit(0))
 
   /** As signLshBucket, with a per-table seed column mixed into the plane
     * hashes — L independent hash tables for OR-amplified LSH. The plane
@@ -51,7 +52,7 @@ object VectorFns {
     * would null-pad short vectors through zip_with and poison the fold
     * into one degenerate bucket). */
   def signLshBucketSeeded(
-      v: Column, planes: Int, dims: Int, seed: Column): Column = {
+      v: Column, planes: Int, seed: Column): Column = {
     val vd = asDouble(v)
     val bits = (0 until planes).map { p =>
       val proj = aggregate(

@@ -67,15 +67,25 @@ object Dedup {
     val b = base.select(col("bucket"), col("doc_id").as("doc_b"))
     val pairs = a.join(b, "bucket").filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
+    // threshold on the RAW ratio (int/int division, bit-identical in both
+    // engines); the rounded value is output-only — thresholding on the
+    // rounded score would keep boundary pairs the size-ratio prefilter
+    // (valid only for raw J >= 0.5) already pruned
     attach(pairs, base, "shingles")
       // size-ratio prefilter: J(A,B) <= min/max, so J >= 0.5 forces
       // max(|A|,|B|) <= 2*min(|A|,|B|) — prunes before the intersect
       .filter(size(col("sh_a")) <= size(col("sh_b")) * 2 &&
         size(col("sh_b")) <= size(col("sh_a")) * 2)
+      .filter(rawJaccard(col("sh_a"), col("sh_b")) >= 0.5)
       .select(col("doc_a"), col("doc_b"),
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-      .filter(col("jaccard") >= 0.5)
   }
+
+  /** Unrounded Jaccard — threshold form. */
+  private def rawJaccard(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
 
   /** MinHash+LSH near-dup detection — the full scale path: one string-
     * hash pass, k=32 multiply-shift minima → 8 bands of 4 → band-bucket
@@ -102,9 +112,9 @@ object Dedup {
     attach(pairs, base, "hs")
       .filter(size(col("sh_a")) <= size(col("sh_b")) * 2 &&
         size(col("sh_b")) <= size(col("sh_a")) * 2)
+      .filter(rawJaccard(col("sh_a"), col("sh_b")) >= 0.5)
       .select(col("doc_a"), col("doc_b"),
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-      .filter(col("jaccard") >= 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

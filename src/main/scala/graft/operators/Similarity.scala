@@ -66,7 +66,7 @@ object Similarity {
         explode(array((0 until tables).map(lit(_)): _*)))
         .withColumn("bucket",
           graft.functions.VectorFns.signLshBucketSeeded(
-            col(vecCol), planes, 64, col("table_id")))
+            col(vecCol), planes, col("table_id")))
     val corpus = bucketed(prepared(s, dir, "neighbor_id"), "vd")
     val qs = bucketed(querySet(s, dir), "q_vd")
     val scored = broadcast(qs)

@@ -43,16 +43,19 @@ object Text {
     val t = col("text")
     val toks = col("toks") // materialized below: tokenization runs once
     val stop = array(Seq("the", "a", "of", "and", "to", "in").map(lit): _*)
-    val nTok = size(toks).cast("double")
+    // nullif guards: an empty doc must yield null ratios, not a
+    // DIVIDE_BY_ZERO abort under ANSI mode
+    val len = nullif(length(col("text")).cast("double"), lit(0.0))
+    val nTok = nullif(size(toks).cast("double"), lit(0.0))
     Tables.documents(s, dir)
       .withColumn("toks", tokens(t))
       .select(
       col("doc_id"),
       length(t).as("len_chars"),
       round(size(regexp_extract_all(t, lit("[\\.,!\\?;:]"), lit(0)))
-        .cast("double") / length(t).cast("double"), 6).as("punct_ratio"),
+        .cast("double") / len, 6).as("punct_ratio"),
       round(size(regexp_extract_all(t, lit("[0-9]"), lit(0)))
-        .cast("double") / length(t).cast("double"), 6).as("digit_ratio"),
+        .cast("double") / len, 6).as("digit_ratio"),
       round(size(filter(toks, x => array_contains(stop, x)))
         .cast("double") / nTok, 6).as("stopword_ratio"),
       round((length(t).cast("double") - nTok + lit(1.0)) / nTok, 6)
@@ -150,17 +153,17 @@ object Text {
     "txt_quality_score" ->
       """SELECT doc_id, length(text) AS len_chars,
         |  ROUND(CAST(len(regexp_extract_all(text, '[\.,!\?;:]')) AS DOUBLE)
-        |    / CAST(length(text) AS DOUBLE), 6) AS punct_ratio,
+        |    / NULLIF(CAST(length(text) AS DOUBLE), 0), 6) AS punct_ratio,
         |  ROUND(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
-        |    / CAST(length(text) AS DOUBLE), 6) AS digit_ratio,
+        |    / NULLIF(CAST(length(text) AS DOUBLE), 0), 6) AS digit_ratio,
         |  ROUND(CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
         |      x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE)
-        |    / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 6)
+        |    / NULLIF(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 0), 6)
         |    AS stopword_ratio,
         |  ROUND((CAST(length(text) AS DOUBLE)
         |      - CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)
         |      + 1.0)
-        |    / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 6)
+        |    / NULLIF(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 0), 6)
         |    AS mean_word_len
         |FROM documents""".stripMargin,
     "txt_lang_id" ->

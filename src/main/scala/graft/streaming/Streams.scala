@@ -77,16 +77,18 @@ object Streams {
     import s.implicits._
     val gapUs = 1800L * 1000000L
 
-    /** Split a user's full event list into gap-delimited sessions. */
+    /** Split a user's full event list into gap-delimited sessions.
+      * Sessions accumulate reversed (head prepend + head compare) so the
+      * fold is linear — list append/last would be quadratic per user. */
     def sessionsOf(evs: List[Ev]): List[List[Ev]] =
       evs.sortBy(e => (e.ts_us, e.event_id))
         .foldLeft(List.empty[List[Ev]]) { (acc, e) =>
           acc match {
-            case cur :: rest if e.ts_us - cur.last.ts_us <= gapUs =>
-              (cur :+ e) :: rest
+            case (h :: t) :: rest if e.ts_us - h.ts_us <= gapUs =>
+              (e :: h :: t) :: rest
             case _ => List(e) :: acc
           }
-        }.reverse
+        }.map(_.reverse).reverse
 
     def row(user: Long, ss: List[Ev]): SessionRow =
       SessionRow(user, ss.head.ts_us, ss.last.ts_us, ss.size.toLong,
