@@ -53,7 +53,10 @@ class OperatorsSpec extends SparkSpec {
     val b = base.select(col("doc_id").as("db"), col("sh").as("sb"))
     val truth = a.crossJoin(b).filter(col("da") < col("db"))
       .filter(size(col("sa")) > 0 && size(col("sb")) > 0)
-      .select(col("da"), col("db"), jaccard(col("sa"), col("sb")).as("j"))
+      // raw ratio, matching the operator's threshold form
+      .select(col("da"), col("db"),
+        (size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb"))).cast("double")).as("j"))
       .filter(col("j") >= 0.5)
       .select(col("da"), col("db")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val found = operators.Dedup.minhashLsh(spark, sfTiny)
