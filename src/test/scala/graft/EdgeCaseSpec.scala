@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Degenerate-input regression: Spark 4's ANSI mode turns division by
+  * zero into a query abort, so empty documents and zero-norm vectors
+  * must null out, not crash. Drives the real operators against a
+  * synthetic table dir containing exactly those rows. */
+class EdgeCaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val edgeDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_edge").toString
+    Seq(
+      (0L, "", "en", "src0", 0L),
+      (1L, "a normal little document with several words", "en", "src1", 44L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    Seq(
+      (0L, Array.fill(64)(0.0f), 1),
+      (1L, Array.tabulate(64)(_.toFloat / 64f), 1),
+      (2L, Array.tabulate(64)(i => 1f - i.toFloat / 64f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("empty document: quality ratios null out instead of ANSI abort") {
+    val rows = operators.Text.qualityScore(spark, edgeDir)
+      .orderBy("doc_id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).isNullAt(rows(0).fieldIndex("punct_ratio")))
+    assert(rows(0).isNullAt(rows(0).fieldIndex("digit_ratio")))
+    assert(!rows(1).isNullAt(rows(1).fieldIndex("punct_ratio")))
+  }
+
+  test("zero-norm vector: cosine ops skip it instead of ANSI abort") {
+    val pairs = operators.Dedup.embeddingCosine(spark, edgeDir).collect()
+    // the zero vector produces null cosines (filtered out); the two real
+    // vectors score normally
+    assert(pairs.forall(r => !r.isNullAt(r.fieldIndex("cosine"))))
+    assert(pairs.forall(r => r.getLong(r.fieldIndex("vec_a")) != 0L))
+  }
+
+  test("empty document flows through token, fingerprint and split ops") {
+    assert(operators.Text.tokenCount(spark, edgeDir).count() == 2)
+    assert(operators.Text.fingerprint(spark, edgeDir).count() == 2)
+    assert(operators.Sampling.hashSplit(spark, edgeDir)
+      .agg(sum("n_docs")).first().getLong(0) == 2)
+  }
+}
