@@ -85,9 +85,10 @@ object Events {
         max(col("t_purchase")).as("t_purchase"))
   }
 
-  /** Last-touch attribution: for every purchase, the latest click strictly
-    * before it by the same user — one window pass over the
-    * clicks∪purchases slice, no range join. */
+  /** Last-touch attribution: for every purchase, the latest click before
+    * it in (ts, event_id) order by the same user (a click sharing the
+    * purchase's timestamp counts when its event_id is lower) — one window
+    * pass over the clicks∪purchases slice, no range join. */
   def attribution(s: SparkSession, dir: String): DataFrame = {
     val touch = Tables.events(s, dir)
       .filter(col("event_type").isin("click", "purchase"))

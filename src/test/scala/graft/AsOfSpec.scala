@@ -27,11 +27,14 @@ class AsOfSpec extends SparkSpec {
 
   for (strict <- Seq(true, false)) {
     test(s"asofJoin(strict=$strict) matches the quadratic reference") {
-      val got = operators.AsOf.asofJoin(
+      val collected = operators.AsOf.asofJoin(
         lefts.toDF("k", "ts", "lid"), rights.toDF("k", "ts", "rid", "payload"),
         keys = Seq("k"), ts = "ts", payload = Seq("rid", "payload"),
         tieBreak = Seq("rid"), strict = strict)
         .select(col("lid"), col("asof_rid")).collect()
+      assert(collected.length == lefts.size,
+        s"exactly one output row per left row, got ${collected.length}")
+      val got = collected
         .map(r => r.getLong(0) ->
           (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
       val want = reference(strict)

@@ -12,9 +12,10 @@ class EdgeCaseSpec extends SparkSpec {
   private lazy val edgeDir: String = {
     val dir = java.nio.file.Files.createTempDirectory("graft_edge").toString
     Seq(
-      (0L, "", "en", "src0", 0L),
-      (1L, "a normal little document with several words", "en", "src1", 44L))
-      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      (0L, "", "en", "src0"),
+      (1L, "a normal little document with several words", "en", "src1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
       .write.parquet(s"$dir/documents.parquet")
     Seq(
       (0L, Array.fill(64)(0.0f), 1),
@@ -36,10 +37,12 @@ class EdgeCaseSpec extends SparkSpec {
 
   test("zero-norm vector: cosine ops skip it instead of ANSI abort") {
     val pairs = operators.Dedup.embeddingCosine(spark, edgeDir).collect()
-    // the zero vector produces null cosines (filtered out); the two real
-    // vectors score normally
+    // the zero vector's cosines null out and are filtered; the two real
+    // vectors still score and survive the threshold
+    assert(pairs.nonEmpty, "real-vector pair must still be scored")
     assert(pairs.forall(r => !r.isNullAt(r.fieldIndex("cosine"))))
-    assert(pairs.forall(r => r.getLong(r.fieldIndex("vec_a")) != 0L))
+    assert(pairs.forall(r => r.getLong(r.fieldIndex("vec_a")) != 0L &&
+      r.getLong(r.fieldIndex("vec_b")) != 0L))
   }
 
   test("empty document flows through token, fingerprint and split ops") {

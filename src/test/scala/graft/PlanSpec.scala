@@ -8,11 +8,12 @@ import org.apache.spark.sql.functions._
   */
 class PlanSpec extends SparkSpec {
 
-  test("q6: all three predicates reach the parquet scan") {
+  test("q6: the shipdate range predicates reach the parquet scan") {
     val p = plan(operators.Relational.q6ForecastRevenue(spark, sfTiny))
-    assert(p.contains("PushedFilters:"), p)
-    assert(p.contains("l_shipdate"), "shipdate filter not pushed")
-    assert(p.contains("GreaterThanOrEqual") || p.contains("IsNotNull"))
+    // the range bounds themselves must be pushed — an empty-but-labeled
+    // PushedFilters list or IsNotNull alone is a pushdown regression
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p.take(800))
+    assert(p.contains("LessThan(l_shipdate"), p.take(800))
   }
 
   test("q1: scan prunes to the referenced columns only") {
@@ -50,17 +51,25 @@ class PlanSpec extends SparkSpec {
   }
 
   test("bucketed join: no exchange feeds the join (co-located buckets)") {
-    val df = operators.Scale.bucketedJoin(spark, sfTiny)
-    df.collect()
-    val p = df.queryExecution.executedPlan.toString
-    // allowed exchanges: only the final single-partition/agg shuffle —
-    // the join itself must read co-bucketed tables without re-exchange
-    val joinIdx = p.indexOf("SortMergeJoin")
-    if (joinIdx >= 0) {
+    // at tiny SF AQE would broadcast the join and never exercise the
+    // bucket layout — disable broadcast to force the sort-merge path
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10m")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = operators.Scale.bucketedJoin(spark, sfTiny)
+      df.collect()
+      // AQE's toString appends the pre-optimization "Initial Plan" —
+      // examine only the final executed section
+      val full = df.queryExecution.executedPlan.toString
+      val p = full.split("== Initial Plan ==")(0)
+      val joinIdx = p.indexOf("SortMergeJoin")
+      assert(joinIdx >= 0,
+        s"bucketed join must be a sort-merge join: ${p.take(400)}")
+      // the join must read co-bucketed tables without re-exchange; the
+      // only allowed exchange is the final aggregation's, ABOVE the join
       val below = p.substring(joinIdx)
-      assert(!below.contains("Exchange hashpartitioning"),
-        below.take(600))
-    }
+      assert(!below.contains("Exchange hashpartitioning"), below.take(600))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("salted join equals the plain join result") {
@@ -91,9 +100,16 @@ class PlanSpec extends SparkSpec {
   }
 
   test("events ops reuse one user_id exchange (single shuffle)") {
-    val p = plan(operators.Events.sessionize(spark, sfTiny))
-    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    // count on the EXECUTED plan (formatted explain renders exchanges as
+    // "+- Exchange (3)", which a startsWith counter never matched)
+    val df = operators.Events.sessionize(spark, sfTiny)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val exchanges = p.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
     // one partitioning by user_id feeds lag, running-sum and the final agg
-    assert(exchanges <= 2, s"$exchanges exchanges:\n${p.take(800)}")
+    // (AQE's toString shows the final + initial plan: ≤2 lines total)
+    assert(exchanges >= 1 && exchanges <= 2,
+      s"$exchanges exchanges:\n${p.take(800)}")
   }
 }

@@ -15,7 +15,6 @@ class StressSpec extends SparkSpec {
     val copies = (0 until 3).map(i =>
       docs.select((col("doc_id") + lit(i * 1000000)).as("doc_id"),
         col("text"))).reduce(_ unionAll _)
-    copies.createOrReplaceTempView("graft_storm_docs")
 
     // run the same pipeline as Dedup.minhashLsh against the storm table
     import graft.functions.TextFns._
@@ -47,8 +46,6 @@ class StressSpec extends SparkSpec {
     }.toSet
     val missed = copyPairs -- pairs
     assert(missed.isEmpty, s"missed copy pairs: ${missed.take(5)}")
-    // each pair appears once (distinct) — no duplicate-candidate blowup
-    assert(pairs.size == pairs.toSeq.distinct.size)
   }
 
   test("salted join equals plain join under extreme single-key skew") {
