@@ -118,6 +118,27 @@ object Text {
           .as("mean_logprob"))
   }
 
+  /** Document chunking: fixed 32-token windows with 8-token overlap
+    * (stride 24) — the unit-of-work shaping for embedding/training jobs.
+    * Pure projection + explode; chunk boundaries derive from token
+    * positions only, so chunking is deterministic and re-runnable. */
+  def chunk(s: SparkSession, dir: String): DataFrame = {
+    val window = 32
+    val stride = 24
+    val toks = col("toks")
+    val starts = when(size(toks) >= 1,
+      sequence(lit(1), size(toks), lit(stride)))
+      .otherwise(array().cast("array<int>"))
+    Tables.documents(s, dir)
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"),
+        posexplode(transform(starts, st =>
+          concat_ws(" ", slice(toks, st, lit(window)))))
+          .as(Seq("chunk_idx", "chunk_text")))
+      .withColumn("n_chunk_tokens",
+        size(split(col("chunk_text"), " ")))
+  }
+
   /** Corpus bigram statistics: top-50 by frequency. Explode → partial agg
     * → one shuffle over the (bounded) bigram key space. */
   def ngramStats(s: SparkSession, dir: String): DataFrame = {
@@ -141,6 +162,7 @@ object Text {
     "txt_lang_id" -> (langId _),
     "txt_fingerprint" -> (fingerprint _),
     "txt_unigram_logprob" -> (unigramLogprob _),
+    "txt_chunk" -> (chunk _),
     "txt_ngram_stats" -> (ngramStats _))
 
   val oracles: Map[String, String] = Map(
@@ -188,6 +210,18 @@ object Text {
         |    WHEN s_fr >= s_zh THEN 'fr'
         |    ELSE 'zh' END AS pred_lang
         |FROM scored""".stripMargin,
+    "txt_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents),
+        |st AS (
+        |  SELECT doc_id, w, unnest(range(1, len(w) + 1, 24)) AS start
+        |  FROM t WHERE len(w) >= 1)
+        |SELECT doc_id,
+        |  CAST((start - 1) // 24 AS INT) AS chunk_idx,
+        |  array_to_string(w[start : start + 31], ' ') AS chunk_text,
+        |  len(w[start : start + 31]) AS n_chunk_tokens
+        |FROM st""".stripMargin,
     "txt_unigram_logprob" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
