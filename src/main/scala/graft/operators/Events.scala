@@ -143,6 +143,26 @@ object Events {
           .as("revenue"))
   }
 
+  /** Daily + 7-day rolling active users. Distinct (day,user) pairs are
+    * aggregated first, so the rolling join fans out over the bounded
+    * day-count dimension (≤365/yr), never over raw events — DISTINCT
+    * window aggregates don't exist in either engine, and this shape
+    * scales where they wouldn't. */
+  def dauWau(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(col("ts").cast("date").as("day"), col("user_id"))
+      .distinct()
+    val dau = daily.groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("dau"))
+    val anchors = daily.select(col("day").as("anchor")).distinct()
+    val wau = daily.join(broadcast(anchors),
+      datediff(col("anchor"), col("day")).between(0, 6))
+      .groupBy(col("anchor"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(wau, col("day") === col("anchor"))
+      .select(col("day"), col("dau"), col("wau"))
+  }
+
   /** Top-k users by spend, explicit tie-break. */
   def topkHeavyHitters(s: SparkSession, dir: String): DataFrame = {
     Tables.events(s, dir)
@@ -160,6 +180,7 @@ object Events {
     "ev_attribution" -> (attribution _),
     "ev_retention" -> (retention _),
     "ev_campaign_stats" -> (campaignStats _),
+    "ev_dau_wau" -> (dauWau _),
     "ev_topk_heavy_hitters" -> (topkHeavyHitters _))
 
   val oracles: Map[String, String] = Map(
@@ -228,6 +249,19 @@ object Events {
         |  COUNT(DISTINCT a.user_id) AS n_users
         |FROM activity a JOIN cohort c ON a.user_id = c.user_id
         |GROUP BY cohort_day, date_diff('day', cohort_day, act_day)""".stripMargin,
+    "ev_dau_wau" ->
+      """WITH daily AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |anchors AS (SELECT DISTINCT day AS anchor FROM daily),
+        |dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau
+        |  FROM daily GROUP BY day),
+        |wau AS (
+        |  SELECT a.anchor, COUNT(DISTINCT d.user_id) AS wau
+        |  FROM anchors a JOIN daily d
+        |    ON d.day BETWEEN a.anchor - 6 AND a.anchor
+        |  GROUP BY a.anchor)
+        |SELECT dau.day, dau.dau, wau.wau
+        |FROM dau JOIN wau ON dau.day = wau.anchor""".stripMargin,
     "ev_campaign_stats" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS campaign,
         |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_views,
