@@ -80,6 +80,24 @@ class OperatorsSpec extends SparkSpec {
     assert(ivf.intersect(bf).size >= 20, s"ivf recall ${ivf.intersect(bf).size}/50")
   }
 
+  test("chunking: ceil(n/stride) chunks per doc, window-bounded sizes") {
+    val chunks = operators.Text.chunk(spark, sfTiny)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_chunks"),
+        max("n_chunk_tokens").as("max_tok"))
+    val docs = operators.Text.tokenCount(spark, sfTiny)
+      .select(col("doc_id"), col("n_ws_tokens"))
+    val bad = chunks.join(docs, "doc_id")
+      .filter(col("n_chunks") =!= ceil(col("n_ws_tokens") / 24.0) ||
+        col("max_tok") > 32).count()
+    assert(bad == 0)
+  }
+
+  test("dau/wau: weekly actives dominate daily actives") {
+    val bad = operators.Events.dauWau(spark, sfTiny)
+      .filter(col("wau") < col("dau")).count()
+    assert(bad == 0)
+  }
+
   test("sessionize: session count equals lag-based ground truth") {
     val sess = operators.Events.sessionize(spark, sfTiny)
     // every user's session ids are 1..n dense
