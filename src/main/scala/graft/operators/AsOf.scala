@@ -65,7 +65,8 @@ object AsOf {
     val ev = Tables.events(s, dir)
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("purchase_id"),
-        col("ts"), col("value").cast(DecimalType(18, 2)).as("purchase_value"))
+        col("ts"), col("value").cast(DecimalType(18, 2)).cast("double")
+          .as("purchase_value"))
     val engagement = ev.filter(col("event_type").isin("view", "click"))
       .select(col("user_id"), col("ts"), col("event_id"),
         col("event_type"), col("value"))
@@ -103,7 +104,7 @@ object AsOf {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
         |)
         |SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
-        |  CAST(value AS DECIMAL(18,2)) AS purchase_value,
+        |  CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS purchase_value,
         |  asof_event_id, asof_event_type, ROUND(asof_value, 2) AS asof_value
         |FROM joined WHERE side = 1""".stripMargin)
 }

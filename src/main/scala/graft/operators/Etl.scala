@@ -79,7 +79,7 @@ object Etl {
     Tables.events(s, dir)
       .select(
         col("event_id"),
-        col("value").cast(DecimalType(18, 2)).as("value_dec"),
+        col("value").cast(DecimalType(18, 2)).cast("double").as("value_dec"),
         upper(trim(col("event_type"))).as("event_type_norm"),
         coalesce(get_json_object(col("props"), "$.k").cast("int"), lit(0))
           .as("k"))
@@ -171,7 +171,7 @@ object Etl {
         |FROM documents""".stripMargin,
     "etl_type_coerce" ->
       """SELECT event_id,
-        |  CAST(value AS DECIMAL(18,2)) AS value_dec,
+        |  CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value_dec,
         |  upper(trim(event_type)) AS event_type_norm,
         |  COALESCE(CAST(json_extract_string(props, '$.k') AS INT), 0) AS k
         |FROM events""".stripMargin,
@@ -181,7 +181,7 @@ object Etl {
         |FROM events GROUP BY strftime(ts, '%Y-%m-%d')""".stripMargin,
     "etl_run_summary" ->
       """SELECT source, COUNT(*) AS n_records,
-        |  SUM(n_chars) AS total_chars,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
         |  COUNT(CASE WHEN n_chars < 50 THEN 1 END) AS n_suspect_short,
         |  COUNT(DISTINCT lang) AS n_langs,
         |  MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id

@@ -19,7 +19,7 @@ import graft.Tables
 object Events {
 
   private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
-  private def out2(c: Column): Column = c.cast(DecimalType(38, 2))
+  private def outd(c: Column): Column = c.cast("double")
 
   /** Per-user event order: ts with event_id tie-break keeps every window
     * deterministic even on identical timestamps. */
@@ -33,7 +33,7 @@ object Events {
     Tables.events(s, dir)
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        out2(sum(dec2(col("value")))).as("sum_value"),
+        outd(sum(dec2(col("value")))).as("sum_value"),
         countDistinct(col("user_id")).as("n_users"))
   }
 
@@ -57,7 +57,7 @@ object Events {
         max(col("ts")).as("session_end"),
         (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
           .as("duration_us"),
-        out2(sum(dec2(col("value")))).as("sum_value"))
+        outd(sum(dec2(col("value")))).as("sum_value"))
   }
 
   /** Ordered funnel view→click→purchase: each later step's first hit must
@@ -100,7 +100,8 @@ object Events {
           .over(byUser.rowsBetween(Window.unboundedPreceding, -1)))
       .filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"),
-        col("ts").as("purchase_ts"), dec2(col("value")).as("purchase_value"),
+        col("ts").as("purchase_ts"),
+        dec2(col("value")).cast("double").as("purchase_value"),
         col("attributed_click_id"))
   }
 
@@ -139,7 +140,7 @@ object Events {
         round(count(when(col("event_type") === "purchase", 1)).cast("double") /
           nullif(count(when(col("event_type") === "click", 1)), lit(0))
             .cast("double"), 6).as("cvr"),
-        out2(sum(when(col("event_type") === "purchase", dec2(col("value")))))
+        outd(sum(when(col("event_type") === "purchase", dec2(col("value")))))
           .as("revenue"))
   }
 
@@ -167,7 +168,7 @@ object Events {
   def topkHeavyHitters(s: SparkSession, dir: String): DataFrame = {
     Tables.events(s, dir)
       .groupBy(col("user_id"))
-      .agg(out2(sum(dec2(col("value")))).as("total_value"),
+      .agg(outd(sum(dec2(col("value")))).as("total_value"),
         count(lit(1)).as("n_events"))
       .orderBy(col("total_value").desc, col("user_id"))
       .limit(10)
@@ -187,7 +188,7 @@ object Events {
     "ev_tumbling_window" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |COUNT(*) AS n_events,
-        |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value,
+        |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
         |COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY date_trunc('hour', ts), event_type""".stripMargin,
     "ev_sessionize" ->
@@ -207,7 +208,7 @@ object Events {
         |SELECT user_id, session_id, COUNT(*) AS n_events,
         |  MIN(ts) AS session_start, MAX(ts) AS session_end,
         |  epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM sess GROUP BY user_id, session_id""".stripMargin,
     "ev_funnel" ->
       """WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
@@ -235,7 +236,8 @@ object Events {
         |    AS attributed_click_id
         |  FROM touch)
         |SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
-        |  CAST(value AS DECIMAL(18,2)) AS purchase_value, attributed_click_id
+        |  CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS purchase_value,
+        |  attributed_click_id
         |FROM attributed WHERE event_type = 'purchase'""".stripMargin,
     "ev_retention" ->
       """WITH cohort AS (
@@ -272,12 +274,12 @@ object Events {
         |  ROUND(CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS DOUBLE)
         |    / CAST(NULLIF(COUNT(CASE WHEN event_type = 'click' THEN 1 END), 0) AS DOUBLE), 6) AS cvr,
         |  CAST(SUM(CASE WHEN event_type = 'purchase'
-        |    THEN CAST(value AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS revenue
+        |    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS revenue
         |FROM events
         |GROUP BY CAST(json_extract_string(props, '$.k') AS INT) % 10""".stripMargin,
     "ev_topk_heavy_hitters" ->
       """SELECT user_id,
-        |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value,
+        |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
         |COUNT(*) AS n_events
         |FROM events GROUP BY user_id
         |ORDER BY total_value DESC, user_id LIMIT 10""".stripMargin)

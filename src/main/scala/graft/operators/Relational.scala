@@ -26,9 +26,14 @@ object Relational {
     * at the scan, then exact decimal arithmetic — sums are bit-identical in
     * any engine at any accumulation order (SURVEY §5). */
   private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
-  private def out2(c: Column): Column = c.cast(DecimalType(38, 2))
-  private def out4(c: Column): Column = c.cast(DecimalType(38, 4))
-  private def out6(c: Column): Column = c.cast(DecimalType(38, 6))
+
+  /** Final-output convention: money math stays exact-decimal internally
+    * (accumulation-order-independent sums), then ONE deterministic
+    * decimal→double cast on the output column. Engines render decimals
+    * differently downstream (exact trailing-zero strings vs float64), so a
+    * decimal must never appear in a query's final schema; the single cast
+    * of an exact decimal is identical in both engines. */
+  private def outd(c: Column): Column = c.cast("double")
 
   /** ep·(1−disc) as an exact scale-4 decimal. */
   private def discPrice(ep: Column, disc: Column): Column =
@@ -42,11 +47,11 @@ object Relational {
     li.filter(col("l_shipdate") <= ts("2000-09-02"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        out2(sum(dec2(col("l_quantity")))).as("sum_qty"),
-        out2(sum(dec2(col("l_extendedprice")))).as("sum_base_price"),
-        out4(sum(discPrice(col("l_extendedprice"), col("l_discount"))))
+        outd(sum(dec2(col("l_quantity")))).as("sum_qty"),
+        outd(sum(dec2(col("l_extendedprice")))).as("sum_base_price"),
+        outd(sum(discPrice(col("l_extendedprice"), col("l_discount"))))
           .as("sum_disc_price"),
-        out6(sum(discPrice(col("l_extendedprice"), col("l_discount"))
+        outd(sum(discPrice(col("l_extendedprice"), col("l_discount"))
           * (lit(1) + col("l_tax").cast(DecimalType(4, 2))))).as("sum_charge"),
         count(lit(1)).as("count_order"))
   }
@@ -62,7 +67,7 @@ object Relational {
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(out4(sum(discPrice(col("l_extendedprice"), col("l_discount"))))
+      .agg(outd(sum(discPrice(col("l_extendedprice"), col("l_discount"))))
         .as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
@@ -87,7 +92,7 @@ object Relational {
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(out4(sum(discPrice(col("l_extendedprice"), col("l_discount"))))
+      .agg(outd(sum(discPrice(col("l_extendedprice"), col("l_discount"))))
         .as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
@@ -99,7 +104,7 @@ object Relational {
       .filter(col("l_shipdate") >= ts("1996-01-01") &&
         col("l_shipdate") < ts("1997-01-01") &&
         col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
-      .agg(out4(sum(dec2(col("l_extendedprice")) * col("l_discount").cast(DecimalType(4, 2))))
+      .agg(outd(sum(dec2(col("l_extendedprice")) * col("l_discount").cast(DecimalType(4, 2))))
         .as("revenue"))
   }
 
@@ -108,7 +113,7 @@ object Relational {
     val ord = Tables.orders(s, dir)
     val cust = Tables.customer(s, dir)
     ord.groupBy(col("o_custkey"))
-      .agg(out2(sum(dec2(col("o_totalprice")))).as("revenue"),
+      .agg(outd(sum(dec2(col("o_totalprice")))).as("revenue"),
         count(lit(1)).as("n_orders"))
       .join(cust, col("o_custkey") === col("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("revenue"), col("n_orders"))
@@ -122,9 +127,9 @@ object Relational {
     val w = Window.partitionBy(col("c_nationkey"))
       .orderBy(col("c_acctbal").desc, col("c_custkey"))
     Tables.customer(s, dir)
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("bigint"))
       .withColumn("running_bal",
-        out2(sum(dec2(col("c_acctbal")))
+        outd(sum(dec2(col("c_acctbal")))
           .over(w.rowsBetween(Window.unboundedPreceding, 0))))
       .filter(col("rn") <= 3)
       .select(col("c_nationkey"), col("c_custkey"), col("c_name"),
@@ -140,7 +145,7 @@ object Relational {
       .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
       .rollup(col("r_name"), col("n_name"))
       .agg(count(lit(1)).as("n_cust"),
-        out2(sum(dec2(col("c_acctbal")))).as("sum_bal"))
+        outd(sum(dec2(col("c_acctbal")))).as("sum_bal"))
   }
 
   /** Multi-column distinct counting per order status. Exact distinct on
@@ -207,7 +212,7 @@ object Relational {
       .filter(col("l_shipdate") >= ts("1996-01-01") &&
         col("l_shipdate") < ts("1996-04-01"))
       .groupBy(col("l_suppkey").as("supplier_no"))
-      .agg(out4(sum(discPrice(col("l_extendedprice"), col("l_discount"))))
+      .agg(outd(sum(discPrice(col("l_extendedprice"), col("l_discount"))))
         .as("total_revenue"))
     val mx = rev.agg(max(col("total_revenue")).as("mx"))
     rev.join(broadcast(mx), col("total_revenue") === col("mx"))
@@ -222,7 +227,7 @@ object Relational {
       .cube(col("p_brand"), col("p_size"))
       .agg(count(lit(1)).as("n_parts"),
         countDistinct(col("p_type")).as("n_types"),
-        out2(sum(dec2(col("p_retailprice")))).as("sum_price"))
+        outd(sum(dec2(col("p_retailprice")))).as("sum_price"))
   }
 
   /** Registry: SURVEY §2B name → operator. */
@@ -246,16 +251,16 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
-        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DECIMAL(38,6)) AS sum_charge,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
         |COUNT(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q3_shipping_priority" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
-        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS revenue
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
         |FROM customer, orders, lineitem
         |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
         |  AND l_orderkey = o_orderkey
@@ -265,7 +270,7 @@ object Relational {
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
     "q5_local_supplier" ->
       """SELECT n_name,
-        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS revenue
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
         |FROM customer, orders, lineitem, supplier, nation, region
         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
         |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -275,14 +280,14 @@ object Relational {
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
     "q6_forecast_revenue" ->
-      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(38,4)) AS revenue
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
     "q7_topk_customers" ->
       """SELECT c_custkey, c_name,
-        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
         |COUNT(*) AS n_orders
         |FROM orders, customer WHERE o_custkey = c_custkey
         |GROUP BY c_custkey, c_name
@@ -291,13 +296,13 @@ object Relational {
       """SELECT c_nationkey, c_custkey, c_name, c_acctbal, rn, running_bal FROM (
         |  SELECT c_nationkey, c_custkey, c_name, c_acctbal,
         |    row_number() OVER w AS rn,
-        |    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running_bal
+        |    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_bal
         |  FROM customer
         |  WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
         |) WHERE rn <= 3""".stripMargin,
     "q9_rollup" ->
       """SELECT r_name, n_name, COUNT(*) AS n_cust,
-        |CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_bal
+        |CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
         |FROM customer, nation, region
         |WHERE c_nationkey = n_nationkey AND n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name)""".stripMargin,
@@ -331,7 +336,7 @@ object Relational {
     "q15_correlated_scalar" ->
       """WITH rev AS (
         |  SELECT l_suppkey AS supplier_no,
-        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS total_revenue
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS total_revenue
         |  FROM lineitem
         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
@@ -343,6 +348,6 @@ object Relational {
     "q16_grouping_sets" ->
       """SELECT p_brand, p_size, COUNT(*) AS n_parts,
         |COUNT(DISTINCT p_type) AS n_types,
-        |CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+        |CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM part GROUP BY CUBE(p_brand, p_size)""".stripMargin)
 }

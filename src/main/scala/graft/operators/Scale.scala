@@ -44,7 +44,7 @@ object Scale {
     s.table(li).join(s.table(ord), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n_items"),
-        sum(dec2(col("l_extendedprice"))).cast(DecimalType(38, 2))
+        sum(dec2(col("l_extendedprice"))).cast("double")
           .as("sum_price"))
   }
 
@@ -82,7 +82,7 @@ object Scale {
       Seq("l_orderkey", "l_extendedprice", "l_quantity"))
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n_items"),
-        sum(dec2(col("l_extendedprice"))).cast(DecimalType(38, 2))
+        sum(dec2(col("l_extendedprice"))).cast("double")
           .as("sum_price"))
   }
 
@@ -105,12 +105,12 @@ object Scale {
   val oracles: Map[String, String] = Map(
     "q17_bucketed_join" ->
       """SELECT o_orderstatus, COUNT(*) AS n_items,
-        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem, orders WHERE l_orderkey = o_orderkey
         |GROUP BY o_orderstatus""".stripMargin,
     "q18_salted_join" ->
       """SELECT o_orderstatus, COUNT(*) AS n_items,
-        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem, orders
         |WHERE l_orderkey = o_orderkey AND o_orderpriority = '1-URGENT'
         |GROUP BY o_orderstatus""".stripMargin)

@@ -45,7 +45,7 @@ object JsonLanding {
       .groupBy(col("event_date"), col("source"))
       .agg(count(lit(1)).as("n_records"),
         sum(col("value").cast(DecimalType(18, 2)))
-          .cast(DecimalType(38, 2)).as("sum_value"),
+          .cast("double").as("sum_value"),
         sum(col("k")).as("sum_k"))
   }
 
@@ -56,7 +56,8 @@ object JsonLanding {
     "etl_json_landing" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS event_date,
         |  event_type AS source, COUNT(*) AS n_records,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value,
-        |  SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+        |    AS sum_k
         |FROM events GROUP BY strftime(ts, '%Y-%m-%d'), event_type""".stripMargin)
 }

@@ -50,7 +50,7 @@ object Streams {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast(DecimalType(18, 2)))
-          .cast(DecimalType(38, 2)).as("sum_value"))
+          .cast("double").as("sum_value"))
     val q = agg.writeStream
       .outputMode(OutputMode.Complete)
       .format("memory").queryName("graft_stream_windowed")
@@ -182,7 +182,7 @@ object Streams {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast(DecimalType(18, 2)))
-          .cast(DecimalType(38, 2)).as("sum_value"))
+          .cast("double").as("sum_value"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -197,12 +197,12 @@ object Streams {
   val oracles: Map[String, String] = Map(
     "stream_incremental_landing" ->
       """SELECT event_type, COUNT(*) AS n_events,
-        |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+        |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type""".stripMargin,
     "stream_windowed_counts" ->
       """SELECT date_trunc('hour', ts) AS window_start,
         |date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
         |event_type, COUNT(*) AS n_events,
-        |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+        |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY date_trunc('hour', ts), event_type""".stripMargin)
 }

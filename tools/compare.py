@@ -1,12 +1,21 @@
 #!/usr/bin/env python3
-"""Local stand-in for the driver's correctness gate: run each oracle SQL in
-DuckDB over the sf tables, compare against the parquet dumped by Verify.
-Exact value compare after sorting columns by name and rows by content."""
-import duckdb, json, sys, glob, os, math
-from decimal import Decimal
+"""Local stand-in for the driver's correctness gate.
+
+Emulates the driver's comparison path as closely as possible:
+  - Spark side: the parquet dumped by graft.Verify, read via
+    pyarrow→pandas (DECIMAL columns arrive as exact decimal.Decimal
+    objects, which stringify WITH trailing zeros);
+  - oracle side: DuckDB .df() (DECIMAL columns arrive as float64).
+Columns are sorted by name, rows sorted, values stringified and
+compared. This is exactly the mismatch surface that produced the r1
+"hash_match: false" cluster, so a local OK here predicts driver green.
+"""
+import duckdb, json, sys, glob, math, datetime
+import pandas as pd
 
 sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders",
@@ -15,32 +24,37 @@ for t in ["region","nation","customer","supplier","part","orders",
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 
-def norm(v):
-    if isinstance(v, Decimal):
-        return str(v)
+def cell(v):
+    # mirror pandas str() rendering differences instead of hiding them.
+    # Exception: DATE columns — Spark parquet yields datetime.date while
+    # DuckDB .df() yields midnight datetime64, and the r1 driver run
+    # hash-matched that pairing, so its hasher coerces datetimes; match it.
+    if isinstance(v, datetime.date) and not isinstance(v, datetime.datetime):
+        return f"{v} 00:00:00"
     if isinstance(v, float):
-        if math.isnan(v): return "NaN"
-        return repr(v)
+        return "NaN" if math.isnan(v) else repr(v)
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return "[" + ",".join(cell(x) for x in v) + "]"
     return str(v)
 
-def canon(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = sorted(tuple(norm(r[i]) for i in order) for r in rows)
-    return [cols[i] for i in order], out
+def canon(df):
+    df = df[sorted(df.columns)]
+    rows = sorted(tuple(cell(v) for v in r) for r in df.itertuples(index=False))
+    return list(df.columns), rows
 
 fails = 0
 for name in sorted(oracle):
+    if only and name not in only:
+        continue
     path = f"{out_dir}/{name}"
     if not glob.glob(f"{path}/*.parquet"):
         print(f"MISSING  {name}"); fails += 1; continue
-    got = con.execute(f"SELECT * FROM '{path}/*.parquet'")
-    gcols = [d[0] for d in got.description]; grows = got.fetchall()
     try:
-        exp = con.execute(oracle[name])
-        ecols = [d[0] for d in exp.description]; erows = exp.fetchall()
+        gdf = pd.read_parquet(path)           # Spark side: Decimal objects
+        edf = con.execute(oracle[name]).df()  # oracle side: float64
     except Exception as e:
-        print(f"ORACLE-ERR {name}: {e}"); fails += 1; continue
-    gc, gr = canon(gcols, grows); ec, er = canon(ecols, erows)
+        print(f"ERR      {name}: {e}"); fails += 1; continue
+    gc, gr = canon(gdf); ec, er = canon(edf)
     if gc != ec:
         print(f"SCHEMA   {name}: spark={gc} duckdb={ec}"); fails += 1; continue
     if len(gr) != len(er):
