@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{ArrayType, DecimalType, StringType, StructField, StructType}
 
 import graft.Tables
 
@@ -22,8 +22,17 @@ object Etl {
 
   /** Semi-structured JSON with heterogeneous envelopes: the same payload
     * arrives as {"results":[…]}, {"data":[…]} or bare — unwrap generically
-    * with path coalescing, exactly the reference's format sniffing. */
+    * with path coalescing, exactly the reference's format sniffing.
+    *
+    * ONE schema'd `from_json` parse per row covering every envelope shape
+    * (a `get_json_object` per candidate path re-parses the whole payload
+    * each time — 3× the JSON work on the hot ingest path). */
   def jsonEnvelope(s: SparkSession, dir: String): DataFrame = {
+    val kStruct = StructType(Seq(StructField("k", StringType)))
+    val envSchema = StructType(Seq(
+      StructField("results", ArrayType(kStruct)),
+      StructField("data", ArrayType(kStruct)),
+      StructField("k", StringType)))
     val ev = Tables.events(s, dir)
     val envelope =
       when(col("event_type") === "view",
@@ -31,15 +40,15 @@ object Etl {
         .when(col("event_type") === "click",
           concat(lit("{\"data\": ["), col("props"), lit("]}")))
         .otherwise(col("props"))
-    ev.withColumn("envelope", envelope)
+    ev.withColumn("parsed", from_json(envelope, envSchema))
       .select(col("event_id"),
         when(col("event_type") === "view", lit("results"))
           .when(col("event_type") === "click", lit("data"))
           .otherwise(lit("bare")).as("envelope_kind"),
         coalesce(
-          get_json_object(col("envelope"), "$.results[0].k"),
-          get_json_object(col("envelope"), "$.data[0].k"),
-          get_json_object(col("envelope"), "$.k")).cast("int").as("k"))
+          col("parsed.results").getItem(0).getField("k"),
+          col("parsed.data").getItem(0).getField("k"),
+          col("parsed.k")).cast("int").as("k"))
   }
 
   /** Record standardization: content-hash id (12-hex md5), source tag,

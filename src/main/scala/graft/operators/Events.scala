@@ -145,9 +145,13 @@ object Events {
   }
 
   /** Daily + 7-day rolling active users. Distinct (day,user) pairs are
-    * aggregated first, so the rolling join fans out over the bounded
-    * day-count dimension (≤365/yr), never over raw events — DISTINCT
-    * window aggregates don't exist in either engine, and this shape
+    * aggregated first, then each pair EXPLODES into the ≤7 window anchors
+    * it covers and one equi-groupBy counts distinct users per anchor —
+    * O(7n) with partial aggregation and zero non-equi joins (the
+    * `datediff BETWEEN` formulation degenerates to a broadcast
+    * nested-loop join of every pair against every anchor). Anchors that
+    * aren't real activity days fall out in the final dau equi-join.
+    * DISTINCT window aggregates don't exist in either engine; this shape
     * scales where they wouldn't. */
   def dauWau(s: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(s, dir)
@@ -155,9 +159,9 @@ object Events {
       .distinct()
     val dau = daily.groupBy(col("day"))
       .agg(countDistinct(col("user_id")).as("dau"))
-    val anchors = daily.select(col("day").as("anchor")).distinct()
-    val wau = daily.join(broadcast(anchors),
-      datediff(col("anchor"), col("day")).between(0, 6))
+    val wau = daily
+      .select(explode(sequence(col("day"), date_add(col("day"), 6)))
+        .as("anchor"), col("user_id"))
       .groupBy(col("anchor"))
       .agg(countDistinct(col("user_id")).as("wau"))
     dau.join(wau, col("day") === col("anchor"))

@@ -31,11 +31,27 @@ object Multimodal {
     out
   }
 
+  /** Exact integer form of the stub's per-dim accumulation (byte sums per
+    * stride class). Emitted alongside the float feature so the operator
+    * has a cross-engine-checkable projection: float arrays are neither
+    * hashable nor bit-comparable through the driver's pandas path, but
+    * these sums are plain BIGINTs an oracle can recompute byte-for-byte. */
+  private def byteSums(payload: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](FeatureDims)
+    var i = 0
+    while (i < payload.length) {
+      out(i % FeatureDims) += (payload(i) & 0xff).toLong
+      i += 1
+    }
+    out
+  }
+
   private val pipelineSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("media_type", StringType),
     StructField("n_bytes", IntegerType),
-    StructField("feature", ArrayType(FloatType))))
+    StructField("feature", ArrayType(FloatType)),
+    StructField("byte_sums", ArrayType(LongType))))
 
   /** Binary-column pipeline: payload + metadata struct in, fixed-width
     * feature vector out. mapPartitions keeps the codec call batched per
@@ -56,9 +72,22 @@ object Multimodal {
         val payload = r.getAs[Array[Byte]]("payload")
         val meta = r.getAs[Row]("meta")
         Row(r.getLong(0), meta.getString(0), meta.getInt(1),
-          stubDecode(payload).toSeq)
+          stubDecode(payload).toSeq, byteSums(payload).toSeq)
       }
     }(enc)
+  }
+
+  /** Driver-checkable projection of the pipeline: the per-dim byte sums
+    * as scalar BIGINT columns (the float `feature` array stays in the
+    * library output / specs — arrays crash the driver's comparator). The
+    * documents corpus is pure ASCII, so a SQL oracle can recompute every
+    * sum from code points. */
+  def binaryPipelineChecked(s: SparkSession, dir: String): DataFrame = {
+    val dims = (0 until FeatureDims).map(d =>
+      col("byte_sums").getItem(d).as(s"b$d"))
+    binaryPipeline(s, dir)
+      .select(col("doc_id") +: col("media_type") +: col("n_bytes").cast("bigint")
+        .as("n_bytes") +: dims: _*)
   }
 
   /** Frame sampling over duration metadata: every 5th "second" of a
@@ -75,10 +104,27 @@ object Multimodal {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mm_binary_pipeline" -> (binaryPipeline _),
+    "mm_binary_pipeline" -> (binaryPipelineChecked _),
     "mm_frame_sample" -> (frameSample _))
 
   val oracles: Map[String, String] = Map(
+    "mm_binary_pipeline" -> {
+      // per-dim byte sums over stride classes i % 8 == d; text is ASCII so
+      // unicode(single char) == byte value and char length == byte length
+      val dimCols = (0 until FeatureDims).map(d =>
+        s"  COALESCE(CAST(SUM(CASE WHEN i % 8 = $d THEN unicode(substr(text, CAST(i AS INT) + 1, 1)) END) AS BIGINT), 0) AS b$d").mkString(",\n")
+      s"""WITH pos AS (
+         |  SELECT doc_id, text,
+         |    CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+         |         WHEN doc_id % 3 = 1 THEN 'audio/wav'
+         |         ELSE 'video/mp4' END AS media_type,
+         |    CAST(length(text) AS BIGINT) AS n_bytes,
+         |    unnest(range(length(text))) AS i
+         |  FROM documents)
+         |SELECT doc_id, media_type, n_bytes,
+         |$dimCols
+         |FROM pos GROUP BY doc_id, media_type, n_bytes""".stripMargin
+    },
     "mm_frame_sample" ->
       """WITH d AS (
         |  SELECT doc_id, CAST(n_chars // 10 AS INT) AS duration_s

@@ -7,7 +7,7 @@ class MultimodalSpec extends SparkSpec {
   test("binary pipeline: schema contract and deterministic stub features") {
     val df = operators.Multimodal.binaryPipeline(spark, sfTiny)
     assert(df.schema.fieldNames.toSeq ==
-      Seq("doc_id", "media_type", "n_bytes", "feature"))
+      Seq("doc_id", "media_type", "n_bytes", "feature", "byte_sums"))
     val r1 = df.orderBy("doc_id").first()
     val r2 = operators.Multimodal.binaryPipeline(spark, sfTiny)
       .orderBy("doc_id").first()
