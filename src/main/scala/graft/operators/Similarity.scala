@@ -53,13 +53,26 @@ object Similarity {
     topk(scored)
   }
 
-  /** Sign-LSH approximate top-k: L=2 independent hash tables of 4
-    * hyperplane sign bits each (OR-amplification — a candidate matches if
-    * it collides in ANY table); queries probe only their own buckets.
-    * Plane count scales with corpus size (log₂(n/target_bucket)); recall
-    * is spec-checked against brute force. */
+  /** Plane count for sign-LSH, derived from corpus size: enough sign
+    * bits that an average bucket holds ~`targetBucket` vectors
+    * (planes ≈ log₂(n / targetBucket)), floored at 4 so tiny corpora
+    * keep multi-bit buckets and capped at 20 (≈1M buckets/table — past
+    * that, bucket-key cardinality, not bucket size, is the cost). Per-
+    * query candidate work is thus O(targetBucket·L) at ANY corpus size,
+    * instead of O(n/2^const) which degenerates to linear at 100×. */
+  private[graft] def planesFor(n: Long, targetBucket: Int = 64): Int =
+    math.max(4, math.min(20,
+      math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) /
+        math.log(2.0)).toInt))
+
+  /** Sign-LSH approximate top-k: L=2 independent hash tables of
+    * `planesFor(n)` hyperplane sign bits each (OR-amplification — a
+    * candidate matches if it collides in ANY table); queries probe only
+    * their own buckets. The corpus count is one parquet-metadata job.
+    * Recall is spec-checked against brute force at multiple SFs. */
   def lshTopk(s: SparkSession, dir: String): DataFrame = {
-    val planes = 4
+    val corpusPrep = prepared(s, dir, "neighbor_id")
+    val planes = planesFor(corpusPrep.count())
     val tables = 2
     def bucketed(df: DataFrame, vecCol: String): DataFrame =
       df.withColumn("table_id",
@@ -67,7 +80,7 @@ object Similarity {
         .withColumn("bucket",
           graft.functions.VectorFns.signLshBucketSeeded(
             col(vecCol), planes, col("table_id")))
-    val corpus = bucketed(prepared(s, dir, "neighbor_id"), "vd")
+    val corpus = bucketed(corpusPrep, "vd")
     val qs = bucketed(querySet(s, dir), "q_vd")
     val scored = broadcast(qs)
       .join(corpus, Seq("table_id", "bucket"))
@@ -77,15 +90,26 @@ object Similarity {
     topk(scored)
   }
 
-  /** IVF-style approximate top-k: coarse centroids are a deterministic
-    * strided sample of the corpus (kmeans-lite single assignment); every
-    * vector joins its nearest cell, queries probe `nprobe` nearest cells.
-    * Two broadcast joins + one windowed top-k — no cross product. */
-  def ivfTopk(s: SparkSession, dir: String): DataFrame = {
-    val nprobe = 4
-    val centroids = prepared(s, dir, "cell_id")
-      .filter(col("cell_id") % 50 === 0)
+  /** Fixed-size coarse-centroid table: the k corpus vectors with the
+    * smallest id-hash — a deterministic uniform sample whose size does
+    * NOT grow with the corpus (a `% stride` sample grows linearly,
+    * making assignment O(n²/stride) and the broadcast unbounded). On a
+    * real deployment these come from sampled k-means; the plumbing —
+    * fixed-k broadcast table, one O(n·k) assignment pass — is identical. */
+  private def centroidTable(s: SparkSession, dir: String, k: Int): DataFrame =
+    prepared(s, dir, "cell_id")
+      .orderBy(xxhash64(col("cell_id")), col("cell_id"))
+      .limit(k)
       .select(col("cell_id"), col("vd").as("c_vd"), col("nrm").as("c_nrm"))
+
+  /** IVF-style approximate top-k: every vector joins its nearest of k
+    * fixed centroids, queries probe `nprobe` nearest cells. Two
+    * broadcast joins + one windowed top-k — no cross product. */
+  def ivfTopk(s: SparkSession, dir: String): DataFrame =
+    ivfTopk(s, dir, k = 16, nprobe = 6)
+
+  def ivfTopk(s: SparkSession, dir: String, k: Int, nprobe: Int): DataFrame = {
+    val centroids = centroidTable(s, dir, k)
     // Corpus assignment (nearest cell only): max_by aggregation instead of
     // a per-vector rank window — partial aggregation shrinks the shuffle
     // map-side, where a window would exchange + sort the whole corpus.
