@@ -6,8 +6,70 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR and prints one JSON line with per-query wall times.
   * Queries materialize through the noop sink so timing covers the whole
   * plan (count() alone lets Spark skip column decode on some plans).
+  *
+  * Besides Spark timings (`queries`), the line carries `duckdb_s` — the
+  * same oracle query timed in DuckDB over the same parquet at the same
+  * SF — and `ratio` (spark/duckdb) per oracled query, so the
+  * engine-vs-baseline comparison is per-operator, not total-vs-total.
+  * DuckDB runs via the host python3; if that's unavailable the bench
+  * still emits Spark timings (fields are simply absent).
   */
 object Bench {
+
+  /** JSON string escape shared with Verify's oracle dump. */
+  private[graft] def jstr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  private val duckScript =
+    """import duckdb, json, sys, time
+      |sf, oracle_path = sys.argv[1], sys.argv[2]
+      |con = duckdb.connect()
+      |for t in ["region","nation","customer","supplier","part","orders",
+      |          "lineitem","events","documents","embeddings"]:
+      |    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+      |out = {}
+      |for name, sql in json.load(open(oracle_path)).items():
+      |    t0 = time.time()
+      |    try:
+      |        con.execute(sql).fetchall()
+      |        out[name] = round(time.time() - t0, 4)
+      |    except Exception:
+      |        out[name] = -1.0
+      |print(json.dumps(out))
+      |""".stripMargin
+
+  /** Time every oracle query in DuckDB; empty map when the host can't. */
+  private def duckTimings(sfDir: String): Map[String, Double] =
+    try {
+      import scala.sys.process._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bench")
+      val oraclePath = tmp.resolve("oracle_sql.json")
+      val scriptPath = tmp.resolve("duck_bench.py")
+      java.nio.file.Files.writeString(oraclePath,
+        SparkEntry.oracleSql
+          .map { case (k, v) => s"${jstr(k)}: ${jstr(v)}" }
+          .mkString("{", ",", "}"))
+      java.nio.file.Files.writeString(scriptPath, duckScript)
+      val jsonOut = Seq("python3", scriptPath.toString, sfDir,
+        oraclePath.toString).!!(ProcessLogger(_ => ()))
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      JsonMethods.parse(jsonOut) match {
+        case JObject(fields) => fields.collect {
+          case (k, JDouble(v)) => k -> v
+          case (k, JInt(v)) => k -> v.toDouble
+        }.toMap
+        case _ => Map.empty
+      }
+    } catch { case _: Throwable => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -20,10 +82,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // JVM/codegen warm-up on the smallest SF so headline numbers measure
-    // the operators, not JIT compilation of generated code.
-    SparkEntry.queries.get("q1_pricing_summary")
-      .foreach(fn => fn(spark, "/root/testdata/sf0.001").count())
+    // JVM/codegen warm-up against the benched SF dir itself (an absent
+    // hardcoded path must never abort the bench before the timed runs)
+    try SparkEntry.queries.get("q1_pricing_summary")
+      .foreach(fn => fn(spark, sfDir).count())
+    catch { case _: Throwable => () }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -35,10 +98,23 @@ object Bench {
       spark.catalog.clearCache() // ops persist derived tables
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val duck = duckTimings(sfDir)
+    def obj(m: Seq[(String, Double)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = obj(results)
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val extra = if (duck.isEmpty) "" else {
+      val ds = obj(results.collect {
+        case (k, _) if duck.get(k).exists(_ > 0) => k -> duck(k) })
+      val ratios = results.collect {
+        case (k, sparkS) if sparkS >= 0 && duck.get(k).exists(_ > 0) =>
+          k -> (math.round(sparkS / duck(k) * 100.0) / 100.0) }
+      val duckTotal = duck.values.filter(_ > 0).sum
+      s""","duckdb_s":$ds,"ratio":${obj(ratios)}""" +
+        s""","duckdb_total":$duckTotal""" +
+        s""","ratio_total":${math.round(total / duckTotal * 100.0) / 100.0}"""
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$extra}""")
     spark.stop()
   }
 }

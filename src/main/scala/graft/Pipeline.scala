@@ -15,17 +15,60 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
-  /** One data source: where it reads from and how its records shape. */
+  /** One data source: where it reads from, how its records shape, and how
+    * many times a failed extract is retried before the error is recorded
+    * (reference extract passes timeout/max_retries per source,
+    * lambda_function.py:210-215). */
   final case class Source(
       name: String,
       table: String,
-      limit: Option[Int] = None)
+      limit: Option[Int] = None,
+      maxRetries: Int = 0)
 
   final case class Config(
       sources: Seq[Source],
       landingDir: String,
       runDate: String,
       errorHandling: String = "continue")
+
+  /** Load a Config from a JSON config file mirroring the reference's
+    * config/config.json registry shape (reference config/config.json:
+    * `data_sources` keyed by source name, `processing.error_handling`,
+    * `processing.retry_attempts`) — a user points the runner at a file
+    * instead of constructing Config in code:
+    *
+    * {{{
+    * { "data_sources": { "marketing": {"table": "part", "limit": 100},
+    *                     "ads":       {"table": "events"} },
+    *   "processing":   { "error_handling": "continue",
+    *                     "retry_attempts": 2 } }
+    * }}}
+    *
+    * `landingDir`/`runDate` stay caller-supplied: they are per-run
+    * environment (the reference takes them from the Lambda event), not
+    * source registry.
+    */
+  def loadConfig(path: String, landingDir: String, runDate: String): Config = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    val json = JsonMethods.parse(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+    val defaultRetries =
+      (json \ "processing" \ "retry_attempts").extractOpt[Int].getOrElse(0)
+    val sources = json \ "data_sources" match {
+      case JObject(fields) => fields.map { case (name, v) =>
+        Source(name,
+          (v \ "table").extract[String],
+          (v \ "limit").extractOpt[Int],
+          (v \ "retry_attempts").extractOpt[Int].getOrElse(defaultRetries))
+      }
+      case _ => Nil
+    }
+    Config(sources, landingDir, runDate,
+      (json \ "processing" \ "error_handling").extractOpt[String]
+        .getOrElse("continue"))
+  }
 
   final case class SourceResult(
       source: String, status: String, nRecords: Long, error: String)
@@ -52,20 +95,23 @@ object Pipeline {
   def run(spark: SparkSession, sfDir: String, config: Config): DataFrame = {
     import spark.implicits._
     val results = config.sources.map { src =>
-      try {
-        val raw = Tables.load(spark, sfDir, src.table)
-        val limited = src.limit.map(raw.limit).getOrElse(raw)
-        val shaped = standardize(limited, src.name, config.runDate)
-        val out = s"${config.landingDir}/${src.name}/" +
-          s"date=${config.runDate}"
-        shaped.write.mode("overwrite").parquet(out)
-        val n = spark.read.parquet(out).count()
-        SourceResult(src.name, "ok", n, "")
-      } catch {
-        case e: Throwable if config.errorHandling == "continue" =>
-          SourceResult(src.name, "error", 0L,
-            Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
-      }
+      def attempt(remaining: Int): SourceResult =
+        try {
+          val raw = Tables.load(spark, sfDir, src.table)
+          val limited = src.limit.map(raw.limit).getOrElse(raw)
+          val shaped = standardize(limited, src.name, config.runDate)
+          val out = s"${config.landingDir}/${src.name}/" +
+            s"date=${config.runDate}"
+          shaped.write.mode("overwrite").parquet(out)
+          val n = spark.read.parquet(out).count()
+          SourceResult(src.name, "ok", n, "")
+        } catch {
+          case _: Throwable if remaining > 0 => attempt(remaining - 1)
+          case e: Throwable if config.errorHandling == "continue" =>
+            SourceResult(src.name, "error", 0L,
+              Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+        }
+      attempt(src.maxRetries)
     }
     val summary = results.toDF()
       .select(col("source"), col("status"), col("nRecords").as("n_records"),

@@ -40,4 +40,30 @@ class PipelineSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(again("sales") == summary("sales")._2)
   }
+
+  test("pipeline runs from a JSON config file (reference registry shape)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cfg")
+    val cfgPath = dir.resolve("config.json")
+    java.nio.file.Files.writeString(cfgPath,
+      """{ "data_sources": {
+        |    "marketing": {"table": "part", "limit": 100},
+        |    "ads":       {"table": "events"},
+        |    "broken":    {"table": "no_such_table", "retry_attempts": 2}
+        |  },
+        |  "processing": {"error_handling": "continue",
+        |                 "retry_attempts": 1} }""".stripMargin)
+    val config = Pipeline.loadConfig(cfgPath.toString,
+      dir.resolve("landing").toString, "2026-08-12")
+    assert(config.sources.map(_.name) == Seq("marketing", "ads", "broken"))
+    assert(config.sources.head.limit.contains(100))
+    assert(config.sources.head.maxRetries == 1,   "processing default")
+    assert(config.sources.last.maxRetries == 2,   "per-source override")
+    assert(config.errorHandling == "continue")
+    val summary = Pipeline.run(spark, sfTiny, config).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(summary("marketing") == (("ok", 100L)))
+    assert(summary("ads")._1 == "ok")
+    assert(summary("broken")._1 == "error",
+      "bad source must exhaust retries then continue")
+  }
 }
