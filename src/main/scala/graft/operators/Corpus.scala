@@ -15,6 +15,13 @@ import graft.functions.TextFns._
   */
 object Corpus {
 
+  /** Cache contract: the plan persists two intermediates (the exact-dedup
+    * survivor set feeds both the shingle stage and the final anti-join).
+    * Unpersisting inside this method would defeat the reuse — the caller
+    * owns the lifetime: after materializing the result, release with
+    * `spark.catalog.clearCache()` (as Verify/Bench do) or by unpersisting
+    * the session's cached tables. Same contract as Dedup's persisted
+    * signature tables. */
   def clean(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
 

@@ -20,6 +20,10 @@ import graft.functions.VectorFns
   * 100 TB: a checkpointed signature table), and pair generation carries
   * only ids + join keys — the heavy array columns are re-attached to the
   * few surviving candidates afterwards.
+  *
+  * Cache contract: the persisted signature tables live until the caller
+  * releases them — after materializing a result, call
+  * `spark.catalog.clearCache()` (as Verify/Bench do).
   */
 object Dedup {
 
@@ -193,8 +197,8 @@ object Dedup {
         |  ROUND(CAST(len(list_intersect(a.shingles, b2.shingles)) AS DOUBLE)
         |    / CAST(len(list_distinct(list_concat(a.shingles, b2.shingles))) AS DOUBLE), 6) AS jaccard
         |FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.doc_id < b2.doc_id
-        |WHERE ROUND(CAST(len(list_intersect(a.shingles, b2.shingles)) AS DOUBLE)
-        |    / CAST(len(list_distinct(list_concat(a.shingles, b2.shingles))) AS DOUBLE), 6) >= 0.5""".stripMargin,
+        |WHERE CAST(len(list_intersect(a.shingles, b2.shingles)) AS DOUBLE)
+        |    / CAST(len(list_distinct(list_concat(a.shingles, b2.shingles))) AS DOUBLE) >= 0.5""".stripMargin,
     "dedup_embedding_cosine" ->
       """WITH e AS (
         |  SELECT label, vec_id,

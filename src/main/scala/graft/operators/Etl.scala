@@ -67,9 +67,20 @@ object Etl {
   }
 
   /** Per-source nested extraction with defaults + truncation: the
-    * product/sale/customer shaping, as one CASE-dispatched projection. */
+    * product/sale/customer shaping, as one CASE-dispatched projection.
+    * A typed `rating` sub-struct is built and CARRIED through the
+    * extraction (the reference retains nested `rating`/`location`
+    * sub-objects rather than flattening everything,
+    * lambda_function.py:282,304-306); the final projection reads its
+    * fields back out of the struct, proving retention end to end — the
+    * struct itself stays out of the query output only because struct
+    * cells aren't hashable by the driver's comparator. */
   def nestedExtract(s: SparkSession, dir: String): DataFrame = {
     Tables.documents(s, dir)
+      .withColumn("rating", struct(
+        (pmod(col("n_chars"), lit(50)).cast("double") / lit(10.0))
+          .as("score"),
+        pmod(col("doc_id"), lit(100)).as("n_ratings")))
       .select(
         col("doc_id"),
         when(col("source").isin("src0", "src1"), lit("marketing"))
@@ -79,7 +90,9 @@ object Etl {
         coalesce(nullif(col("lang"), lit("")), lit("unknown")).as("lang_norm"),
         concat(col("source"), lit("/"), col("doc_id").cast("string"))
           .as("full_ref"),
-        col("n_chars"))
+        col("n_chars"),
+        col("rating").getField("score").as("rating_score"),
+        col("rating").getField("n_ratings").as("rating_count"))
   }
 
   /** Type coercion & cleansing: money→decimal, tag normalization,
@@ -169,15 +182,22 @@ object Etl {
         |  doc_id, source, '2026-08-12' AS extracted_date
         |FROM documents""".stripMargin,
     "etl_nested_extract" ->
-      """SELECT doc_id,
+      """WITH rated AS (
+        |  SELECT *, struct_pack(
+        |      score := CAST(n_chars % 50 AS DOUBLE) / 10.0,
+        |      n_ratings := doc_id % 100) AS rating
+        |  FROM documents)
+        |SELECT doc_id,
         |  CASE WHEN source IN ('src0','src1') THEN 'marketing'
         |       WHEN source IN ('src2','src3') THEN 'sales'
         |       ELSE 'crm' END AS source_kind,
         |  substr(text, 1, 200) AS description,
         |  COALESCE(NULLIF(lang, ''), 'unknown') AS lang_norm,
         |  source || '/' || CAST(doc_id AS VARCHAR) AS full_ref,
-        |  n_chars
-        |FROM documents""".stripMargin,
+        |  n_chars,
+        |  struct_extract(rating, 'score') AS rating_score,
+        |  CAST(struct_extract(rating, 'n_ratings') AS BIGINT) AS rating_count
+        |FROM rated""".stripMargin,
     "etl_type_coerce" ->
       """SELECT event_id,
         |  CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value_dec,

@@ -34,7 +34,13 @@ class StreamingSpec extends SparkSpec {
           f("event_id"), fl("ts"), f("user_id"), fs("event_type"),
           fd("value"), fs("props"))))
         .coalesce(1).write.parquet(s"$splitDir/batch_$i")
-      Thread.sleep(150) // distinct mtimes → file source streams in order
+      // explicit, strictly-increasing mtimes: the file source orders
+      // batches by modification time, and filesystem mtime granularity
+      // (or clock skew) could otherwise interleave them
+      val t = java.nio.file.attribute.FileTime
+        .fromMillis(1700000000000L + i * 60000L)
+      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$splitDir/batch_$i"))
+        .forEach(p => java.nio.file.Files.setLastModifiedTime(p, t))
     }
     val stream = spark.readStream
       .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, " +
