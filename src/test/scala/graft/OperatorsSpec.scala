@@ -34,6 +34,15 @@ class OperatorsSpec extends SparkSpec {
       s"in SURVEY but not implemented: ${listed -- implemented}")
     assert(implemented -- listed == Set.empty,
       s"implemented but not in SURVEY: ${implemented -- listed}")
+    // rows-only annotations must match the code: an entry is marked
+    // *(rows-only)* iff it ships no oracleSql
+    val marked = section.split("- \\[x\\] `").drop(1).collect {
+      case e if e.contains("*(rows-only)*") => e.takeWhile(_ != '`')
+    }.toSet
+    val noOracle = implemented -- SparkEntry.oracleSql.keySet
+    assert(marked == noOracle,
+      s"SURVEY rows-only drift: marked-but-oracled=${marked -- noOracle} " +
+        s"unmarked-but-no-oracle=${noOracle -- marked}")
   }
 
   test("dedup_exact keeps one canonical id per hash and covers the corpus") {
