@@ -29,7 +29,11 @@ object PlansDump {
       "q17_bucketed_join" ->
         "bucketed fact-fact join: no exchange feeds the join",
       "ann_bruteforce_topk" ->
-        "brute-force cosine: broadcast query side, native dot product")
+        "brute-force cosine: broadcast query side, native dot product",
+      "ev_dau_wau" ->
+        "rolling actives: explode-7 equi-join — no BNLJ, no cartesian",
+      "etl_json_envelope" ->
+        "envelope unwrap: ONE schema'd from_json parse per row")
     val sb = new StringBuilder
     sb.append("# PLANS — executed physical plans (sf0.001, regenerate " +
       "via `sbt \"runMain graft.PlansDump\"`)\n")
