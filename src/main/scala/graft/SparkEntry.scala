@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{AsOf, Corpus, Dedup, Etl, Events, Multimodal, Relational, Sampling, Scale, Similarity, Text}
-import graft.sources.JsonLanding
+import graft.sources.{CsvLanding, JsonLanding}
 import graft.streaming.Streams
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
@@ -17,7 +17,8 @@ object SparkEntry {
     Relational.queries ++ Events.queries ++ Etl.queries ++
       Dedup.queries ++ Similarity.queries ++ Text.queries ++
       Multimodal.queries ++ Streams.queries ++ JsonLanding.queries ++
-      Scale.queries ++ AsOf.queries ++ Sampling.queries ++ Corpus.queries
+      CsvLanding.queries ++ Scale.queries ++ AsOf.queries ++
+      Sampling.queries ++ Corpus.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */
@@ -25,5 +26,6 @@ object SparkEntry {
     Relational.oracles ++ Events.oracles ++ Etl.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ Text.oracles ++
       Multimodal.oracles ++ Streams.oracles ++ JsonLanding.oracles ++
-      Scale.oracles ++ AsOf.oracles ++ Sampling.oracles ++ Corpus.oracles
+      CsvLanding.oracles ++ Scale.oracles ++ AsOf.oracles ++
+      Sampling.oracles ++ Corpus.oracles
 }

@@ -148,6 +148,44 @@ object Relational {
         outd(sum(dec2(col("c_acctbal")))).as("sum_bal"))
   }
 
+  /** TPC-H Q2 shape: correlated min-per-group — for every part, the
+    * supplier offering its lowest observed price, deterministic tie-break
+    * on suppkey. The min is pre-aggregated per (part, supplier) with
+    * map-side combine, then one window rank over the part partitioning
+    * picks the winner — never a correlated re-aggregation per outer row. */
+  def q2MinCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    val costs = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(dec2(col("l_extendedprice"))).as("cost"))
+    val w = Window.partitionBy(col("l_partkey"))
+      .orderBy(col("cost"), col("l_suppkey"))
+    costs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(broadcast(Tables.part(s, dir)),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(s, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("p_partkey"), col("p_name"), col("s_name"),
+        outd(col("cost")).as("min_cost"))
+      .orderBy(col("p_partkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q4 shape: EXISTS with a cross-table predicate — orders with at
+    * least one line shipped more than 90 days after the order date,
+    * counted per priority. A left-semi join carries the mixed-side
+    * condition, so it's one shuffle on the order key and no DISTINCT. */
+  def q4OrderPriority(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir),
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Multi-column distinct counting per order status. Exact distinct on
     * bounded-cardinality keys only (SURVEY §4); the unbounded analogue is
     * approx_count_distinct, exercised in specs. */
@@ -233,7 +271,9 @@ object Relational {
   /** Registry: SURVEY §2B name → operator. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
+    "q2_min_cost_supplier" -> (q2MinCostSupplier _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
+    "q4_order_priority" -> (q4OrderPriority _),
     "q5_local_supplier" -> (q5LocalSupplier _),
     "q6_forecast_revenue" -> (q6ForecastRevenue _),
     "q7_topk_customers" -> (q7TopkCustomers _),
@@ -258,6 +298,26 @@ object Relational {
         |COUNT(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_min_cost_supplier" ->
+      """WITH costs AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+        |best AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY l_partkey ORDER BY cost, l_suppkey) AS rn
+        |  FROM costs)
+        |SELECT p_partkey, p_name, s_name, CAST(cost AS DOUBLE) AS min_cost
+        |FROM best, part, supplier
+        |WHERE rn = 1 AND l_partkey = p_partkey AND l_suppkey = s_suppkey
+        |ORDER BY p_partkey LIMIT 100""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey
+        |    AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q3_shipping_priority" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
         |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue

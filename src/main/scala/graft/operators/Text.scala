@@ -139,6 +139,33 @@ object Text {
         size(split(col("chunk_text"), " ")))
   }
 
+  /** Per-doc top-3 TF-IDF terms — keyword extraction, the classic
+    * two-level corpus statistic: tf per (doc, term) and df per term are
+    * both map-side-combinable aggregates; the df table is broadcast (its
+    * size is the VOCABULARY, not the corpus — if the vocabulary itself
+    * outgrows broadcast, drop the broadcast hint and let AQE pick the
+    * shuffle join). Ranking uses the rounded score with a term tie-break
+    * so ordering is reproducible across engines. */
+  def tfidfTopk(s: SparkSession, dir: String): DataFrame = {
+    val k = 3
+    val words = Tables.documents(s, dir)
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+    val tf = words.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(broadcast(df.crossJoin(nDocs)), "term")
+      .withColumn("tfidf", round(col("tf").cast("double") *
+        log(col("n_docs").cast("double") / col("df").cast("double")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("tfidf"),
+        col("rank"))
+  }
+
   /** Corpus bigram statistics: top-50 by frequency. Explode → partial agg
     * → one shuffle over the (bounded) bigram key space. */
   def ngramStats(s: SparkSession, dir: String): DataFrame = {
@@ -163,7 +190,8 @@ object Text {
     "txt_fingerprint" -> (fingerprint _),
     "txt_unigram_logprob" -> (unigramLogprob _),
     "txt_chunk" -> (chunk _),
-    "txt_ngram_stats" -> (ngramStats _))
+    "txt_ngram_stats" -> (ngramStats _),
+    "txt_tfidf_topk" -> (tfidfTopk _))
 
   val oracles: Map[String, String] = Map(
     "txt_token_count" ->
@@ -234,6 +262,25 @@ object Text {
         |    / CAST(COUNT(*) AS DOUBLE), 4) AS mean_logprob
         |FROM toks JOIN freqs USING (tok), tot
         |GROUP BY doc_id""".stripMargin,
+    "txt_tfidf_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+        |  GROUP BY doc_id, term),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT t.doc_id, t.term, t.tf,
+        |    ROUND(CAST(t.tf AS DOUBLE)
+        |      * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS tfidf
+        |  FROM tf t JOIN df USING (term), n),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+        |  FROM scored)
+        |SELECT doc_id, term, tf, tfidf, CAST(rank AS INT) AS rank
+        |FROM ranked WHERE rank <= 3""".stripMargin,
     "txt_ngram_stats" ->
       """WITH toks AS (
         |  SELECT regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
