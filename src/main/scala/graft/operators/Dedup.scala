@@ -147,6 +147,42 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Near-dup cluster assignment: connected components over the verified
+    * ngram-Jaccard pair graph via iterative min-label propagation
+    * (hash-min CC): each round every node takes the min label among
+    * itself and its neighbors — one equi-join + one groupBy-min per
+    * round, converging in O(cluster diameter) rounds (near-dup clusters
+    * are shallow). The driver loop only checks a convergence count; all
+    * data work stays distributed, and labels are localCheckpoint'ed per
+    * round so the iterative plan doesn't accrete lineage. cluster_id =
+    * min doc_id of the component — canonical-copy selection for free. */
+  def cluster(s: SparkSession, dir: String): DataFrame = {
+    val pairs = ngramJaccard(s, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node")).localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 20) {
+      val nbrMin = edges.join(labels, col("dst") === col("node"))
+        .groupBy(col("src")).agg(min(col("lbl")).as("nbr_lbl"))
+      val next = labels.join(nbrMin, col("node") === col("src"), "left")
+        .select(col("node"), col("lbl"),
+          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl")))
+            .as("new_lbl"))
+        .localCheckpoint()
+      changed = next.filter(col("new_lbl") =!= col("lbl")).count()
+      labels = next.select(col("node"), col("new_lbl").as("lbl"))
+      rounds += 1
+    }
+    edges.unpersist()
+    labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Embedding-space near-dup pairs, block-local: vectors are compared
     * only within their block (here the label column; in a 100 TB corpus,
     * the shard/source key), so cost is O(Σ block²) not O(n²). The
@@ -174,6 +210,7 @@ object Dedup {
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_simhash" -> (simhash _),
+    "dedup_cluster" -> (cluster _),
     "dedup_embedding_cosine" -> (embeddingCosine _))
 
   val oracles: Map[String, String] = Map(
@@ -199,6 +236,36 @@ object Dedup {
         |FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.doc_id < b2.doc_id
         |WHERE CAST(len(list_intersect(a.shingles, b2.shingles)) AS DOUBLE)
         |    / CAST(len(list_distinct(list_concat(a.shingles, b2.shingles))) AS DOUBLE) >= 0.5""".stripMargin,
+    // connected components via recursive reachability: every node's
+    // cluster is the MIN id it can reach over the (bidirectional) verified
+    // near-dup pair graph — same fixpoint hash-min converges to
+    "dedup_cluster" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+        |      THEN list_transform(range(1, len(w) - 1),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        |      ELSE [] END) AS shingles
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |        FROM documents)),
+        |b AS (
+        |  SELECT doc_id, shingles,
+        |    list_min(list_transform(shingles, x -> md5(x))) AS bucket
+        |  FROM t),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b
+        |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.doc_id < b2.doc_id
+        |  WHERE CAST(len(list_intersect(a.shingles, b2.shingles)) AS DOUBLE)
+        |    / CAST(len(list_distinct(list_concat(a.shingles, b2.shingles))) AS DOUBLE) >= 0.5),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+        |  UNION ALL SELECT doc_b, doc_a FROM p),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |reach AS (
+        |  SELECT node, node AS lbl FROM nodes
+        |  UNION
+        |  SELECT e.dst AS node, r.lbl FROM reach r
+        |  JOIN edges e ON e.src = r.node)
+        |SELECT node AS doc_id, MIN(lbl) AS cluster_id
+        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
     "dedup_embedding_cosine" ->
       """WITH e AS (
         |  SELECT label, vec_id,

@@ -43,9 +43,29 @@ object Sampling {
       .select(col("lang"), col("doc_id"), col("rn"))
   }
 
+  /** Quality-weighted deterministic sampling — the "temperature"
+    * upsample/downsample of a training mix: each doc keeps with
+    * probability = its (capped) quality weight, decided by comparing the
+    * weight against a content-hash uniform draw. The draw is the first 6
+    * md5 hex chars over 16^6 — 2^24 is a power of two, so the division
+    * is EXACT in ieee double and the keep decision is bit-identical in
+    * any engine; reruns and engine swaps keep the same docs. */
+  def weightedSample(s: SparkSession, dir: String): DataFrame = {
+    val w = least(lit(1.0), col("n_chars").cast("double") / lit(400.0))
+    val u = conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit(":"), col("text"))), 1, 6), 16, 10)
+      .cast("long").cast("double") / lit(16777216.0)
+    Tables.documents(s, dir)
+      .filter(u < w)
+      .select(col("doc_id"), round(w, 6).as("weight"),
+        round(u, 6).as("sample_key"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "smp_hash_split" -> (hashSplit _),
-    "smp_stratified" -> (stratifiedSample _))
+    "smp_stratified" -> (stratifiedSample _),
+    "smp_weighted" -> (weightedSample _))
 
   val oracles: Map[String, String] = Map(
     "smp_hash_split" ->
@@ -60,6 +80,15 @@ object Sampling {
         |SELECT split, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id,
         |  MAX(doc_id) AS max_doc_id
         |FROM assigned GROUP BY split""".stripMargin,
+    "smp_weighted" ->
+      """WITH weighted AS (
+        |  SELECT doc_id,
+        |    least(1.0, CAST(n_chars AS DOUBLE) / 400.0) AS w,
+        |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 6)
+        |      AS BIGINT) AS DOUBLE) / 16777216.0 AS u
+        |  FROM documents)
+        |SELECT doc_id, ROUND(w, 6) AS weight, ROUND(u, 6) AS sample_key
+        |FROM weighted WHERE u < w ORDER BY doc_id""".stripMargin,
     "smp_stratified" ->
       """WITH ranked AS (
         |  SELECT lang, doc_id,
