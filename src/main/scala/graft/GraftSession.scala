@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession factory with the engine's scale posture baked in
+  * (SURVEY §3/§4) — one place owns the conf, so every entry point
+  * (Verify, Bench, PlansDump, a user's cluster job) runs the same
+  * engine:
+  *
+  *  - AQE on, with partition coalescing and skew-join splitting: the
+  *    runtime re-plan that replaces hand-tuned partition counts at
+  *    100 TB (SURVEY §4).
+  *  - `spark.sql.shuffle.partitions` sized by the CALLER from the
+  *    parallelism actually available (local cores here; ~2-3× total
+  *    executor cores on a cluster) — never the 200 default.
+  *  - Session timezone pinned to UTC: timestamp arithmetic must not
+  *    depend on where a driver happens to run.
+  *  - `parquet.nanosAsLong` on: the landed `events` table carries
+  *    TIMESTAMP(NANOS), which Spark 4 otherwise refuses (see
+  *    Tables.events for the micros truncation that matches DuckDB).
+  */
+object GraftSession {
+
+  /** Local session for the harness mains and tests: the production conf
+    * posture on a `local[cores]` master, UI off. */
+  def local(cores: Int): SparkSession =
+    tuned(SparkSession.builder().master(s"local[$cores]"), cores)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+
+  /** Apply graft's conf posture to any builder (cluster deployments call
+    * this with their own master/resource settings). */
+  def tuned(b: SparkSession.Builder,
+      shufflePartitions: Int): SparkSession.Builder =
+    b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+}

@@ -138,6 +138,40 @@ object Streams {
     s.table(queryName)
   }
 
+  /** Streaming twin of Events.campaignStats — the per-campaign ads
+    * report maintained continuously: counts and exact-decimal revenue
+    * accumulate in complete-mode state (all map-side-combinable), the
+    * CTR/CVR ratios are derived on read so no non-associative math lives
+    * in the stream. Epoch-free grouping keys make the complete output
+    * hash-identical to the batch/DuckDB form. */
+  def campaignStats(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val campaign =
+      get_json_object(col("props"), "$.k").cast("int") % lit(10)
+    val agg = eventStream(s, dir)
+      .withColumn("campaign", campaign)
+      .groupBy(col("campaign"))
+      .agg(
+        count(when(col("event_type") === "view", 1)).as("n_views"),
+        count(when(col("event_type") === "click", 1)).as("n_clicks"),
+        count(when(col("event_type") === "purchase", 1)).as("n_purchases"),
+        sum(when(col("event_type") === "purchase",
+          col("value").cast(DecimalType(18, 2)))).as("revenue_dec"))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete)
+      .format("memory").queryName("graft_stream_campaign")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table("graft_stream_campaign")
+      .select(col("campaign"), col("n_views"), col("n_clicks"),
+        col("n_purchases"),
+        round(col("n_clicks").cast("double") /
+          nullif(col("n_views"), lit(0L)).cast("double"), 6).as("ctr"),
+        round(col("n_purchases").cast("double") /
+          nullif(col("n_clicks"), lit(0L)).cast("double"), 6).as("cvr"),
+        col("revenue_dec").cast("double").as("revenue"))
+  }
+
   /** Streaming exact dedup with a bounded-state watermark: duplicate
     * events (same natural key) inside the watermark horizon collapse to
     * their first occurrence — the continuous form of etl_incremental's
@@ -189,12 +223,17 @@ object Streams {
     "stream_windowed_counts" -> (windowedCounts _),
     "stream_sessionize" -> (sessionize _),
     "stream_dedup" -> (dedup _),
+    "stream_campaign_stats" -> (campaignStats _),
     "stream_incremental_landing" -> (incrementalLanding _))
 
   /** The streaming windowed agg is epoch-aligned, so the batch SQL oracle
     * applies verbatim. stream_sessionize is rows-only (trailing open
     * sessions stay in state — spec-checked against the batch form). */
   val oracles: Map[String, String] = Map(
+    // complete-mode state converges to exactly the batch report, so the
+    // batch oracle applies verbatim
+    "stream_campaign_stats" ->
+      graft.operators.Events.oracles("ev_campaign_stats"),
     "stream_incremental_landing" ->
       """SELECT event_type, COUNT(*) AS n_events,
         |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
