@@ -168,6 +168,57 @@ object Events {
       .select(col("day"), col("dau"), col("wau"))
   }
 
+  /** Hourly volume anomaly detection — the monitoring leg of the
+    * reference's pipeline (config `monitoring.metrics_enabled`,
+    * cloudwatch alarms): per-hour event counts z-scored against the
+    * trailing 24 observed hours. The window runs over the PRE-AGGREGATED
+    * hourly table — bounded by retention (≤ 8760 rows/yr), so the
+    * single-partition window is fine at any fact scale; the heavy
+    * lifting is the map-side-combined hourly count. Variance comes from
+    * exact integer sums (Σn, Σn²) pushed through one double formula
+    * identical in both engines — never stddev_samp, whose accumulation
+    * differs per engine. */
+  def hourlyAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("hour")).rowsBetween(-24, -1)
+    val cnt = count(col("n")).over(w)
+    val sn = sum(col("n")).over(w)
+    val snsq = sum(col("n") * col("n")).over(w)
+    val mean = sn.cast("double") / cnt.cast("double")
+    val variance = (snsq.cast("double") -
+      sn.cast("double") * sn.cast("double") / cnt.cast("double")) /
+      (cnt.cast("double") - lit(1.0))
+    hourly
+      .withColumn("w_cnt", cnt)
+      .withColumn("mean_24h", mean)
+      .withColumn("var_24h", variance)
+      .filter(col("w_cnt") === 24)
+      .withColumn("z", (col("n").cast("double") - col("mean_24h")) /
+        nullif(when(col("var_24h") > 0, sqrt(col("var_24h"))), lit(0.0)))
+      .select(col("hour"), col("n"), round(col("mean_24h"), 6).as("mean_24h"),
+        round(col("z"), 6).as("z"),
+        (abs(col("z")) > 3.0).as("is_anomaly"))
+  }
+
+  /** Gap sessionization via Spark's BUILT-IN session_window operator —
+    * the declarative twin of `sessionize` (which builds the same thing
+    * from lag + running sum). Both forms ride one user_id exchange;
+    * session_window's end is last-event + gap by definition, so the
+    * comparable key is the session START (spec-checked equal to
+    * `sessionize`). */
+  def sessionWindow(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        outd(sum(dec2(col("value")))).as("sum_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("window_end"),
+        col("n_events"), col("sum_value"))
+  }
+
   /** Top-k users by spend, explicit tie-break. */
   def topkHeavyHitters(s: SparkSession, dir: String): DataFrame = {
     Tables.events(s, dir)
@@ -186,6 +237,8 @@ object Events {
     "ev_retention" -> (retention _),
     "ev_campaign_stats" -> (campaignStats _),
     "ev_dau_wau" -> (dauWau _),
+    "ev_hourly_anomaly" -> (hourlyAnomaly _),
+    "ev_session_window" -> (sessionWindow _),
     "ev_topk_heavy_hitters" -> (topkHeavyHitters _))
 
   val oracles: Map[String, String] = Map(
@@ -268,6 +321,31 @@ object Events {
         |  GROUP BY a.anchor)
         |SELECT dau.day, dau.dau, wau.wau
         |FROM dau JOIN wau ON dau.day = wau.anchor""".stripMargin,
+    "ev_hourly_anomaly" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n
+        |  FROM events GROUP BY date_trunc('hour', ts)),
+        |stats AS (
+        |  SELECT hour, n,
+        |    COUNT(n) OVER w AS w_cnt,
+        |    SUM(n) OVER w AS sn,
+        |    SUM(n * n) OVER w AS snsq
+        |  FROM hourly
+        |  WINDOW w AS (ORDER BY hour ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+        |scored AS (
+        |  SELECT hour, n,
+        |    CAST(sn AS DOUBLE) / CAST(w_cnt AS DOUBLE) AS mean_24h,
+        |    (CAST(snsq AS DOUBLE)
+        |      - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE) / CAST(w_cnt AS DOUBLE))
+        |      / (CAST(w_cnt AS DOUBLE) - 1.0) AS var_24h
+        |  FROM stats WHERE w_cnt = 24)
+        |SELECT hour, n, ROUND(mean_24h, 6) AS mean_24h,
+        |  ROUND((CAST(n AS DOUBLE) - mean_24h)
+        |    / NULLIF(CASE WHEN var_24h > 0 THEN sqrt(var_24h) END, 0.0), 6) AS z,
+        |  abs((CAST(n AS DOUBLE) - mean_24h)
+        |    / NULLIF(CASE WHEN var_24h > 0 THEN sqrt(var_24h) END, 0.0)) > 3.0
+        |    AS is_anomaly
+        |FROM scored""".stripMargin,
     "ev_campaign_stats" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS campaign,
         |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_views,
@@ -281,6 +359,28 @@ object Events {
         |    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS revenue
         |FROM events
         |GROUP BY CAST(json_extract_string(props, '$.k') AS INT) % 10""".stripMargin,
+    // session_window semantics: an event's window is [ts, ts+gap) and
+    // sessions merge only on strict overlap, so an exactly-gap-apart
+    // event starts a NEW session (>=, where ev_sessionize uses >); the
+    // window end is last event + gap
+    "ev_session_window" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+        |      THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |  MAX(ts) + INTERVAL 30 MINUTE AS window_end,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM sess GROUP BY user_id, session_id""".stripMargin,
     "ev_topk_heavy_hitters" ->
       """SELECT user_id,
         |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,

@@ -138,12 +138,53 @@ object Similarity {
     topk(scored)
   }
 
+  /** L2-normalize + int8 quantization audit — the shrink step before an
+    * ANN index ships: per vector, the norm, the symmetric int8 code
+    * (round(x/‖x‖·127)), and the mean dequantization error. Pure
+    * projection, no shuffle. Per-element errors are rounded then summed
+    * as exact decimals (the unigram-logprob discipline), so the mean is
+    * accumulation-order-independent and oracle-exact. */
+  def embNormalize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dims = size(col("vd")).cast("double")
+    val q = transform(col("vd"), x => round(x / col("nrm") * lit(127.0)))
+    val errTerms = zip_with(col("vd"), col("q"), (x, qq) =>
+      round(abs(x / col("nrm") - qq / lit(127.0)), 9)
+        .cast(DecimalType(18, 9)))
+    prepared(s, dir, "vec_id")
+      .withColumn("q", q)
+      .withColumn("err_sum", aggregate(errTerms,
+        lit(0).cast(DecimalType(28, 9)),
+        (acc, x) => (acc + x).cast(DecimalType(28, 9))))
+      .select(col("vec_id"), round(col("nrm"), 6).as("norm"),
+        round(col("err_sum").cast("double") / dims, 9).as("mean_q_err"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce_topk" -> (bruteForceTopk _),
     "ann_lsh_topk" -> (lshTopk _),
-    "ann_ivf_topk" -> (ivfTopk _))
+    "ann_ivf_topk" -> (ivfTopk _),
+    "emb_normalize" -> (embNormalize _))
 
   val oracles: Map[String, String] = Map(
+    "emb_normalize" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, vd, sqrt(list_dot_product(vd, vd)) AS nrm,
+        |    len(vd) AS dims
+        |  FROM e),
+        |err AS (
+        |  SELECT vec_id, nrm, dims,
+        |    list_sum(list_transform(vd, x ->
+        |      CAST(ROUND(abs(x / nrm - ROUND(x / nrm * 127.0) / 127.0), 9)
+        |        AS DECIMAL(18,9)))) AS err_sum
+        |  FROM n)
+        |SELECT vec_id, ROUND(nrm, 6) AS norm,
+        |  ROUND(CAST(err_sum AS DOUBLE) / CAST(dims AS DOUBLE), 9) AS mean_q_err
+        |FROM err ORDER BY vec_id""".stripMargin,
     "ann_bruteforce_topk" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id,
