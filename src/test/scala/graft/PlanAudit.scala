@@ -1,12 +1,28 @@
 package graft
 
-/** One-shot audit harness (not run in CI): prints per-operator physical
-  * plan smells so a human can review plan quality in bulk. */
+/** Bulk plan-quality gate: executes every operator at sf0.001 and scans
+  * the physical plan for scale smells. Prints the full table for human
+  * review AND asserts the two hard rules:
+  *
+  *  - no CartesianProduct anywhere;
+  *  - no BroadcastNestedLoopJoin outside the whitelist below, where a
+  *    BNLJ is the intended physical form.
+  *
+  * Whitelist rationale: ann_bruteforce_topk probes every (query, corpus)
+  * pair by design (the exact baseline); ann_ivf_topk assigns the corpus
+  * against the fixed-k broadcast centroid table (O(n·k));
+  * txt_tfidf_topk / txt_unigram_logprob crossJoin a ONE-ROW corpus-total
+  * aggregate — the standard physical form of a scalar subquery.
+  */
 class PlanAudit extends SparkSpec {
-  test("audit: plan smells per operator") {
+  test("audit: no cartesian anywhere; BNLJ only where intended") {
     val skip = Set("stream_windowed_counts", "stream_sessionize",
-      "etl_partitioned_write", "etl_json_landing", "q17_bucketed_join",
-      "mm_binary_pipeline")
+      "stream_dedup", "stream_campaign_stats",
+      "etl_partitioned_write", "etl_json_landing", "etl_csv_landing",
+      "q17_bucketed_join", "mm_binary_pipeline")
+    val bnljAllowed = Set("ann_bruteforce_topk", "ann_ivf_topk",
+      "txt_tfidf_topk", "txt_unigram_logprob")
+    val violations = scala.collection.mutable.ListBuffer.empty[String]
     println("=====AUDIT START=====")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (!skip.contains(name)) {
@@ -20,11 +36,15 @@ class PlanAudit extends SparkSpec {
           val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
           val cart = p.linesIterator.count(_.contains("CartesianProduct"))
           println(f"AUDIT| $name%-24s exch=$exch bhj=$bcast smj=$smj bnlj=$bnlj cart=$cart")
+          if (cart > 0) violations += s"$name: CartesianProduct"
+          if (bnlj > 0 && !bnljAllowed.contains(name))
+            violations += s"$name: unexpected BroadcastNestedLoopJoin"
         } catch { case e: Throwable =>
-          println(s"AUDIT| $name ERR ${e.getMessage.take(80)}")
-        }
+          violations += s"$name: ERR ${e.getMessage.take(120)}"
+        } finally spark.catalog.clearCache()
       }
     }
     println("=====AUDIT END=====")
+    assert(violations.isEmpty, s"plan smells: ${violations.mkString("; ")}")
   }
 }
