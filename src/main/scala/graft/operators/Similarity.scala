@@ -147,9 +147,12 @@ object Similarity {
   def embNormalize(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val dims = size(col("vd")).cast("double")
-    val q = transform(col("vd"), x => round(x / col("nrm") * lit(127.0)))
+    // nullif guard: a zero-norm vector must yield null codes/error, not
+    // an ANSI divide-by-zero abort (same rule as every cosine path)
+    val safeNrm = nullif(col("nrm"), lit(0.0))
+    val q = transform(col("vd"), x => round(x / safeNrm * lit(127.0)))
     val errTerms = zip_with(col("vd"), col("q"), (x, qq) =>
-      round(abs(x / col("nrm") - qq / lit(127.0)), 9)
+      round(abs(x / safeNrm - qq / lit(127.0)), 9)
         .cast(DecimalType(18, 9)))
     prepared(s, dir, "vec_id")
       .withColumn("q", q)
@@ -179,7 +182,8 @@ object Similarity {
         |err AS (
         |  SELECT vec_id, nrm, dims,
         |    list_sum(list_transform(vd, x ->
-        |      CAST(ROUND(abs(x / nrm - ROUND(x / nrm * 127.0) / 127.0), 9)
+        |      CAST(ROUND(abs(x / NULLIF(nrm, 0.0)
+        |        - ROUND(x / NULLIF(nrm, 0.0) * 127.0) / 127.0), 9)
         |        AS DECIMAL(18,9)))) AS err_sum
         |  FROM n)
         |SELECT vec_id, ROUND(nrm, 6) AS norm,

@@ -45,6 +45,25 @@ class EdgeCaseSpec extends SparkSpec {
       r.getLong(r.fieldIndex("vec_b")) != 0L))
   }
 
+  test("zero-norm vector: normalize/quantize audit nulls out, no abort") {
+    val rows = operators.Similarity.embNormalize(spark, edgeDir)
+      .orderBy("vec_id").collect()
+    assert(rows.length == 3)
+    assert(rows(0).getDouble(rows(0).fieldIndex("norm")) == 0.0)
+    assert(rows(0).isNullAt(rows(0).fieldIndex("mean_q_err")))
+    assert(!rows(1).isNullAt(rows(1).fieldIndex("mean_q_err")))
+  }
+
+  test("no near-dup pairs: cluster assignment returns empty, no abort") {
+    assert(operators.Dedup.cluster(spark, edgeDir).count() == 0)
+  }
+
+  test("empty document flows through tfidf without aborting") {
+    // "" tokenizes to a single empty token; it must score, not crash
+    val df = operators.Text.tfidfTopk(spark, edgeDir)
+    assert(df.filter(col("doc_id") === 0L).count() >= 1)
+  }
+
   test("empty document flows through token, fingerprint and split ops") {
     assert(operators.Text.tokenCount(spark, edgeDir).count() == 2)
     assert(operators.Text.fingerprint(spark, edgeDir).count() == 2)
