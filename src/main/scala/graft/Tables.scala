@@ -16,8 +16,37 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Required columns per table — checked at load so a drifted landing
+    * fails fast with the missing columns named, instead of surfacing as
+    * an unresolved-attribute error deep inside some operator's plan.
+    * (Column check only, from parquet footer metadata — no data scan.) */
+  private val requiredColumns: Map[String, Set[String]] = Map(
+    "region" -> Set("r_regionkey", "r_name"),
+    "nation" -> Set("n_nationkey", "n_name", "n_regionkey"),
+    "customer" -> Set("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+      "c_mktsegment"),
+    "supplier" -> Set("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+    "part" -> Set("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+      "p_retailprice"),
+    "orders" -> Set("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority"),
+    "lineitem" -> Set("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+      "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+      "l_linestatus", "l_shipdate"),
+    "events" -> Set("event_id", "ts", "user_id", "event_type", "value",
+      "props"),
+    "documents" -> Set("doc_id", "text", "lang", "source", "n_chars"),
+    "embeddings" -> Set("vec_id", "embedding", "label"))
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val missing = requiredColumns.getOrElse(name, Set.empty) --
+      df.columns.toSet
+    require(missing.isEmpty,
+      s"table '$name' at $dir is missing required columns: " +
+        missing.toSeq.sorted.mkString(", "))
+    df
+  }
 
   /** Name-dispatched loader applying per-table quirks (events' NANOS
     * timestamps) — the entry point for anything loading tables by

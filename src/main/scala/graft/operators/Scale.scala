@@ -97,10 +97,27 @@ object Scale {
         count(lit(1)).as("n_orders"))
   }
 
+  /** Sketch quantiles for unbounded value streams: percentile_approx
+    * (KLL-style) instead of q13's exact interpolated percentile, whose
+    * full sort-per-group doesn't survive unbounded groups. Values are
+    * approximate → rows-only; the spec brackets them between generous
+    * exact-percentile bounds. */
+  def approxPercentiles(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile_approx(col("l_quantity"), lit(0.5), lit(1000))
+          .as("approx_median_qty"),
+        percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000))
+          .as("approx_p95_price"),
+        count(lit(1)).as("n_rows"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q17_bucketed_join" -> (bucketedJoin _),
     "q18_salted_join" -> (saltedJoin _),
-    "q19_approx_distinct" -> (approxDistinct _))
+    "q19_approx_distinct" -> (approxDistinct _),
+    "q20_approx_percentiles" -> (approxPercentiles _))
 
   val oracles: Map[String, String] = Map(
     "q17_bucketed_join" ->

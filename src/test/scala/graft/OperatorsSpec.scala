@@ -119,6 +119,22 @@ class OperatorsSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("approx percentiles bracketed by generous exact-rank bounds") {
+    val joined = operators.Scale.approxPercentiles(spark, sfTiny)
+      .join(Tables.lineitem(spark, sfTiny).groupBy(col("l_returnflag"))
+        .agg(percentile(col("l_quantity"), lit(0.45)).as("q45"),
+          percentile(col("l_quantity"), lit(0.55)).as("q55"),
+          percentile(col("l_extendedprice"), lit(0.93)).as("p93"),
+          percentile(col("l_extendedprice"), lit(0.97)).as("p97")),
+        "l_returnflag")
+    val bad = joined.filter(
+      col("approx_median_qty") < col("q45") ||
+        col("approx_median_qty") > col("q55") ||
+        col("approx_p95_price") < col("p93") ||
+        col("approx_p95_price") > col("p97")).count()
+    assert(bad == 0)
+  }
+
   test("dedup_cluster: endpoints of every pair share a component label") {
     val labels = operators.Dedup.cluster(spark, sfTiny)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
