@@ -50,6 +50,42 @@ object Dedup {
         graft.functions.ShingleHash64.shingleHash64(col("toks"), 3).as("hs"))
       .filter(size(col("hs")) > 0)
 
+  /** Corpus-level similarity between SOURCES via mergeable MinHash
+    * sketches: the per-permutation minimum is associative, so the
+    * source-level signature is just k `min()` aggregates over per-doc
+    * signatures — map-side combinable, one shuffle of (sources × k)
+    * values no matter how many documents flow in. The pairwise matching
+    * fraction of two source signatures estimates the Jaccard similarity
+    * of the sources' full shingle-set UNIONS without ever materializing
+    * them (estimate ±1/√k) — how a 100 TB pipeline compares crawls or
+    * snapshots. Estimates → rows-only; the spec bounds error vs the
+    * exact union Jaccard. */
+  def sourceSimilarity(s: SparkSession, dir: String): DataFrame = {
+    val k = 32
+    val sigs = Tables.documents(s, dir)
+      .withColumn("toks", tokens(col("text")))
+      .select(col("source"),
+        graft.functions.ShingleHash64.shingleHash64(col("toks"), 3).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .withColumn("sig", graft.functions.SketchExprs.minhashSig(col("hs"), k))
+      .groupBy(col("source"))
+      .agg(min(element_at(col("sig"), 1)).as("m0"),
+        (1 until k).map(i =>
+          min(element_at(col("sig"), i + 1)).as(s"m$i")): _*)
+      .select(col("source"),
+        array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+    val a = sigs.select(col("source").as("source_a"), col("sig").as("sig_a"))
+    val b = sigs.select(col("source").as("source_b"), col("sig").as("sig_b"))
+    a.join(broadcast(b), col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"),
+        round(aggregate(
+          zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / lit(k.toDouble), 6)
+          .as("est_jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** Exact dedup: group by full-content hash, keep the smallest id as the
     * canonical copy. One map-side-combinable shuffle. */
   def exact(s: SparkSession, dir: String): DataFrame = {
@@ -211,6 +247,7 @@ object Dedup {
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_simhash" -> (simhash _),
     "dedup_cluster" -> (cluster _),
+    "dedup_source_similarity" -> (sourceSimilarity _),
     "dedup_embedding_cosine" -> (embeddingCosine _))
 
   val oracles: Map[String, String] = Map(
