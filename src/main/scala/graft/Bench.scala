@@ -36,12 +36,16 @@ object Bench {
       |    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
       |out = {}
       |for name, sql in json.load(open(oracle_path)).items():
-      |    t0 = time.time()
+      |    best = -1.0
       |    try:
-      |        con.execute(sql).fetchall()
-      |        out[name] = round(time.time() - t0, 4)
+      |        for _ in range(2):  # min of two runs: stabler ratios
+      |            t0 = time.time()
+      |            con.execute(sql).fetchall()
+      |            dt = round(time.time() - t0, 4)
+      |            best = dt if best < 0 else min(best, dt)
       |    except Exception:
-      |        out[name] = -1.0
+      |        best = -1.0
+      |    out[name] = best
       |print(json.dumps(out))
       |""".stripMargin
 

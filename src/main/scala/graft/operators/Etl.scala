@@ -138,6 +138,31 @@ object Etl {
         max(col("doc_id")).as("max_doc_id"))
   }
 
+  /** Landing manifest — the reference writes a manifest area beside the
+    * data (config/config.json `folders.manifest`): after a partitioned
+    * landing, enumerate what actually landed — files and rows per
+    * partition — from the landed files themselves (`input_file_name`),
+    * not from what the writer intended. The read is metadata-cheap and
+    * the manifest is the recovery/bookkeeping surface an incremental
+    * 100 TB lake audits against. File counts are layout-dependent →
+    * rows-only (spec asserts totals). */
+  def manifest(s: SparkSession, dir: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_manifest_" +
+      s"${dir.replaceAll("[^0-9a-zA-Z]", "_")}_" +
+      s.sparkContext.applicationId
+    Tables.events(s, dir)
+      .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
+      .write.mode("overwrite").partitionBy("event_date").parquet(out)
+    s.read.parquet(out)
+      // materialized first: non-deterministic expressions may not appear
+      // inside aggregate arguments
+      .withColumn("landed_file", input_file_name())
+      .groupBy(col("event_date").cast("string").as("event_date"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("landed_file")).as("n_files"))
+      .orderBy(col("event_date"))
+  }
+
   /** Daily-cadence incremental batch: select one date window, dedupe on
     * the natural key keeping the earliest record — idempotent re-ingestion
     * for the scheduled daily run. */
@@ -156,6 +181,7 @@ object Etl {
     "etl_nested_extract" -> (nestedExtract _),
     "etl_type_coerce" -> (typeCoerce _),
     "etl_partitioned_write" -> (partitionedWrite _),
+    "etl_manifest" -> (manifest _),
     "etl_run_summary" -> (runSummary _),
     "etl_incremental" -> (incremental _))
 

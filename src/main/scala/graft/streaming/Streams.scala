@@ -234,6 +234,12 @@ object Streams {
     // batch oracle applies verbatim
     "stream_campaign_stats" ->
       graft.operators.Events.oracles("ev_campaign_stats"),
+    // within one AvailableNow pass the dedup state covers the whole
+    // batch, so the streaming distinct equals the batch distinct exactly
+    "stream_dedup" ->
+      """SELECT event_type, COUNT(*) AS n_unique
+        |FROM (SELECT DISTINCT user_id, event_type, ts FROM events)
+        |GROUP BY event_type""".stripMargin,
     "stream_incremental_landing" ->
       """SELECT event_type, COUNT(*) AS n_events,
         |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

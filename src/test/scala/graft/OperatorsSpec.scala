@@ -119,6 +119,13 @@ class OperatorsSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("manifest accounts for every landed row with at least one file") {
+    val m = operators.Etl.manifest(spark, sfTiny)
+    assert(m.agg(sum("n_rows")).first().getLong(0) ==
+      Tables.events(spark, sfTiny).count())
+    assert(m.filter(col("n_files") < 1).count() == 0)
+  }
+
   test("approx percentiles bracketed by generous exact-rank bounds") {
     val joined = operators.Scale.approxPercentiles(spark, sfTiny)
       .join(Tables.lineitem(spark, sfTiny).groupBy(col("l_returnflag"))

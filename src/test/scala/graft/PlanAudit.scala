@@ -12,16 +12,18 @@ package graft
   * pair by design (the exact baseline); ann_ivf_topk assigns the corpus
   * against the fixed-k broadcast centroid table (O(n·k));
   * txt_tfidf_topk / txt_unigram_logprob crossJoin a ONE-ROW corpus-total
-  * aggregate — the standard physical form of a scalar subquery.
+  * aggregate — the standard physical form of a scalar subquery;
+  * dedup_source_similarity pairs the per-SOURCE sketch table with
+  * itself (< on the bounded source registry, not data-scale rows).
   */
 class PlanAudit extends SparkSpec {
   test("audit: no cartesian anywhere; BNLJ only where intended") {
     val skip = Set("stream_windowed_counts", "stream_sessionize",
       "stream_dedup", "stream_campaign_stats",
       "etl_partitioned_write", "etl_json_landing", "etl_csv_landing",
-      "q17_bucketed_join", "mm_binary_pipeline")
+      "etl_manifest", "q17_bucketed_join", "mm_binary_pipeline")
     val bnljAllowed = Set("ann_bruteforce_topk", "ann_ivf_topk",
-      "txt_tfidf_topk", "txt_unigram_logprob")
+      "txt_tfidf_topk", "txt_unigram_logprob", "dedup_source_similarity")
     val violations = scala.collection.mutable.ListBuffer.empty[String]
     println("=====AUDIT START=====")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
