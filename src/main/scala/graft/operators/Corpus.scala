@@ -67,8 +67,35 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** The full training-data manifest — what actually ships to a training
+    * run: `clean`'s survivors (quality gate → exact dedup → near-dup
+    * removal) re-joined to their metadata, kept with quality-weighted
+    * probability (Sampling.weightedSample's content-hash draw) and
+    * assigned their deterministic train/val/test split
+    * (Sampling.hashSplit's nibble rule). One declarative plan end to
+    * end; every stage's rule is the library's own operator, so the
+    * manifest is reproducible from raw documents alone. */
+  def mix(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val kept = clean(s, dir).join(docs, Seq("doc_id"))
+    val w = least(lit(1.0), col("n_chars").cast("double") / lit(400.0))
+    val u = conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit(":"), col("text"))), 1, 6), 16, 10)
+      .cast("long").cast("double") / lit(16777216.0)
+    val nibble = substring(md5(col("text")), 32, 1)
+    kept.filter(u < w)
+      .select(col("doc_id"),
+        when(nibble.isin("0", "1", "2", "3", "4", "5", "6", "7", "8",
+          "9", "a", "b"), "train")
+          .when(nibble.isin("c", "d"), "val")
+          .otherwise(lit("test")).as("split"),
+        round(w, 6).as("weight"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "corpus_clean" -> (clean _))
+    "corpus_clean" -> (clean _),
+    "corpus_mix" -> (mix _))
 
   val oracles: Map[String, String] = Map(
     "corpus_clean" ->
@@ -97,5 +124,47 @@ object Corpus {
         |    >= 0.5)
         |SELECT doc_id FROM exact_keep
         |WHERE doc_id NOT IN (SELECT doc_id FROM drop_ids)
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+    "corpus_mix" ->
+      """WITH quality AS (
+        |  SELECT doc_id, text FROM documents WHERE n_chars >= 100),
+        |exact_keep AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text,
+        |      MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+        |    FROM quality) WHERE doc_id = keep_id),
+        |shingled AS (
+        |  SELECT doc_id, shingles,
+        |    list_min(list_transform(shingles, x -> md5(x))) AS bucket
+        |  FROM (
+        |    SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+        |        THEN list_transform(range(1, len(w) - 1),
+        |          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        |        ELSE [] END) AS shingles
+        |    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |          FROM exact_keep))),
+        |drop_ids AS (
+        |  SELECT DISTINCT b.doc_id FROM shingled a JOIN shingled b
+        |  ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        |    / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE)
+        |    >= 0.5),
+        |survivors AS (
+        |  SELECT d.doc_id, d.text, d.n_chars FROM documents d
+        |  JOIN exact_keep k ON d.doc_id = k.doc_id
+        |  WHERE d.doc_id NOT IN (SELECT doc_id FROM drop_ids)),
+        |weighted AS (
+        |  SELECT doc_id, text,
+        |    least(1.0, CAST(n_chars AS DOUBLE) / 400.0) AS w,
+        |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 6)
+        |      AS BIGINT) AS DOUBLE) / 16777216.0 AS u
+        |  FROM survivors)
+        |SELECT doc_id,
+        |  CASE WHEN substr(md5(text), 32, 1) IN
+        |      ('0','1','2','3','4','5','6','7','8','9','a','b')
+        |    THEN 'train'
+        |    WHEN substr(md5(text), 32, 1) IN ('c','d') THEN 'val'
+        |    ELSE 'test' END AS split,
+        |  ROUND(w, 6) AS weight
+        |FROM weighted WHERE u < w ORDER BY doc_id""".stripMargin)
 }
