@@ -192,17 +192,27 @@ object Dedup {
     * data work stays distributed, and labels are localCheckpoint'ed per
     * round so the iterative plan doesn't accrete lineage. cluster_id =
     * min doc_id of the component — canonical-copy selection for free. */
-  def cluster(s: SparkSession, dir: String): DataFrame = {
-    val pairs = ngramJaccard(s, dir).select(col("doc_a"), col("doc_b"))
+  def cluster(s: SparkSession, dir: String): DataFrame =
+    clusterOfPairs(ngramJaccard(s, dir).select(col("doc_a"), col("doc_b")))
+
+  /** Hash-min connected components over an id-pair graph. Converges in
+    * O(component diameter) rounds; a round is one equi-join + one
+    * groupBy-min over the (small) label table. THROWS if the cap is hit
+    * rather than silently returning half-propagated labels — a
+    * pathological >200-diameter chain should fail loudly, not corrupt
+    * the canonical-copy choice. (Package-visible so stress specs can
+    * drive synthetic graphs.) */
+  private[graft] def clusterOfPairs(pairs: DataFrame): DataFrame = {
+    val maxRounds = 200
     val edges = pairs
-      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .union(pairs.select(pairs.columns.reverse.map(col): _*))
       .toDF("src", "dst")
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node")).localCheckpoint()
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 20) {
+    while (changed > 0 && rounds < maxRounds) {
       val nbrMin = edges.join(labels, col("dst") === col("node"))
         .groupBy(col("src")).agg(min(col("lbl")).as("nbr_lbl"))
       val next = labels.join(nbrMin, col("node") === col("src"), "left")
@@ -215,6 +225,9 @@ object Dedup {
       rounds += 1
     }
     edges.unpersist()
+    require(changed == 0,
+      s"hash-min did not converge within $maxRounds rounds — component " +
+        "diameter exceeds the cap; raise it or pre-contract the graph")
     labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
       .orderBy(col("doc_id"))
   }

@@ -48,6 +48,17 @@ class StressSpec extends SparkSpec {
     assert(missed.isEmpty, s"missed copy pairs: ${missed.take(5)}")
   }
 
+  test("hash-min CC converges on a worst-case 60-long chain") {
+    import spark.implicits._
+    // a path graph maximizes diameter: label 1 must walk 59 hops
+    val chain = (1L to 59L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = operators.Dedup.clusterOfPairs(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 60)
+    assert(labels.values.forall(_ == 1L),
+      s"chain must collapse to one component: ${labels.toSeq.sortBy(_._1).take(5)}")
+  }
+
   test("salted join equals plain join under extreme single-key skew") {
     val salts = 16
     // one hot key with 50k rows + 1k uniform rows
