@@ -219,6 +219,21 @@ object Events {
         col("n_events"), col("sum_value"))
   }
 
+  /** User-journey transition matrix: counts of consecutive event-type
+    * pairs per user stream (the Markov counts behind path analysis /
+    * next-action models). One lead() over the shared user_id
+    * partitioning + a key-aligned groupBy over the bounded
+    * (type × type) space — map-side combine collapses each partition to
+    * ≤ |types|² rows before the shuffle. */
+  def transitionMatrix(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .withColumn("to_type", lead(col("event_type"), 1).over(byUser))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .orderBy(col("n_transitions").desc, col("from_type"), col("to_type"))
+  }
+
   /** Top-k users by spend, explicit tie-break. */
   def topkHeavyHitters(s: SparkSession, dir: String): DataFrame = {
     Tables.events(s, dir)
@@ -239,7 +254,8 @@ object Events {
     "ev_dau_wau" -> (dauWau _),
     "ev_hourly_anomaly" -> (hourlyAnomaly _),
     "ev_session_window" -> (sessionWindow _),
-    "ev_topk_heavy_hitters" -> (topkHeavyHitters _))
+    "ev_topk_heavy_hitters" -> (topkHeavyHitters _),
+    "ev_transition_matrix" -> (transitionMatrix _))
 
   val oracles: Map[String, String] = Map(
     "ev_tumbling_window" ->
@@ -381,6 +397,16 @@ object Events {
         |  COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM sess GROUP BY user_id, session_id""".stripMargin,
+    "ev_transition_matrix" ->
+      """WITH seq AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM events)
+        |SELECT from_type, to_type, COUNT(*) AS n_transitions
+        |FROM seq WHERE to_type IS NOT NULL
+        |GROUP BY from_type, to_type
+        |ORDER BY n_transitions DESC, from_type, to_type""".stripMargin,
     "ev_topk_heavy_hitters" ->
       """SELECT user_id,
         |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,

@@ -259,6 +259,28 @@ object Relational {
       .orderBy(col("s_suppkey"))
   }
 
+  /** TPC-H Q19 shape: disjunction-of-conjunctions predicate spanning both
+    * join sides. The per-table halves of each disjunct (brand/size on
+    * part, quantity on lineitem) must still reach their scans as ORed
+    * pushdown filters — the plan-level point of the shape; the dim side
+    * broadcasts. */
+  def q21DisjunctivePushdown(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val pt = Tables.part(s, dir)
+    val cond =
+      (col("p_brand") === "Brand#12" && col("l_quantity").between(1, 11) &&
+        col("p_size").between(1, 5)) ||
+        (col("p_brand") === "Brand#23" && col("l_quantity").between(10, 20) &&
+          col("p_size").between(1, 10)) ||
+        (col("p_brand") === "Brand#34" && col("l_quantity").between(20, 30) &&
+          col("p_size").between(1, 15))
+    li.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .filter(cond)
+      .agg(outd(sum(discPrice(col("l_extendedprice"), col("l_discount"))))
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** CUBE multi-granularity aggregate over the part catalog. */
   def q16GroupingSets(s: SparkSession, dir: String): DataFrame = {
     Tables.part(s, dir)
@@ -285,7 +307,8 @@ object Relational {
     "q13_percentiles" -> (q13Percentiles _),
     "q14_conditional_agg" -> (q14ConditionalAgg _),
     "q15_correlated_scalar" -> (q15CorrelatedScalar _),
-    "q16_grouping_sets" -> (q16GroupingSets _))
+    "q16_grouping_sets" -> (q16GroupingSets _),
+    "q21_disjunctive_pushdown" -> (q21DisjunctivePushdown _))
 
   /** DuckDB oracles, column-name- and type-aligned with the plans above. */
   val oracles: Map[String, String] = Map(
@@ -405,6 +428,14 @@ object Relational {
         |WHERE s_suppkey = supplier_no
         |  AND total_revenue = (SELECT MAX(total_revenue) FROM rev)
         |ORDER BY s_suppkey""".stripMargin,
+    "q21_disjunctive_pushdown" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey AND (
+        |     (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+        |  OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+        |  OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15))""".stripMargin,
     "q16_grouping_sets" ->
       """SELECT p_brand, p_size, COUNT(*) AS n_parts,
         |COUNT(DISTINCT p_type) AS n_types,

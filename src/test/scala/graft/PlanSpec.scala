@@ -72,6 +72,19 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q21: disjunctive predicate halves reach BOTH scans") {
+    val df = operators.Relational.q21DisjunctivePushdown(spark, sfTiny)
+    df.collect()
+    val scans = df.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("FileScan parquet")).toSeq
+    val liScan = scans.find(_.contains("lineitem")).getOrElse("")
+    val ptScan = scans.find(_.contains("part.parquet")).getOrElse("")
+    assert(liScan.contains("l_quantity") && liScan.contains("OR"),
+      s"quantity OR-filter must reach the lineitem scan: ${liScan.take(200)}")
+    assert(ptScan.contains("p_brand") && ptScan.contains("OR"),
+      s"brand/size OR-filter must reach the part scan: ${ptScan.take(200)}")
+  }
+
   test("dau/wau: explode-7 equi-join plan has no BNLJ or cartesian") {
     val df = operators.Events.dauWau(spark, sfTiny)
     df.collect()
