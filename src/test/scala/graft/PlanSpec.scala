@@ -73,16 +73,22 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q21: disjunctive predicate halves reach BOTH scans") {
-    val df = operators.Relational.q21DisjunctivePushdown(spark, sfTiny)
-    df.collect()
-    val scans = df.queryExecution.executedPlan.toString
-      .linesIterator.filter(_.contains("FileScan parquet")).toSeq
-    val liScan = scans.find(_.contains("lineitem")).getOrElse("")
-    val ptScan = scans.find(_.contains("part.parquet")).getOrElse("")
-    assert(liScan.contains("l_quantity") && liScan.contains("OR"),
-      s"quantity OR-filter must reach the lineitem scan: ${liScan.take(200)}")
-    assert(ptScan.contains("p_brand") && ptScan.contains("OR"),
-      s"brand/size OR-filter must reach the part scan: ${ptScan.take(200)}")
+    // plan strings truncate scan metadata at 100 chars by default, which
+    // cuts the OR clauses out of the assertion's view
+    val prev = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try {
+      val df = operators.Relational.q21DisjunctivePushdown(spark, sfTiny)
+      df.collect()
+      val scans = df.queryExecution.executedPlan.toString
+        .linesIterator.filter(_.contains("FileScan parquet")).toSeq
+      val liScan = scans.find(_.contains("lineitem")).getOrElse("")
+      val ptScan = scans.find(_.contains("part.parquet")).getOrElse("")
+      assert(liScan.contains("l_quantity") && liScan.contains("OR"),
+        s"quantity OR-filter must reach the lineitem scan: ${liScan.take(300)}")
+      assert(ptScan.contains("p_brand") && ptScan.contains("OR"),
+        s"brand/size OR-filter must reach the part scan: ${ptScan.take(300)}")
+    } finally spark.conf.set("spark.sql.maxMetadataStringLength", prev)
   }
 
   test("dau/wau: explode-7 equi-join plan has no BNLJ or cartesian") {
