@@ -23,7 +23,8 @@ object Pipeline {
       name: String,
       table: String,
       limit: Option[Int] = None,
-      maxRetries: Int = 0)
+      maxRetries: Int = 0,
+      format: String = "parquet")
 
   final case class Config(
       sources: Seq[Source],
@@ -61,7 +62,8 @@ object Pipeline {
         Source(name,
           (v \ "table").extract[String],
           (v \ "limit").extractOpt[Int],
-          (v \ "retry_attempts").extractOpt[Int].getOrElse(defaultRetries))
+          (v \ "retry_attempts").extractOpt[Int].getOrElse(defaultRetries),
+          (v \ "format").extractOpt[String].getOrElse("parquet"))
       }
       case _ => Nil
     }
@@ -102,8 +104,12 @@ object Pipeline {
           val shaped = standardize(limited, src.name, config.runDate)
           val out = s"${config.landingDir}/${src.name}/" +
             s"date=${config.runDate}"
-          shaped.write.mode("overwrite").parquet(out)
-          val n = spark.read.parquet(out).count()
+          // per-source landing format (reference config.json declares
+          // "format" per data_source); JSON needs the nested raw_data
+          // struct serialized, which write.json does natively
+          shaped.write.mode("overwrite").format(src.format).save(out)
+          val n = spark.read.format(src.format)
+            .schema(shaped.schema).load(out).count()
           SourceResult(src.name, "ok", n, "")
         } catch {
           case _: Throwable if remaining > 0 => attempt(remaining - 1)

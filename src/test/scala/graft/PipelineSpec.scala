@@ -46,7 +46,7 @@ class PipelineSpec extends SparkSpec {
     val cfgPath = dir.resolve("config.json")
     java.nio.file.Files.writeString(cfgPath,
       """{ "data_sources": {
-        |    "marketing": {"table": "part", "limit": 100},
+        |    "marketing": {"table": "part", "limit": 100, "format": "json"},
         |    "ads":       {"table": "events"},
         |    "broken":    {"table": "no_such_table", "retry_attempts": 2}
         |  },
@@ -59,11 +59,17 @@ class PipelineSpec extends SparkSpec {
     assert(config.sources.head.maxRetries == 1,   "processing default")
     assert(config.sources.last.maxRetries == 2,   "per-source override")
     assert(config.errorHandling == "continue")
+    assert(config.sources.head.format == "json", "per-source format")
+    assert(config.sources(1).format == "parquet", "format default")
     val summary = Pipeline.run(spark, sfTiny, config).collect()
       .map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
     assert(summary("marketing") == (("ok", 100L)))
     assert(summary("ads")._1 == "ok")
     assert(summary("broken")._1 == "error",
       "bad source must exhaust retries then continue")
+    // the JSON-format source landed newline-JSON (reference load_to_s3)
+    val landedJson = new java.io.File(
+      dir.resolve("landing/marketing/date=2026-08-12").toString)
+    assert(landedJson.listFiles().exists(_.getName.endsWith(".json")))
   }
 }
