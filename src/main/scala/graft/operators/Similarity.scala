@@ -140,13 +140,15 @@ object Similarity {
 
   /** L2-normalize + int8 quantization audit — the shrink step before an
     * ANN index ships: per vector, the norm, the symmetric int8 code
-    * (round(x/‖x‖·127)), and the mean dequantization error. Pure
+    * (round(x/‖x‖·127)), and the total dequantization error. Pure
     * projection, no shuffle. Per-element errors are rounded then summed
-    * as exact decimals (the unigram-logprob discipline), so the mean is
-    * accumulation-order-independent and oracle-exact. */
+    * as exact decimals (the unigram-logprob discipline) and the SUM is
+    * emitted (one exact decimal→double cast) rather than the mean — a
+    * double divide-then-round re-introduces half-point boundaries where
+    * engines round a double's last ulp differently (seen live at
+    * sf0.001); consumers divide by n_dims themselves. */
   def embNormalize(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val dims = size(col("vd")).cast("double")
     // nullif guard: a zero-norm vector must yield null codes/error, not
     // an ANSI divide-by-zero abort (same rule as every cosine path)
     val safeNrm = nullif(col("nrm"), lit(0.0))
@@ -160,7 +162,8 @@ object Similarity {
         lit(0).cast(DecimalType(28, 9)),
         (acc, x) => (acc + x).cast(DecimalType(28, 9))))
       .select(col("vec_id"), round(col("nrm"), 6).as("norm"),
-        round(col("err_sum").cast("double") / dims, 9).as("mean_q_err"))
+        col("err_sum").cast("double").as("sum_q_err"),
+        size(col("vd")).cast("bigint").as("n_dims"))
       .orderBy(col("vec_id"))
   }
 
@@ -187,7 +190,8 @@ object Similarity {
         |        AS DECIMAL(18,9)))) AS err_sum
         |  FROM n)
         |SELECT vec_id, ROUND(nrm, 6) AS norm,
-        |  ROUND(CAST(err_sum AS DOUBLE) / CAST(dims AS DOUBLE), 9) AS mean_q_err
+        |  CAST(err_sum AS DOUBLE) AS sum_q_err,
+        |  CAST(dims AS BIGINT) AS n_dims
         |FROM err ORDER BY vec_id""".stripMargin,
     "ann_bruteforce_topk" ->
       """WITH q AS (

@@ -107,8 +107,9 @@ class OperatorsSpec extends SparkSpec {
   test("emb_normalize: int8 quantization error bounded by half a step") {
     val df = operators.Similarity.embNormalize(spark, sfTiny)
     assert(df.filter(col("norm") <= 0).count() == 0)
-    // per-element error <= 0.5/127; mean must be too
-    assert(df.filter(col("mean_q_err") > 0.5 / 127 + 1e-9).count() == 0)
+    // per-element error <= 0.5/127, so the sum is bounded by dims times it
+    assert(df.filter(col("sum_q_err") >
+      col("n_dims") * (0.5 / 127) + 1e-9).count() == 0)
   }
 
   test("hourly anomaly: flag equals |z| > 3 and windows are full") {
