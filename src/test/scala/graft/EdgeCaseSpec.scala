@@ -50,8 +50,8 @@ class EdgeCaseSpec extends SparkSpec {
       .orderBy("vec_id").collect()
     assert(rows.length == 3)
     assert(rows(0).getDouble(rows(0).fieldIndex("norm")) == 0.0)
-    assert(rows(0).isNullAt(rows(0).fieldIndex("mean_q_err")))
-    assert(!rows(1).isNullAt(rows(1).fieldIndex("mean_q_err")))
+    assert(rows(0).isNullAt(rows(0).fieldIndex("sum_q_err")))
+    assert(!rows(1).isNullAt(rows(1).fieldIndex("sum_q_err")))
   }
 
   test("no near-dup pairs: cluster assignment returns empty, no abort") {
