@@ -159,12 +159,13 @@ object Relational {
       .agg(min(dec2(col("l_extendedprice"))).as("cost"))
     val w = Window.partitionBy(col("l_partkey"))
       .orderBy(col("cost"), col("l_suppkey"))
+    // part/supplier grow ~linearly with SF (SURVEY §4): no forced
+    // broadcast — AQE picks BHJ from size stats while they fit and a
+    // shuffle join once they don't
     costs.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .join(broadcast(Tables.part(s, dir)),
-        col("l_partkey") === col("p_partkey"))
-      .join(broadcast(Tables.supplier(s, dir)),
-        col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
       .select(col("p_partkey"), col("p_name"), col("s_name"),
         outd(col("cost")).as("min_cost"))
       .orderBy(col("p_partkey"))
@@ -262,8 +263,8 @@ object Relational {
   /** TPC-H Q19 shape: disjunction-of-conjunctions predicate spanning both
     * join sides. The per-table halves of each disjunct (brand/size on
     * part, quantity on lineitem) must still reach their scans as ORed
-    * pushdown filters — the plan-level point of the shape; the dim side
-    * broadcasts. */
+    * pushdown filters — the plan-level point of the shape. part grows
+    * with SF, so no forced broadcast: AQE decides from size stats. */
   def q21DisjunctivePushdown(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
     val pt = Tables.part(s, dir)
@@ -274,7 +275,7 @@ object Relational {
           col("p_size").between(1, 10)) ||
         (col("p_brand") === "Brand#34" && col("l_quantity").between(20, 30) &&
           col("p_size").between(1, 15))
-    li.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+    li.join(pt, col("l_partkey") === col("p_partkey"))
       .filter(cond)
       .agg(outd(sum(discPrice(col("l_extendedprice"), col("l_discount"))))
         .as("revenue"),
