@@ -199,7 +199,8 @@ object Events {
         nullif(when(col("var_24h") > 0, sqrt(col("var_24h"))), lit(0.0)))
       .select(col("hour"), col("n"), round(col("mean_24h"), 6).as("mean_24h"),
         round(col("z"), 6).as("z"),
-        (abs(col("z")) > 3.0).as("is_anomaly"))
+        // zero-variance windows give a null z; never emit a NULL boolean
+        coalesce(abs(col("z")) > 3.0, lit(false)).as("is_anomaly"))
   }
 
   /** Gap sessionization via Spark's BUILT-IN session_window operator —
@@ -217,6 +218,47 @@ object Events {
         col("session_window.start").as("session_start"),
         col("session_window.end").as("window_end"),
         col("n_events"), col("sum_value"))
+  }
+
+  /** Per-campaign CTR lift significance — the experimentation readout an
+    * ads pipeline reports beside the raw CTRs: each campaign's
+    * click-through tested against ALL OTHER campaigns pooled, as a
+    * two-proportion z-score. Every input is an exact integer count
+    * (views/clicks per campaign + global totals via a one-row broadcast),
+    * pushed through ONE shared double formula — deterministic in both
+    * engines, no per-engine variance estimators. */
+  def abSignificance(s: SparkSession, dir: String): DataFrame = {
+    val campaign =
+      get_json_object(col("props"), "$.k").cast("int") % lit(10)
+    val per = Tables.events(s, dir)
+      .withColumn("campaign", campaign)
+      .groupBy(col("campaign"))
+      .agg(count(when(col("event_type") === "view", 1)).as("views"),
+        count(when(col("event_type") === "click", 1)).as("clicks"))
+    val tot = per.agg(sum(col("views")).as("t_views"),
+      sum(col("clicks")).as("t_clicks"))
+    val joined = per.crossJoin(broadcast(tot))
+      .withColumn("r_views", (col("t_views") - col("views")).cast("double"))
+      .withColumn("r_clicks", (col("t_clicks") - col("clicks")).cast("double"))
+    val p1 = col("clicks").cast("double") /
+      nullif(col("views").cast("double"), lit(0.0))
+    val p2 = col("r_clicks") / nullif(col("r_views"), lit(0.0))
+    val pPool = (col("clicks").cast("double") + col("r_clicks")) /
+      nullif(col("views").cast("double") + col("r_views"), lit(0.0))
+    // clicks are independent event counts, not a subset of views, so the
+    // pooled "rate" can exceed 1 and the variance go negative — null the
+    // z-score out in that case (both engines; DuckDB sqrt(<0) ERRORS)
+    val variance = pPool * (lit(1.0) - pPool) *
+      (lit(1.0) / nullif(col("views").cast("double"), lit(0.0)) +
+        lit(1.0) / nullif(col("r_views"), lit(0.0)))
+    val se = when(variance > 0, sqrt(variance))
+    // NULL booleans render engine-differently downstream — never emit one
+    joined.select(col("campaign"), col("views"), col("clicks"),
+      round(p1, 6).as("ctr"),
+      round((p1 - p2) / nullif(se, lit(0.0)), 6).as("z"),
+      coalesce(abs((p1 - p2) / nullif(se, lit(0.0))) > 1.96, lit(false))
+        .as("significant_95"))
+      .orderBy(col("campaign"))
   }
 
   /** User-journey transition matrix: counts of consecutive event-type
@@ -255,7 +297,8 @@ object Events {
     "ev_hourly_anomaly" -> (hourlyAnomaly _),
     "ev_session_window" -> (sessionWindow _),
     "ev_topk_heavy_hitters" -> (topkHeavyHitters _),
-    "ev_transition_matrix" -> (transitionMatrix _))
+    "ev_transition_matrix" -> (transitionMatrix _),
+    "ev_ab_significance" -> (abSignificance _))
 
   val oracles: Map[String, String] = Map(
     "ev_tumbling_window" ->
@@ -358,9 +401,9 @@ object Events {
         |SELECT hour, n, ROUND(mean_24h, 6) AS mean_24h,
         |  ROUND((CAST(n AS DOUBLE) - mean_24h)
         |    / NULLIF(CASE WHEN var_24h > 0 THEN sqrt(var_24h) END, 0.0), 6) AS z,
-        |  abs((CAST(n AS DOUBLE) - mean_24h)
-        |    / NULLIF(CASE WHEN var_24h > 0 THEN sqrt(var_24h) END, 0.0)) > 3.0
-        |    AS is_anomaly
+        |  COALESCE(abs((CAST(n AS DOUBLE) - mean_24h)
+        |    / NULLIF(CASE WHEN var_24h > 0 THEN sqrt(var_24h) END, 0.0)) > 3.0,
+        |    false) AS is_anomaly
         |FROM scored""".stripMargin,
     "ev_campaign_stats" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS campaign,
@@ -397,6 +440,41 @@ object Events {
         |  COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM sess GROUP BY user_id, session_id""".stripMargin,
+    "ev_ab_significance" ->
+      """WITH per AS (
+        |  SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS campaign,
+        |    COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS views,
+        |    COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS clicks
+        |  FROM events
+        |  GROUP BY CAST(json_extract_string(props, '$.k') AS INT) % 10),
+        |tot AS (SELECT SUM(views) AS t_views, SUM(clicks) AS t_clicks FROM per),
+        |j AS (
+        |  SELECT campaign, views, clicks,
+        |    CAST(t_views - views AS DOUBLE) AS r_views,
+        |    CAST(t_clicks - clicks AS DOUBLE) AS r_clicks
+        |  FROM per, tot),
+        |sc AS (
+        |  SELECT campaign, views, clicks,
+        |    CAST(clicks AS DOUBLE) / NULLIF(CAST(views AS DOUBLE), 0.0) AS p1,
+        |    r_clicks / NULLIF(r_views, 0.0) AS p2,
+        |    (CAST(clicks AS DOUBLE) + r_clicks)
+        |      / NULLIF(CAST(views AS DOUBLE) + r_views, 0.0) AS p_pool,
+        |    r_views
+        |  FROM j),
+        |vc AS (
+        |  SELECT campaign, views, clicks, p1, p2,
+        |    p_pool * (1.0 - p_pool)
+        |      * (1.0 / NULLIF(CAST(views AS DOUBLE), 0.0)
+        |         + 1.0 / NULLIF(r_views, 0.0)) AS v
+        |  FROM sc),
+        |zc AS (
+        |  SELECT campaign, views, clicks, p1,
+        |    (p1 - p2) / NULLIF(CASE WHEN v > 0 THEN sqrt(v) END, 0.0) AS z
+        |  FROM vc)
+        |SELECT campaign, views, clicks, ROUND(p1, 6) AS ctr,
+        |  ROUND(z, 6) AS z,
+        |  COALESCE(abs(z) > 1.96, false) AS significant_95
+        |FROM zc ORDER BY campaign""".stripMargin,
     "ev_transition_matrix" ->
       """WITH seq AS (
         |  SELECT event_type AS from_type,
