@@ -282,6 +282,37 @@ object Relational {
         count(lit(1)).as("n_items"))
   }
 
+  /** Full-outer reconciliation (the data-quality join the landing layer
+    * runs after ingest): customer spend vs order records joined FULL
+    * OUTER per nation bucket, classifying rows as matched / customer
+    * without orders / orphaned order. Outer joins null-fill — every
+    * derived column is coalesced so the output carries no engine-variant
+    * null renderings. */
+  def q22OuterReconcile(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val ords = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec2(col("o_totalprice"))).as("revenue_dec"))
+    cust.join(ords, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        when(col("c_custkey").isNotNull && col("o_custkey").isNotNull,
+          "matched")
+          .when(col("o_custkey").isNull, "customer_no_orders")
+          .otherwise(lit("orphan_order")).as("reconcile_status"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        // stays DECIMAL through the re-aggregation: summing the widened
+        // doubles would be accumulation-order-dependent
+        coalesce(col("revenue_dec"), lit(0).cast(DecimalType(18, 2)))
+          .as("revenue_dec"))
+      .groupBy(col("reconcile_status"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("n_orders")).as("total_orders"),
+        outd(sum(col("revenue_dec"))).as("total_revenue"))
+      .orderBy(col("reconcile_status"))
+  }
+
   /** CUBE multi-granularity aggregate over the part catalog. */
   def q16GroupingSets(s: SparkSession, dir: String): DataFrame = {
     Tables.part(s, dir)
@@ -309,7 +340,8 @@ object Relational {
     "q14_conditional_agg" -> (q14ConditionalAgg _),
     "q15_correlated_scalar" -> (q15CorrelatedScalar _),
     "q16_grouping_sets" -> (q16GroupingSets _),
-    "q21_disjunctive_pushdown" -> (q21DisjunctivePushdown _))
+    "q21_disjunctive_pushdown" -> (q21DisjunctivePushdown _),
+    "q22_outer_reconcile" -> (q22OuterReconcile _))
 
   /** DuckDB oracles, column-name- and type-aligned with the plans above. */
   val oracles: Map[String, String] = Map(
@@ -437,6 +469,25 @@ object Relational {
         |     (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
         |  OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
         |  OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15))""".stripMargin,
+    "q22_outer_reconcile" ->
+      """WITH ords AS (
+        |  SELECT o_custkey, COUNT(*) AS n_orders,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue_dec
+        |  FROM orders GROUP BY o_custkey),
+        |recon AS (
+        |  SELECT
+        |    CASE WHEN c_custkey IS NOT NULL AND o_custkey IS NOT NULL
+        |      THEN 'matched'
+        |      WHEN o_custkey IS NULL THEN 'customer_no_orders'
+        |      ELSE 'orphan_order' END AS reconcile_status,
+        |    COALESCE(n_orders, 0) AS n_orders,
+        |    COALESCE(revenue_dec, CAST(0 AS DECIMAL(18,2))) AS revenue_dec
+        |  FROM customer FULL OUTER JOIN ords ON c_custkey = o_custkey)
+        |SELECT reconcile_status, COUNT(*) AS n_keys,
+        |  CAST(SUM(n_orders) AS BIGINT) AS total_orders,
+        |  CAST(SUM(revenue_dec) AS DOUBLE) AS total_revenue
+        |FROM recon GROUP BY reconcile_status
+        |ORDER BY reconcile_status""".stripMargin,
     "q16_grouping_sets" ->
       """SELECT p_brand, p_size, COUNT(*) AS n_parts,
         |COUNT(DISTINCT p_type) AS n_types,
