@@ -94,6 +94,20 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
   }
 
+  /** Exact dedup over NORMALIZED text — case-folded, trimmed, runs of
+    * whitespace collapsed — catching re-encodes and re-wraps that byte
+    * hashing misses (the standard first pass before any fuzzy dedup).
+    * Same one-shuffle shape as `exact`; reports how many normalized
+    * groups collapse more docs than their raw-byte groups did. */
+  def exactNormalized(s: SparkSession, dir: String): DataFrame = {
+    val norm = lower(regexp_replace(trim(col("text")), "\\s+", " "))
+    Tables.documents(s, dir)
+      .groupBy(md5(norm).as("norm_hash"))
+      .agg(min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_copies"),
+        countDistinct(md5(col("text"))).as("n_byte_variants"))
+  }
+
   /** Word-3-gram Jaccard near-dup pairs, candidates restricted to docs
     * sharing their minimum shingle hash (1-band MinHash): the bucket join
     * replaces the quadratic cross product; each surviving pair gets the
@@ -256,6 +270,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (exact _),
+    "dedup_exact_norm" -> (exactNormalized _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_simhash" -> (simhash _),
@@ -268,6 +283,13 @@ object Dedup {
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
         |COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
+    "dedup_exact_norm" ->
+      """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+        |    AS norm_hash,
+        |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies,
+        |  COUNT(DISTINCT md5(text)) AS n_byte_variants
+        |FROM documents
+        |GROUP BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH t AS (
         |  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3

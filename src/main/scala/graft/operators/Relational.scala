@@ -313,6 +313,30 @@ object Relational {
       .orderBy(col("reconcile_status"))
   }
 
+  /** Revenue decile analysis — "which slice of customers drives the
+    * spend": customers ntile(10)-bucketed by total order revenue
+    * (deterministic tie-break), each decile reporting its revenue share
+    * of the whole. Decimal sums end to end; the share ratio is the one
+    * double, rounded identically in both engines. */
+  def q23RevenueDeciles(s: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(dec2(col("o_totalprice"))).as("revenue_dec"))
+    val w = Window.orderBy(col("revenue_dec").desc, col("o_custkey"))
+    val total = perCust.agg(sum(col("revenue_dec")).as("total_dec"))
+    perCust.withColumn("decile", ntile(10).over(w))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("revenue_dec")).as("dec_rev"))
+      .crossJoin(broadcast(total))
+      .select(col("decile"), col("n_customers"),
+        outd(col("dec_rev")).as("decile_revenue"),
+        round(col("dec_rev").cast("double") /
+          nullif(col("total_dec").cast("double"), lit(0.0)), 6)
+          .as("revenue_share"))
+      .orderBy(col("decile"))
+  }
+
   /** CUBE multi-granularity aggregate over the part catalog. */
   def q16GroupingSets(s: SparkSession, dir: String): DataFrame = {
     Tables.part(s, dir)
@@ -341,7 +365,8 @@ object Relational {
     "q15_correlated_scalar" -> (q15CorrelatedScalar _),
     "q16_grouping_sets" -> (q16GroupingSets _),
     "q21_disjunctive_pushdown" -> (q21DisjunctivePushdown _),
-    "q22_outer_reconcile" -> (q22OuterReconcile _))
+    "q22_outer_reconcile" -> (q22OuterReconcile _),
+    "q23_revenue_deciles" -> (q23RevenueDeciles _))
 
   /** DuckDB oracles, column-name- and type-aligned with the plans above. */
   val oracles: Map[String, String] = Map(
@@ -469,6 +494,25 @@ object Relational {
         |     (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
         |  OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
         |  OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15))""".stripMargin,
+    "q23_revenue_deciles" ->
+      """WITH per AS (
+        |  SELECT o_custkey,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue_dec
+        |  FROM orders GROUP BY o_custkey),
+        |tot AS (SELECT SUM(revenue_dec) AS total_dec FROM per),
+        |tiled AS (
+        |  SELECT o_custkey, revenue_dec,
+        |    ntile(10) OVER (ORDER BY revenue_dec DESC, o_custkey) AS decile
+        |  FROM per),
+        |agg AS (
+        |  SELECT decile, COUNT(*) AS n_customers,
+        |    SUM(revenue_dec) AS dec_rev
+        |  FROM tiled GROUP BY decile)
+        |SELECT CAST(decile AS INT) AS decile, n_customers,
+        |  CAST(dec_rev AS DOUBLE) AS decile_revenue,
+        |  ROUND(CAST(dec_rev AS DOUBLE) / NULLIF(CAST(total_dec AS DOUBLE), 0.0), 6)
+        |    AS revenue_share
+        |FROM agg, tot ORDER BY decile""".stripMargin,
     "q22_outer_reconcile" ->
       """WITH ords AS (
         |  SELECT o_custkey, COUNT(*) AS n_orders,

@@ -22,8 +22,11 @@ class PlanAudit extends SparkSpec {
       "stream_dedup", "stream_campaign_stats",
       "etl_partitioned_write", "etl_json_landing", "etl_csv_landing",
       "etl_manifest", "q17_bucketed_join", "mm_binary_pipeline")
+    // ev_ab_significance / q23_revenue_deciles join the same one-row
+    // totals pattern as tfidf/logprob
     val bnljAllowed = Set("ann_bruteforce_topk", "ann_ivf_topk",
-      "txt_tfidf_topk", "txt_unigram_logprob", "dedup_source_similarity")
+      "txt_tfidf_topk", "txt_unigram_logprob", "dedup_source_similarity",
+      "ev_ab_significance", "q23_revenue_deciles")
     val violations = scala.collection.mutable.ListBuffer.empty[String]
     println("=====AUDIT START=====")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
