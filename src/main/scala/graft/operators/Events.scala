@@ -276,6 +276,57 @@ object Events {
       .orderBy(col("n_transitions").desc, col("from_type"), col("to_type"))
   }
 
+  /** Trailing-7-day rolling revenue per day via a RANGE window frame
+    * over day offsets — the frame covers a VALUE interval (6 days back),
+    * not a row count, so gap days in the calendar are handled correctly
+    * where a ROWS frame would silently span them. Runs over the bounded
+    * pre-aggregated daily table (same posture as hourlyAnomaly). */
+  def rollingRevenue(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(sum(dec2(col("value"))).as("day_rev_dec"))
+    val w = Window.orderBy(col("day_num"))
+      .rangeBetween(-6, Window.currentRow)
+    daily
+      .withColumn("day_num", datediff(col("day"), lit("1970-01-01")))
+      .withColumn("rolling_dec",
+        sum(col("day_rev_dec")).over(w))
+      .select(col("day"),
+        outd(col("day_rev_dec")).as("day_revenue"),
+        outd(col("rolling_dec")).as("rolling_7d_revenue"))
+      .orderBy(col("day"))
+  }
+
+  /** RFM segmentation — the classic ads/CRM user triage: per user, days
+    * since last activity (Recency), event count (Frequency), total spend
+    * (Monetary), each quartiled with deterministic tie-breaks into a
+    * 3-digit RFM code. The anchor date is the corpus max day, so the
+    * operator is deterministic on static data and rerun-stable. */
+  def rfmSegments(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val anchor = ev.agg(max(col("ts").cast("date")).as("anchor"))
+    val per = ev.groupBy(col("user_id"))
+      .agg(max(col("ts").cast("date")).as("last_day"),
+        count(lit(1)).as("frequency"),
+        sum(dec2(col("value"))).as("monetary_dec"))
+      .crossJoin(broadcast(anchor))
+      .withColumn("recency_days", datediff(col("anchor"), col("last_day")))
+    // lower recency = better → rank ascending; higher freq/monetary =
+    // better → rank descending; user_id tie-break everywhere
+    val rW = Window.orderBy(col("recency_days"), col("user_id"))
+    val fW = Window.orderBy(col("frequency").desc, col("user_id"))
+    val mW = Window.orderBy(col("monetary_dec").desc, col("user_id"))
+    per
+      .withColumn("r_q", ntile(4).over(rW))
+      .withColumn("f_q", ntile(4).over(fW))
+      .withColumn("m_q", ntile(4).over(mW))
+      .groupBy(concat(col("r_q"), col("f_q"), col("m_q")).as("rfm_segment"))
+      .agg(count(lit(1)).as("n_users"),
+        outd(sum(col("monetary_dec"))).as("segment_revenue"))
+      .orderBy(col("rfm_segment"))
+  }
+
   /** Top-k users by spend, explicit tie-break. */
   def topkHeavyHitters(s: SparkSession, dir: String): DataFrame = {
     Tables.events(s, dir)
@@ -298,7 +349,9 @@ object Events {
     "ev_session_window" -> (sessionWindow _),
     "ev_topk_heavy_hitters" -> (topkHeavyHitters _),
     "ev_transition_matrix" -> (transitionMatrix _),
-    "ev_ab_significance" -> (abSignificance _))
+    "ev_ab_significance" -> (abSignificance _),
+    "ev_rolling_revenue" -> (rollingRevenue _),
+    "ev_rfm_segments" -> (rfmSegments _))
 
   val oracles: Map[String, String] = Map(
     "ev_tumbling_window" ->
@@ -440,6 +493,44 @@ object Events {
         |  COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM sess GROUP BY user_id, session_id""".stripMargin,
+    "ev_rolling_revenue" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS day_rev_dec
+        |  FROM events WHERE event_type = 'purchase'
+        |  GROUP BY CAST(ts AS DATE)),
+        |numbered AS (
+        |  SELECT day, day_rev_dec,
+        |    date_diff('day', DATE '1970-01-01', day) AS day_num
+        |  FROM daily)
+        |SELECT day,
+        |  CAST(day_rev_dec AS DOUBLE) AS day_revenue,
+        |  CAST(SUM(day_rev_dec) OVER (ORDER BY day_num
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS rolling_7d_revenue
+        |FROM numbered ORDER BY day""".stripMargin,
+    "ev_rfm_segments" ->
+      """WITH anchor AS (SELECT MAX(CAST(ts AS DATE)) AS a FROM events),
+        |per AS (
+        |  SELECT user_id, MAX(CAST(ts AS DATE)) AS last_day,
+        |    COUNT(*) AS frequency,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS monetary_dec
+        |  FROM events GROUP BY user_id),
+        |scored AS (
+        |  SELECT user_id, frequency, monetary_dec,
+        |    date_diff('day', last_day, a) AS recency_days
+        |  FROM per, anchor),
+        |tiled AS (
+        |  SELECT monetary_dec,
+        |    ntile(4) OVER (ORDER BY recency_days, user_id) AS r_q,
+        |    ntile(4) OVER (ORDER BY frequency DESC, user_id) AS f_q,
+        |    ntile(4) OVER (ORDER BY monetary_dec DESC, user_id) AS m_q
+        |  FROM scored)
+        |SELECT CAST(r_q AS VARCHAR) || CAST(f_q AS VARCHAR)
+        |    || CAST(m_q AS VARCHAR) AS rfm_segment,
+        |  COUNT(*) AS n_users,
+        |  CAST(SUM(monetary_dec) AS DOUBLE) AS segment_revenue
+        |FROM tiled GROUP BY 1 ORDER BY rfm_segment""".stripMargin,
     "ev_ab_significance" ->
       """WITH per AS (
         |  SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS campaign,

@@ -62,10 +62,28 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic corpus shuffle — the reproducible training ORDER:
+    * every doc gets a global position by ranking on its content-hash
+    * draw (doc_id tie-break). Rerunning, re-partitioning, or switching
+    * engines yields the identical epoch order — what rand()-based
+    * shuffles can never guarantee. One total-order sort, the same cost
+    * profile as any global orderBy at scale. */
+  def shuffleOrder(s: SparkSession, dir: String): DataFrame = {
+    val key = md5(concat(lit("shuffle:"), col("doc_id").cast("string"),
+      lit(":"), col("text")))
+    val w = Window.orderBy(col("shuffle_key"), col("doc_id"))
+    Tables.documents(s, dir)
+      .withColumn("shuffle_key", key)
+      .withColumn("shuffle_pos", row_number().over(w).cast("bigint"))
+      .select(col("doc_id"), col("shuffle_key"), col("shuffle_pos"))
+      .orderBy(col("shuffle_pos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "smp_hash_split" -> (hashSplit _),
     "smp_stratified" -> (stratifiedSample _),
-    "smp_weighted" -> (weightedSample _))
+    "smp_weighted" -> (weightedSample _),
+    "smp_shuffle" -> (shuffleOrder _))
 
   val oracles: Map[String, String] = Map(
     "smp_hash_split" ->
@@ -80,6 +98,14 @@ object Sampling {
         |SELECT split, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id,
         |  MAX(doc_id) AS max_doc_id
         |FROM assigned GROUP BY split""".stripMargin,
+    "smp_shuffle" ->
+      """SELECT doc_id,
+        |  md5('shuffle:' || CAST(doc_id AS VARCHAR) || ':' || text)
+        |    AS shuffle_key,
+        |  row_number() OVER (ORDER BY
+        |    md5('shuffle:' || CAST(doc_id AS VARCHAR) || ':' || text),
+        |    doc_id) AS shuffle_pos
+        |FROM documents ORDER BY shuffle_pos""".stripMargin,
     "smp_weighted" ->
       """WITH weighted AS (
         |  SELECT doc_id,

@@ -26,7 +26,7 @@ class PlanAudit extends SparkSpec {
     // totals pattern as tfidf/logprob
     val bnljAllowed = Set("ann_bruteforce_topk", "ann_ivf_topk",
       "txt_tfidf_topk", "txt_unigram_logprob", "dedup_source_similarity",
-      "ev_ab_significance", "q23_revenue_deciles")
+      "ev_ab_significance", "q23_revenue_deciles", "ev_rfm_segments")
     val violations = scala.collection.mutable.ListBuffer.empty[String]
     println("=====AUDIT START=====")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
