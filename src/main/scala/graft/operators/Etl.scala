@@ -163,6 +163,37 @@ object Etl {
       .orderBy(col("event_date"))
   }
 
+  /** Landing compaction — the small-files maintenance pass every
+    * incremental lake needs: a landing fragmented by many tiny writes
+    * (here: forced via a wide pre-write repartition) is rewritten with
+    * ONE file per date partition (repartition on the partition column
+    * before the partitioned write), and the operator reports per-date
+    * file counts before/after plus the row count, which must not
+    * change. At 100 TB the same plan runs per-partition with a target
+    * file size instead of file count. */
+  def compact(s: SparkSession, dir: String): DataFrame = {
+    val tag = s"${dir.replaceAll("[^0-9a-zA-Z]", "_")}_" +
+      s.sparkContext.applicationId
+    val tmp = System.getProperty("java.io.tmpdir")
+    val frag = s"$tmp/graft_frag_$tag"
+    val compacted = s"$tmp/graft_compact_$tag"
+    val dated = Tables.events(s, dir)
+      .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
+    dated.repartition(32)
+      .write.mode("overwrite").partitionBy("event_date").parquet(frag)
+    s.read.parquet(frag)
+      .repartition(col("event_date"))
+      .write.mode("overwrite").partitionBy("event_date").parquet(compacted)
+    def counts(path: String, n: String, f: String) =
+      s.read.parquet(path)
+        .withColumn("__f", input_file_name())
+        .groupBy(col("event_date").cast("string").as("event_date"))
+        .agg(count(lit(1)).as(n), countDistinct(col("__f")).as(f))
+    counts(frag, "n_rows_before", "files_before")
+      .join(counts(compacted, "n_rows_after", "files_after"), "event_date")
+      .orderBy(col("event_date"))
+  }
+
   /** Daily-cadence incremental batch: select one date window, dedupe on
     * the natural key keeping the earliest record — idempotent re-ingestion
     * for the scheduled daily run. */
@@ -182,6 +213,7 @@ object Etl {
     "etl_type_coerce" -> (typeCoerce _),
     "etl_partitioned_write" -> (partitionedWrite _),
     "etl_manifest" -> (manifest _),
+    "etl_compact" -> (compact _),
     "etl_run_summary" -> (runSummary _),
     "etl_incremental" -> (incremental _))
 

@@ -120,6 +120,29 @@ class OperatorsSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("compaction keeps every row and strictly reduces file counts") {
+    val c = operators.Etl.compact(spark, sfTiny)
+    assert(c.filter(col("n_rows_before") =!= col("n_rows_after"))
+      .count() == 0, "compaction must not change data")
+    assert(c.filter(col("files_after") > col("files_before")).count() == 0)
+    assert(c.filter(col("files_after") =!= 1).count() == 0,
+      "one file per partition at this scale")
+    assert(c.filter(col("files_before") > 1).count() > 0,
+      "the fragmented landing must actually be fragmented")
+  }
+
+  test("shuffle order is invariant to input partitioning") {
+    val a = operators.Sampling.shuffleOrder(spark, sfTiny)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    // same operator over a repartitioned source must give the same order
+    val docs = Tables.documents(spark, sfTiny).repartition(13)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_shuf").toString
+    docs.write.parquet(s"$tmp/documents.parquet")
+    val b = operators.Sampling.shuffleOrder(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(a.toSeq == b.toSeq, "epoch order must be partitioning-invariant")
+  }
+
   test("manifest accounts for every landed row with at least one file") {
     val m = operators.Etl.manifest(spark, sfTiny)
     assert(m.agg(sum("n_rows")).first().getLong(0) ==
