@@ -30,7 +30,13 @@ object PlansDump {
       "ev_dau_wau" ->
         "rolling actives: explode-7 equi-join — no BNLJ, no cartesian",
       "etl_json_envelope" ->
-        "envelope unwrap: ONE schema'd from_json parse per row")
+        "envelope unwrap: ONE schema'd from_json parse per row",
+      "q23_revenue_deciles" ->
+        ("two-pass bucket ntile: ReusedExchange feeds rank/total branches, " +
+          "no single-task window"),
+      "smp_shuffle" ->
+        ("global epoch order via hash-prefix buckets: count pass + " +
+          "bucket-partitioned row_number, no single-task window"))
     val sb = new StringBuilder
     sb.append("# PLANS — executed physical plans (sf0.001, regenerate " +
       "via `sbt \"runMain graft.PlansDump\"`)\n")

@@ -304,28 +304,45 @@ object Events {
     * 3-digit RFM code. The anchor date is the corpus max day, so the
     * operator is deterministic on static data and rerun-stable. */
   def rfmSegments(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
-    val anchor = ev.agg(max(col("ts").cast("date")).as("anchor"))
-    val per = ev.groupBy(col("user_id"))
+    val perUser = Tables.events(s, dir)
+      .groupBy(col("user_id"))
       .agg(max(col("ts").cast("date")).as("last_day"),
         count(lit(1)).as("frequency"),
         sum(dec2(col("value"))).as("monetary_dec"))
+    // anchor from the per-user table (max of per-user maxes): saves a
+    // second full events scan, and ReuseExchange feeds it and every
+    // quartile pass below from the one user_id shuffle
+    val anchor = perUser.agg(max(col("last_day")).as("anchor"))
+    val per = perUser
       .crossJoin(broadcast(anchor))
       .withColumn("recency_days", datediff(col("anchor"), col("last_day")))
     // lower recency = better → rank ascending; higher freq/monetary =
-    // better → rank descending; user_id tie-break everywhere
-    val rW = Window.orderBy(col("recency_days"), col("user_id"))
-    val fW = Window.orderBy(col("frequency").desc, col("user_id"))
-    val mW = Window.orderBy(col("monetary_dec").desc, col("user_id"))
+    // better → rank descending; user_id tie-break everywhere. A global
+    // ntile(4) window is a single-task sort over every user, so each
+    // quartile is an exact two-pass bucket rank instead (see Ranking).
     per
-      .withColumn("r_q", ntile(4).over(rW))
-      .withColumn("f_q", ntile(4).over(fW))
-      .withColumn("m_q", ntile(4).over(mW))
+      .transform(quartile(col("recency_days"),
+        Seq(col("recency_days"), col("user_id")), "r_q"))
+      .transform(quartile(negate(col("frequency")),
+        Seq(col("frequency").desc, col("user_id")), "f_q"))
+      .transform(quartile(negate(col("monetary_dec")),
+        Seq(col("monetary_dec").desc, col("user_id")), "m_q"))
       .groupBy(concat(col("r_q"), col("f_q"), col("m_q")).as("rfm_segment"))
       .agg(count(lit(1)).as("n_users"),
         outd(sum(col("monetary_dec"))).as("segment_revenue"))
       .orderBy(col("rfm_segment"))
   }
+
+  /** One exact quartile column via distributed two-pass ranking: 64
+    * percentile range buckets on the ascending-normalized sort value,
+    * bucket offsets, within-bucket row_number, ntile-from-rank. */
+  private def quartile(sortAsc: Column, order: Seq[Column],
+      name: String)(df: DataFrame): DataFrame =
+    Ranking.bucketedRowNumber(
+        Ranking.withValueBucket(df, sortAsc, "__bkt", 64),
+        Nil, "__bkt", 64, order, "__rn", totalName = Some("__n"))
+      .withColumn(name, Ranking.ntileFromRank(col("__rn"), col("__n"), 4))
+      .drop("__bkt", "__rn", "__n")
 
   /** Top-k users by spend, explicit tie-break. */
   def topkHeavyHitters(s: SparkSession, dir: String): DataFrame = {

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Distributed exact ranking (SURVEY §4 scale posture).
+  *
+  * A Spark `Window` with `orderBy` but no `partitionBy` moves EVERY row
+  * to one task — correct at sf0.1, a scale-killer on a real corpus. This
+  * utility computes the same exact global (or per-group) `row_number` /
+  * `ntile` as a two-pass bucket plan in which no single task ever sees
+  * more than ~N/nBuckets rows:
+  *
+  *  1. every row gets an integer bucket in [0, nBuckets) that is
+  *     CONTIGUOUS w.r.t. the total order (all of bucket b precedes all
+  *     of bucket b+1) — a hash-hex prefix for uniform digest keys, or
+  *     approx-percentile range buckets for arbitrary orderable values;
+  *  2. per-bucket counts (map-side partial agg, tiny result) become
+  *     per-bucket rank offsets WITHOUT any global window: each bucket's
+  *     count is exploded onto every later bucket id and re-aggregated —
+  *     ≤ nBuckets² feather-weight rows, all equi-joins;
+  *  3. offsets broadcast-join back on the bucket id and the final rank
+  *     is offset + within-bucket `row_number` (a window partitioned by
+  *     bucket — parallel across nBuckets tasks).
+  *
+  * Exactness never depends on bucket BALANCE, only contiguity, so an
+  * approximate boundary pass is safe; balance only shapes parallelism.
+  * Both branches of the two-pass plan hang off the same child, so
+  * whenever the input ends in a shuffle (the aggregated inputs of the
+  * decile/RFM ops) ReuseExchange computes it once; raw-table inputs
+  * (corpus shuffle/stratified sample) pay one extra columnar scan for
+  * the count pass — the classic scalable trade.
+  */
+object Ranking {
+
+  /** Exact 1-based row_number over `order` within each `group` (global
+    * when `group` is empty), given a contiguous bucket column `bkt` in
+    * [0, nBuckets). Result column `rnName` is LONG. When `totalName` is
+    * set, the per-group row count is joined in as well (derived from the
+    * same count pass — no extra scan). */
+  def bucketedRowNumber(df: DataFrame, group: Seq[String], bkt: String,
+      nBuckets: Int, order: Seq[Column], rnName: String,
+      totalName: Option[String] = None): DataFrame = {
+    val gCols = group.map(col)
+    val cnt = df.groupBy(gCols :+ col(bkt): _*)
+      .agg(count(lit(1)).as("__bc"))
+    // bucket b's count flows down-range onto every later bucket's offset;
+    // sequence() runs BACKWARDS when start > stop, so guard the last bucket
+    val off = cnt.filter(col(bkt) < lit(nBuckets - 1))
+      .select(gCols :+
+        explode(sequence(col(bkt) + lit(1), lit(nBuckets - 1))).as(bkt) :+
+        col("__bc"): _*)
+      .groupBy(gCols :+ col(bkt): _*)
+      .agg(sum(col("__bc")).as("__off"))
+    val localW = Window.partitionBy(gCols :+ col(bkt): _*).orderBy(order: _*)
+    val ranked = df.join(broadcast(off), group :+ bkt, "left")
+      .withColumn(rnName,
+        coalesce(col("__off"), lit(0L)) + row_number().over(localW))
+      .drop("__off")
+    totalName match {
+      case None => ranked
+      case Some(tn) =>
+        val tot = cnt.groupBy(gCols: _*).agg(sum(col("__bc")).as(tn))
+        if (group.isEmpty) ranked.crossJoin(broadcast(tot))
+        else ranked.join(broadcast(tot), group)
+    }
+  }
+
+  /** Contiguous bucket for a lowercase-hex digest key: the first two hex
+    * chars, as an int in [0, 256) — hex-string lexicographic order IS
+    * numeric order, and a digest key makes the 256 buckets uniform at
+    * any corpus size. */
+  def hexPrefixBucket(hexKey: Column): Column =
+    conv(substring(hexKey, 1, 2), 16, 10).cast("int")
+
+  /** Contiguous bucket for an arbitrary orderable sort value (ascending):
+    * boundaries = nBuckets-1 approx percentiles of the double-cast value
+    * computed once and broadcast; bucket = count of boundaries ≤ value.
+    * decimal→double is monotone and equal values share a bucket, so
+    * contiguity w.r.t. the true (exact) order holds even where the double
+    * cast collapses ties — the within-bucket sort still uses the exact
+    * columns. NULL sort values compare null → bucket 0, matching the
+    * NULLS FIRST default of an ascending sort. */
+  def withValueBucket(df: DataFrame, sortAsc: Column, bkt: String,
+      nBuckets: Int): DataFrame = {
+    val qs = (1 until nBuckets).map(i => lit(i.toDouble / nBuckets))
+    val bounds = df.agg(
+      percentile_approx(sortAsc.cast("double"), array(qs: _*), lit(10000))
+        .as("__bounds"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn(bkt, aggregate(col("__bounds"), lit(0),
+        (acc, b) => acc + when(sortAsc.cast("double") >= b, 1).otherwise(0)))
+      .drop("__bounds")
+  }
+
+  /** ANSI ntile(k) from an exact 1-based rank `rn` and group size `n`:
+    * the first n%k tiles hold floor(n/k)+1 rows, the rest floor(n/k) —
+    * identical to Spark's and DuckDB's ntile, without the single-task
+    * global window ntile requires. */
+  def ntileFromRank(rn: Column, n: Column, k: Int): Column = {
+    val base = floor(n / lit(k))
+    val rem = n % lit(k)
+    val cut = rem * (base + lit(1))
+    when(rn <= cut, floor((rn - lit(1)) / (base + lit(1))) + lit(1))
+      .otherwise(
+        rem + floor((rn - lit(1) - cut) / greatest(base, lit(1))) + lit(1))
+      .cast("int")
+  }
+}

@@ -317,14 +317,26 @@ object Relational {
     * spend": customers ntile(10)-bucketed by total order revenue
     * (deterministic tie-break), each decile reporting its revenue share
     * of the whole. Decimal sums end to end; the share ratio is the one
-    * double, rounded identically in both engines. */
+    * double, rounded identically in both engines.
+    *
+    * A literal `ntile(10) OVER (ORDER BY …)` is a single-task global
+    * window over every customer — so the decile is derived instead from
+    * an exact two-pass bucket rank (percentile range buckets on the
+    * negated revenue, offsets, within-bucket row_number; see Ranking).
+    * The per-customer aggregate ends in a shuffle, so ReuseExchange
+    * feeds all ranking branches and the grand total from ONE scan. */
   def q23RevenueDeciles(s: SparkSession, dir: String): DataFrame = {
     val perCust = Tables.orders(s, dir)
       .groupBy(col("o_custkey"))
       .agg(sum(dec2(col("o_totalprice"))).as("revenue_dec"))
-    val w = Window.orderBy(col("revenue_dec").desc, col("o_custkey"))
     val total = perCust.agg(sum(col("revenue_dec")).as("total_dec"))
-    perCust.withColumn("decile", ntile(10).over(w))
+    val bucketed = Ranking.withValueBucket(perCust,
+      negate(col("revenue_dec")), "__bkt", 64)
+    Ranking.bucketedRowNumber(bucketed, Nil, "__bkt", 64,
+        Seq(col("revenue_dec").desc, col("o_custkey")), "__rn",
+        totalName = Some("__n"))
+      .withColumn("decile",
+        Ranking.ntileFromRank(col("__rn"), col("__n"), 10))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_customers"),
         sum(col("revenue_dec")).as("dec_rev"))

@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
 
@@ -30,17 +29,21 @@ object Sampling {
   }
 
   /** Stratified 10% sample per language: rank by content-hash order
-    * inside each stratum, keep the first ceil(n/10). One shuffle on the
-    * stratum key. */
+    * inside each stratum, keep the first ceil(n/10). A plain
+    * `Window.partitionBy(lang)` would put each whole language on ONE
+    * task — and one language dominates any real corpus — so the
+    * per-stratum rank is computed with two-pass bucket ranking instead:
+    * 256 hash-prefix sub-buckets per language, counts → offsets →
+    * within-(lang,bucket) row_number. The dominant language spreads
+    * over 256 tasks; n_lang falls out of the same count pass. */
   def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("lang"))
-      .orderBy(md5(col("text")), col("doc_id"))
-    val n = Window.partitionBy(col("lang"))
-    Tables.documents(s, dir)
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n_lang", count(lit(1)).over(n))
+    val base = Tables.documents(s, dir)
+      .withColumn("__hk", md5(col("text")))
+      .withColumn("__bkt", Ranking.hexPrefixBucket(col("__hk")))
+    Ranking.bucketedRowNumber(base, Seq("lang"), "__bkt", 256,
+        Seq(col("__hk"), col("doc_id")), "rn", totalName = Some("n_lang"))
       .filter(col("rn") <= ceil(col("n_lang") / 10))
-      .select(col("lang"), col("doc_id"), col("rn"))
+      .select(col("lang"), col("doc_id"), col("rn").cast("int").as("rn"))
   }
 
   /** Quality-weighted deterministic sampling — the "temperature"
@@ -66,15 +69,18 @@ object Sampling {
     * every doc gets a global position by ranking on its content-hash
     * draw (doc_id tie-break). Rerunning, re-partitioning, or switching
     * engines yields the identical epoch order — what rand()-based
-    * shuffles can never guarantee. One total-order sort, the same cost
-    * profile as any global orderBy at scale. */
+    * shuffles can never guarantee. The global position is two-pass
+    * bucket ranking on the hash key's 256 hex-prefix buckets (uniform
+    * by construction), never a single-task global window: one cheap
+    * count pass + one bucket-partitioned row_number. */
   def shuffleOrder(s: SparkSession, dir: String): DataFrame = {
     val key = md5(concat(lit("shuffle:"), col("doc_id").cast("string"),
       lit(":"), col("text")))
-    val w = Window.orderBy(col("shuffle_key"), col("doc_id"))
-    Tables.documents(s, dir)
+    val base = Tables.documents(s, dir)
       .withColumn("shuffle_key", key)
-      .withColumn("shuffle_pos", row_number().over(w).cast("bigint"))
+      .withColumn("__bkt", Ranking.hexPrefixBucket(col("shuffle_key")))
+    Ranking.bucketedRowNumber(base, Nil, "__bkt", 256,
+        Seq(col("shuffle_key"), col("doc_id")), "shuffle_pos")
       .select(col("doc_id"), col("shuffle_key"), col("shuffle_pos"))
       .orderBy(col("shuffle_pos"))
   }

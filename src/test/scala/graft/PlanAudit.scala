@@ -2,11 +2,17 @@ package graft
 
 /** Bulk plan-quality gate: executes every operator at sf0.001 and scans
   * the physical plan for scale smells. Prints the full table for human
-  * review AND asserts the two hard rules:
+  * review AND asserts the three hard rules:
   *
   *  - no CartesianProduct anywhere;
   *  - no BroadcastNestedLoopJoin outside the whitelist below, where a
-  *    BNLJ is the intended physical form.
+  *    BNLJ is the intended physical form;
+  *  - no Window without partitionBy over an unbounded-cardinality input
+  *    (Spark runs such a window in ONE task): only ops in
+  *    `globalWindowBounded` may carry one, and there the window's child
+  *    must be a pre-aggregate whose cardinality is bounded by
+  *    construction (hours/days of a calendar, not rows of a corpus).
+  *    Everything data-scale uses Ranking's two-pass bucket ranking.
   *
   * Whitelist rationale: ann_bruteforce_topk probes every (query, corpus)
   * pair by design (the exact baseline); ann_ivf_topk assigns the corpus
@@ -17,6 +23,9 @@ package graft
   * itself (< on the bounded source registry, not data-scale rows).
   */
 class PlanAudit extends SparkSpec {
+
+  import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+
   test("audit: no cartesian anywhere; BNLJ only where intended") {
     val skip = Set("stream_windowed_counts", "stream_sessionize",
       "stream_dedup", "stream_campaign_stats",
@@ -27,12 +36,24 @@ class PlanAudit extends SparkSpec {
     val bnljAllowed = Set("ann_bruteforce_topk", "ann_ivf_topk",
       "txt_tfidf_topk", "txt_unigram_logprob", "dedup_source_similarity",
       "ev_ab_significance", "q23_revenue_deciles", "ev_rfm_segments")
+    // the only inputs a partition-less window may sort in one task:
+    // calendar-bounded pre-aggregates (≤ hours/days rows at ANY corpus
+    // size), verified below to actually sit on an Aggregate
+    val globalWindowBounded = Set("ev_hourly_anomaly", "ev_rolling_revenue")
     val violations = scala.collection.mutable.ListBuffer.empty[String]
     println("=====AUDIT START=====")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (!skip.contains(name)) {
         try {
           val df = fn(spark, sfTiny)
+          val gw = df.queryExecution.optimizedPlan.collect {
+            case w: LWindow if w.partitionSpec.isEmpty => w
+          }
+          if (gw.nonEmpty && !globalWindowBounded.contains(name))
+            violations += s"$name: unpartitioned Window (single-task sort)"
+          if (gw.nonEmpty && globalWindowBounded.contains(name) &&
+              !gw.forall(_.child.collectFirst { case a: Aggregate => a }.nonEmpty))
+            violations += s"$name: global window not over a bounded pre-aggregate"
           df.collect()
           val p = df.queryExecution.executedPlan.toString
           val exch = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
