@@ -94,13 +94,16 @@ object Bench {
           true
         } catch { case _: Throwable => false }
       spark.catalog.clearCache() // ops persist derived tables
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      name -> (if (ok)
+        math.round((System.nanoTime() - t0) / 1e9 * 1000.0) / 1000.0
+      else -1.0)
     }
     val duck = duckTimings(sfDir)
     def obj(m: Seq[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qs = obj(results)
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total =
+      math.round(results.map(_._2).filter(_ >= 0).sum * 1000.0) / 1000.0
     // honest decomposition: streaming ops pay memory-sink/state-store
     // scaffolding and landing ops pay real file writes each run — label
     // them so the batch-compute number is visible on its own
@@ -112,18 +115,21 @@ object Bench {
     val groups = results.filter(_._2 >= 0).groupBy(r => bucketOf(r._1))
       .toSeq.sortBy(_._1).map { case (g, rs) =>
         g -> (math.round(rs.map(_._2).sum * 1000.0) / 1000.0) }
-    val extra = if (duck.isEmpty) "" else {
+    // headline fields FIRST (totals, groups, baseline ratios), per-query
+    // maps LAST: a consumer that truncates the line's tail keeps the
+    // numbers that matter even when the 83-entry maps overflow its cap
+    val (headRatio, tailMaps) = if (duck.isEmpty) ("", "") else {
       val ds = obj(results.collect {
         case (k, _) if duck.get(k).exists(_ > 0) => k -> duck(k) })
       val ratios = results.collect {
         case (k, sparkS) if sparkS >= 0 && duck.get(k).exists(_ > 0) =>
           k -> (math.round(sparkS / duck(k) * 100.0) / 100.0) }
-      val duckTotal = duck.values.filter(_ > 0).sum
-      s""","duckdb_s":$ds,"ratio":${obj(ratios)}""" +
-        s""","duckdb_total":$duckTotal""" +
-        s""","ratio_total":${math.round(total / duckTotal * 100.0) / 100.0}"""
+      val duckTotal = math.round(duck.values.filter(_ > 0).sum * 1000.0) / 1000.0
+      (s""","duckdb_total":$duckTotal""" +
+        s""","ratio_total":${math.round(total / duckTotal * 100.0) / 100.0}""",
+        s""","duckdb_s":$ds,"ratio":${obj(ratios)}""")
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"groups":${obj(groups)},"sf":"$sfDir"$extra}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","groups":${obj(groups)}$headRatio,"queries":$qs$tailMaps}""")
     spark.stop()
   }
 }

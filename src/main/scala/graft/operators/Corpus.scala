@@ -15,13 +15,14 @@ import graft.functions.TextFns._
   */
 object Corpus {
 
-  /** Cache contract: the plan persists two intermediates (the exact-dedup
-    * survivor set feeds both the shingle stage and the final anti-join).
-    * Unpersisting inside this method would defeat the reuse — the caller
-    * owns the lifetime: after materializing the result, release with
-    * `spark.catalog.clearCache()` (as Verify/Bench do) or by unpersisting
-    * the session's cached tables. Same contract as Dedup's persisted
-    * signature tables. */
+  /** Reuse contract: two intermediates feed multiple consumers (the
+    * exact-dedup survivor set feeds both the shingle stage and the final
+    * anti-join; the shingled table self-joins). They are materialized
+    * ONCE via eager `localCheckpoint` — same pattern as dedup_cluster —
+    * so reuse never recomputes, lineage is cut, and NOTHING stays
+    * registered in the session's cache manager afterwards: no
+    * caller-side `clearCache()` contract, the checkpoint blocks are
+    * released by the context cleaner when the result is dereferenced. */
   def clean(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
 
@@ -38,7 +39,7 @@ object Corpus {
       .filter(col("doc_id") === col("keep_id"))
       .select(col("doc_id"), col("text"))
       // feeds both the shingle stage and the final anti-join
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
 
     // 3. near-dup removal: bucket-restricted Jaccard pairs (doc_a <
     //    doc_b); any doc appearing as the higher side of a pair drops
@@ -48,7 +49,7 @@ object Corpus {
         wordShingles(col("toks"), 3).as("shingles"))
       .withColumn("bucket",
         array_min(transform(col("shingles"), x => md5(x))))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val a = base.select(col("bucket"), col("doc_id").as("doc_a"),
       col("shingles").as("sh_a"))
     val b = base.select(col("bucket"), col("doc_id").as("doc_b"),

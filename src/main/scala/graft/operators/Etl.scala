@@ -21,17 +21,20 @@ import graft.Tables
 object Etl {
 
   /** Semi-structured JSON with heterogeneous envelopes: the same payload
-    * arrives as {"results":[…]}, {"data":[…]} or bare — unwrap generically
-    * with path coalescing, exactly the reference's format sniffing.
+    * arrives as {"results":[…]}, {"data":[…]}, {"products":[…]} (the
+    * e-commerce API shape, reference lambda_function.py:231-232) or
+    * bare — unwrap generically with path coalescing, exactly the
+    * reference's format sniffing.
     *
     * ONE schema'd `from_json` parse per row covering every envelope shape
     * (a `get_json_object` per candidate path re-parses the whole payload
-    * each time — 3× the JSON work on the hot ingest path). */
+    * each time — 4× the JSON work on the hot ingest path). */
   def jsonEnvelope(s: SparkSession, dir: String): DataFrame = {
     val kStruct = StructType(Seq(StructField("k", StringType)))
     val envSchema = StructType(Seq(
       StructField("results", ArrayType(kStruct)),
       StructField("data", ArrayType(kStruct)),
+      StructField("products", ArrayType(kStruct)),
       StructField("k", StringType)))
     val ev = Tables.events(s, dir)
     val envelope =
@@ -39,15 +42,19 @@ object Etl {
         concat(lit("{\"results\": ["), col("props"), lit("]}")))
         .when(col("event_type") === "click",
           concat(lit("{\"data\": ["), col("props"), lit("]}")))
+        .when(col("event_type") === "purchase",
+          concat(lit("{\"products\": ["), col("props"), lit("]}")))
         .otherwise(col("props"))
     ev.withColumn("parsed", from_json(envelope, envSchema))
       .select(col("event_id"),
         when(col("event_type") === "view", lit("results"))
           .when(col("event_type") === "click", lit("data"))
+          .when(col("event_type") === "purchase", lit("products"))
           .otherwise(lit("bare")).as("envelope_kind"),
         coalesce(
           col("parsed.results").getItem(0).getField("k"),
           col("parsed.data").getItem(0).getField("k"),
+          col("parsed.products").getItem(0).getField("k"),
           col("parsed.k")).cast("int").as("k"))
   }
 
@@ -144,9 +151,15 @@ object Etl {
     * partition — from the landed files themselves (`input_file_name`),
     * not from what the writer intended. The read is metadata-cheap and
     * the manifest is the recovery/bookkeeping surface an incremental
-    * 100 TB lake audits against. File counts are layout-dependent →
-    * rows-only (spec asserts totals). */
-  def manifest(s: SparkSession, dir: String): DataFrame = {
+    * 100 TB lake audits against. The oracled `manifest` output carries
+    * the deterministic per-date row totals; the layout-dependent file
+    * counts live in `manifestDetail` (spec-asserted, not oracle-able —
+    * file layout is a writer choice, not a data fact). */
+  def manifest(s: SparkSession, dir: String): DataFrame =
+    manifestDetail(s, dir).select(col("event_date"), col("n_rows"))
+
+  /** Full manifest including per-partition file counts (rows-only). */
+  def manifestDetail(s: SparkSession, dir: String): DataFrame = {
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_manifest_" +
       s"${dir.replaceAll("[^0-9a-zA-Z]", "_")}_" +
       s.sparkContext.applicationId
@@ -170,8 +183,16 @@ object Etl {
     * before the partitioned write), and the operator reports per-date
     * file counts before/after plus the row count, which must not
     * change. At 100 TB the same plan runs per-partition with a target
-    * file size instead of file count. */
-  def compact(s: SparkSession, dir: String): DataFrame = {
+    * file size instead of file count. As with the manifest, the oracled
+    * `compact` output is the invariant part — per-date row totals before
+    * and after, which a rewrite must preserve — while the file counts
+    * (layout-dependent by nature) stay in `compactDetail` for the spec. */
+  def compact(s: SparkSession, dir: String): DataFrame =
+    compactDetail(s, dir).select(col("event_date"),
+      col("n_rows_before"), col("n_rows_after"))
+
+  /** Full compaction report including before/after file counts. */
+  def compactDetail(s: SparkSession, dir: String): DataFrame = {
     val tag = s"${dir.replaceAll("[^0-9a-zA-Z]", "_")}_" +
       s.sparkContext.applicationId
     val tmp = System.getProperty("java.io.tmpdir")
@@ -194,6 +215,37 @@ object Etl {
       .orderBy(col("event_date"))
   }
 
+  /** Write-time landing metadata — the reference attaches
+    * source/record_count/extracted_timestamp metadata to every object it
+    * lands (lambda_function.py:330-341) and declares a `metadata/` area
+    * beside the data (config.json `folders.metadata`). This op lands the
+    * date-partitioned data AND, in the same run, a `metadata/` dataset
+    * recording the WRITER's per-partition record_count and run timestamp —
+    * computed from the in-flight DataFrame (one tiny map-side-combined
+    * aggregate), not reconstructed from landed files. `etl_manifest` is
+    * the after-the-fact audit of the same landing; a spec reconciles the
+    * two, which is exactly the bookkeeping contract a 100 TB lake
+    * recovers with. Run timestamps are run-dependent → rows-only. */
+  def landingMetadata(s: SparkSession, dir: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_meta_" +
+      s"${dir.replaceAll("[^0-9a-zA-Z]", "_")}_" +
+      s.sparkContext.applicationId
+    val dated = Tables.events(s, dir)
+      .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
+    dated.write.mode("overwrite").partitionBy("event_date")
+      .parquet(s"$out/data")
+    dated.groupBy(col("event_date"))
+      .agg(count(lit(1)).as("record_count"))
+      .select(lit("events").as("source"), col("event_date"),
+        col("record_count"),
+        // current_timestamp is fixed at query start: ONE stamp per run,
+        // the reference's extracted_timestamp contract
+        current_timestamp().as("extracted_timestamp"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$out/metadata")
+    s.read.parquet(s"$out/metadata").orderBy(col("event_date"))
+  }
+
   /** Daily-cadence incremental batch: select one date window, dedupe on
     * the natural key keeping the earliest record — idempotent re-ingestion
     * for the scheduled daily run. */
@@ -214,6 +266,7 @@ object Etl {
     "etl_partitioned_write" -> (partitionedWrite _),
     "etl_manifest" -> (manifest _),
     "etl_compact" -> (compact _),
+    "etl_landing_metadata" -> (landingMetadata _),
     "etl_run_summary" -> (runSummary _),
     "etl_incremental" -> (incremental _))
 
@@ -223,15 +276,18 @@ object Etl {
         |  SELECT event_id,
         |    CASE WHEN event_type = 'view' THEN 'results'
         |         WHEN event_type = 'click' THEN 'data'
+        |         WHEN event_type = 'purchase' THEN 'products'
         |         ELSE 'bare' END AS envelope_kind,
         |    CASE WHEN event_type = 'view' THEN '{"results": [' || props || ']}'
         |         WHEN event_type = 'click' THEN '{"data": [' || props || ']}'
+        |         WHEN event_type = 'purchase' THEN '{"products": [' || props || ']}'
         |         ELSE props END AS envelope
         |  FROM events)
         |SELECT event_id, envelope_kind,
         |  CAST(COALESCE(
         |    json_extract_string(envelope, '$.results[0].k'),
         |    json_extract_string(envelope, '$.data[0].k'),
+        |    json_extract_string(envelope, '$.products[0].k'),
         |    json_extract_string(envelope, '$.k')) AS INT) AS k
         |FROM enveloped""".stripMargin,
     "etl_standardize" ->
@@ -273,6 +329,13 @@ object Etl {
         |  COUNT(DISTINCT lang) AS n_langs,
         |  MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
         |FROM documents GROUP BY source""".stripMargin,
+    "etl_manifest" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS event_date, COUNT(*) AS n_rows
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "etl_compact" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+        |  COUNT(*) AS n_rows_before, COUNT(*) AS n_rows_after
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "etl_incremental" ->
       """SELECT user_id, event_type, ts,
         |  MIN(event_id) AS event_id, COUNT(*) AS n_dups

@@ -121,7 +121,7 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("compaction keeps every row and strictly reduces file counts") {
-    val c = operators.Etl.compact(spark, sfTiny)
+    val c = operators.Etl.compactDetail(spark, sfTiny)
     assert(c.filter(col("n_rows_before") =!= col("n_rows_after"))
       .count() == 0, "compaction must not change data")
     assert(c.filter(col("files_after") > col("files_before")).count() == 0)
@@ -143,8 +143,32 @@ class OperatorsSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq, "epoch order must be partitioning-invariant")
   }
 
+  test("corpus ops leave nothing registered in the cache manager") {
+    spark.catalog.clearCache()
+    operators.Corpus.mix(spark, sfTiny).collect() // mix runs clean too
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "corpus_clean/mix must not leave cached tables behind")
+  }
+
+  test("write-time metadata reconciles with the after-the-fact manifest") {
+    val meta = operators.Etl.landingMetadata(spark, sfTiny)
+    // one run stamp for the whole landing (the reference's
+    // extracted_timestamp contract), never null
+    assert(meta.select(col("extracted_timestamp")).distinct().count() == 1)
+    assert(meta.filter(col("extracted_timestamp").isNull).count() == 0)
+    // writer-declared counts == counts audited from the landed files
+    val audit = operators.Etl.manifestDetail(spark, sfTiny)
+      .select(col("event_date"), col("n_rows"))
+    val mismatched = meta.select(col("event_date"), col("record_count"))
+      .join(audit, Seq("event_date"), "full_outer")
+      .filter(col("record_count").isNull || col("n_rows").isNull ||
+        col("record_count") =!= col("n_rows"))
+    assert(mismatched.count() == 0,
+      "write-time metadata and manifest audit must agree per partition")
+  }
+
   test("manifest accounts for every landed row with at least one file") {
-    val m = operators.Etl.manifest(spark, sfTiny)
+    val m = operators.Etl.manifestDetail(spark, sfTiny)
     assert(m.agg(sum("n_rows")).first().getLong(0) ==
       Tables.events(spark, sfTiny).count())
     assert(m.filter(col("n_files") < 1).count() == 0)

@@ -30,7 +30,8 @@ class PlanAudit extends SparkSpec {
     val skip = Set("stream_windowed_counts", "stream_sessionize",
       "stream_dedup", "stream_campaign_stats",
       "etl_partitioned_write", "etl_json_landing", "etl_csv_landing",
-      "etl_manifest", "etl_compact", "q17_bucketed_join", "mm_binary_pipeline")
+      "etl_manifest", "etl_compact", "etl_landing_metadata",
+      "q17_bucketed_join", "mm_binary_pipeline")
     // ev_ab_significance / q23_revenue_deciles join the same one-row
     // totals pattern as tfidf/logprob
     val bnljAllowed = Set("ann_bruteforce_topk", "ann_ivf_topk",
