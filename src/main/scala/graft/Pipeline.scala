@@ -15,16 +15,69 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
-  /** One data source: where it reads from, how its records shape, and how
-    * many times a failed extract is retried before the error is recorded
-    * (reference extract passes timeout/max_retries per source,
-    * lambda_function.py:210-215). */
+  /** One data source: where it reads from, how its records shape, how
+    * many times a failed extract is retried before the error is
+    * recorded, and how long one attempt may run (reference extract
+    * passes url/timeout/max_retries/limit per source,
+    * lambda_function.py:188-215). `table` addresses the default
+    * TableExtractor; `url` addresses HTTP-shaped extractors. */
   final case class Source(
       name: String,
       table: String,
       limit: Option[Int] = None,
       maxRetries: Int = 0,
-      format: String = "parquet")
+      format: String = "parquet",
+      url: Option[String] = None,
+      timeoutSec: Option[Int] = None)
+
+  /** The pluggable extract leg — the reference's `extract_data` pulls
+    * per-source REST endpoints (lambda_function.py:188-215); a Spark
+    * deployment points a source at a lake table, a queue dump, or an
+    * HTTP connector. `run` drives whichever extractor it is given and
+    * owns retries/timeout/limit around it, so an extractor only says
+    * where raw records come from. */
+  trait Extractor {
+    /** Produce the raw DataFrame for one source; called once per
+      * attempt. Throw to signal a failed extract (retried by `run`). */
+    def extract(spark: SparkSession, src: Source): DataFrame
+  }
+
+  /** Default extract leg: the source's `table` in the lake dir. */
+  final class TableExtractor(dataDir: String) extends Extractor {
+    def extract(spark: SparkSession, src: Source): DataFrame =
+      Tables.load(spark, dataDir, src.table)
+  }
+
+  /** HTTP-shaped extract leg over a url→response-body resolver. The
+    * transport is pluggable (this container has no network; tests pass
+    * a fixture map — a deployment passes a real GET), but the RESPONSE
+    * HANDLING is the reference's exactly (lambda_function.py:224-244):
+    * unwrap `results`/`data`/`products` envelopes, accept a bare array,
+    * wrap a single object. One response body is one API page — parsing
+    * it driver-side then distributing via spark.read.json keeps the
+    * per-record shaping (the scale-bearing part) in Spark. */
+  final class JsonResponseExtractor(fetch: String => String)
+      extends Extractor {
+    def extract(spark: SparkSession, src: Source): DataFrame = {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val url = src.url.getOrElse(
+        throw new IllegalArgumentException(s"source ${src.name} has no url"))
+      def str(v: JValue): String = JsonMethods.compact(JsonMethods.render(v))
+      val records: Seq[String] = JsonMethods.parse(fetch(url)) match {
+        case obj @ JObject(_) =>
+          // envelope priority exactly as the reference sniffs it
+          Seq("results", "data", "products")
+            .map(k => obj \ k)
+            .collectFirst { case JArray(items) => items.map(str) }
+            .getOrElse(Seq(str(obj)))
+        case JArray(items) => items.map(str)
+        case other => Seq(str(other))
+      }
+      import spark.implicits._
+      spark.read.json(spark.createDataset(records))
+    }
+  }
 
   final case class Config(
       sources: Seq[Source],
@@ -60,10 +113,12 @@ object Pipeline {
     val sources = json \ "data_sources" match {
       case JObject(fields) => fields.map { case (name, v) =>
         Source(name,
-          (v \ "table").extract[String],
+          (v \ "table").extractOpt[String].getOrElse(""),
           (v \ "limit").extractOpt[Int],
           (v \ "retry_attempts").extractOpt[Int].getOrElse(defaultRetries),
-          (v \ "format").extractOpt[String].getOrElse("parquet"))
+          (v \ "format").extractOpt[String].getOrElse("parquet"),
+          (v \ "url").extractOpt[String],
+          (v \ "timeout").extractOpt[Int])
       }
       case _ => Nil
     }
@@ -90,16 +145,45 @@ object Pipeline {
       struct(df.columns.map(col): _*).as("raw_data"))
   }
 
+  /** Run the pipeline against the default table extract leg. */
+  def run(spark: SparkSession, sfDir: String, config: Config): DataFrame =
+    run(spark, config, new TableExtractor(sfDir))
+
   /** Run the pipeline: per-source extract/transform/load, then return the
     * execution summary as a DataFrame (the reference's
     * save_execution_summary, minus the wall-clock fields so reruns are
-    * deterministic). */
-  def run(spark: SparkSession, sfDir: String, config: Config): DataFrame = {
+    * deterministic). Each attempt runs under the source's timeout (the
+    * reference passes `timeout` to its HTTP client): on expiry the
+    * source's in-flight Spark jobs are cancelled via the job group and
+    * the attempt counts as failed — retried, then recorded, while the
+    * run continues. */
+  def run(spark: SparkSession, config: Config,
+      extractor: Extractor): DataFrame = {
     import spark.implicits._
+    def timed[T](src: Source)(body: => T): T = src.timeoutSec match {
+      case None => body
+      case Some(sec) =>
+        import scala.concurrent.{Await, Future, TimeoutException}
+        import scala.concurrent.duration._
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val group = s"graft-pipeline-${src.name}"
+        val fut = Future {
+          // job group is thread-local: set it on the thread running the jobs
+          spark.sparkContext.setJobGroup(group,
+            s"pipeline source ${src.name}", interruptOnCancel = true)
+          try body finally spark.sparkContext.clearJobGroup()
+        }
+        try Await.result(fut, sec.seconds)
+        catch {
+          case e: TimeoutException =>
+            spark.sparkContext.cancelJobGroup(group)
+            throw e
+        }
+    }
     val results = config.sources.map { src =>
       def attempt(remaining: Int): SourceResult =
-        try {
-          val raw = Tables.load(spark, sfDir, src.table)
+        try timed(src) {
+          val raw = extractor.extract(spark, src)
           val limited = src.limit.map(raw.limit).getOrElse(raw)
           val shaped = standardize(limited, src.name, config.runDate)
           val out = s"${config.landingDir}/${src.name}/" +

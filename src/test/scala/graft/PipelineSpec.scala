@@ -41,6 +41,82 @@ class PipelineSpec extends SparkSpec {
     assert(again("sales") == summary("sales")._2)
   }
 
+  test("pluggable extract leg: flaky source recovers on retry, dead " +
+      "source records its error, run continues") {
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val extractor = new Pipeline.Extractor {
+      def extract(s: org.apache.spark.sql.SparkSession,
+          src: Pipeline.Source): org.apache.spark.sql.DataFrame =
+        src.name match {
+          case "flaky" =>
+            // fails twice, succeeds on the third attempt (= retry 2)
+            if (calls.incrementAndGet() <= 2)
+              throw new RuntimeException("transient extract failure")
+            Tables.load(s, sfTiny, src.table)
+          case "dead" => throw new RuntimeException("endpoint down")
+          case _ => Tables.load(s, sfTiny, src.table)
+        }
+    }
+    val landing = java.nio.file.Files
+      .createTempDirectory("graft_pipeline_ext").toString
+    val config = Pipeline.Config(
+      sources = Seq(
+        Pipeline.Source("flaky", "region", maxRetries = 2),
+        Pipeline.Source("dead", "nation", maxRetries = 1),
+        Pipeline.Source("steady", "region")),
+      landingDir = landing, runDate = "2026-08-12")
+    val summary = Pipeline.run(spark, config, extractor).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getString(3))).toMap
+    assert(summary("flaky")._1 == "ok", "must succeed on retry 2")
+    assert(calls.get() == 3, "1 initial attempt + 2 retries")
+    assert(summary("dead")._1 == "error")
+    assert(summary("dead")._2.contains("endpoint down"),
+      "the recorded error must carry the extract failure")
+    assert(summary("steady")._1 == "ok",
+      "a dead source must not stop later sources")
+  }
+
+  test("HTTP-shaped extractor unwraps the reference's response envelopes") {
+    val bodies = Map(
+      "api://crm" -> """{"results": [{"k": 1}, {"k": 2}]}""",
+      "api://marketing" -> """{"products": [{"k": 3}]}""",
+      "api://sales" -> """[{"k": 4}, {"k": 5}, {"k": 6}]""",
+      "api://single" -> """{"k": 7}""")
+    val ex = new Pipeline.JsonResponseExtractor(bodies(_))
+    def rows(url: String): Seq[Long] =
+      ex.extract(spark, Pipeline.Source("s", "", url = Some(url)))
+        .select(col("k")).collect().map(_.getLong(0)).toSeq.sorted
+    assert(rows("api://crm") == Seq(1L, 2L), "results envelope")
+    assert(rows("api://marketing") == Seq(3L), "products envelope")
+    assert(rows("api://sales") == Seq(4L, 5L, 6L), "bare array")
+    assert(rows("api://single") == Seq(7L), "single object wraps to one row")
+  }
+
+  test("a source exceeding its timeout is cancelled and recorded; the " +
+      "run continues") {
+    val extractor = new Pipeline.Extractor {
+      def extract(s: org.apache.spark.sql.SparkSession,
+          src: Pipeline.Source): org.apache.spark.sql.DataFrame = {
+        if (src.name == "slow") Thread.sleep(30000)
+        Tables.load(s, sfTiny, src.table)
+      }
+    }
+    val landing = java.nio.file.Files
+      .createTempDirectory("graft_pipeline_to").toString
+    val config = Pipeline.Config(
+      sources = Seq(
+        Pipeline.Source("slow", "region", timeoutSec = Some(1)),
+        Pipeline.Source("after", "region")),
+      landingDir = landing, runDate = "2026-08-12")
+    val t0 = System.nanoTime()
+    val summary = Pipeline.run(spark, config, extractor).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(summary("slow") == "error", "timeout records an error")
+    assert(summary("after") == "ok")
+    assert((System.nanoTime() - t0) / 1e9 < 25,
+      "the run must not wait out the slow source")
+  }
+
   test("pipeline runs from a JSON config file (reference registry shape)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cfg")
     val cfgPath = dir.resolve("config.json")
@@ -48,16 +124,20 @@ class PipelineSpec extends SparkSpec {
       """{ "data_sources": {
         |    "marketing": {"table": "part", "limit": 100, "format": "json"},
         |    "ads":       {"table": "events"},
-        |    "broken":    {"table": "no_such_table", "retry_attempts": 2}
+        |    "broken":    {"table": "no_such_table", "retry_attempts": 2},
+        |    "crm":       {"url": "api://crm", "timeout": 30}
         |  },
         |  "processing": {"error_handling": "continue",
         |                 "retry_attempts": 1} }""".stripMargin)
     val config = Pipeline.loadConfig(cfgPath.toString,
       dir.resolve("landing").toString, "2026-08-12")
-    assert(config.sources.map(_.name) == Seq("marketing", "ads", "broken"))
+    assert(config.sources.map(_.name) ==
+      Seq("marketing", "ads", "broken", "crm"))
     assert(config.sources.head.limit.contains(100))
     assert(config.sources.head.maxRetries == 1,   "processing default")
-    assert(config.sources.last.maxRetries == 2,   "per-source override")
+    assert(config.sources(2).maxRetries == 2,     "per-source override")
+    assert(config.sources.last.url.contains("api://crm"), "url source")
+    assert(config.sources.last.timeoutSec.contains(30))
     assert(config.errorHandling == "continue")
     assert(config.sources.head.format == "json", "per-source format")
     assert(config.sources(1).format == "parquet", "format default")
