@@ -141,9 +141,42 @@ object Dedup {
     size(array_intersect(a, b)).cast("double") /
       size(array_union(a, b)).cast("double")
 
+  /** Candidate id-pairs from an exploded (doc_id, band_id, band_hash)
+    * table, with heavy-hitter bucket salting. A plain band self-join
+    * sends a whole (band_id, band_hash) bucket to ONE join group: a
+    * duplicate-storm bucket of width w costs w² comparisons in a single
+    * task. Here a bucket of width w splits into g = ceil(w/target) salt
+    * groups: side A takes ONE salt by doc-id hash, side B replicates
+    * across all g, so every a<b pair still appears exactly once
+    * (unchanged recall) while no join group carries more than ~target
+    * A-rows — the storm bucket becomes g parallel groups of ≤ target·w
+    * comparisons. Narrow buckets (w ≤ target, the common case) get
+    * g = 1: zero replication, the exact pre-salt plan. The width table
+    * is co-partitioned with the band key (reused exchange, never a
+    * broadcast — bucket count is data-scale). */
+  private[graft] def saltedBandPairs(banded: DataFrame,
+      target: Int): DataFrame = {
+    val widths = banded.groupBy(col("band_id"), col("band_hash"))
+      .agg(count(lit(1)).as("__w"))
+    val salted = banded.join(widths, Seq("band_id", "band_hash"))
+      .withColumn("__g", ceil(col("__w") / lit(target)).cast("int"))
+    val a = salted.select(col("band_id"), col("band_hash"),
+      pmod(xxhash64(col("doc_id")), col("__g").cast("long")).cast("int")
+        .as("__salt"),
+      col("doc_id").as("doc_a"))
+    val b = salted.select(col("band_id"), col("band_hash"),
+      explode(sequence(lit(0), col("__g") - 1)).as("__salt"),
+      col("doc_id").as("doc_b"))
+    a.join(b, Seq("band_id", "band_hash", "__salt"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+  }
+
   /** MinHash+LSH near-dup detection — the full scale path: one string-
-    * hash pass, k=32 multiply-shift minima → 8 bands of 4 → band-bucket
-    * join on ids only → exact-Jaccard verification of survivors. */
+    * hash pass, k=32 multiply-shift minima → 8 bands of 4 → salted
+    * band-bucket join on ids only → exact-Jaccard verification of
+    * survivors. */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     val bands = 8
     val r = 4
@@ -155,14 +188,7 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val banded = base.select(col("doc_id"),
       posexplode(col("bands")).as(Seq("band_id", "band_hash")))
-    val a = banded.select(col("band_id"), col("band_hash"),
-      col("doc_id").as("doc_a"))
-    val b = banded.select(col("band_id"), col("band_hash"),
-      col("doc_id").as("doc_b"))
-    val pairs = a.join(b, Seq("band_id", "band_hash"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
-      .distinct()
+    val pairs = saltedBandPairs(banded, target = 64)
     attach(pairs, base, "hs")
       .filter(size(col("sh_a")) <= size(col("sh_b")) * 2 &&
         size(col("sh_b")) <= size(col("sh_a")) * 2)

@@ -33,10 +33,15 @@ class StressSpec extends SparkSpec {
       col("doc_id").as("doc_a"))
     val b = banded.select(col("band_id"), col("band_hash"),
       col("doc_id").as("doc_b"))
-    val pairs = a.join(b, Seq("band_id", "band_hash"))
+    val unsalted = a.join(b, Seq("band_id", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the production (salted) candidate generator must emit EXACTLY the
+    // plain self-join's pair set — salting redistributes, never drops
+    val pairs = operators.Dedup.saltedBandPairs(banded, target = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == unsalted, "salted candidates must equal plain self-join")
 
     val nDocs = docs.count()
     // every doc's 3 copies form 3 pairs; all must be candidates
@@ -46,6 +51,31 @@ class StressSpec extends SparkSpec {
     }.toSet
     val missed = copyPairs -- pairs
     assert(missed.isEmpty, s"missed copy pairs: ${missed.take(5)}")
+  }
+
+  test("band salting caps join-group width on a single-bucket storm " +
+      "without losing a pair") {
+    // 400 byte-identical docs: identical signatures → ONE band bucket of
+    // width 400 in every band — the exact quadratic single-task blowup
+    val target = 64
+    val n = 400
+    val storm = (0 until n)
+      .map(i => (i.toLong, 7L)).toDF("doc_id", "band_hash")
+      .select(col("doc_id"), lit(0).as("band_id"), col("band_hash"))
+    val pairs = operators.Dedup.saltedBandPairs(storm, target)
+    assert(pairs.count() == n.toLong * (n - 1) / 2,
+      "every unordered pair must survive salting exactly once")
+    // the A side of the salted join never concentrates a bucket on one
+    // group: each (band, hash, salt) holds ~w/g ≤ target rows (hash
+    // split, so allow 2x slack)
+    val g = math.ceil(n.toDouble / target).toInt
+    val maxGroup = storm
+      .select(pmod(xxhash64(col("doc_id")), lit(g.toLong)).as("salt"))
+      .groupBy(col("salt")).count()
+      .agg(max(col("count"))).first().getLong(0)
+    assert(maxGroup <= 2L * target,
+      s"salted group width $maxGroup exceeds 2x target $target")
+    assert(g >= 6, "the storm bucket must actually have split")
   }
 
   test("hash-min CC converges on a worst-case 60-long chain") {
