@@ -301,48 +301,82 @@ object Events {
   /** RFM segmentation — the classic ads/CRM user triage: per user, days
     * since last activity (Recency), event count (Frequency), total spend
     * (Monetary), each quartiled with deterministic tie-breaks into a
-    * 3-digit RFM code. The anchor date is the corpus max day, so the
-    * operator is deterministic on static data and rerun-stable. */
+    * 3-digit RFM code. Recency is ranked on the last-activity day
+    * itself (any fixed anchor merely shifts it), so the operator is
+    * deterministic on static data and rerun-stable. */
   def rfmSegments(s: SparkSession, dir: String): DataFrame = {
     val perUser = Tables.events(s, dir)
       .groupBy(col("user_id"))
       .agg(max(col("ts").cast("date")).as("last_day"),
         count(lit(1)).as("frequency"),
         sum(dec2(col("value"))).as("monetary_dec"))
-    // anchor from the per-user table (max of per-user maxes): saves a
-    // second full events scan, and ReuseExchange feeds it and every
-    // quartile pass below from the one user_id shuffle
-    val anchor = perUser.agg(max(col("last_day")).as("anchor"))
-    val per = perUser
-      .crossJoin(broadcast(anchor))
-      .withColumn("recency_days", datediff(col("anchor"), col("last_day")))
+    // no anchor join: the corpus-max anchor only SHIFTS recency_days,
+    // so recency ASC ≡ last_day DESC and the quartiles are identical —
+    // rank on the last-activity day directly. Checkpoint so the rank
+    // branches below never recompute the events aggregation.
+    val per = perUser.localCheckpoint()
     // lower recency = better → rank ascending; higher freq/monetary =
     // better → rank descending; user_id tie-break everywhere. A global
     // ntile(4) window is a single-task sort over every user, so each
-    // quartile is an exact two-pass bucket rank instead (see Ranking).
-    per
-      .transform(quartile(col("recency_days"),
-        Seq(col("recency_days"), col("user_id")), "r_q"))
-      .transform(quartile(negate(col("frequency")),
-        Seq(col("frequency").desc, col("user_id")), "f_q"))
-      .transform(quartile(negate(col("monetary_dec")),
-        Seq(col("monetary_dec").desc, col("user_id")), "m_q"))
+    // quartile is an exact two-pass bucket rank (Ranking's recipe) —
+    // with all three dimensions FUSED in LONG FORMAT: each user becomes
+    // three (dim, sortv) rows whose sort value is an exact ascending
+    // LONG (recency days; negated event count; negated spend in cents —
+    // decimal(…,2)×100 is exact, ANSI throws loudly if a user's spend
+    // ever overflows cents-in-a-long), so ONE grouped percentile pass,
+    // ONE count→offset pass and ONE bucket-partitioned window rank all
+    // dimensions, and a pivot folds the quartiles back per user.
+    val nB = 64
+    val longFmt = per.select(col("user_id"), col("monetary_dec"),
+      explode(array(
+        struct(lit("r").as("dim"),
+          negate(datediff(col("last_day"), lit("1970-01-01").cast("date")))
+            .cast("long").as("sortv")),
+        struct(lit("f").as("dim"), negate(col("frequency")).as("sortv")),
+        struct(lit("m").as("dim"),
+          negate((col("monetary_dec") * lit(100)).cast("long"))
+            .as("sortv")))).as("dv"))
+      .select(col("user_id"), col("monetary_dec"),
+        col("dv.dim").as("dim"), col("dv.sortv").as("sortv"))
+    val qs = (1 until nB).map(i => lit(i.toDouble / nB))
+    val bounds = longFmt.groupBy(col("dim"))
+      .agg(percentile_approx(col("sortv"), array(qs: _*), lit(10000))
+        .as("bs"))
+    val ann = longFmt.join(broadcast(bounds), "dim")
+      .withColumn("bkt", aggregate(col("bs"), lit(0),
+        (acc, b) => acc + when(col("sortv") >= b, 1).otherwise(0)))
+      .drop("bs")
+    val cnts = ann.groupBy(col("dim"), col("bkt"))
+      .agg(count(lit(1)).as("c"))
+    // bucket counts → rank offsets without any global window (tiny
+    // explode/re-aggregate, same trick as Ranking.bucketedRowNumber)
+    val offs = cnts.filter(col("bkt") < lit(nB - 1))
+      .select(col("dim"),
+        explode(sequence(col("bkt") + lit(1), lit(nB - 1))).as("bkt"),
+        col("c"))
+      .groupBy(col("dim"), col("bkt")).agg(sum(col("c")).as("off"))
+    // every user ranks in every dimension, so N is one number
+    val total = cnts.filter(col("dim") === "r")
+      .agg(sum(col("c")).as("n_total"))
+    val w = Window.partitionBy(col("dim"), col("bkt"))
+      .orderBy(col("sortv"), col("user_id"))
+    val quartiled = ann
+      .join(broadcast(offs), Seq("dim", "bkt"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("q", Ranking.ntileFromRank(
+        coalesce(col("off"), lit(0L)) + row_number().over(w),
+        col("n_total"), 4))
+      .groupBy(col("user_id"))
+      .agg(max(when(col("dim") === "r", col("q"))).as("r_q"),
+        max(when(col("dim") === "f", col("q"))).as("f_q"),
+        max(when(col("dim") === "m", col("q"))).as("m_q"),
+        max(col("monetary_dec")).as("monetary_dec"))
+    quartiled
       .groupBy(concat(col("r_q"), col("f_q"), col("m_q")).as("rfm_segment"))
       .agg(count(lit(1)).as("n_users"),
         outd(sum(col("monetary_dec"))).as("segment_revenue"))
       .orderBy(col("rfm_segment"))
   }
-
-  /** One exact quartile column via distributed two-pass ranking: 64
-    * percentile range buckets on the ascending-normalized sort value,
-    * bucket offsets, within-bucket row_number, ntile-from-rank. */
-  private def quartile(sortAsc: Column, order: Seq[Column],
-      name: String)(df: DataFrame): DataFrame =
-    Ranking.bucketedRowNumber(
-        Ranking.withValueBucket(df, sortAsc, "__bkt", 64),
-        Nil, "__bkt", 64, order, "__rn", totalName = Some("__n"))
-      .withColumn(name, Ranking.ntileFromRank(col("__rn"), col("__n"), 4))
-      .drop("__bkt", "__rn", "__n")
 
   /** Top-k users by spend, explicit tie-break. */
   def topkHeavyHitters(s: SparkSession, dir: String): DataFrame = {
