@@ -94,11 +94,75 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** Train→test contamination audit — the decontamination metric every
+    * eval release runs: for each TEST-split document (the same
+    * hash-nibble split rule as Sampling.hashSplit), the fraction of its
+    * distinct word-3-gram shingles that occur ANYWHERE in the TRAIN
+    * split. Linear, never doc×doc: one distinct-shingle vocabulary on
+    * the train side (map-side combinable), one equi-join of the
+    * exploded test shingles against it. At 100 TB the vocabulary join
+    * is a plain hash shuffle on the shingle string — no pair
+    * enumeration, no skew beyond shingle frequency. */
+  def contamination(s: SparkSession, dir: String): DataFrame = {
+    val nibble = substring(md5(col("text")), 32, 1)
+    val split =
+      when(nibble.isin("0", "1", "2", "3", "4", "5", "6", "7", "8",
+        "9", "a", "b"), "train")
+        .when(nibble.isin("c", "d"), "val")
+        .otherwise(lit("test"))
+    val base = Tables.documents(s, dir)
+      .withColumn("split", split)
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), col("split"),
+        wordShingles(col("toks"), 3).as("shingles"))
+    val trainVocab = base.filter(col("split") === "train")
+      .select(explode(col("shingles")).as("sh")).distinct()
+      .withColumn("hit", lit(1))
+    base.filter(col("split") === "test")
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .join(trainVocab, Seq("sh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(col("hit")).as("n_contaminated"))
+      .withColumn("contamination_rate",
+        round(col("n_contaminated").cast("double") /
+          col("n_shingles").cast("double"), 6))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_clean" -> (clean _),
-    "corpus_mix" -> (mix _))
+    "corpus_mix" -> (mix _),
+    "corpus_contamination" -> (contamination _))
 
   val oracles: Map[String, String] = Map(
+    "corpus_contamination" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN substr(md5(text), 32, 1) IN
+        |        ('0','1','2','3','4','5','6','7','8','9','a','b')
+        |      THEN 'train'
+        |      WHEN substr(md5(text), 32, 1) IN ('c','d') THEN 'val'
+        |      ELSE 'test' END AS split,
+        |    list_distinct(CASE WHEN len(w) >= 3
+        |      THEN list_transform(range(1, len(w) - 1),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        |      ELSE [] END) AS shingles
+        |  FROM (SELECT doc_id, text,
+        |          regexp_split_to_array(trim(text), '\s+') AS w
+        |        FROM documents)),
+        |train_vocab AS (
+        |  SELECT DISTINCT unnest(shingles) AS sh FROM base
+        |  WHERE split = 'train'),
+        |test_sh AS (
+        |  SELECT doc_id, unnest(shingles) AS sh FROM base
+        |  WHERE split = 'test')
+        |SELECT t.doc_id, COUNT(*) AS n_shingles,
+        |  COUNT(v.sh) AS n_contaminated,
+        |  ROUND(CAST(COUNT(v.sh) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+        |    AS contamination_rate
+        |FROM test_sh t LEFT JOIN train_vocab v ON t.sh = v.sh
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
     "corpus_clean" ->
       """WITH quality AS (
         |  SELECT doc_id, text FROM documents WHERE n_chars >= 100),

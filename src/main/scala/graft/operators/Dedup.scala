@@ -294,7 +294,28 @@ object Dedup {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** Per-source duplication telemetry — the dashboard row a corpus
+    * curator watches per crawl/feed: doc counts, distinct raw and
+    * normalized content hashes, and the resulting duplication rates.
+    * One map-side-combinable shuffle on `source`. */
+  def stats(s: SparkSession, dir: String): DataFrame = {
+    val norm = lower(regexp_replace(trim(col("text")), "\\s+", " "))
+    Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_distinct_texts"),
+        countDistinct(md5(norm)).as("n_distinct_norm"))
+      .select(col("source"), col("n_docs"), col("n_distinct_texts"),
+        col("n_distinct_norm"),
+        round(lit(1.0) - col("n_distinct_texts").cast("double") /
+          col("n_docs").cast("double"), 6).as("dup_rate"),
+        round(lit(1.0) - col("n_distinct_norm").cast("double") /
+          col("n_docs").cast("double"), 6).as("norm_dup_rate"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_stats" -> (stats _),
     "dedup_exact" -> (exact _),
     "dedup_exact_norm" -> (exactNormalized _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
@@ -305,6 +326,16 @@ object Dedup {
     "dedup_embedding_cosine" -> (embeddingCosine _))
 
   val oracles: Map[String, String] = Map(
+    "dedup_stats" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT md5(text)) AS n_distinct_texts,
+        |  COUNT(DISTINCT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))))
+        |    AS n_distinct_norm,
+        |  ROUND(1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate,
+        |  ROUND(1.0 - CAST(COUNT(DISTINCT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS norm_dup_rate
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
         |COUNT(*) AS n_copies

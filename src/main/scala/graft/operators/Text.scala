@@ -183,7 +183,24 @@ object Text {
       .limit(50)
   }
 
+  /** PII-style redaction over the semi-structured event payloads: mask
+    * every digit run (the stand-in for emails/phones/ids in this
+    * synthetic corpus — the op is the regex-scrub shape a real pipeline
+    * points at PII patterns) and report per-record match telemetry.
+    * Pure projection: codegen regex, no shuffle at all. */
+  def redact(s: SparkSession, dir: String): DataFrame = {
+    val p = col("props")
+    Tables.events(s, dir).select(
+      col("event_id"),
+      regexp_replace(p, "[0-9]+", "#").as("props_redacted"),
+      size(regexp_extract_all(p, lit("[0-9]+"), lit(0)))
+        .as("n_redactions"),
+      (length(p) - length(regexp_replace(p, "[0-9]", "")))
+        .as("n_digit_chars"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt_redact" -> (redact _),
     "txt_token_count" -> (tokenCount _),
     "txt_quality_score" -> (qualityScore _),
     "txt_lang_id" -> (langId _),
@@ -194,6 +211,14 @@ object Text {
     "txt_tfidf_topk" -> (tfidfTopk _))
 
   val oracles: Map[String, String] = Map(
+    "txt_redact" ->
+      """SELECT event_id,
+        |  regexp_replace(props, '[0-9]+', '#', 'g') AS props_redacted,
+        |  CAST(len(regexp_extract_all(props, '[0-9]+')) AS INT)
+        |    AS n_redactions,
+        |  CAST(length(props) - length(regexp_replace(props, '[0-9]', '', 'g'))
+        |    AS INT) AS n_digit_chars
+        |FROM events""".stripMargin,
     "txt_token_count" ->
       """SELECT doc_id,
         |  len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,

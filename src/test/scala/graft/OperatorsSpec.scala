@@ -143,6 +143,39 @@ class OperatorsSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq, "epoch order must be partitioning-invariant")
   }
 
+  test("contamination: rates bounded, only test-split docs reported") {
+    val c = operators.Corpus.contamination(spark, sfTiny)
+    assert(c.filter(col("contamination_rate") < 0 ||
+      col("contamination_rate") > 1).count() == 0)
+    assert(c.filter(col("n_contaminated") > col("n_shingles")).count() == 0)
+    val testIds = Tables.documents(spark, sfTiny)
+      .filter(substring(md5(col("text")), 32, 1).isin("e", "f"))
+      .select(col("doc_id"))
+    assert(c.join(testIds, Seq("doc_id"), "left_anti").count() == 0,
+      "only test-split docs may appear")
+    // the ~30-word vocab guarantees heavy shingle overlap: the audit
+    // must actually flag something
+    assert(c.filter(col("contamination_rate") > 0).count() > 0)
+  }
+
+  test("redaction leaves no digit behind and counts every masked run") {
+    val r = operators.Text.redact(spark, sfTiny)
+    assert(r.filter(col("props_redacted").rlike("[0-9]")).count() == 0)
+    assert(r.filter(col("n_redactions") < 1).count() == 0,
+      "every props payload carries at least one digit run")
+    assert(r.filter(col("n_digit_chars") < col("n_redactions"))
+      .count() == 0, "a run has at least one digit")
+  }
+
+  test("dedup_stats: distinct counts bounded by doc counts, rates agree") {
+    val d = operators.Dedup.stats(spark, sfTiny)
+    assert(d.filter(col("n_distinct_texts") > col("n_docs")).count() == 0)
+    assert(d.filter(col("n_distinct_norm") > col("n_distinct_texts"))
+      .count() == 0, "normalization can only merge hash groups")
+    assert(d.filter(col("dup_rate") < 0 || col("dup_rate") > 1)
+      .count() == 0)
+  }
+
   test("corpus ops leave nothing registered in the cache manager") {
     spark.catalog.clearCache()
     operators.Corpus.mix(spark, sfTiny).collect() // mix runs clean too
