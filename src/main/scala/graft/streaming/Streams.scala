@@ -219,7 +219,40 @@ object Streams {
           .cast("double").as("sum_value"))
   }
 
+  /** Stream-static enrichment — the canonical pattern for joining a
+    * continuous stream against a slowly-changing batch dimension
+    * (Spark re-reads the static side per micro-batch, so dimension
+    * updates flow in without restarting the query). Static side: each
+    * user's acquisition channel — the event_type of their first event
+    * (ts, event_id tie-break), computed from the landed batch table as
+    * one min-of-struct aggregate. The stream enriches every event with
+    * its user's channel and maintains per-channel counts and
+    * exact-decimal revenue in complete mode, so the converged output is
+    * hash-identical to the batch/DuckDB cohort report. */
+  def staticEnrich(s: SparkSession, dir: String): DataFrame = {
+    val firstEv = graft.Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(min(struct(col("ts"), col("event_id"), col("event_type")))
+        .as("f"))
+      .select(col("user_id"), col("f.event_type").as("channel"))
+    val agg = eventStream(s, dir)
+      .join(firstEv, "user_id")
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).as("rev_dec"))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete)
+      .format("memory").queryName("graft_stream_enrich")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table("graft_stream_enrich")
+      .select(col("channel"), col("n_events"),
+        col("rev_dec").cast("double").as("revenue"))
+      .orderBy(col("channel"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_static_enrich" -> (staticEnrich _),
     "stream_windowed_counts" -> (windowedCounts _),
     "stream_sessionize" -> (sessionize _),
     "stream_dedup" -> (dedup _),
@@ -230,6 +263,17 @@ object Streams {
     * applies verbatim. stream_sessionize is rows-only (trailing open
     * sessions stay in state — spec-checked against the batch form). */
   val oracles: Map[String, String] = Map(
+    "stream_static_enrich" ->
+      """WITH first_ev AS (
+        |  SELECT user_id, event_type AS channel FROM (
+        |    SELECT user_id, event_type,
+        |      row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id) AS rn
+        |    FROM events) WHERE rn = 1)
+        |SELECT f.channel, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM events e JOIN first_ev f ON e.user_id = f.user_id
+        |GROUP BY f.channel ORDER BY f.channel""".stripMargin,
     // complete-mode state converges to exactly the batch report, so the
     // batch oracle applies verbatim
     "stream_campaign_stats" ->

@@ -94,6 +94,28 @@ class StreamingSpec extends SparkSpec {
     assert(second == first, "rerun must not re-land already-seen files")
   }
 
+  test("stream-static enrich equals the batch cohort report") {
+    val streamed = streaming.Streams.staticEnrich(spark, sfTiny)
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val firstEv = Tables.events(spark, sfTiny)
+      .groupBy(col("user_id"))
+      .agg(min(struct(col("ts"), col("event_id"), col("event_type")))
+        .as("f"))
+      .select(col("user_id"), col("f.event_type").as("channel"))
+    val batch = Tables.events(spark, sfTiny)
+      .join(firstEv, "user_id")
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("revenue"))
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == batch)
+    assert(streamed.map(_._2).sum ==
+      Tables.events(spark, sfTiny).count(),
+      "every event lands in exactly one cohort")
+  }
+
   test("stream sessionize: finalized sessions are a per-user prefix of batch") {
     def key(r: org.apache.spark.sql.Row) =
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
