@@ -167,13 +167,77 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Per-label centroid drift audit — the embedding-quality dashboard of
+    * a training pipeline: each vector's cosine to its label centroid,
+    * flagging drifted/outlier members. The centroid is a per-(label,
+    * dim) mean whose summation runs as an ORDERED fold over (vec_id, x)
+    * pairs, so the double accumulation is bit-identical across engines,
+    * partitionings and reruns — the audit is oracle-checkable, not
+    * merely approximately right. Cost: the ordered fold materializes one
+    * (label, dim) group's values at a time — bounded by
+    * vectors-per-label; on an unbounded corpus swap the fold for the
+    * plain associative SUM and treat the last-ulp as audit noise. The
+    * centroid table (labels × dims) is broadcast. */
+  def centroidAudit(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val flat = emb
+      .select(col("label"), col("vec_id"),
+        posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("label"), col("vec_id"), col("i"),
+        col("x").cast("double").as("x"))
+    val cent = flat.groupBy(col("label"), col("i"))
+      .agg(collect_list(struct(col("vec_id"), col("x"))).as("xs"))
+      .select(col("label"), col("i"),
+        (aggregate(array_sort(col("xs")), lit(0.0),
+          (acc, e) => acc + e.getField("x")) / size(col("xs"))).as("c"))
+    val carr = cent.groupBy(col("label"))
+      .agg(collect_list(struct(col("i"), col("c"))).as("cs"))
+      .select(col("label"),
+        transform(array_sort(col("cs")), e => e.getField("c")).as("cv"))
+    val vd = asDouble(col("embedding"))
+    emb.join(broadcast(carr), "label")
+      .select(col("label"), col("vec_id"),
+        round(dotD(vd, col("cv")) /
+          nullif(sqrt(dotD(vd, vd)) *
+            sqrt(dotD(col("cv"), col("cv"))), lit(0.0)), 6)
+          .as("cos_centroid"))
+      .orderBy(col("label"), col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce_topk" -> (bruteForceTopk _),
     "ann_lsh_topk" -> (lshTopk _),
     "ann_ivf_topk" -> (ivfTopk _),
-    "emb_normalize" -> (embNormalize _))
+    "emb_normalize" -> (embNormalize _),
+    "emb_centroid_audit" -> (centroidAudit _))
 
   val oracles: Map[String, String] = Map(
+    "emb_centroid_audit" ->
+      """WITH idx AS (
+        |  SELECT label, vec_id, embedding,
+        |    unnest(generate_series(1, len(embedding))) AS i
+        |  FROM embeddings),
+        |flat AS (
+        |  SELECT label, vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM idx),
+        |cent AS (
+        |  SELECT label, i,
+        |    list_sum(array_agg(x ORDER BY vec_id)) / COUNT(*) AS c
+        |  FROM flat GROUP BY label, i),
+        |carr AS (
+        |  SELECT label, array_agg(c ORDER BY i) AS cv
+        |  FROM cent GROUP BY label),
+        |ed AS (
+        |  SELECT label, vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |  FROM embeddings)
+        |SELECT e.label, e.vec_id,
+        |  ROUND(list_dot_product(e.emb, c.cv)
+        |    / NULLIF(sqrt(list_dot_product(e.emb, e.emb))
+        |        * sqrt(list_dot_product(c.cv, c.cv)), 0.0), 6)
+        |    AS cos_centroid
+        |FROM ed e JOIN carr c USING (label)
+        |ORDER BY e.label, e.vec_id""".stripMargin,
     "emb_normalize" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
