@@ -80,10 +80,64 @@ object AsOf {
         round(col("asof_value"), 2).as("asof_value"))
   }
 
+  /** As-of join with a staleness tolerance — the production form of the
+    * point-in-time feature join: state older than the tolerance is as
+    * good as missing (a bid model must not act on an hours-old view).
+    * Same linear union+window plan; the right-side event time rides in
+    * the carried payload and a post-window predicate nulls out matches
+    * older than the tolerance. Staleness is exact epoch-microseconds on
+    * both engines — no second-truncation ambiguity. */
+  def evAsofTolerance(s: SparkSession, dir: String): DataFrame = {
+    val tolUs = 3600L * 1000000L // 1 hour
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts"))
+    val engagement = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val staleUs = unix_micros(col("ts")) - unix_micros(col("asof_ts"))
+    val fresh = col("asof_ts").isNotNull && staleUs <= lit(tolUs)
+    asofJoin(purchases, engagement,
+      keys = Seq("user_id"), ts = "ts",
+      payload = Seq("event_id", "ts"),
+      tieBreak = Seq("event_id"), strict = true)
+      .select(col("user_id"), col("purchase_id"),
+        col("ts").as("purchase_ts"),
+        when(fresh, col("asof_event_id")).as("recent_event_id"),
+        when(fresh, staleUs).as("staleness_us"))
+      .orderBy(col("user_id"), col("purchase_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ev_asof_join" -> (evAsofJoin _))
+    "ev_asof_join" -> (evAsofJoin _),
+    "ev_asof_tolerance" -> (evAsofTolerance _))
 
   val oracles: Map[String, String] = Map(
+    "ev_asof_tolerance" ->
+      """WITH tagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS side
+        |  FROM events WHERE event_type IN ('purchase', 'view', 'click')
+        |), joined AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+        |      OVER w AS asof_event_id,
+        |    last_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS)
+        |      OVER w AS asof_ts
+        |  FROM tagged
+        |  WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ts, side DESC, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |)
+        |SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+        |  CASE WHEN asof_ts IS NOT NULL
+        |      AND epoch_us(ts) - epoch_us(asof_ts) <= 3600000000
+        |    THEN asof_event_id END AS recent_event_id,
+        |  CASE WHEN asof_ts IS NOT NULL
+        |      AND epoch_us(ts) - epoch_us(asof_ts) <= 3600000000
+        |    THEN epoch_us(ts) - epoch_us(asof_ts) END AS staleness_us
+        |FROM joined WHERE side = 1
+        |ORDER BY user_id, purchase_id""".stripMargin,
     "ev_asof_join" ->
       """WITH tagged AS (
         |  SELECT user_id, ts, event_id,

@@ -25,6 +25,29 @@ class AsOfSpec extends SparkSpec {
         .lastOption.map(_._3)
     }.toMap
 
+  test("tolerance as-of: stale matches nulled, fresh ones agree with " +
+      "the unbounded as-of") {
+    val tol = operators.AsOf.evAsofTolerance(spark, sfTiny)
+    // staleness, when present, is positive and within the tolerance
+    assert(tol.filter(col("staleness_us") > 3600L * 1000000L ||
+      col("staleness_us") < 0).count() == 0)
+    assert(tol.filter(col("recent_event_id").isNotNull &&
+      col("staleness_us").isNull).count() == 0)
+    // wherever tolerance keeps a match it must be the SAME event the
+    // unbounded as-of picked; wherever it nulls one, the unbounded
+    // as-of's match must genuinely be stale or absent
+    val unbounded = operators.AsOf.evAsofJoin(spark, sfTiny)
+      .select(col("purchase_id"), col("asof_event_id"),
+        col("purchase_ts"))
+    val j = tol.join(unbounded, "purchase_id")
+    assert(j.filter(col("recent_event_id").isNotNull &&
+      col("recent_event_id") =!= col("asof_event_id")).count() == 0)
+    assert(tol.filter(col("recent_event_id").isNotNull).count() > 0,
+      "fixture must exercise the fresh path")
+    assert(tol.filter(col("recent_event_id").isNull).count() > 0,
+      "fixture must exercise the stale/absent path")
+  }
+
   for (strict <- Seq(true, false)) {
     test(s"asofJoin(strict=$strict) matches the quadratic reference") {
       val collected = operators.AsOf.asofJoin(
