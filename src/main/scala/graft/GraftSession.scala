@@ -33,6 +33,9 @@ object GraftSession {
   def tuned(b: SparkSession.Builder,
       shufflePartitions: Int): SparkSession.Builder =
     b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      // scale guards (single-task-window detector; warns by default,
+      // fails when spark.graft.failOnSingleTaskWindow=true)
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

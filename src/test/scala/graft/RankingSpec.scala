@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import operators.Ranking
+
+/** Equivalence checks for the distributed two-pass ranking core: the
+  * bucketed plans must reproduce the single-task window answers exactly
+  * (the windows here run on tiny test data where single-task is fine —
+  * production plans never use them, PlanAudit asserts that). */
+class RankingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(7)
+  // heavy ties on v, two skewed groups on g
+  private val rows = (1L to 400L).map { i =>
+    (if (rnd.nextInt(10) < 8) "big" else "small", rnd.nextInt(12), i)
+  }
+
+  test("value-bucket global row_number equals the global window") {
+    val df = rows.toDF("g", "v", "id")
+    val got = Ranking.bucketedRowNumber(
+      Ranking.withValueBucket(df, col("v"), "__bkt", 8),
+      Nil, "__bkt", 8, Seq(col("v"), col("id")), "rn",
+      totalName = Some("n"))
+    val want = df.withColumn("rn",
+      row_number().over(Window.orderBy(col("v"), col("id"))).cast("long"))
+    assert(got.select(col("id"), col("rn")).collect().map(r =>
+      r.getLong(0) -> r.getLong(1)).toMap ==
+      want.select(col("id"), col("rn")).collect().map(r =>
+        r.getLong(0) -> r.getLong(1)).toMap)
+    assert(got.select(col("n")).distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(400L))
+  }
+
+  test("grouped hex-prefix row_number equals the per-group window") {
+    val df = rows.toDF("g", "v", "id")
+      .withColumn("hk", md5(concat(col("id"))))
+      .withColumn("__bkt", Ranking.hexPrefixBucket(col("hk")))
+    val got = Ranking.bucketedRowNumber(df, Seq("g"), "__bkt", 256,
+      Seq(col("hk"), col("id")), "rn", totalName = Some("n"))
+    val w = Window.partitionBy(col("g")).orderBy(col("hk"), col("id"))
+    val want = df.withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1))
+        .over(Window.partitionBy(col("g"))))
+    val key = (r: org.apache.spark.sql.Row) =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2))
+    assert(got.select(col("id"), col("rn"), col("n")).collect()
+      .map(key).toMap ==
+      want.select(col("id"), col("rn"), col("n")).collect()
+        .map(key).toMap)
+  }
+
+  test("ntileFromRank equals the window ntile across n and k") {
+    for (n <- Seq(1, 2, 3, 7, 37, 100); k <- Seq(1, 2, 4, 7, 10)) {
+      val df = (1 to n).toDF("id")
+      val got = df
+        .withColumn("rn", col("id").cast("long"))
+        .withColumn("t", Ranking.ntileFromRank(col("rn"),
+          lit(n.toLong), k))
+        .select(col("id"), col("t"))
+      val want = df.withColumn("t",
+        ntile(k).over(Window.orderBy(col("id"))))
+        .select(col("id"), col("t"))
+      val g = got.collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+      val w = want.collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+      assert(g == w, s"ntile mismatch at n=$n k=$k")
+    }
+  }
+
+  test("empty input and null sort values behave") {
+    val empty = Seq.empty[(Int, Long)].toDF("v", "id")
+    assert(Ranking.bucketedRowNumber(
+      Ranking.withValueBucket(empty, col("v"), "__bkt", 8),
+      Nil, "__bkt", 8, Seq(col("v"), col("id")), "rn").count() == 0)
+    // nulls: bucket 0, ranked first (NULLS FIRST ascending default)
+    val withNulls = Seq((Some(5), 1L), (None, 2L), (Some(1), 3L), (None, 4L))
+      .toDF("v", "id")
+    val r = Ranking.bucketedRowNumber(
+      Ranking.withValueBucket(withNulls, col("v"), "__bkt", 4),
+      Nil, "__bkt", 4, Seq(col("v"), col("id")), "rn")
+      .select(col("id"), col("rn")).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(2L -> 1L, 4L -> 2L, 3L -> 3L, 1L -> 4L), s"got $r")
+  }
+}
