@@ -103,9 +103,64 @@ object Multimodal {
           .as("frame_key"))
   }
 
+  /** STUB resize: the payload as a `GridW`-wide byte grid, downsampled
+    * by `factor` via block averaging (floor of the integer mean of the
+    * present cells) — the thumbnail/pooling shape of an image
+    * pre-processing leg, minus the real codec. Integer math throughout,
+    * so the result is exactly recomputable by a SQL oracle. */
+  private val GridW = 16
+  private def stubResize(payload: Array[Byte], factor: Int)
+      : (Int, Long) = {
+    val ow = (GridW + factor - 1) / factor
+    val rows = (payload.length + GridW - 1) / GridW
+    val orows = math.max((rows + factor - 1) / factor, 1)
+    val sums = new Array[Long](orows * ow)
+    val cnts = new Array[Int](orows * ow)
+    var i = 0
+    while (i < payload.length) {
+      val oi = (i / GridW / factor) * ow + (i % GridW / factor)
+      sums(oi) += (payload(i) & 0xff)
+      cnts(oi) += 1
+      i += 1
+    }
+    var n = 0
+    var total = 0L
+    var j = 0
+    while (j < sums.length) {
+      if (cnts(j) > 0) { n += 1; total += sums(j) / cnts(j) }
+      j += 1
+    }
+    (n, total)
+  }
+
+  private val resizeSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_bytes_in", LongType),
+    StructField("n_bytes_out", LongType),
+    StructField("resized_sum", LongType)))
+
+  /** Resize/pooling pipeline over the binary payload: same batched
+    * mapPartitions codec boundary as binaryPipeline, with a per-doc
+    * integer projection (output size + output byte sum) the DuckDB
+    * oracle recomputes from code points — the transform is verified
+    * byte-for-byte, not just "runs". */
+  def resize(s: SparkSession, dir: String): DataFrame = {
+    val withPayload = Tables.documents(s, dir).select(
+      col("doc_id"), col("text").cast("binary").as("payload"))
+    val enc = RowEncoder.encoderFor(resizeSchema)
+    withPayload.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        val (n, total) = stubResize(payload, factor = 2)
+        Row(r.getLong(0), payload.length.toLong, n.toLong, total)
+      }
+    }(enc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_pipeline" -> (binaryPipelineChecked _),
-    "mm_frame_sample" -> (frameSample _))
+    "mm_frame_sample" -> (frameSample _),
+    "mm_resize" -> (resize _))
 
   val oracles: Map[String, String] = Map(
     "mm_binary_pipeline" -> {
@@ -125,6 +180,24 @@ object Multimodal {
          |$dimCols
          |FROM pos GROUP BY doc_id, media_type, n_bytes""".stripMargin
     },
+    "mm_resize" ->
+      """WITH pos AS (
+        |  SELECT doc_id, length(text) AS len, unnest(range(length(text))) AS i,
+        |    text
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, len,
+        |    (i // 16) // 2 AS orow, (i % 16) // 2 AS ocol,
+        |    unicode(substr(text, CAST(i AS INT) + 1, 1)) AS b
+        |  FROM pos),
+        |op AS (
+        |  SELECT doc_id, MAX(len) AS len, orow, ocol,
+        |    SUM(b) // COUNT(*) AS ob
+        |  FROM px GROUP BY doc_id, orow, ocol)
+        |SELECT doc_id, CAST(MAX(len) AS BIGINT) AS n_bytes_in,
+        |  COUNT(*) AS n_bytes_out,
+        |  CAST(SUM(ob) AS BIGINT) AS resized_sum
+        |FROM op GROUP BY doc_id""".stripMargin,
     "mm_frame_sample" ->
       """WITH d AS (
         |  SELECT doc_id, CAST(n_chars // 10 AS INT) AS duration_s

@@ -19,6 +19,19 @@ class MultimodalSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("resize: quarter-ish output, sums bounded by byte range") {
+    val r = operators.Multimodal.resize(spark, sfTiny)
+    assert(r.count() == Tables.documents(spark, sfTiny).count())
+    assert(r.filter(col("n_bytes_out") > col("n_bytes_in")).count() == 0)
+    // factor-2 block pooling over a 16-wide grid: output cells ≈ in/4
+    // (+ partial-row/column slack)
+    assert(r.filter(col("n_bytes_out") * 4 >
+      col("n_bytes_in") + lit(32)).count() == 0)
+    assert(r.filter(col("resized_sum") > col("n_bytes_out") * 255)
+      .count() == 0, "a pooled byte stays within [0, 255]")
+    assert(r.filter(col("n_bytes_out") < 1).count() == 0)
+  }
+
   test("frame sample: every 5th second inclusive of zero and duration") {
     val df = operators.Multimodal.frameSample(spark, sfTiny)
     val byDoc = df.groupBy("doc_id", "duration_s")
