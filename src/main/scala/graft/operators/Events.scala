@@ -276,6 +276,25 @@ object Events {
       .orderBy(col("n_transitions").desc, col("from_type"), col("to_type"))
   }
 
+  /** Top-20 3-step user journeys (the path-analysis report behind the
+    * transition matrix): two lead()s on the SAME shared user_id
+    * partitioning every sequence op rides (one exchange), then a
+    * groupBy over the bounded path space (≤ |types|³ keys —
+    * map-side combine collapses each partition before the shuffle) and
+    * a deterministic tie-broken top-k. */
+  def pathTopk(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .withColumn("t1", lead(col("event_type"), 1).over(byUser))
+      .withColumn("t2", lead(col("event_type"), 2).over(byUser))
+      .filter(col("t2").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("t1"), col("t2"))
+        .as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(20)
+  }
+
   /** Trailing-7-day rolling revenue per day via a RANGE window frame
     * over day offsets — the frame covers a VALUE interval (6 days back),
     * not a row count, so gap days in the calendar are handled correctly
@@ -400,6 +419,7 @@ object Events {
     "ev_session_window" -> (sessionWindow _),
     "ev_topk_heavy_hitters" -> (topkHeavyHitters _),
     "ev_transition_matrix" -> (transitionMatrix _),
+    "ev_path_topk" -> (pathTopk _),
     "ev_ab_significance" -> (abSignificance _),
     "ev_rolling_revenue" -> (rollingRevenue _),
     "ev_rfm_segments" -> (rfmSegments _))
@@ -617,6 +637,18 @@ object Events {
         |  ROUND(z, 6) AS z,
         |  COALESCE(abs(z) > 1.96, false) AS significant_95
         |FROM zc ORDER BY campaign""".stripMargin,
+    "ev_path_topk" ->
+      """WITH seq AS (
+        |  SELECT event_type,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS t1,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS t2
+        |  FROM events)
+        |SELECT event_type || '>' || t1 || '>' || t2 AS path,
+        |  COUNT(*) AS n
+        |FROM seq WHERE t2 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
     "ev_transition_matrix" ->
       """WITH seq AS (
         |  SELECT event_type AS from_type,

@@ -183,6 +183,53 @@ object Text {
       .limit(50)
   }
 
+  /** Within-doc repetition signals — the duplicate-token /
+    * duplicate-bigram fractions a pre-training quality filter
+    * thresholds on (boilerplate and spam are repetition-heavy).
+    * Expression-only: every ratio derives from array_distinct sizes
+    * per row, so the op is a pure projection with NO shuffle at any
+    * corpus size — repetition of a doc never needs another doc. */
+  def repetition(s: SparkSession, dir: String): DataFrame = {
+    val w = col("toks")
+    val bigrams = when(size(w) >= 2,
+      transform(sequence(lit(1), size(w) - 1),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val nTok = nullif(size(w).cast("double"), lit(0.0))
+    val nBg = nullif(size(col("bgs")).cast("double"), lit(0.0))
+    Tables.documents(s, dir)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("bgs", bigrams)
+      .select(col("doc_id"),
+        size(w).as("n_toks"),
+        size(array_distinct(w)).as("n_distinct_toks"),
+        round(lit(1.0) - size(array_distinct(w)).cast("double") / nTok, 6)
+          .as("dup_tok_ratio"),
+        size(col("bgs")).as("n_bigrams"),
+        size(array_distinct(col("bgs"))).as("n_distinct_bigrams"),
+        round(lit(1.0) -
+          size(array_distinct(col("bgs"))).cast("double") / nBg, 6)
+          .as("dup_bigram_ratio"))
+  }
+
+  /** Token-length histogram per source — the length-distribution
+    * telemetry behind truncation/packing decisions. Bucket = number of
+    * binary digits of the token count (exact integer math — floor(log2)
+    * via floating point is engine-dependent at powers of two), so the
+    * groupBy key space is bounded (sources × ~20 buckets) and the agg
+    * is fully map-side combinable. */
+  def lengthHistogram(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .select(col("source"), size(tokens(col("text"))).as("n_toks"))
+      .withColumn("bucket", length(bin(col("n_toks").cast("long"))))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_toks")).as("min_toks"),
+        max(col("n_toks")).as("max_toks"),
+        sum(col("n_toks").cast("long")).as("sum_toks"))
+      .orderBy(col("source"), col("bucket"))
+  }
+
   /** PII-style redaction over the semi-structured event payloads: mask
     * every digit run (the stand-in for emails/phones/ids in this
     * synthetic corpus — the op is the regex-scrub shape a real pipeline
@@ -201,6 +248,8 @@ object Text {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_redact" -> (redact _),
+    "txt_repetition" -> (repetition _),
+    "txt_length_histogram" -> (lengthHistogram _),
     "txt_token_count" -> (tokenCount _),
     "txt_quality_score" -> (qualityScore _),
     "txt_lang_id" -> (langId _),
@@ -219,6 +268,37 @@ object Text {
         |  CAST(length(props) - length(regexp_replace(props, '[0-9]', '', 'g'))
         |    AS INT) AS n_digit_chars
         |FROM events""".stripMargin,
+    "txt_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, w,
+        |    CASE WHEN len(w) >= 2
+        |      THEN list_transform(range(1, len(w)),
+        |        i -> w[i] || ' ' || w[i + 1])
+        |      ELSE CAST([] AS VARCHAR[]) END AS bg
+        |  FROM t)
+        |SELECT doc_id,
+        |  len(w) AS n_toks,
+        |  len(list_distinct(w)) AS n_distinct_toks,
+        |  ROUND(1.0 - CAST(len(list_distinct(w)) AS DOUBLE)
+        |    / NULLIF(CAST(len(w) AS DOUBLE), 0), 6) AS dup_tok_ratio,
+        |  len(bg) AS n_bigrams,
+        |  len(list_distinct(bg)) AS n_distinct_bigrams,
+        |  ROUND(1.0 - CAST(len(list_distinct(bg)) AS DOUBLE)
+        |    / NULLIF(CAST(len(bg) AS DOUBLE), 0), 6) AS dup_bigram_ratio
+        |FROM b""".stripMargin,
+    "txt_length_histogram" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS n_toks
+        |  FROM documents)
+        |SELECT source, length(bin(n_toks)) AS bucket,
+        |  COUNT(*) AS n_docs, MIN(n_toks) AS min_toks,
+        |  MAX(n_toks) AS max_toks, SUM(n_toks) AS sum_toks
+        |FROM t GROUP BY source, bucket
+        |ORDER BY source, bucket""".stripMargin,
     "txt_token_count" ->
       """SELECT doc_id,
         |  len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,

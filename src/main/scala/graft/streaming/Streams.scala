@@ -251,8 +251,45 @@ object Streams {
       .orderBy(col("channel"))
   }
 
+  /** Stream-stream interval join — the continuous click→purchase
+    * attribution: each purchase matched to every click by the same user
+    * in the preceding hour, both sides watermarked so join state is
+    * evicted once the watermark passes the interval (bounded state at
+    * any stream length — the property a batch join of two unbounded
+    * streams cannot have). The time-range predicate stays on the raw
+    * event-time columns so Spark derives the state-retention bound from
+    * it; the inner join emits eagerly, so one AvailableNow pass yields
+    * exactly the batch interval join (oracle-checked). */
+  def joinAttribution(s: SparkSession, dir: String): DataFrame = {
+    val clicks = eventStream(s, dir)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"),
+        col("user_id").as("click_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = eventStream(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = purchases.join(clicks,
+      col("user_id") === col("click_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+    val q = joined.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName("graft_stream_join_attr")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table("graft_stream_join_attr")
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+          .as("lag_us"),
+        col("value").as("revenue"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_static_enrich" -> (staticEnrich _),
+    "stream_join_attribution" -> (joinAttribution _),
     "stream_windowed_counts" -> (windowedCounts _),
     "stream_sessionize" -> (sessionize _),
     "stream_dedup" -> (dedup _),
@@ -263,6 +300,18 @@ object Streams {
     * applies verbatim. stream_sessionize is rows-only (trailing open
     * sessions stay in state — spec-checked against the batch form). */
   val oracles: Map[String, String] = Map(
+    // the inner interval join emits every match eagerly, so one
+    // AvailableNow pass equals the batch interval join exactly
+    "stream_join_attribution" ->
+      """SELECT p.user_id, c.event_id AS click_id,
+        |  p.event_id AS purchase_id,
+        |  epoch_us(p.ts) - epoch_us(c.ts) AS lag_us,
+        |  p.value AS revenue
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        |  AND p.event_type = 'purchase' AND c.event_type = 'click'
+        |  AND epoch_us(p.ts) - epoch_us(c.ts) BETWEEN 0 AND 3600000000
+        |""".stripMargin,
     "stream_static_enrich" ->
       """WITH first_ev AS (
         |  SELECT user_id, event_type AS channel FROM (
