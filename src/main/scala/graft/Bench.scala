@@ -119,21 +119,31 @@ object Bench {
     val groups = results.filter(_._2 >= 0).groupBy(r => bucketOf(r._1))
       .toSeq.sortBy(_._1).map { case (g, rs) =>
         g -> (math.round(rs.map(_._2).sum * 1000.0) / 1000.0) }
-    // headline fields FIRST (totals, groups, baseline ratios), per-query
-    // maps LAST: a consumer that truncates the line's tail keeps the
-    // numbers that matter even when the 83-entry maps overflow its cap
+    val ratios = results.collect {
+      case (k, sparkS) if sparkS >= 0 && duck.get(k).exists(_ > 0) =>
+        k -> (math.round(sparkS / duck(k) * 100.0) / 100.0) }
     val (headRatio, tailMaps) = if (duck.isEmpty) ("", "") else {
       val ds = obj(results.collect {
         case (k, _) if duck.get(k).exists(_ > 0) => k -> duck(k) })
-      val ratios = results.collect {
-        case (k, sparkS) if sparkS >= 0 && duck.get(k).exists(_ > 0) =>
-          k -> (math.round(sparkS / duck(k) * 100.0) / 100.0) }
       val duckTotal = math.round(duck.values.filter(_ > 0).sum * 1000.0) / 1000.0
       (s""","duckdb_total":$duckTotal""" +
         s""","ratio_total":${math.round(total / duckTotal * 100.0) / 100.0}""",
         s""","duckdb_s":$ds,"ratio":${obj(ratios)}""")
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","groups":${obj(groups)}$headRatio,"queries":$qs$tailMaps}""")
+    // full per-query archive line first...
+    println(s"""{"metric":"total_detail","value":$total,"unit":"sec","sf":"$sfDir","groups":${obj(groups)}$headRatio,"queries":$qs$tailMaps}""")
+    // ...then the contract's ONE JSON line LAST and COMPACT: the driver
+    // keeps only the final ~2000 chars of output, so the self-contained
+    // headline (totals, groups, baseline ratio, worst offenders) must fit
+    // inside that tail whole — the 90-entry maps above cannot.
+    val failed = results.filter(_._2 < 0).map(_._1)
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(8)
+    // ratios only meaningful where DuckDB itself spends >=100ms; below
+    // that the Spark per-job constant dominates and the ratio is noise
+    val worst = ratios
+      .filter { case (k, _) => duck.get(k).exists(_ >= 0.1) }
+      .sortBy(-_._2).take(8)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_ops":${results.size},"n_failed":${failed.size}$headRatio,"groups":${obj(groups)},"queries":${obj(slowest)},"queries_note":"slowest 8 of ${results.size}; full map in the total_detail line above","worst_ratio_duck100ms":${obj(worst)}}""")
     spark.stop()
   }
 }

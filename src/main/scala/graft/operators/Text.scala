@@ -296,7 +296,8 @@ object Text {
         |  FROM documents)
         |SELECT source, length(bin(n_toks)) AS bucket,
         |  COUNT(*) AS n_docs, MIN(n_toks) AS min_toks,
-        |  MAX(n_toks) AS max_toks, SUM(n_toks) AS sum_toks
+        |  MAX(n_toks) AS max_toks,
+        |  CAST(SUM(n_toks) AS BIGINT) AS sum_toks
         |FROM t GROUP BY source, bucket
         |ORDER BY source, bucket""".stripMargin,
     "txt_token_count" ->
