@@ -143,7 +143,11 @@ object Bench {
     val worst = ratios
       .filter { case (k, _) => duck.get(k).exists(_ >= 0.1) }
       .sortBy(-_._2).take(8)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_ops":${results.size},"n_failed":${failed.size}$headRatio,"groups":${obj(groups)},"queries":${obj(slowest)},"queries_note":"slowest 8 of ${results.size}; full map in the total_detail line above","worst_ratio_duck100ms":${obj(worst)}}""")
+    // failed names ride the compact line (first 5): the detail line's
+    // full map gets tail-truncated, so a failure must name itself here
+    val failedField = if (failed.isEmpty) ""
+      else s""","failed":${failed.take(5).map(jstr).mkString("[", ",", "]")}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_ops":${results.size},"n_failed":${failed.size}$failedField$headRatio,"groups":${obj(groups)},"slowest_s":${obj(slowest)},"slowest_note":"slowest 8 of ${results.size}; full map in the total_detail line above","worst_ratio_duck100ms":${obj(worst)}}""")
     spark.stop()
   }
 }

@@ -45,6 +45,20 @@ class OperatorsSpec extends SparkSpec {
         s"unmarked-but-no-oracle=${noOracle -- marked}")
   }
 
+  test("Verify.surveyDrift is quiet on the real SURVEY, loud on a doctored one") {
+    assert(Verify.surveyDrift().isEmpty,
+      s"real SURVEY must be drift-free: ${Verify.surveyDrift()}")
+    val survey = scala.io.Source
+      .fromFile("/root/repo/SURVEY.md", "UTF-8").mkString
+    val doctored = survey.replace("- [x] `ev_path_topk`", "- [removed]")
+    assert(doctored != survey, "doctoring must hit a real line")
+    val tmp = java.nio.file.Files.createTempFile("survey_drift", ".md")
+    java.nio.file.Files.writeString(tmp, doctored)
+    val msgs = Verify.surveyDrift(tmp.toString)
+    assert(msgs.exists(m => m.contains("not in SURVEY") &&
+      m.contains("ev_path_topk")), msgs.toString)
+  }
+
   test("q2: one winning supplier per part; cost is that pair's true min") {
     val df = operators.Relational.q2MinCostSupplier(spark, sfTiny)
     assert(df.count() > 0)
