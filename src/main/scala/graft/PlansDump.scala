@@ -36,7 +36,12 @@ object PlansDump {
           "no single-task window"),
       "smp_shuffle" ->
         ("global epoch order via hash-prefix buckets: count pass + " +
-          "bucket-partitioned row_number, no single-task window"))
+          "bucket-partitioned row_number, no single-task window"),
+      "txt_pack" ->
+        ("sequence packing: bucketed prefix sum (count pass + broadcast " +
+          "offsets + bucket-partitioned window), no single-task cumsum"),
+      "dedup_incremental" ->
+        "batch-vs-corpus dedup: two linear hash equi-joins on min() indexes")
     val sb = new StringBuilder
     sb.append("# PLANS — executed physical plans (sf0.001, regenerate " +
       "via `sbt \"runMain graft.PlansDump\"`)\n")

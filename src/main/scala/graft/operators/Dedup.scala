@@ -294,6 +294,47 @@ object Dedup {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** Batch-vs-corpus incremental dedup — the production shape: a new
+    * day's documents deduped against the LANDED corpus's hash index
+    * (exact + normalized), not merely within-batch. Each batch doc gets
+    * a status (`dup_exact` / `dup_norm` / `new`) and the canonical
+    * corpus doc it collided with. Both legs are linear hash equi-joins
+    * against map-side-combinable min() indexes — at 100 TB the index is
+    * a landed table keyed by hash, and the day's batch joins against it
+    * without ever rescanning the corpus text. */
+  private[graft] def incrementalOf(corpus: DataFrame,
+      batch: DataFrame): DataFrame = {
+    def hashed(df: DataFrame): DataFrame = {
+      val norm = lower(regexp_replace(trim(col("text")), "\\s+", " "))
+      df.select(col("doc_id"), md5(col("text")).as("raw_hash"),
+        md5(norm).as("norm_hash"))
+    }
+    val idx = hashed(corpus)
+    val rawIdx = idx.groupBy(col("raw_hash"))
+      .agg(min(col("doc_id")).as("raw_match"))
+    val normIdx = idx.groupBy(col("norm_hash"))
+      .agg(min(col("doc_id")).as("norm_match"))
+    hashed(batch)
+      .join(rawIdx, Seq("raw_hash"), "left")
+      .join(normIdx, Seq("norm_hash"), "left")
+      .select(col("doc_id"),
+        when(col("raw_match").isNotNull, "dup_exact")
+          .when(col("norm_match").isNotNull, "dup_norm")
+          .otherwise("new").as("status"),
+        coalesce(col("raw_match"), col("norm_match"))
+          .as("matched_corpus_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The operator entry: landed corpus = doc_id % 5 != 0 (the prior
+    * days), incoming batch = doc_id % 5 == 0 (today) — a deterministic
+    * stand-in for the date column a real landing carries. */
+  def incremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    incrementalOf(docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(5)) === 0))
+  }
+
   /** Per-source duplication telemetry — the dashboard row a corpus
     * curator watches per crawl/feed: doc counts, distinct raw and
     * normalized content hashes, and the resulting duplication rates.
@@ -322,6 +363,7 @@ object Dedup {
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_simhash" -> (simhash _),
     "dedup_cluster" -> (cluster _),
+    "dedup_incremental" -> (incremental _),
     "dedup_source_similarity" -> (sourceSimilarity _),
     "dedup_embedding_cosine" -> (embeddingCosine _))
 
@@ -365,6 +407,27 @@ object Dedup {
         |FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.doc_id < b2.doc_id
         |WHERE CAST(len(list_intersect(a.shingles, b2.shingles)) AS DOUBLE)
         |    / CAST(len(list_distinct(list_concat(a.shingles, b2.shingles))) AS DOUBLE) >= 0.5""".stripMargin,
+    "dedup_incremental" ->
+      """WITH d AS (
+        |  SELECT doc_id, md5(text) AS raw_hash,
+        |    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+        |      AS norm_hash
+        |  FROM documents),
+        |corpus AS (SELECT * FROM d WHERE doc_id % 5 <> 0),
+        |batch AS (SELECT * FROM d WHERE doc_id % 5 = 0),
+        |raw_idx AS (SELECT raw_hash, MIN(doc_id) AS raw_match
+        |  FROM corpus GROUP BY raw_hash),
+        |norm_idx AS (SELECT norm_hash, MIN(doc_id) AS norm_match
+        |  FROM corpus GROUP BY norm_hash)
+        |SELECT b.doc_id,
+        |  CASE WHEN raw_match IS NOT NULL THEN 'dup_exact'
+        |       WHEN norm_match IS NOT NULL THEN 'dup_norm'
+        |       ELSE 'new' END AS status,
+        |  COALESCE(raw_match, norm_match) AS matched_corpus_id
+        |FROM batch b
+        |LEFT JOIN raw_idx USING (raw_hash)
+        |LEFT JOIN norm_idx USING (norm_hash)
+        |ORDER BY doc_id""".stripMargin,
     // connected components via recursive reachability: every node's
     // cluster is the MIN id it can reach over the (bidirectional) verified
     // near-dup pair graph — same fixpoint hash-min converges to

@@ -67,6 +67,30 @@ object Ranking {
     }
   }
 
+  /** Exact global EXCLUSIVE prefix sum of `value` over `order`, given a
+    * contiguous bucket column `bkt` in [0, nBuckets) — the running-total
+    * primitive behind sequence packing. Same two-pass shape as
+    * `bucketedRowNumber`: per-bucket value sums (map-side partial agg)
+    * become down-range offsets without a global window; the final cum =
+    * offset + within-bucket running sum over a window partitioned by
+    * bucket (parallel across nBuckets tasks). Result column is LONG and
+    * excludes the current row (first row of the total order gets 0). */
+  def bucketedPrefixSum(df: DataFrame, bkt: String, nBuckets: Int,
+      order: Seq[Column], value: Column, cumName: String): DataFrame = {
+    val sums = df.groupBy(col(bkt))
+      .agg(sum(value.cast("long")).as("__bs"))
+    val off = sums.filter(col(bkt) < lit(nBuckets - 1))
+      .select(explode(sequence(col(bkt) + lit(1), lit(nBuckets - 1)))
+        .as(bkt), col("__bs"))
+      .groupBy(col(bkt)).agg(sum(col("__bs")).as("__off"))
+    val localW = Window.partitionBy(col(bkt)).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.join(broadcast(off), Seq(bkt), "left")
+      .withColumn(cumName, coalesce(col("__off"), lit(0L)) +
+        coalesce(sum(value.cast("long")).over(localW), lit(0L)))
+      .drop("__off")
+  }
+
   /** Contiguous bucket for a lowercase-hex digest key: the first two hex
     * chars, as an int in [0, 256) — hex-string lexicographic order IS
     * numeric order, and a digest key makes the 256 buckets uniform at

@@ -230,6 +230,58 @@ object Text {
       .orderBy(col("source"), col("bucket"))
   }
 
+  /** Sequence packing — the step after `txt_chunk` in every training-data
+    * pipeline: chunks are concatenated in a deterministic content-hash
+    * order and split into fixed token-budget training sequences
+    * (concat-and-split packing). Every sequence except the last holds
+    * EXACTLY `SeqBudget` tokens — a chunk that straddles a boundary is
+    * emitted once per sequence with its token span split (`is_split`),
+    * so packing efficiency is 1 and no sequence ever exceeds the budget.
+    *
+    * Scale shape: chunk sizes derive arithmetically from per-doc token
+    * counts (window 32 / stride 24, same grid as `txt_chunk` — no chunk
+    * text is materialized); the global running total over the hash order
+    * is `Ranking.bucketedPrefixSum` on 256 hex-prefix buckets — counts →
+    * offsets → bucket-partitioned window, never a single-task global
+    * cumsum. Budget is a power of two so sequence ids are exact bit
+    * shifts, not float division. */
+  def pack(s: SparkSession, dir: String): DataFrame = {
+    val window = 32
+    val stride = 24
+    val budget = 256 // tokens per training sequence; 2^8 → shiftright(8)
+    val chunks = Tables.documents(s, dir)
+      .select(col("doc_id"), size(tokens(col("text"))).as("n_toks"))
+      .filter(col("n_toks") >= 1)
+      .select(col("doc_id"), col("n_toks"),
+        explode(sequence(lit(0L),
+          ((col("n_toks") - 1) / lit(stride)).cast("long"))).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        least(lit(window),
+          col("n_toks") - lit(stride) * col("chunk_idx")).cast("long")
+          .as("t"))
+      .withColumn("hk", md5(concat(lit("pack:"),
+        col("doc_id").cast("string"), lit(":"),
+        col("chunk_idx").cast("string"))))
+      .withColumn("__bkt", Ranking.hexPrefixBucket(col("hk")))
+    val cum = Ranking.bucketedPrefixSum(chunks, "__bkt", 256,
+      Seq(col("hk"), col("doc_id"), col("chunk_idx")), col("t"), "cb")
+    cum
+      .withColumn("seq_first", shiftright(col("cb"), 8))
+      .withColumn("seq_last", shiftright(col("cb") + col("t") - 1, 8))
+      .select(col("doc_id"), col("chunk_idx"), col("t"), col("cb"),
+        (col("seq_first") =!= col("seq_last")).as("is_split"),
+        explode(sequence(col("seq_first"), col("seq_last"))).as("seq_id"))
+      .select(col("seq_id"), col("doc_id"),
+        col("chunk_idx").cast("int").as("chunk_idx"),
+        (greatest(col("cb"), col("seq_id") * budget)
+          - col("seq_id") * budget).cast("int").as("offset_in_seq"),
+        (least(col("cb") + col("t"), (col("seq_id") + 1) * budget)
+          - greatest(col("cb"), col("seq_id") * budget)).cast("int")
+          .as("seg_tokens"),
+        col("is_split"))
+      .orderBy(col("seq_id"), col("offset_in_seq"))
+  }
+
   /** PII-style redaction over the semi-structured event payloads: mask
     * every digit run (the stand-in for emails/phones/ids in this
     * synthetic corpus — the op is the regex-scrub shape a real pipeline
@@ -256,6 +308,7 @@ object Text {
     "txt_fingerprint" -> (fingerprint _),
     "txt_unigram_logprob" -> (unigramLogprob _),
     "txt_chunk" -> (chunk _),
+    "txt_pack" -> (pack _),
     "txt_ngram_stats" -> (ngramStats _),
     "txt_tfidf_topk" -> (tfidfTopk _))
 
@@ -356,6 +409,36 @@ object Text {
         |  array_to_string(w[start : start + 31], ' ') AS chunk_text,
         |  len(w[start : start + 31]) AS n_chunk_tokens
         |FROM st""".stripMargin,
+    "txt_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, unnest(range(0, (n - 1) // 24 + 1)) AS chunk_idx, n
+        |  FROM t WHERE n >= 1),
+        |sized AS (
+        |  SELECT doc_id, chunk_idx, least(32, n - 24 * chunk_idx) AS tok,
+        |    md5('pack:' || CAST(doc_id AS VARCHAR) || ':'
+        |      || CAST(chunk_idx AS VARCHAR)) AS hk
+        |  FROM c),
+        |ordered AS (
+        |  SELECT doc_id, chunk_idx, tok,
+        |    CAST(COALESCE(SUM(tok) OVER (ORDER BY hk, doc_id, chunk_idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cb
+        |  FROM sized),
+        |seg AS (
+        |  SELECT doc_id, chunk_idx, tok, cb,
+        |    unnest(range(cb // 256, (cb + tok - 1) // 256 + 1)) AS seq_id
+        |  FROM ordered)
+        |SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+        |  CAST(chunk_idx AS INT) AS chunk_idx,
+        |  CAST(greatest(cb, seq_id * 256) - seq_id * 256 AS INT)
+        |    AS offset_in_seq,
+        |  CAST(least(cb + tok, (seq_id + 1) * 256)
+        |    - greatest(cb, seq_id * 256) AS INT) AS seg_tokens,
+        |  (cb // 256) <> ((cb + tok - 1) // 256) AS is_split
+        |FROM seg ORDER BY seq_id, offset_in_seq""".stripMargin,
     "txt_unigram_logprob" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok

@@ -50,6 +50,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("txt_pack and dedup_incremental: hash joins only, never cartesian") {
+    for (op <- Seq(operators.Text.pack _, operators.Dedup.incremental _)) {
+      val p = plan(op(spark, sfTiny))
+      assert(!p.contains("CartesianProduct"), p.take(400))
+      assert(!p.contains("BroadcastNestedLoopJoin"), p.take(400))
+    }
+  }
+
   test("bucketed join: no exchange feeds the join (co-located buckets)") {
     // at tiny SF AQE would broadcast the join and never exercise the
     // bucket layout — disable broadcast to force the sort-merge path

@@ -89,6 +89,62 @@ class StressSpec extends SparkSpec {
       s"chain must collapse to one component: ${labels.toSeq.sortBy(_._1).take(5)}")
   }
 
+  test("near-linear scaling: 10x corpus stays within 2x-per-10x wall time") {
+    // local evidence for the "survives 100x" claim: any accidental
+    // all-pairs regression in these ops would blow the 10x run up
+    // quadratically (100x work), far past the generous 20x allowance
+    val tmp = java.nio.file.Files.createTempDirectory("graft_scale")
+    def gen(mult: Int): String = {
+      val dir = s"$tmp/x$mult"
+      // replicas get a marker token spliced between words, so replicas
+      // of the same doc share no 3-gram shingles across replicas (the
+      // 10x corpus keeps the 1x dup-rate rather than becoming one
+      // giant dup storm, which would be legitimately quadratic output)
+      val docs = (0 until mult).map(i =>
+        Tables.documents(spark, sfTiny).select(
+          (col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+          regexp_replace(col("text"), " ", s" r$i ").as("text"),
+          col("lang"), col("source"), col("n_chars"))).reduce(_ unionAll _)
+      docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      // embedding replicas are perturbed per dimension so copies don't
+      // stack into a single cosine-identical LSH bucket
+      val embs = (0 until mult).map(i =>
+        Tables.embeddings(spark, sfTiny).select(
+          (col("vec_id") + lit(i * 1000000L)).as("vec_id"),
+          transform(col("embedding"), (x, j) =>
+            (x + lit(0.002f) * lit(i.toFloat) *
+              (pmod(j, lit(7)).cast("float") - lit(3.0f))).cast("float"))
+            .as("embedding"),
+          col("label"))).reduce(_ unionAll _)
+      embs.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      dir
+    }
+    val dir1 = gen(1)
+    val dir10 = gen(10)
+    val ops: Seq[(String, String => org.apache.spark.sql.DataFrame)] = Seq(
+      "dedup_minhash_lsh" -> (d => operators.Dedup.minhashLsh(spark, d)),
+      "dedup_cluster" -> (d => operators.Dedup.cluster(spark, d)),
+      "smp_shuffle" -> (d => operators.Sampling.shuffleOrder(spark, d)),
+      "ann_lsh_topk" -> (d => operators.Similarity.lshTopk(spark, d)))
+    def run(f: String => org.apache.spark.sql.DataFrame,
+        d: String): Double = {
+      val t0 = System.nanoTime()
+      f(d).write.format("noop").mode("overwrite").save()
+      spark.catalog.clearCache()
+      (System.nanoTime() - t0) / 1e9
+    }
+    ops.foreach { case (_, f) => run(f, dir1) } // JVM/codegen warm-up
+    ops.foreach { case (name, f) =>
+      val t1 = run(f, dir1)
+      val t10 = run(f, dir10)
+      info(f"$name: 1x=$t1%.2fs 10x=$t10%.2fs ratio=${t10 / t1}%.1fx")
+      // 10x data, 2x slack => 20x; max(t1, 0.5s) + 2s absorb the fixed
+      // per-job constants that dominate sub-second local runs
+      assert(t10 <= 20.0 * math.max(t1, 0.5) + 2.0,
+        f"$name scaled superlinearly: 1x=$t1%.2fs -> 10x=$t10%.2fs")
+    }
+  }
+
   test("salted join equals plain join under extreme single-key skew") {
     val salts = 16
     // one hot key with 50k rows + 1k uniform rows
