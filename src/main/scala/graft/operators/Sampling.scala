@@ -85,11 +85,40 @@ object Sampling {
       .orderBy(col("shuffle_pos"))
   }
 
+  /** Deterministic mixture interleave — stride scheduling over sources:
+    * the training-mix ORDER that feeds each source proportionally to its
+    * mixture weight (a curator-assigned knob; here a deterministic
+    * stand-in derived from the source name, as LangProfiles stands in
+    * for real language profiles). Each doc gets a per-source rank r by
+    * content-hash order and a virtual time r/weight; the global order
+    * sorts by virtual time, so any prefix holds ~weight-proportional
+    * counts per source and per-source order is preserved. Both ranks
+    * are two-pass bucket rankings (hash-prefix buckets for the
+    * per-source leg, approx-percentile value buckets for the global
+    * leg) — no single-task window at any corpus size. */
+  def interleave(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .withColumn("weight", lit(1) + length(col("source")) % 3)
+      .withColumn("__hk", md5(col("text")))
+      .withColumn("__bkt", Ranking.hexPrefixBucket(col("__hk")))
+    val ranked = Ranking.bucketedRowNumber(base, Seq("source"), "__bkt",
+        256, Seq(col("__hk"), col("doc_id")), "src_rank")
+      .withColumn("vt",
+        col("src_rank").cast("double") / col("weight").cast("double"))
+    val bucketed = Ranking.withValueBucket(ranked, col("vt"), "__vbkt", 256)
+    Ranking.bucketedRowNumber(bucketed, Nil, "__vbkt", 256,
+        Seq(col("vt"), col("source"), col("doc_id")), "pos")
+      .select(col("doc_id"), col("source"), col("weight"),
+        col("src_rank"), round(col("vt"), 6).as("vt"), col("pos"))
+      .orderBy(col("pos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "smp_hash_split" -> (hashSplit _),
     "smp_stratified" -> (stratifiedSample _),
     "smp_weighted" -> (weightedSample _),
-    "smp_shuffle" -> (shuffleOrder _))
+    "smp_shuffle" -> (shuffleOrder _),
+    "smp_interleave" -> (interleave _))
 
   val oracles: Map[String, String] = Map(
     "smp_hash_split" ->
@@ -121,6 +150,21 @@ object Sampling {
         |  FROM documents)
         |SELECT doc_id, ROUND(w, 6) AS weight, ROUND(u, 6) AS sample_key
         |FROM weighted WHERE u < w ORDER BY doc_id""".stripMargin,
+    "smp_interleave" ->
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |    CAST(1 + length(source) % 3 AS INT) AS weight,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(text), doc_id) AS src_rank
+        |  FROM documents),
+        |v AS (
+        |  SELECT doc_id, source, weight, src_rank,
+        |    CAST(src_rank AS DOUBLE) / CAST(weight AS DOUBLE) AS vt
+        |  FROM w)
+        |SELECT doc_id, source, weight, CAST(src_rank AS BIGINT) AS src_rank,
+        |  ROUND(vt, 6) AS vt,
+        |  row_number() OVER (ORDER BY vt, source, doc_id) AS pos
+        |FROM v ORDER BY pos""".stripMargin,
     "smp_stratified" ->
       """WITH ranked AS (
         |  SELECT lang, doc_id,
