@@ -258,7 +258,42 @@ object Etl {
         count(lit(1)).as("n_dups"))
   }
 
+  /** Validation + dead-letter routing — the reference's continue-on-error
+    * semantics as DATA rather than a log line: every record is scored
+    * against the rule registry in one codegen projection (concat_ws
+    * skips unfired-rule NULLs identically in both engines) and rows
+    * failing any rule land in the quarantine table with their reason
+    * codes, registry-ordered. The rule set is a config stand-in (a real
+    * pipeline injects its own); the routing shape — pure projection +
+    * filter, NO shuffle at any scale — is the operator. Reference
+    * lambda_function.py's try/continue extract loop logs and drops;
+    * here the drops are queryable. */
+  def quarantine(s: SparkSession, dir: String): DataFrame = {
+    val knownTypes = Seq("view", "click", "purchase", "signup", "error")
+    val rules: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      "value_outlier" -> (col("value") > 100.0),
+      "missing_payload_key" -> !col("props").rlike("\"k\"\\s*:"),
+      "out_of_window_ts" ->
+        (col("ts") < lit("2024-01-01").cast("timestamp") ||
+          col("ts") >= lit("2024-02-01").cast("timestamp")),
+      "unknown_event_type" -> !col("event_type").isin(knownTypes: _*),
+      "null_user" -> col("user_id").isNull)
+    val reasons = concat_ws(",",
+      rules.map { case (code, cond) => when(cond, lit(code)) }: _*)
+    val nReasons = rules.map { case (_, cond) =>
+      when(cond, 1).otherwise(0) }.reduce(_ + _)
+    Tables.events(s, dir)
+      .withColumn("reasons", reasons)
+      .withColumn("n_reasons", nReasons)
+      .filter(col("n_reasons") >= 1)
+      .select(col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd").as("event_date"),
+        col("event_type"), col("reasons"), col("n_reasons"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_quarantine" -> (quarantine _),
     "etl_json_envelope" -> (jsonEnvelope _),
     "etl_standardize" -> (standardize _),
     "etl_nested_extract" -> (nestedExtract _),
@@ -271,6 +306,34 @@ object Etl {
     "etl_incremental" -> (incremental _))
 
   val oracles: Map[String, String] = Map(
+    "etl_quarantine" ->
+      """WITH scored AS (
+        |  SELECT event_id, strftime(ts, '%Y-%m-%d') AS event_date,
+        |    event_type,
+        |    concat_ws(',',
+        |      CASE WHEN value > 100.0 THEN 'value_outlier' END,
+        |      CASE WHEN NOT regexp_matches(props, '"k"\s*:')
+        |        THEN 'missing_payload_key' END,
+        |      CASE WHEN ts < TIMESTAMP '2024-01-01'
+        |          OR ts >= TIMESTAMP '2024-02-01'
+        |        THEN 'out_of_window_ts' END,
+        |      CASE WHEN event_type NOT IN
+        |          ('view','click','purchase','signup','error')
+        |        THEN 'unknown_event_type' END,
+        |      CASE WHEN user_id IS NULL THEN 'null_user' END) AS reasons,
+        |    (CASE WHEN value > 100.0 THEN 1 ELSE 0 END
+        |     + CASE WHEN NOT regexp_matches(props, '"k"\s*:')
+        |         THEN 1 ELSE 0 END
+        |     + CASE WHEN ts < TIMESTAMP '2024-01-01'
+        |           OR ts >= TIMESTAMP '2024-02-01' THEN 1 ELSE 0 END
+        |     + CASE WHEN event_type NOT IN
+        |           ('view','click','purchase','signup','error')
+        |         THEN 1 ELSE 0 END
+        |     + CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS n_reasons
+        |  FROM events)
+        |SELECT event_id, event_date, event_type, reasons,
+        |  CAST(n_reasons AS INT) AS n_reasons
+        |FROM scored WHERE n_reasons >= 1 ORDER BY event_id""".stripMargin,
     "etl_json_envelope" ->
       """WITH enveloped AS (
         |  SELECT event_id,

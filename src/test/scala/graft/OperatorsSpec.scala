@@ -455,6 +455,19 @@ class OperatorsSpec extends SparkSpec {
       "re-ingesting a landed batch must land zero new docs")
   }
 
+  test("quarantine: reasons dense and registry-consistent; clean feed " +
+      "flags exactly the outlier rows") {
+    val q = operators.Etl.quarantine(spark, sfTiny)
+    val ev = Tables.events(spark, sfTiny)
+    assert(q.count() > 0, "the rule registry must actually fire")
+    assert(q.filter(col("n_reasons") < 1).count() == 0)
+    assert(q.filter(size(split(col("reasons"), ",")) =!= col("n_reasons"))
+      .count() == 0, "reason list must agree with the fired-rule count")
+    // this synthetic feed is clean apart from value outliers, so the
+    // quarantine must be exactly the outlier rows — no false positives
+    assert(q.count() == ev.filter(col("value") > 100.0).count())
+  }
+
   test("dau/wau: weekly actives dominate daily actives") {
     val bad = operators.Events.dauWau(spark, sfTiny)
       .filter(col("wau") < col("dau")).count()
