@@ -268,7 +268,10 @@ object Etl {
     * filter, NO shuffle at any scale — is the operator. Reference
     * lambda_function.py's try/continue extract loop logs and drops;
     * here the drops are queryable. */
-  def quarantine(s: SparkSession, dir: String): DataFrame = {
+  /** The rule scoring itself, over any events-shaped frame (batch table
+    * or stream) — a pure stateless projection, so the streaming twin
+    * (`Streams.quarantine`) routes on the SAME registry with zero state. */
+  private[graft] def quarantineFlags(events: DataFrame): DataFrame = {
     val knownTypes = Seq("view", "click", "purchase", "signup", "error")
     val rules: Seq[(String, org.apache.spark.sql.Column)] = Seq(
       "value_outlier" -> (col("value") > 100.0),
@@ -282,15 +285,17 @@ object Etl {
       rules.map { case (code, cond) => when(cond, lit(code)) }: _*)
     val nReasons = rules.map { case (_, cond) =>
       when(cond, 1).otherwise(0) }.reduce(_ + _)
-    Tables.events(s, dir)
+    events
       .withColumn("reasons", reasons)
       .withColumn("n_reasons", nReasons)
       .filter(col("n_reasons") >= 1)
       .select(col("event_id"),
         date_format(col("ts"), "yyyy-MM-dd").as("event_date"),
         col("event_type"), col("reasons"), col("n_reasons"))
-      .orderBy(col("event_id"))
   }
+
+  def quarantine(s: SparkSession, dir: String): DataFrame =
+    quarantineFlags(Tables.events(s, dir)).orderBy(col("event_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_quarantine" -> (quarantine _),

@@ -287,7 +287,25 @@ object Streams {
         col("value").as("revenue"))
   }
 
+  /** Continuous dead-letter routing — the streaming twin of
+    * Etl.quarantine: the identical rule registry scores each record as
+    * it lands. Stateless projection + filter in APPEND mode — no
+    * watermark, no state store, so the quarantine feed adds no memory
+    * pressure on an unbounded stream; one AvailableNow pass over the
+    * static landing equals the batch quarantine row for row (same
+    * oracle). */
+  def quarantine(s: SparkSession, dir: String): DataFrame = {
+    val flagged = graft.operators.Etl.quarantineFlags(eventStream(s, dir))
+    val q = flagged.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName("graft_stream_quarantine")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table("graft_stream_quarantine").orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_quarantine" -> (quarantine _),
     "stream_static_enrich" -> (staticEnrich _),
     "stream_join_attribution" -> (joinAttribution _),
     "stream_windowed_counts" -> (windowedCounts _),
@@ -300,6 +318,9 @@ object Streams {
     * applies verbatim. stream_sessionize is rows-only (trailing open
     * sessions stay in state — spec-checked against the batch form). */
   val oracles: Map[String, String] = Map(
+    // stateless routing: one pass equals the batch quarantine exactly,
+    // so the batch oracle applies verbatim
+    "stream_quarantine" -> graft.operators.Etl.oracles("etl_quarantine"),
     // the inner interval join emits every match eagerly, so one
     // AvailableNow pass equals the batch interval join exactly
     "stream_join_attribution" ->

@@ -75,6 +75,15 @@ class StreamingSpec extends SparkSpec {
     ts.getTime / 1000L * 1000000L + (ts.getNanos / 1000L) % 1000000L
   }
 
+  test("stream quarantine equals the batch quarantine row for row") {
+    val st = streaming.Streams.quarantine(spark, sfTiny)
+      .collect().map(_.toSeq).toSet
+    val batch = operators.Etl.quarantine(spark, sfTiny)
+      .collect().map(_.toSeq).toSet
+    assert(st.nonEmpty)
+    assert(st == batch)
+  }
+
   test("stream dedup matches batch distinct counts") {
     val streamed = streaming.Streams.dedup(spark, sfTiny)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
