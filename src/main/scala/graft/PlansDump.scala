@@ -41,7 +41,10 @@ object PlansDump {
         ("sequence packing: bucketed prefix sum (count pass + broadcast " +
           "offsets + bucket-partitioned window), no single-task cumsum"),
       "dedup_incremental" ->
-        "batch-vs-corpus dedup: two linear hash equi-joins on min() indexes")
+        "batch-vs-corpus dedup: two linear hash equi-joins on min() indexes",
+      "smp_interleave" ->
+        ("stride-scheduled mixture interleave: two chained two-pass " +
+          "rankings (hash-prefix, then percentile value buckets)"))
     val sb = new StringBuilder
     sb.append("# PLANS — executed physical plans (sf0.001, regenerate " +
       "via `sbt \"runMain graft.PlansDump\"`)\n")
