@@ -198,14 +198,32 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Deterministic landing dir for the SimHash fingerprint table: the
+    * oracle re-derives the pair list from these landed fingerprints by
+    * brute force (DuckDB bit_count(xor) over all doc pairs), so the path
+    * must be computable from `dir` alone — the oracle SQL is a static
+    * string and cannot see the Spark application id. */
+  private[graft] def simhashFpDir(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_simhash_fp_" +
+      dir.replaceAll("[^0-9a-zA-Z]", "_")
+
   /** SimHash near-dup pairs: 64-bit majority fingerprint; pigeonhole over
     * 4×16-bit chunks guarantees every pair within Hamming ≤ 3 collides in
-    * at least one chunk; true Hamming verified via bit_count(xor). */
+    * at least one chunk; true Hamming verified via bit_count(xor).
+    *
+    * The (doc_id, fp) table is landed to parquet so the oracle can verify
+    * the pair list end-to-end: given the fingerprints, the output is the
+    * deterministic set of all pairs at Hamming ≤ 3, which DuckDB recomputes
+    * by brute force — checking both the pigeonhole candidate generation
+    * (completeness) and the Hamming verification (precision). Only the
+    * fingerprint function itself (a custom codegen Expression DuckDB
+    * cannot run) stays Spark-side. */
   def simhash(s: SparkSession, dir: String): DataFrame = {
     val base = hashShingled(s, dir)
       .select(col("doc_id"),
         graft.functions.SketchExprs.simhash64(col("hs")).as("fp"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    base.write.mode("overwrite").parquet(simhashFpDir(dir))
     val chunked = base.select(col("doc_id"), col("fp"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("fp"), i * 16).bitwiseAND(lit(0xffffL))): _*))
@@ -428,6 +446,23 @@ object Dedup {
         |LEFT JOIN raw_idx USING (raw_hash)
         |LEFT JOIN norm_idx USING (norm_hash)
         |ORDER BY doc_id""".stripMargin,
+    // brute-force re-derivation of the SimHash pair list from the
+    // fingerprints the op lands (simhashFpDir): at Hamming ≤ 3 the
+    // pigeonhole candidate generation is provably complete, so the
+    // all-pairs scan must produce EXACTLY the op's output — checking both
+    // candidate completeness and the Hamming verification. The path is
+    // pinned to sf0.01 because the driver's oracle gate runs there and
+    // this map is static; a Verify run at another sf lands its own dir
+    // and the oracle errors loudly (missing file) rather than comparing
+    // against stale data.
+    "dedup_simhash" ->
+      s"""WITH fp AS (SELECT doc_id, fp
+        |  FROM '${simhashFpDir("/root/testdata/sf0.01")}/*.parquet')
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  bit_count(xor(a.fp, b.fp)) AS hamming
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.fp, b.fp)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // connected components via recursive reachability: every node's
     // cluster is the MIN id it can reach over the (bidirectional) verified
     // near-dup pair graph — same fixpoint hash-min converges to
