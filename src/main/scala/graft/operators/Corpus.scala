@@ -135,12 +135,96 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** Temperature-rebalanced language mixture (α = 0.5) — the
+    * multilingual pre-training rebalance: the target share of language ℓ
+    * is p_ℓ^α / Σ_j p_j^α (upweights tail languages, downweights the
+    * head), realized as per-language keep rates scaled so the largest
+    * rate is exactly 1 (pure downsampling — no doc is ever duplicated).
+    * α = 0.5 keeps the mixture math cross-engine exact: the only
+    * non-rational op is sqrt, which IEEE 754 requires correctly rounded,
+    * and the Σ p^α normalizer is an ordered fold over the language list
+    * (the centroid-audit discipline), so every rate is bit-identical in
+    * any engine. The keep decision reuses weightedSample's exact 2^24
+    * content-hash draw.
+    *
+    * Scale: all mixture math runs on the ≤#languages-row count table
+    * (one-row scalar broadcasts — the tfidf/logprob physical form); the
+    * corpus itself sees one broadcast join, one filter and one
+    * bounded-key aggregate — a single scan at any corpus size. */
+  def temperature(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    val withP = counts.crossJoin(broadcast(total))
+      .withColumn("p",
+        col("n_docs").cast("double") / col("n_total").cast("double"))
+      .withColumn("wraw", sqrt(col("p")))
+    val z = withP
+      .agg(collect_list(struct(col("lang"), col("wraw"))).as("xs"))
+      .select(aggregate(array_sort(col("xs")), lit(0.0),
+        (acc, e) => acc + e.getField("wraw")).as("z"))
+    val r = withP.crossJoin(broadcast(z))
+      .withColumn("w", col("wraw") / col("z"))
+      .withColumn("r_raw", col("w") / col("p"))
+    val rmax = r.agg(max(col("r_raw")).as("r_max"))
+    val rates = r.crossJoin(broadcast(rmax))
+      .withColumn("rate", col("r_raw") / col("r_max"))
+      .select(col("lang"), col("n_docs"), col("p"), col("w"), col("rate"))
+    val u = conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit(":"), col("text"))), 1, 6), 16, 10)
+      .cast("long").cast("double") / lit(16777216.0)
+    docs.join(broadcast(rates), "lang")
+      .withColumn("kept", when(u < col("rate"), col("doc_id")))
+      .groupBy(col("lang"))
+      .agg(first(col("n_docs")).as("n_docs"),
+        round(first(col("p")), 6).as("p"),
+        round(first(col("w")), 6).as("target_w"),
+        round(first(col("rate")), 6).as("rate"),
+        count(col("kept")).as("n_kept"),
+        min(col("kept")).as("min_kept_id"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_clean" -> (clean _),
     "corpus_mix" -> (mix _),
+    "corpus_temperature" -> (temperature _),
     "corpus_contamination" -> (contamination _))
 
   val oracles: Map[String, String] = Map(
+    // mirrors temperature() term by term: sqrt is IEEE-correctly-rounded,
+    // the normalizer is list_sum over the lang-ordered array (same left
+    // fold as Spark's ordered aggregate), divisions share operand order —
+    // so rates, and therefore every keep decision, are bit-identical
+    "corpus_temperature" ->
+      """WITH counts AS (
+        |  SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+        |tot AS (SELECT COUNT(*) AS n_total FROM documents),
+        |wp AS (
+        |  SELECT lang, n_docs,
+        |    CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE) AS p,
+        |    sqrt(CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE)) AS wraw
+        |  FROM counts, tot),
+        |z AS (SELECT list_sum(array_agg(wraw ORDER BY lang)) AS z FROM wp),
+        |r AS (SELECT lang, n_docs, p, wraw / z AS w,
+        |    (wraw / z) / p AS r_raw FROM wp, z),
+        |m AS (SELECT MAX(r_raw) AS r_max FROM r),
+        |rates AS (SELECT lang, n_docs, p, w, r_raw / r_max AS rate
+        |  FROM r, m),
+        |marked AS (
+        |  SELECT d.lang,
+        |    CASE WHEN CAST(CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)
+        |        || ':' || d.text), 1, 6) AS BIGINT) AS DOUBLE)
+        |        / 16777216.0 < rt.rate
+        |      THEN d.doc_id END AS kept
+        |  FROM documents d JOIN rates rt USING (lang))
+        |SELECT rt.lang, rt.n_docs, ROUND(rt.p, 6) AS p,
+        |  ROUND(rt.w, 6) AS target_w, ROUND(rt.rate, 6) AS rate,
+        |  k.n_kept, k.min_kept_id
+        |FROM rates rt JOIN (
+        |  SELECT lang, COUNT(kept) AS n_kept, MIN(kept) AS min_kept_id
+        |  FROM marked GROUP BY lang) k USING (lang)
+        |ORDER BY rt.lang""".stripMargin,
     "corpus_contamination" ->
       """WITH base AS (
         |  SELECT doc_id,

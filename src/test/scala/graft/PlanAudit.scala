@@ -34,12 +34,17 @@ class PlanAudit extends SparkSpec {
       "q17_bucketed_join", "mm_binary_pipeline")
     // ev_ab_significance / q23_revenue_deciles join the same one-row
     // totals pattern as tfidf/logprob
-    // smp_interleave broadcasts the same one-row approx-percentile
-    // bounds table as q23/RFM's value bucketing
+    // smp_interleave / txt_ccnet_bucket broadcast the same one-row
+    // approx-percentile bounds table as q23/RFM's value bucketing
+    // corpus_temperature's mixture math is one-row scalar broadcasts
+    // onto the ≤#languages count table
+    // emb_kmeans assigns the corpus against the fixed-k broadcast
+    // centroid table (O(n·k)), the ivf pattern
     val bnljAllowed = Set("ann_bruteforce_topk", "ann_ivf_topk",
       "txt_tfidf_topk", "txt_unigram_logprob", "dedup_source_similarity",
       "ev_ab_significance", "q23_revenue_deciles", "ev_rfm_segments",
-      "smp_interleave")
+      "smp_interleave", "txt_ccnet_bucket", "corpus_temperature",
+      "emb_kmeans")
     // the only inputs a partition-less window may sort in one task:
     // calendar-bounded pre-aggregates (≤ hours/days rows at ANY corpus
     // size), verified below to actually sit on an Aggregate
