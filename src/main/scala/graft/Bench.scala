@@ -57,7 +57,7 @@ object Bench {
       val oraclePath = tmp.resolve("oracle_sql.json")
       val scriptPath = tmp.resolve("duck_bench.py")
       java.nio.file.Files.writeString(oraclePath,
-        SparkEntry.oracleSql
+        SparkEntry.oracleSqlFor(sfDir)
           .map { case (k, v) => s"${jstr(k)}: ${jstr(v)}" }
           .mkString("{", ",", "}"))
       java.nio.file.Files.writeString(scriptPath, duckScript)

@@ -28,4 +28,16 @@ object SparkEntry {
       Multimodal.oracles ++ Streams.oracles ++ JsonLanding.oracles ++
       CsvLanding.oracles ++ Scale.oracles ++ AsOf.oracles ++
       Sampling.oracles ++ Corpus.oracles
+
+  /** `oracleSql` with the `__SFDIR__` landed-artifact token resolved for
+    * a concrete sf dir: oracles that verify landed artifacts (simhash
+    * fingerprints, k-means centroids) embed the landing path, which is
+    * derived from the sf dir under verification — the same slug rule the
+    * landing ops use (Dedup.simhashFpDir / Similarity.kmeansCentDir).
+    * Verify and Bench both dump THIS, so the DuckDB side always reads
+    * the artifacts the run being checked actually produced. */
+  def oracleSqlFor(sfDir: String): Map[String, String] = {
+    val slug = sfDir.replaceAll("[^0-9a-zA-Z]", "_")
+    oracleSql.map { case (k, v) => k -> v.replace("__SFDIR__", slug) }
+  }
 }

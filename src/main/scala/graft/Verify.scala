@@ -57,7 +57,7 @@ object Verify {
     // control chars (<0x20) — a tab or CR in builder-authored SQL would
     // otherwise make the driver's json.load fail and silently zero the
     // round's correctness.
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSqlFor(sfDir)
       .map { case (k, v) => s"${Bench.jstr(k)}: ${Bench.jstr(v)}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -450,14 +450,12 @@ object Dedup {
     // fingerprints the op lands (simhashFpDir): at Hamming ≤ 3 the
     // pigeonhole candidate generation is provably complete, so the
     // all-pairs scan must produce EXACTLY the op's output — checking both
-    // candidate completeness and the Hamming verification. The path is
-    // pinned to sf0.01 because the driver's oracle gate runs there and
-    // this map is static; a Verify run at another sf lands its own dir
-    // and the oracle errors loudly (missing file) rather than comparing
-    // against stale data.
+    // candidate completeness and the Hamming verification. The __SFDIR__
+    // token resolves to the verified sf dir's slug at dump time
+    // (SparkEntry.oracleSqlFor), so any sf checks its own landed run.
     "dedup_simhash" ->
       s"""WITH fp AS (SELECT doc_id, fp
-        |  FROM '${simhashFpDir("/root/testdata/sf0.01")}/*.parquet')
+        |  FROM '${simhashFpDir("__SFDIR__")}/*.parquet')
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  bit_count(xor(a.fp, b.fp)) AS hamming
         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id

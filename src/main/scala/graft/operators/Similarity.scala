@@ -321,12 +321,12 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     // brute-force reassignment against the centroid table kmeans()
     // landed: every vector must map to the same nearest centroid with
-    // the same (term-order-identical) squared distance. Path pinned to
-    // sf0.01 — the driver's oracle gate runs there; another sf lands its
-    // own dir and this errors loudly instead of comparing stale data.
+    // the same (term-order-identical) squared distance. The __SFDIR__
+    // token resolves to the verified sf dir's slug at dump time
+    // (SparkEntry.oracleSqlFor), so any sf checks its own landed run.
     "emb_kmeans" ->
       s"""WITH c AS (SELECT cluster, cv
-        |  FROM '${kmeansCentDir("/root/testdata/sf0.01")}/*.parquet'),
+        |  FROM '${kmeansCentDir("__SFDIR__")}/*.parquet'),
         |e AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
         |  FROM embeddings),
