@@ -48,6 +48,45 @@ class AsOfSpec extends SparkSpec {
       "fixture must exercise the stale/absent path")
   }
 
+  test("asofNearestJoin matches the quadratic nearest reference") {
+    val lts = lefts.toDF("k", "tsl", "lid")
+      .select(col("k"), timestamp_micros(col("tsl")).as("ts"), col("lid"))
+    val rts = rights.toDF("k", "tsl", "rid", "payload")
+      .select(col("k"), timestamp_micros(col("tsl")).as("ts"), col("rid"))
+    val got = operators.AsOf.asofNearestJoin(lts, rts,
+      keys = Seq("k"), ts = "ts", payload = Seq("rid"),
+      tieBreak = Seq("rid"))
+      .select(col("lid"), col("nearest_rid"), col("nearest_direction"),
+        col("nearest_delta_us")).collect()
+    assert(got.length == lefts.size,
+      s"exactly one output row per left row, got ${got.length}")
+    // backward: non-strict, latest (ts, rid); forward: strict, earliest
+    // (ts, rid); distance tie prefers backward — the operator's contract
+    val want = lefts.map { case (k, ts, lid) =>
+      val cands = rights.filter(_._1 == k)
+      val back = cands.filter(_._2 <= ts)
+        .sortBy { case (_, r, rid, _) => (r, rid) }.lastOption
+      val fwd = cands.filter(_._2 > ts)
+        .sortBy { case (_, r, rid, _) => (r, rid) }.headOption
+      val pick = (back, fwd) match {
+        case (None, f) => f.map(x => (x._3, "forward", x._2 - ts))
+        case (b, None) => b.map(x => (x._3, "backward", ts - x._2))
+        case (Some(b), Some(f)) =>
+          if (f._2 - ts < ts - b._2) Some((f._3, "forward", f._2 - ts))
+          else Some((b._3, "backward", ts - b._2))
+      }
+      lid -> pick
+    }.toMap
+    got.foreach { r =>
+      val lid = r.getLong(0)
+      val g = if (r.isNullAt(1)) None
+        else Some((r.getLong(1), r.getString(2), r.getLong(3)))
+      assert(g == want(lid), s"lid=$lid got=$g want=${want(lid)}")
+    }
+    assert(got.exists(r => !r.isNullAt(2) && r.getString(2) == "forward"))
+    assert(got.exists(r => !r.isNullAt(2) && r.getString(2) == "backward"))
+  }
+
   for (strict <- Seq(true, false)) {
     test(s"asofJoin(strict=$strict) matches the quadratic reference") {
       val collected = operators.AsOf.asofJoin(

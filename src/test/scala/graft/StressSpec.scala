@@ -125,7 +125,8 @@ class StressSpec extends SparkSpec {
       "dedup_minhash_lsh" -> (d => operators.Dedup.minhashLsh(spark, d)),
       "dedup_cluster" -> (d => operators.Dedup.cluster(spark, d)),
       "smp_shuffle" -> (d => operators.Sampling.shuffleOrder(spark, d)),
-      "ann_lsh_topk" -> (d => operators.Similarity.lshTopk(spark, d)))
+      "ann_lsh_topk" -> (d => operators.Similarity.lshTopk(spark, d)),
+      "emb_kmeans" -> (d => operators.Similarity.kmeans(spark, d)))
     def run(f: String => org.apache.spark.sql.DataFrame,
         d: String): Double = {
       val t0 = System.nanoTime()
