@@ -407,7 +407,73 @@ object Events {
       .limit(10)
   }
 
+  /** Cohort LTV curves — the revenue companion to retention: per signup
+    * cohort (first-seen day) × day offset, buyer counts, purchase
+    * counts, and exact-decimal period + cumulative revenue. The raw
+    * purchase feed aggregates map-side onto (cohort_day, day_offset) — a
+    * calendar²-bounded key space — and the cumulative sum's window runs
+    * partitioned-by-cohort over that bounded pre-aggregate, never over
+    * raw events (the rolling-revenue discipline). Decimal-first money:
+    * both the period and cumulative sums are exact, cast to double once
+    * on output. */
+  def cohortLtv(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val cohort = ev.groupBy(col("user_id"))
+      .agg(min(col("ts")).cast("date").as("cohort_day"))
+    val per = ev.filter(col("event_type") === "purchase")
+      .join(cohort, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("ts").cast("date"), col("cohort_day"))
+          .as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_buyers"),
+        count(lit(1)).as("n_purchases"),
+        sum(dec2(col("value"))).as("rev_dec"))
+    val w = Window.partitionBy(col("cohort_day"))
+      .orderBy(col("day_offset"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    per
+      .withColumn("cum_dec", sum(col("rev_dec")).over(w))
+      .select(col("cohort_day"), col("day_offset"), col("n_buyers"),
+        col("n_purchases"), outd(col("rev_dec")).as("revenue"),
+        outd(col("cum_dec")).as("cum_revenue"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  /** Heuristic bot / automation gate — the traffic-quality filter ads
+    * attribution runs first: per user, volume, active span, exact
+    * inter-event gap statistics (epoch-µs), type diversity, and the
+    * rule verdict. The gap pass is the ONE per-user ordered window
+    * (byUser); everything else is a map-side-combinable aggregate, and
+    * every rule is an exact-integer comparison, so the verdict is
+    * oracle-checkable bit for bit. This synthetic feed trips no rule
+    * (coarse timestamps, uniform type mixes) — the spec injects a burst
+    * user through botDetectionOf to prove both verdicts fire. */
+  def botDetection(s: SparkSession, dir: String): DataFrame =
+    botDetectionOf(Tables.events(s, dir))
+
+  private[graft] def botDetectionOf(ev: DataFrame): DataFrame = {
+    ev
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byUser)))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"),
+        (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+          .as("span_us"),
+        min(col("gap_us")).as("min_gap_us"),
+        count(when(col("gap_us") < 1000000L, 1)).as("n_subsec_gaps"))
+      // ≥20 events AND (≥40% arrive <1s after the previous, or a
+      // single-type stream) — integer-exact, no float thresholds
+      .withColumn("is_bot",
+        col("n_events") >= 20 &&
+          (col("n_subsec_gaps") * lit(5L) >= col("n_events") * lit(2L) ||
+            col("n_types") === 1))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_cohort_ltv" -> (cohortLtv _),
+    "ev_bot_detection" -> (botDetection _),
     "ev_tumbling_window" -> (tumblingWindow _),
     "ev_sessionize" -> (sessionize _),
     "ev_funnel" -> (funnel _),
@@ -425,6 +491,45 @@ object Events {
     "ev_rfm_segments" -> (rfmSegments _))
 
   val oracles: Map[String, String] = Map(
+    "ev_cohort_ltv" ->
+      """WITH cohort AS (
+        |  SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day
+        |  FROM events GROUP BY user_id),
+        |per AS (
+        |  SELECT cohort_day,
+        |    CAST(date_diff('day', cohort_day, CAST(e.ts AS DATE)) AS INT)
+        |      AS day_offset,
+        |    COUNT(DISTINCT e.user_id) AS n_buyers,
+        |    COUNT(*) AS n_purchases,
+        |    SUM(CAST(e.value AS DECIMAL(18,2))) AS rev_dec
+        |  FROM events e JOIN cohort c USING (user_id)
+        |  WHERE e.event_type = 'purchase'
+        |  GROUP BY 1, 2)
+        |SELECT cohort_day, day_offset, n_buyers, n_purchases,
+        |  CAST(rev_dec AS DOUBLE) AS revenue,
+        |  CAST(SUM(rev_dec) OVER (PARTITION BY cohort_day
+        |    ORDER BY day_offset
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS cum_revenue
+        |FROM per ORDER BY cohort_day, day_offset""".stripMargin,
+    "ev_bot_detection" ->
+      """WITH gaps AS (
+        |  SELECT user_id, ts, event_type,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS gap_us
+        |  FROM events),
+        |agg AS (
+        |  SELECT user_id, COUNT(*) AS n_events,
+        |    COUNT(DISTINCT event_type) AS n_types,
+        |    MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS span_us,
+        |    MIN(gap_us) AS min_gap_us,
+        |    COUNT(CASE WHEN gap_us < 1000000 THEN 1 END) AS n_subsec_gaps
+        |  FROM gaps GROUP BY user_id)
+        |SELECT user_id, n_events, n_types, span_us, min_gap_us,
+        |  n_subsec_gaps,
+        |  (n_events >= 20 AND (n_subsec_gaps * 5 >= n_events * 2
+        |    OR n_types = 1)) AS is_bot
+        |FROM agg ORDER BY user_id""".stripMargin,
     "ev_tumbling_window" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |COUNT(*) AS n_events,
