@@ -44,7 +44,19 @@ object PlansDump {
         "batch-vs-corpus dedup: two linear hash equi-joins on min() indexes",
       "smp_interleave" ->
         ("stride-scheduled mixture interleave: two chained two-pass " +
-          "rankings (hash-prefix, then percentile value buckets)"))
+          "rankings (hash-prefix, then percentile value buckets)"),
+      "emb_kmeans" ->
+        ("Lloyd's k-means final assignment: broadcast landed centroids, " +
+          "O(n·k) scan + map-side-partial min_by — no pair explosion"),
+      "corpus_temperature" ->
+        ("temperature mixture: one-row scalar broadcasts onto the " +
+          "language count table, ONE corpus scan + broadcast join"),
+      "txt_ccnet_bucket" ->
+        ("CCNet terciles: percentile value buckets + per-(lang,bucket) " +
+          "row_number — no single-task window"),
+      "ev_asof_nearest" ->
+        ("nearest as-of: both directional frames on ONE union + sort " +
+          "(single user_id exchange)"))
     val sb = new StringBuilder
     sb.append("# PLANS — executed physical plans (sf0.001, regenerate " +
       "via `sbt \"runMain graft.PlansDump\"`)\n")

@@ -297,7 +297,73 @@ object Etl {
   def quarantine(s: SparkSession, dir: String): DataFrame =
     quarantineFlags(Tables.events(s, dir)).orderBy(col("event_id"))
 
+  /** Landing dirs for the schema-drift audit's two batches — computable
+    * from `dir` alone (the simhashFpDir contract) so the static oracle
+    * SQL can DESCRIBE the same landed files. */
+  private[graft] def driftDirs(dir: String): (String, String) = {
+    val slug = dir.replaceAll("[^0-9a-zA-Z]", "_")
+    val t = System.getProperty("java.io.tmpdir")
+    (s"$t/graft_drift_a_$slug", s"$t/graft_drift_b_$slug")
+  }
+
+  /** Spark type → the engine-neutral (DuckDB-DESCRIBE) type vocabulary
+    * the drift report speaks, so the oracle can diff the same landed
+    * files without a Spark-specific type dictionary. */
+  private def neutralType(t: org.apache.spark.sql.types.DataType): String =
+    t match {
+      case org.apache.spark.sql.types.LongType => "BIGINT"
+      case org.apache.spark.sql.types.IntegerType => "INTEGER"
+      case org.apache.spark.sql.types.DoubleType => "DOUBLE"
+      case org.apache.spark.sql.types.FloatType => "FLOAT"
+      case StringType => "VARCHAR"
+      case org.apache.spark.sql.types.BooleanType => "BOOLEAN"
+      case org.apache.spark.sql.types.DateType => "DATE"
+      case org.apache.spark.sql.types.TimestampType => "TIMESTAMP"
+      case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+      case other => other.sql
+    }
+
+  /** Schema-drift audit between two landed batches — the check an
+    * incremental lake runs when an upstream deploy changes the feed:
+    * land yesterday's batch shape and today's (one column renamed, one
+    * retyped, one added — the three drifts a deploy actually produces),
+    * then diff the schemas OF THE LANDED FILES, not of what the writer
+    * intended (the etl_manifest philosophy). The diff itself is
+    * O(#columns) driver-side metadata — schemas are inherently bounded;
+    * no data is re-read. Reported per column: old/new neutral type and
+    * added / removed / type_changed / unchanged status. */
+  def schemaDrift(s: SparkSession, dir: String): DataFrame = {
+    val (dirA, dirB) = driftDirs(dir)
+    val ev = Tables.events(s, dir)
+    ev.select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(dirA)
+    ev.select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type").as("etype"),
+        col("value").cast(DecimalType(18, 2)).as("value"),
+        lit("ads-v2").as("source"), col("props"))
+      .write.mode("overwrite").parquet(dirB)
+    val sa = s.read.parquet(dirA).schema
+    val sb = s.read.parquet(dirB).schema
+    val names = (sa.map(_.name) ++ sb.map(_.name)).distinct.sorted
+    val rows = names.map { n =>
+      val ta = sa.find(_.name == n).map(f => neutralType(f.dataType))
+      val tb = sb.find(_.name == n).map(f => neutralType(f.dataType))
+      val status = (ta, tb) match {
+        case (Some(_), None) => "removed"
+        case (None, Some(_)) => "added"
+        case (Some(x), Some(y)) if x != y => "type_changed"
+        case _ => "unchanged"
+      }
+      (n, ta.orNull, tb.orNull, status)
+    }
+    import s.implicits._
+    rows.toDF("column_name", "type_old", "type_new", "status")
+      .orderBy(col("column_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_schema_drift" -> (schemaDrift _),
     "etl_quarantine" -> (quarantine _),
     "etl_json_envelope" -> (jsonEnvelope _),
     "etl_standardize" -> (standardize _),
@@ -311,6 +377,25 @@ object Etl {
     "etl_incremental" -> (incremental _))
 
   val oracles: Map[String, String] = Map(
+    // DESCRIBE over the SAME landed files the op diffed (__SFDIR__
+    // resolves at dump time) — DuckDB's logical type names ARE the
+    // neutral vocabulary the op emits
+    "etl_schema_drift" ->
+      s"""WITH a AS (SELECT column_name, column_type
+        |  FROM (DESCRIBE SELECT * FROM
+        |    '${driftDirs("__SFDIR__")._1}/*.parquet')),
+        |b AS (SELECT column_name, column_type
+        |  FROM (DESCRIBE SELECT * FROM
+        |    '${driftDirs("__SFDIR__")._2}/*.parquet')),
+        |j AS (SELECT column_name, a.column_type AS type_old,
+        |    b.column_type AS type_new
+        |  FROM a FULL OUTER JOIN b USING (column_name))
+        |SELECT column_name, type_old, type_new,
+        |  CASE WHEN type_old IS NULL THEN 'added'
+        |       WHEN type_new IS NULL THEN 'removed'
+        |       WHEN type_old <> type_new THEN 'type_changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM j ORDER BY column_name""".stripMargin,
     "etl_quarantine" ->
       """WITH scored AS (
         |  SELECT event_id, strftime(ts, '%Y-%m-%d') AS event_date,

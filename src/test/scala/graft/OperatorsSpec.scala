@@ -621,6 +621,21 @@ class OperatorsSpec extends SparkSpec {
       s"exactly the injected bot must be flagged, got $flagged")
   }
 
+  test("etl_schema_drift: reports exactly the deploy's three drifts") {
+    val d = operators.Etl.schemaDrift(spark, sfTiny).collect()
+      .map(r => r.getString(0) -> ((Option(r.getString(1)),
+        Option(r.getString(2)), r.getString(3)))).toMap
+    assert(d("event_type") == ((Some("VARCHAR"), None, "removed")))
+    assert(d("etype") == ((None, Some("VARCHAR"), "added")))
+    assert(d("source") == ((None, Some("VARCHAR"), "added")))
+    assert(d("value") ==
+      ((Some("DOUBLE"), Some("DECIMAL(18,2)"), "type_changed")))
+    val stable = Set("event_id", "ts", "user_id", "props")
+    assert(stable.forall(c => d(c)._3 == "unchanged"),
+      s"stable columns must be unchanged: ${stable.map(c => c -> d(c))}")
+    assert(d.size == 8)
+  }
+
   test("dau/wau: weekly actives dominate daily actives") {
     val bad = operators.Events.dauWau(spark, sfTiny)
       .filter(col("wau") < col("dau")).count()

@@ -31,7 +31,7 @@ class PlanAudit extends SparkSpec {
       "stream_dedup", "stream_campaign_stats", "stream_static_enrich",
       "etl_partitioned_write", "etl_json_landing", "etl_csv_landing",
       "etl_manifest", "etl_compact", "etl_landing_metadata",
-      "q17_bucketed_join", "mm_binary_pipeline")
+      "etl_schema_drift", "q17_bucketed_join", "mm_binary_pipeline")
     // ev_ab_significance / q23_revenue_deciles join the same one-row
     // totals pattern as tfidf/logprob
     // smp_interleave / txt_ccnet_bucket broadcast the same one-row
