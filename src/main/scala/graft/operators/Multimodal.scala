@@ -157,12 +157,73 @@ object Multimodal {
     }(enc)
   }
 
+  private val FrameLen = 256
+  private val FrameHop = 128
+
+  private val audioSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("frame_idx", IntegerType),
+    StructField("energy", LongType),
+    StructField("peak", IntegerType)))
+
+  /** Audio framing leg: the payload as fixed 256-byte windows on a
+    * 128-byte hop — the STFT window/hop shape of an audio feature
+    * pipeline, minus the real DSP: per frame, the exact byte "energy"
+    * (sum) and peak. Same batched mapPartitions codec boundary as
+    * binaryPipeline (one decoder context per task, zero shuffles);
+    * payloads shorter than one window emit no frames — dropped, not
+    * padded, on both engines. Integer math only, so every frame row is
+    * recomputed byte-for-byte by the oracle. */
+  def audioWindow(s: SparkSession, dir: String): DataFrame = {
+    val withPayload = Tables.documents(s, dir).select(
+      col("doc_id"), col("text").cast("binary").as("payload"))
+    val enc = RowEncoder.encoderFor(audioSchema)
+    withPayload.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        val id = r.getLong(0)
+        val n = if (payload.length < FrameLen) 0
+          else (payload.length - FrameLen) / FrameHop + 1
+        (0 until n).iterator.map { k =>
+          var e = 0L
+          var p = 0
+          var j = k * FrameHop
+          val end = j + FrameLen
+          while (j < end) {
+            val b = payload(j) & 0xff
+            e += b
+            if (b > p) p = b
+            j += 1
+          }
+          Row(id, k, e, p)
+        }
+      }
+    }(enc)
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_pipeline" -> (binaryPipelineChecked _),
     "mm_frame_sample" -> (frameSample _),
+    "mm_audio_window" -> (audioWindow _),
     "mm_resize" -> (resize _))
 
   val oracles: Map[String, String] = Map(
+    // ASCII corpus: unicode(char) == byte value; // is integer division
+    "mm_audio_window" ->
+      """WITH frames AS (
+        |  SELECT doc_id, text,
+        |    unnest(range((length(text) - 256) // 128 + 1)) AS k
+        |  FROM documents WHERE length(text) >= 256),
+        |bytes AS (
+        |  SELECT doc_id, k,
+        |    unicode(substr(text, CAST(k * 128 + j + 1 AS INT), 1)) AS b
+        |  FROM (SELECT doc_id, text, k, unnest(range(256)) AS j
+        |        FROM frames))
+        |SELECT doc_id, CAST(k AS INT) AS frame_idx,
+        |  CAST(SUM(b) AS BIGINT) AS energy, CAST(MAX(b) AS INT) AS peak
+        |FROM bytes GROUP BY doc_id, k
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     "mm_binary_pipeline" -> {
       // per-dim byte sums over stride classes i % 8 == d; text is ASCII so
       // unicode(single char) == byte value and char length == byte length

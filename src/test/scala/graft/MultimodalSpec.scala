@@ -41,4 +41,39 @@ class MultimodalSpec extends SparkSpec {
         col("mx") > col("duration_s")).count()
     assert(bad == 0)
   }
+
+  test("audio window: frame grid matches the hop formula; a sampled " +
+      "doc's frames recompute exactly") {
+    val a = operators.Multimodal.audioWindow(spark, sfTiny)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assert(a.filter(col("peak") > 255 || col("peak") < 0).count() == 0)
+    assert(a.filter(col("energy") > 256L * 255L ||
+      col("energy") < col("peak")).count() == 0)
+    // per-doc frame count == the window/hop formula over n_chars (ASCII:
+    // byte length == char length); short docs emit zero frames
+    val counts = a.groupBy("doc_id").agg(count(lit(1)).as("n"),
+      max("frame_idx").as("mx"))
+    val expected = Tables.documents(spark, sfTiny)
+      .select(col("doc_id"), col("n_chars"),
+        when(col("n_chars") < 256, 0L)
+          .otherwise(floor((col("n_chars") - 256) / 128) + 1).as("want"))
+    val j = expected.join(counts, Seq("doc_id"), "left")
+    assert(j.filter(coalesce(col("n"), lit(0L)) =!= col("want"))
+      .count() == 0, "frame counts must match the hop formula")
+    // byte-exact recompute for one real document
+    val doc = Tables.documents(spark, sfTiny)
+      .filter(col("n_chars") >= 300).orderBy(col("doc_id").desc)
+      .select(col("doc_id"), col("text")).head()
+    val bytes = doc.getString(1).getBytes("UTF-8")
+    val want = (0 to (bytes.length - 256) / 128).map { k =>
+      val slice = bytes.slice(k * 128, k * 128 + 256).map(_ & 0xff)
+      (k, slice.map(_.toLong).sum, slice.max)
+    }
+    val got = a.filter(col("doc_id") === doc.getLong(0))
+      .orderBy(col("frame_idx"))
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getInt(3))).toSeq
+    assert(got == want, s"doc ${doc.getLong(0)}: got ${got.take(3)} " +
+      s"want ${want.take(3)}")
+    a.unpersist()
+  }
 }
