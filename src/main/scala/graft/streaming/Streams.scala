@@ -304,7 +304,31 @@ object Streams {
     s.table("graft_stream_quarantine").orderBy(col("event_id"))
   }
 
+  /** Streaming top-k heavy hitters — the continuous form of
+    * Events.topkHeavyHitters: running per-user totals live in the state
+    * store and the leaderboard re-ranks on every trigger (Complete mode
+    * permits the sort + limit over a streaming aggregate — the
+    * always-current "top spenders" board an ads console shows). After
+    * one AvailableNow pass over the static landing the snapshot equals
+    * the batch answer exactly, so the batch oracle applies verbatim. */
+  def topkHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val agg = eventStream(s, dir)
+      .groupBy(col("user_id"))
+      .agg(sum(col("value").cast(DecimalType(18, 2)))
+          .cast("double").as("total_value"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("total_value").desc, col("user_id"))
+      .limit(10)
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete)
+      .format("memory").queryName("graft_stream_topk")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table("graft_stream_topk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_topk_heavy_hitters" -> (topkHeavyHitters _),
     "stream_quarantine" -> (quarantine _),
     "stream_static_enrich" -> (staticEnrich _),
     "stream_join_attribution" -> (joinAttribution _),
@@ -318,6 +342,9 @@ object Streams {
     * applies verbatim. stream_sessionize is rows-only (trailing open
     * sessions stay in state — spec-checked against the batch form). */
   val oracles: Map[String, String] = Map(
+    // complete-mode snapshot after one pass == the batch leaderboard
+    "stream_topk_heavy_hitters" ->
+      graft.operators.Events.oracles("ev_topk_heavy_hitters"),
     // stateless routing: one pass equals the batch quarantine exactly,
     // so the batch oracle applies verbatim
     "stream_quarantine" -> graft.operators.Etl.oracles("etl_quarantine"),

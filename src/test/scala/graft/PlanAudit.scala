@@ -29,6 +29,7 @@ class PlanAudit extends SparkSpec {
   test("audit: no cartesian anywhere; BNLJ only where intended") {
     val skip = Set("stream_windowed_counts", "stream_sessionize",
       "stream_dedup", "stream_campaign_stats", "stream_static_enrich",
+      "stream_topk_heavy_hitters",
       "etl_partitioned_write", "etl_json_landing", "etl_csv_landing",
       "etl_manifest", "etl_compact", "etl_landing_metadata",
       "etl_schema_drift", "q17_bucketed_join", "mm_binary_pipeline")

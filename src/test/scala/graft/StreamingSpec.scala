@@ -84,6 +84,18 @@ class StreamingSpec extends SparkSpec {
     assert(st == batch)
   }
 
+  test("stream top-k leaderboard equals the batch leaderboard") {
+    // set-compare: the memory sink persists the sorted limit's ROWS but
+    // a table scan need not preserve their order
+    val st = streaming.Streams.topkHeavyHitters(spark, sfTiny)
+      .collect().map(_.toSeq).toSet
+    val batch = operators.Events.topkHeavyHitters(spark, sfTiny)
+      .collect().map(_.toSeq).toSet
+    assert(st.size == 10)
+    assert(st == batch,
+      "converged complete-mode snapshot must equal the batch top-k")
+  }
+
   test("stream dedup matches batch distinct counts") {
     val streamed = streaming.Streams.dedup(spark, sfTiny)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
