@@ -108,8 +108,28 @@ object Similarity {
   def ivfTopk(s: SparkSession, dir: String): DataFrame =
     ivfTopk(s, dir, k = 16, nprobe = 6)
 
-  def ivfTopk(s: SparkSession, dir: String, k: Int, nprobe: Int): DataFrame = {
-    val centroids = centroidTable(s, dir, k)
+  def ivfTopk(s: SparkSession, dir: String, k: Int, nprobe: Int): DataFrame =
+    ivfWith(s, dir, centroidTable(s, dir, k), nprobe)
+
+  /** IVF with a TRAINED coarse quantizer: kmeans()'s landed centroids
+    * instead of hash-sampled corpus vectors — the production IVF shape
+    * (train the quantizer, assign the corpus, probe nearest cells).
+    * Identical probe plan to ivfTopk; trained cells partition the space
+    * better than sampled ones, so the recall floor is higher
+    * (spec-checked against brute force). */
+  def ivfKmeansTopk(s: SparkSession, dir: String): DataFrame = {
+    kmeans(s, dir) // runs Lloyd's and lands the centroid table (eager)
+    val cents = s.read.parquet(kmeansCentDir(dir))
+      .select(col("cluster").as("cell_id"), col("cv").as("c_vd"))
+      .withColumn("c_nrm", sqrt(dotD(col("c_vd"), col("c_vd"))))
+    ivfWith(s, dir, cents, nprobe = 3)
+  }
+
+  /** The IVF probe plan over an arbitrary (cell_id, c_vd, c_nrm) coarse
+    * table: corpus assigned to its nearest cell, queries probe `nprobe`
+    * nearest cells — two broadcast joins + one windowed top-k. */
+  private def ivfWith(s: SparkSession, dir: String,
+      centroids: DataFrame, nprobe: Int): DataFrame = {
     // Corpus assignment (nearest cell only): max_by aggregation instead of
     // a per-vector rank window — partial aggregation shrinks the shuffle
     // map-side, where a window would exchange + sort the whole corpus.
@@ -313,6 +333,7 @@ object Similarity {
     "ann_bruteforce_topk" -> (bruteForceTopk _),
     "ann_lsh_topk" -> (lshTopk _),
     "ann_ivf_topk" -> (ivfTopk _),
+    "ann_ivf_kmeans_topk" -> (ivfKmeansTopk _),
     "emb_normalize" -> (embNormalize _),
     "emb_kmeans" -> (kmeans _),
     "emb_dim_stats" -> (dimStats _),

@@ -42,10 +42,10 @@ class PlanAudit extends SparkSpec {
     // emb_kmeans assigns the corpus against the fixed-k broadcast
     // centroid table (O(n·k)), the ivf pattern
     val bnljAllowed = Set("ann_bruteforce_topk", "ann_ivf_topk",
-      "txt_tfidf_topk", "txt_unigram_logprob", "dedup_source_similarity",
-      "ev_ab_significance", "q23_revenue_deciles", "ev_rfm_segments",
-      "smp_interleave", "txt_ccnet_bucket", "corpus_temperature",
-      "emb_kmeans")
+      "ann_ivf_kmeans_topk", "txt_tfidf_topk", "txt_unigram_logprob",
+      "dedup_source_similarity", "ev_ab_significance",
+      "q23_revenue_deciles", "ev_rfm_segments", "smp_interleave",
+      "txt_ccnet_bucket", "corpus_temperature", "emb_kmeans")
     // the only inputs a partition-less window may sort in one task:
     // calendar-bounded pre-aggregates (≤ hours/days rows at ANY corpus
     // size), verified below to actually sit on an Aggregate
