@@ -647,6 +647,21 @@ class OperatorsSpec extends SparkSpec {
     assert(d.size == 8)
   }
 
+  test("corpus_datacard: covers the whole corpus with coherent stats") {
+    val d = operators.Corpus.datacard(spark, sfTiny)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docs = Tables.documents(spark, sfTiny)
+    assert(d.agg(sum("n_docs")).first().getLong(0) == docs.count(),
+      "cells must partition the corpus")
+    assert(d.filter(col("n_distinct") > col("n_docs") ||
+      col("dup_rate") < 0 || col("dup_rate") >= 1).count() == 0)
+    assert(d.filter(col("min_chars") > col("max_chars") ||
+      col("total_chars") < col("n_docs") * col("min_chars") ||
+      col("total_chars") > col("n_docs") * col("max_chars"))
+      .count() == 0, "length stats must bracket the total")
+    d.unpersist()
+  }
+
   test("dau/wau: weekly actives dominate daily actives") {
     val bad = operators.Events.dauWau(spark, sfTiny)
       .filter(col("wau") < col("dau")).count()
