@@ -126,7 +126,9 @@ class StressSpec extends SparkSpec {
       "dedup_cluster" -> (d => operators.Dedup.cluster(spark, d)),
       "smp_shuffle" -> (d => operators.Sampling.shuffleOrder(spark, d)),
       "ann_lsh_topk" -> (d => operators.Similarity.lshTopk(spark, d)),
-      "emb_kmeans" -> (d => operators.Similarity.kmeans(spark, d)))
+      "emb_kmeans" -> (d => operators.Similarity.kmeans(spark, d)),
+      "txt_ccnet_bucket" -> (d => operators.Text.ccnetBucket(spark, d)),
+      "smp_interleave" -> (d => operators.Sampling.interleave(spark, d)))
     def run(f: String => org.apache.spark.sql.DataFrame,
         d: String): Double = {
       val t0 = System.nanoTime()
