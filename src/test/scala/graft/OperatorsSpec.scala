@@ -45,6 +45,24 @@ class OperatorsSpec extends SparkSpec {
         s"unmarked-but-no-oracle=${noOracle -- marked}")
   }
 
+  test("README and SURVEY §2 header counts match the code") {
+    // the r4/r5 rot class: prose counts drifting from the registry.
+    // README's headline and SURVEY's rows-only header both carry counts
+    // derivable from SparkEntry — assert them against the code.
+    val nOps = SparkEntry.queries.size
+    val nOracled = SparkEntry.oracleSql.size
+    val readme = scala.io.Source
+      .fromFile("/root/repo/README.md", "UTF-8").mkString
+    assert(readme.contains(s"$nOps operators, $nOracled of them hash-checked"),
+      s"README headline must read '$nOps operators, $nOracled of them " +
+        "hash-checked ...' — update README.md:7")
+    val survey = scala.io.Source
+      .fromFile("/root/repo/SURVEY.md", "UTF-8").mkString
+    assert(survey.contains(s"(${nOps - nOracled} of $nOps: approximate"),
+      s"SURVEY §2 header must read '(${nOps - nOracled} of $nOps: " +
+        "approximate ...' — update the rows-only count")
+  }
+
   test("Verify.surveyDrift is quiet on the real SURVEY, loud on a doctored one") {
     assert(Verify.surveyDrift().isEmpty,
       s"real SURVEY must be drift-free: ${Verify.surveyDrift()}")
