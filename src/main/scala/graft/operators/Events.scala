@@ -85,6 +85,39 @@ object Events {
         max(col("t_purchase")).as("t_purchase"))
   }
 
+  /** Funnel conversion-latency report — the funnel's companion metric:
+    * how LONG each stage transition takes, per view-cohort week. Exact
+    * epoch-µs latencies from the one windowed funnel pass, aggregated to
+    * stage counts + DISCRETE quantiles: the actual observed latency at
+    * index ceil(p·m) of the sorted non-null latencies. Interpolated
+    * percentiles (q13's percentile/quantile_cont pairing) differ by an
+    * ulp between engines at 1e11-µs magnitudes, so the report emits real
+    * elements — exact BIGINTs, bit-identical anywhere; the ceil(p·m)
+    * index itself is the same IEEE double product in both engines.
+    * Cohort-week grouping bounds each sorted group by a week's
+    * converted users; at unbounded scale swap for the q20 sketch path. */
+  def funnelLatency(s: SparkSession, dir: String): DataFrame = {
+    val vc = unix_micros(col("t_click")) - unix_micros(col("t_view"))
+    val cp = unix_micros(col("t_purchase")) - unix_micros(col("t_click"))
+    def qDisc(c: Column, p: Double): Column = {
+      val arr = array_sort(collect_list(c))
+      when(size(arr) === 0, lit(null).cast("long"))
+        .otherwise(element_at(arr,
+          ceil(lit(p) * size(arr).cast("double")).cast("int")))
+    }
+    funnel(s, dir)
+      .groupBy(date_trunc("week", col("t_view")).as("cohort_week"))
+      .agg(
+        count(lit(1)).as("n_viewed"),
+        count(col("t_click")).as("n_clicked"),
+        count(col("t_purchase")).as("n_purchased"),
+        qDisc(vc, 0.5).as("p50_view_to_click_us"),
+        qDisc(vc, 0.9).as("p90_view_to_click_us"),
+        qDisc(cp, 0.5).as("p50_click_to_purchase_us"),
+        qDisc(cp, 0.9).as("p90_click_to_purchase_us"))
+      .orderBy(col("cohort_week"))
+  }
+
   /** Last-touch attribution: for every purchase, the latest click before
     * it in (ts, event_id) order by the same user (a click sharing the
     * purchase's timestamp counts when its event_id is lower) — one window
@@ -477,6 +510,7 @@ object Events {
     "ev_tumbling_window" -> (tumblingWindow _),
     "ev_sessionize" -> (sessionize _),
     "ev_funnel" -> (funnel _),
+    "ev_funnel_latency" -> (funnelLatency _),
     "ev_attribution" -> (attribution _),
     "ev_retention" -> (retention _),
     "ev_campaign_stats" -> (campaignStats _),
@@ -569,6 +603,45 @@ object Events {
         |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
         |FROM v LEFT JOIN c ON v.user_id = c.user_id
         |LEFT JOIN p ON v.user_id = p.user_id""".stripMargin,
+    "ev_funnel_latency" ->
+      """WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
+        |    WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(e.ts) AS t_click FROM events e
+        |    JOIN v ON e.user_id = v.user_id
+        |    WHERE e.event_type = 'click' AND e.ts > v.t_view
+        |    GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase FROM events e
+        |    JOIN c ON e.user_id = c.user_id
+        |    WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        |    GROUP BY e.user_id),
+        |f AS (SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
+        |  FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |  LEFT JOIN p ON v.user_id = p.user_id)
+        |SELECT date_trunc('week', t_view) AS cohort_week,
+        |  COUNT(*) AS n_viewed, COUNT(vc) AS n_clicked,
+        |  COUNT(cp) AS n_purchased,
+        |  CASE WHEN COUNT(vc) = 0 THEN NULL ELSE
+        |    (array_agg(vc ORDER BY vc) FILTER (WHERE vc IS NOT NULL))
+        |      [CAST(ceil(0.5 * CAST(COUNT(vc) AS DOUBLE)) AS INT)]
+        |  END AS p50_view_to_click_us,
+        |  CASE WHEN COUNT(vc) = 0 THEN NULL ELSE
+        |    (array_agg(vc ORDER BY vc) FILTER (WHERE vc IS NOT NULL))
+        |      [CAST(ceil(0.9 * CAST(COUNT(vc) AS DOUBLE)) AS INT)]
+        |  END AS p90_view_to_click_us,
+        |  CASE WHEN COUNT(cp) = 0 THEN NULL ELSE
+        |    (array_agg(cp ORDER BY cp) FILTER (WHERE cp IS NOT NULL))
+        |      [CAST(ceil(0.5 * CAST(COUNT(cp) AS DOUBLE)) AS INT)]
+        |  END AS p50_click_to_purchase_us,
+        |  CASE WHEN COUNT(cp) = 0 THEN NULL ELSE
+        |    (array_agg(cp ORDER BY cp) FILTER (WHERE cp IS NOT NULL))
+        |      [CAST(ceil(0.9 * CAST(COUNT(cp) AS DOUBLE)) AS INT)]
+        |  END AS p90_click_to_purchase_us
+        |FROM (SELECT t_view,
+        |    epoch_us(t_click) - epoch_us(t_view) AS vc,
+        |    epoch_us(t_purchase) - epoch_us(t_click) AS cp
+        |  FROM f)
+        |GROUP BY date_trunc('week', t_view)
+        |ORDER BY cohort_week""".stripMargin,
     "ev_attribution" ->
       """WITH touch AS (
         |  SELECT *, CASE WHEN event_type = 'click' THEN event_id END
