@@ -111,16 +111,19 @@ object Dedup {
   /** Word-3-gram Jaccard near-dup pairs, candidates restricted to docs
     * sharing their minimum shingle hash (1-band MinHash): the bucket join
     * replaces the quadratic cross product; each surviving pair gets the
-    * exact Jaccard verification. */
+    * exact Jaccard verification. Candidate generation rides
+    * `saltedBandPairs` (band_id = 0, band_hash = the min-shingle bucket),
+    * so a duplicate-storm bucket of width w splits into ceil(w/64) salt
+    * groups instead of putting all w² comparisons in ONE join task —
+    * same pair set (StressSpec), storm-safe plan. `cluster` inherits. */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     val base = shingled(s, dir)
       .withColumn("bucket",
         array_min(transform(col("shingles"), x => md5(x))))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val a = base.select(col("bucket"), col("doc_id").as("doc_a"))
-    val b = base.select(col("bucket"), col("doc_id").as("doc_b"))
-    val pairs = a.join(b, "bucket").filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
+    val banded = base.select(col("doc_id"), lit(0).as("band_id"),
+      col("bucket").as("band_hash"))
+    val pairs = saltedBandPairs(banded, target = 64)
     // threshold on the RAW ratio (int/int division, bit-identical in both
     // engines); the rounded value is output-only — thresholding on the
     // rounded score would keep boundary pairs the size-ratio prefilter
@@ -353,6 +356,77 @@ object Dedup {
       docs.filter(pmod(col("doc_id"), lit(5)) === 0))
   }
 
+  /** Landing dir for the incremental-minhash artifacts (band index +
+    * hash-shingle table) — computable from `dir` alone (the simhashFpDir
+    * contract) so the static oracle SQL can re-derive the candidate and
+    * verification legs from the same landed files. */
+  private[graft] def mhIncDir(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_mhinc_" +
+      dir.replaceAll("[^0-9a-zA-Z]", "_")
+
+  /** Batch-vs-corpus incremental NEAR-dup — the fuzzy twin of
+    * `incremental`, and the production shape of MinHash dedup: the
+    * corpus's LSH band index is a landed table (what a 100 TB pipeline
+    * maintains between daily runs — here landed then probed in one op);
+    * today's batch is banded the same way and probes the index with a
+    * linear equi-join, never re-pairing the corpus against itself.
+    * The probe is heavy-hitter salted like `saltedBandPairs`, two-sided:
+    * a storm bucket of corpus width w splits into g = ceil(w/64) salt
+    * groups — the corpus side takes one salt by doc-id hash, the (small)
+    * batch side replicates g ways — so no join group quadratically
+    * blows one task. Survivors get exact hash-set Jaccard verification.
+    * Oracle: DuckDB re-derives candidates AND verification from the
+    * landed band index + hash-shingle table (__SFDIR__ pattern), so the
+    * whole operator is hash-checked end to end. */
+  def minhashIncremental(s: SparkSession, dir: String): DataFrame = {
+    val bands = 8
+    val r = 4
+    val target = 64
+    val base = hashShingled(s, dir)
+      .withColumn("sig",
+        graft.functions.SketchExprs.minhashSig(col("hs"), bands * r))
+      .select(col("doc_id"), col("hs"),
+        bandHashes(col("sig"), bands, r).as("bands"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val banded = base.select(col("doc_id"),
+      posexplode(col("bands")).as(Seq("band_id", "band_hash")))
+    banded.write.mode("overwrite").parquet(s"${mhIncDir(dir)}/bands")
+    base.select(col("doc_id"), col("hs")).write.mode("overwrite")
+      .parquet(s"${mhIncDir(dir)}/hs")
+    // corpus = prior days, batch = today (deterministic date stand-in,
+    // the `incremental` convention)
+    val corpus = banded.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val batch = banded.filter(pmod(col("doc_id"), lit(5)) === 0)
+    val widths = corpus.groupBy(col("band_id"), col("band_hash"))
+      .agg(count(lit(1)).as("__w"))
+    val g = ceil(col("__w") / lit(target)).cast("int")
+    val cs = corpus.join(widths, Seq("band_id", "band_hash"))
+      .select(col("band_id"), col("band_hash"),
+        pmod(xxhash64(col("doc_id")), g.cast("long")).cast("int")
+          .as("__salt"),
+        col("doc_id").as("doc_corpus"))
+    // inner join on widths also DROPS batch bands absent from the index —
+    // exactly the no-candidate case
+    val bs = batch.join(widths, Seq("band_id", "band_hash"))
+      .select(col("band_id"), col("band_hash"),
+        explode(sequence(lit(0), g - 1)).as("__salt"),
+        col("doc_id").as("doc_batch"))
+    val pairs = bs.join(cs, Seq("band_id", "band_hash", "__salt"))
+      .select(col("doc_batch"), col("doc_corpus"))
+      .distinct()
+    pairs
+      .join(base.select(col("doc_id").as("doc_batch"), col("hs").as("sh_a")),
+        "doc_batch")
+      .join(base.select(col("doc_id").as("doc_corpus"), col("hs").as("sh_b")),
+        "doc_corpus")
+      .filter(size(col("sh_a")) <= size(col("sh_b")) * 2 &&
+        size(col("sh_b")) <= size(col("sh_a")) * 2)
+      .filter(rawJaccard(col("sh_a"), col("sh_b")) >= 0.5)
+      .select(col("doc_batch"), col("doc_corpus"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .orderBy(col("doc_batch"), col("doc_corpus"))
+  }
+
   /** Per-source duplication telemetry — the dashboard row a corpus
     * curator watches per crawl/feed: doc counts, distinct raw and
     * normalized content hashes, and the resulting duplication rates.
@@ -382,6 +456,7 @@ object Dedup {
     "dedup_simhash" -> (simhash _),
     "dedup_cluster" -> (cluster _),
     "dedup_incremental" -> (incremental _),
+    "dedup_minhash_incremental" -> (minhashIncremental _),
     "dedup_source_similarity" -> (sourceSimilarity _),
     "dedup_embedding_cosine" -> (embeddingCosine _))
 
@@ -446,6 +521,30 @@ object Dedup {
         |LEFT JOIN raw_idx USING (raw_hash)
         |LEFT JOIN norm_idx USING (norm_hash)
         |ORDER BY doc_id""".stripMargin,
+    // candidate AND verification legs re-derived from the landed band
+    // index + hash-shingle table (mhIncDir): batch bands probe corpus
+    // bands, exact hash-set Jaccard verifies — the size-ratio prefilter
+    // is implied by J >= 0.5 over distinct sets, so it's omitted here
+    "dedup_minhash_incremental" ->
+      s"""WITH bands AS (
+        |  SELECT * FROM '${mhIncDir("__SFDIR__")}/bands/*.parquet'),
+        |hs AS (SELECT * FROM '${mhIncDir("__SFDIR__")}/hs/*.parquet'),
+        |cand AS (
+        |  SELECT DISTINCT b.doc_id AS doc_batch, c.doc_id AS doc_corpus
+        |  FROM bands b JOIN bands c
+        |    ON b.band_id = c.band_id AND b.band_hash = c.band_hash
+        |  WHERE b.doc_id % 5 = 0 AND c.doc_id % 5 <> 0),
+        |v AS (
+        |  SELECT doc_batch, doc_corpus,
+        |    CAST(len(list_intersect(hb.hs, hc.hs)) AS DOUBLE)
+        |      / CAST(len(list_distinct(list_concat(hb.hs, hc.hs))) AS DOUBLE)
+        |      AS rawj
+        |  FROM cand
+        |  JOIN hs hb ON hb.doc_id = doc_batch
+        |  JOIN hs hc ON hc.doc_id = doc_corpus)
+        |SELECT doc_batch, doc_corpus, ROUND(rawj, 6) AS jaccard
+        |FROM v WHERE rawj >= 0.5
+        |ORDER BY doc_batch, doc_corpus""".stripMargin,
     // brute-force re-derivation of the SimHash pair list from the
     // fingerprints the op lands (simhashFpDir): at Hamming ≤ 3 the
     // pigeonhole candidate generation is provably complete, so the

@@ -362,7 +362,71 @@ object Etl {
       .orderBy(col("column_name"))
   }
 
+  /** SCD2 (type-2 slowly-changing-dimension) history build from the
+    * events change feed — the warehouse-side merge every dimension load
+    * runs: consecutive runs of the same tracked attribute (here
+    * event_type, the engagement state) collapse into versioned validity
+    * intervals with effective_from / effective_to / is_current. The
+    * gaps-and-islands detection (lag ≠ current → run start), the version
+    * numbering and the interval close (lead) all ride ONE user_id
+    * partitioning — a single shuffle at any fact scale, no groupBy on a
+    * per-run key (which would re-shuffle on (user, run)). */
+  def scd2(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val rows = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("rn", row_number().over(byUser))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .withColumn("n_user",
+        count(lit(1)).over(Window.partitionBy(col("user_id"))))
+    // run starts only; the second window pass reuses the same user_id
+    // exchange (same partitioning, re-sort only)
+    rows.filter(col("prev_type").isNull ||
+        col("prev_type") =!= col("event_type"))
+      .withColumn("version", row_number().over(byUser).cast("long"))
+      .withColumn("effective_to", lead(col("ts"), 1).over(byUser))
+      .withColumn("n_events",
+        coalesce(lead(col("rn"), 1).over(byUser), col("n_user") + 1)
+          - col("rn"))
+      .select(col("user_id"), col("version"),
+        col("event_type").as("state"),
+        col("ts").as("effective_from"), col("effective_to"),
+        col("effective_to").isNull.as("is_current"),
+        col("n_events").cast("long").as("n_events"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  /** CDC latest-wins merge (upsert compaction) — the change feed folded
+    * to its current snapshot: per key, the record with the highest
+    * (ts, event_id) version wins; a terminal 'error' event is the
+    * tombstone marker (the delete leg of a real CDC merge). The argmax is
+    * ONE max(struct(version…, payload…)) aggregate — map-side combinable
+    * partial merge, no window, no sort: at 100 TB the combiner collapses
+    * each partition to one row per key before the single shuffle.
+    * Null-key records are the quarantine feed's business, not the
+    * merge's — filtered, as in the batch quarantine registry. */
+  def cdcMerge(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
+          col("value"))).as("last"),
+        count(lit(1)).as("n_changes"))
+      .select(col("user_id"),
+        col("last.ts").as("last_ts"),
+        col("last.event_id").as("last_event_id"),
+        col("last.event_type").as("last_event_type"),
+        col("last.value").as("last_value"),
+        col("n_changes"),
+        (col("last.event_type") === "error").as("is_tombstone"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_scd2" -> (scd2 _),
+    "etl_cdc_merge" -> (cdcMerge _),
     "etl_schema_drift" -> (schemaDrift _),
     "etl_quarantine" -> (quarantine _),
     "etl_json_envelope" -> (jsonEnvelope _),
@@ -377,6 +441,39 @@ object Etl {
     "etl_incremental" -> (incremental _))
 
   val oracles: Map[String, String] = Map(
+    "etl_scd2" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    row_number() OVER w AS rn,
+        |    lag(event_type) OVER w AS prev_type,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n_user
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT * FROM r
+        |  WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id,
+        |  CAST(row_number() OVER w2 AS BIGINT) AS version,
+        |  event_type AS state,
+        |  ts AS effective_from,
+        |  lead(ts) OVER w2 AS effective_to,
+        |  (lead(ts) OVER w2 IS NULL) AS is_current,
+        |  CAST(COALESCE(lead(rn) OVER w2, n_user + 1) - rn AS BIGINT)
+        |    AS n_events
+        |FROM s
+        |WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, version""".stripMargin,
+    "etl_cdc_merge" ->
+      """SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+        |  event_type AS last_event_type, value AS last_value,
+        |  n_changes, (event_type = 'error') AS is_tombstone
+        |FROM (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+        |  FROM events WHERE user_id IS NOT NULL)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     // DESCRIBE over the SAME landed files the op diffed (__SFDIR__
     // resolves at dump time) — DuckDB's logical type names ARE the
     // neutral vocabulary the op emits

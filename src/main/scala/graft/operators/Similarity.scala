@@ -329,7 +329,60 @@ object Similarity {
       .orderBy(col("dim"))
   }
 
+  /** Upper-triangle covariance / correlation audit over the embedding
+    * dimensions — the whitening / redundant-dimension check run before an
+    * index or a projection ships. The d·(d+1)/2 pair products are
+    * generated EXPRESSION-side (nested transform over the vector — no
+    * self-join, no n·d shuffle), rounded to 9dp and summed as exact
+    * decimals (dimStats discipline: order-independent, map-side
+    * combinable), so the only shuffle is n·d²→ d² partial aggregates
+    * onto the bounded d² key space at any corpus size. First moments and
+    * diagonal second moments re-attach via two broadcast joins of the
+    * d-row tables; cov/corr arithmetic is written term-for-term as the
+    * oracle's, so the doubles are bit-identical. */
+  def covariance(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val emb = Tables.embeddings(s, dir)
+      .select(asDouble(col("embedding")).as("vd"))
+    val pairs = emb.select(explode(flatten(transform(col("vd"),
+        (xi, i) => transform(
+          slice(col("vd"), i + lit(1), size(col("vd")) - i),
+          (xj, jo) => struct(i.as("i"), (i + jo).as("j"),
+            round(xi * xj, 9).cast(DecimalType(28, 9)).as("xy"))))))
+        .as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"), col("p.xy").as("xy"))
+    val mom = pairs.groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("xy")).cast("double").as("sum_xy"))
+    val firsts = emb.select(posexplode(col("vd")).as(Seq("d", "x")))
+      .groupBy(col("d"))
+      .agg(sum(round(col("x"), 9).cast(DecimalType(18, 9)))
+        .cast("double").as("sum_x"))
+    val diag = mom.filter(col("i") === col("j"))
+      .select(col("i").as("d"), col("sum_xy").as("sum_xx"))
+    val dTab = firsts.join(diag, "d")
+    val n = col("n_vecs").cast("double")
+    val cov = col("sum_xy") / n - (col("sx_i") / n) * (col("sx_j") / n)
+    val varI = col("sxx_i") / n - (col("sx_i") / n) * (col("sx_i") / n)
+    val varJ = col("sxx_j") / n - (col("sx_j") / n) * (col("sx_j") / n)
+    mom
+      .join(broadcast(dTab.select(col("d").as("i"),
+        col("sum_x").as("sx_i"), col("sum_xx").as("sxx_i"))), "i")
+      .join(broadcast(dTab.select(col("d").as("j"),
+        col("sum_x").as("sx_j"), col("sum_xx").as("sxx_j"))), "j")
+      .select(col("i").cast("int").as("dim_i"),
+        col("j").cast("int").as("dim_j"),
+        col("n_vecs"), col("sum_xy"),
+        // + 0.0 collapses IEEE negative zero, which the two engines
+        // round to inconsistently
+        (round(cov, 6) + lit(0.0)).as("cov"),
+        (round(cov / nullif(sqrt(varI) * sqrt(varJ), lit(0.0)), 6)
+          + lit(0.0)).as("corr"))
+      .orderBy(col("dim_i"), col("dim_j"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_covariance" -> (covariance _),
     "ann_bruteforce_topk" -> (bruteForceTopk _),
     "ann_lsh_topk" -> (lshTopk _),
     "ann_ivf_topk" -> (ivfTopk _),
@@ -340,6 +393,49 @@ object Similarity {
     "emb_centroid_audit" -> (centroidAudit _))
 
   val oracles: Map[String, String] = Map(
+    // pair products generated expression-side exactly as the op does
+    // (range is end-exclusive = Spark's 0-based transform index; emb is
+    // 1-indexed in DuckDB), 9dp-round → exact decimal sums, cov/corr
+    // arithmetic term-for-term identical
+    "emb_covariance" ->
+      """WITH e AS (
+        |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT unnest(flatten(list_transform(range(0, len(emb)),
+        |    i -> list_transform(range(i, len(emb)),
+        |      j -> {'i': i, 'j': j,
+        |        'xy': CAST(ROUND(emb[i + 1] * emb[j + 1], 9)
+        |          AS DECIMAL(28,9))})))) AS s
+        |  FROM e),
+        |mom AS (
+        |  SELECT s.i AS i, s.j AS j, COUNT(*) AS n_vecs,
+        |    CAST(SUM(s.xy) AS DOUBLE) AS sum_xy
+        |  FROM p GROUP BY s.i, s.j),
+        |m1 AS (
+        |  SELECT u.d AS d,
+        |    CAST(SUM(CAST(ROUND(u.x, 9) AS DECIMAL(18,9))) AS DOUBLE)
+        |      AS sum_x
+        |  FROM (SELECT unnest(list_transform(range(0, len(emb)),
+        |      i -> {'d': i, 'x': emb[i + 1]})) AS u FROM e)
+        |  GROUP BY u.d),
+        |diag AS (SELECT i AS d, sum_xy AS sum_xx FROM mom WHERE i = j),
+        |joined AS (
+        |  SELECT mom.i, mom.j, mom.n_vecs, mom.sum_xy,
+        |    mi.sum_x AS sx_i, mj.sum_x AS sx_j,
+        |    di.sum_xx AS sxx_i, dj.sum_xx AS sxx_j,
+        |    CAST(mom.n_vecs AS DOUBLE) AS n
+        |  FROM mom
+        |  JOIN m1 mi ON mi.d = mom.i JOIN m1 mj ON mj.d = mom.j
+        |  JOIN diag di ON di.d = mom.i JOIN diag dj ON dj.d = mom.j)
+        |SELECT CAST(i AS INT) AS dim_i, CAST(j AS INT) AS dim_j,
+        |  n_vecs, sum_xy,
+        |  ROUND(sum_xy / n - (sx_i / n) * (sx_j / n), 6) + 0.0 AS cov,
+        |  ROUND((sum_xy / n - (sx_i / n) * (sx_j / n))
+        |    / NULLIF(sqrt(sxx_i / n - (sx_i / n) * (sx_i / n))
+        |      * sqrt(sxx_j / n - (sx_j / n) * (sx_j / n)), 0), 6) + 0.0
+        |    AS corr
+        |FROM joined ORDER BY dim_i, dim_j""".stripMargin,
     // brute-force reassignment against the centroid table kmeans()
     // landed: every vector must map to the same nearest centroid with
     // the same (term-order-identical) squared distance. The __SFDIR__

@@ -329,7 +329,29 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Cross-doc duplicated-span (boilerplate) detection — the
+    * exact-substring dedup signal of Lee et al.'s "Deduplicating Training
+    * Data Makes Language Models Better": word-8-gram spans appearing in
+    * ≥ 3 distinct documents, with how many docs carry them and the first
+    * offender. Spans are distinct per doc (wordShingles), so one
+    * explode + count is the distinct-doc count — a single fully
+    * map-side-combinable shuffle keyed by span; linear in corpus tokens,
+    * never doc×doc. The ≥3 floor keeps the output the curated
+    * boilerplate list, not the n-gram table. */
+  def boilerplateNgrams(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"),
+        explode(wordShingles(col("toks"), 8)).as("span"))
+      .groupBy(col("span"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("first_doc_id"))
+      .filter(col("n_docs") >= 3)
+      .orderBy(col("span"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt_boilerplate_ngrams" -> (boilerplateNgrams _),
     "txt_redact" -> (redact _),
     "txt_ccnet_bucket" -> (ccnetBucket _),
     "txt_repetition" -> (repetition _),
@@ -345,6 +367,19 @@ object Text {
     "txt_tfidf_topk" -> (tfidfTopk _))
 
   val oracles: Map[String, String] = Map(
+    "txt_boilerplate_ngrams" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 8
+        |      THEN list_transform(range(1, len(w) - 6),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+        |          || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' '
+        |          || w[i+6] || ' ' || w[i+7])
+        |      ELSE [] END) AS spans
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |        FROM documents))
+        |SELECT span, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc_id
+        |FROM (SELECT doc_id, unnest(spans) AS span FROM t)
+        |GROUP BY span HAVING COUNT(*) >= 3 ORDER BY span""".stripMargin,
     // same scored CTE as txt_unigram_logprob (decimal-summed, exact);
     // DuckDB's ntile is the ANSI tiling ntileFromRank reproduces
     "txt_ccnet_bucket" ->

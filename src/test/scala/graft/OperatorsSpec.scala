@@ -724,6 +724,118 @@ class OperatorsSpec extends SparkSpec {
     lat.unpersist()
   }
 
+  test("etl_scd2: intervals tile each user's timeline; states change at " +
+      "every version boundary") {
+    val h = operators.Etl.scd2(spark, sfTiny)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // versions are dense 1..n per user; exactly one open (current) row
+    val perUser = h.groupBy("user_id").agg(count(lit(1)).as("n"),
+      max("version").as("mx"),
+      sum(col("is_current").cast("int")).as("open"))
+    assert(perUser.filter(col("mx") =!= col("n") || col("open") =!= 1)
+      .count() == 0, "dense versions and exactly one current row")
+    // intervals are forward and chain: effective_to == next effective_from
+    assert(h.filter(col("effective_to").isNotNull &&
+      col("effective_to") <= col("effective_from")).count() == 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("version"))
+    val chained = h.withColumn("next_from",
+      lead(col("effective_from"), 1).over(w))
+    assert(chained.filter(col("next_from").isNotNull &&
+      col("effective_to") =!= col("next_from")).count() == 0,
+      "interval chain must be gapless")
+    // a version boundary is a real state change
+    assert(chained.withColumn("next_state", lead(col("state"), 1).over(w))
+      .filter(col("next_state").isNotNull &&
+        col("next_state") === col("state")).count() == 0,
+      "consecutive versions must carry different states")
+    // run lengths account for every event
+    assert(h.agg(sum("n_events")).first().getLong(0) ==
+      Tables.events(spark, sfTiny).count(),
+      "n_events must partition the feed")
+    h.unpersist()
+  }
+
+  test("etl_cdc_merge: one current row per key, argmax is the true max, " +
+      "change counts reconcile") {
+    val m = operators.Etl.cdcMerge(spark, sfTiny)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ev = Tables.events(spark, sfTiny).filter(col("user_id").isNotNull)
+    assert(m.count() == ev.select("user_id").distinct().count())
+    assert(m.agg(sum("n_changes")).first().getLong(0) == ev.count())
+    // the winning version is the key's true (ts, event_id) max
+    val truth = ev.groupBy("user_id").agg(max(struct(col("ts"),
+      col("event_id"))).as("mx"))
+    assert(m.join(truth, "user_id")
+      .filter(col("last_ts") =!= col("mx.ts") ||
+        col("last_event_id") =!= col("mx.event_id")).count() == 0)
+    assert(m.filter(col("is_tombstone") =!=
+      (col("last_event_type") === "error")).count() == 0)
+    m.unpersist()
+  }
+
+  test("txt_boilerplate_ngrams: floor respected and the first offender " +
+      "really carries the span") {
+    import graft.functions.TextFns._
+    val b = operators.Text.boilerplateNgrams(spark, sfTiny)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assert(b.count() > 0, "a 30-word vocabulary must repeat 8-grams")
+    assert(b.filter(col("n_docs") < 3).count() == 0)
+    // first_doc_id's own shingle set contains the reported span
+    val docSpans = Tables.documents(spark, sfTiny)
+      .select(col("doc_id").as("first_doc_id"),
+        wordShinglesFromText(col("text"), 8).as("spans"))
+    assert(b.join(docSpans, "first_doc_id")
+      .filter(!array_contains(col("spans"), col("span"))).count() == 0,
+      "every first offender must contain its span")
+    b.unpersist()
+  }
+
+  test("dedup_minhash_incremental: batch-vs-corpus sides only, equals " +
+      "the full LSH pair list restricted to the boundary") {
+    val inc = operators.Dedup.minhashIncremental(spark, sfTiny)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assert(inc.filter(pmod(col("doc_batch"), lit(5)) =!= 0 ||
+      pmod(col("doc_corpus"), lit(5)) === 0).count() == 0,
+      "pairs must go batch → corpus, never within a side")
+    assert(inc.filter(col("jaccard") < 0.5).count() == 0)
+    // equivalence: the incremental probe is exactly the full LSH pair
+    // list restricted to cross-boundary pairs (same bands, same
+    // threshold) — the probe may neither miss nor invent a pair
+    val expected = operators.Dedup.minhashLsh(spark, sfTiny)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .flatMap { case (a, b) =>
+        if (a % 5 == 0 && b % 5 != 0) Some((a, b))
+        else if (b % 5 == 0 && a % 5 != 0) Some((b, a))
+        else None
+      }.toSet
+    val found = inc.select("doc_batch", "doc_corpus").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty, "the corpus must contain cross-side near-dups")
+    assert(found == expected,
+      s"missed=${(expected -- found).take(5)} extra=${(found -- expected).take(5)}")
+    inc.unpersist()
+  }
+
+  test("emb_covariance: full upper triangle, unit diagonal correlation, " +
+      "correlations bounded") {
+    val c = operators.Similarity.covariance(spark, sfTiny)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val d = 64
+    assert(c.count() == d.toLong * (d + 1) / 2, "full upper triangle")
+    assert(c.filter(col("dim_i") > col("dim_j")).count() == 0)
+    val n = Tables.embeddings(spark, sfTiny).count()
+    assert(c.filter(col("n_vecs") =!= n).count() == 0)
+    // diagonal: variance non-negative, self-correlation 1
+    val diag = c.filter(col("dim_i") === col("dim_j"))
+    assert(diag.filter(col("cov") < -1e-9).count() == 0)
+    assert(diag.filter(abs(col("corr") - 1.0) > 1e-6).count() == 0)
+    assert(c.filter(abs(col("corr")) > 1.0 + 1e-6).count() == 0,
+      "correlations live in [-1, 1]")
+    c.unpersist()
+  }
+
   test("funnel ordering invariant: t_view <= t_click <= t_purchase") {
     val f = operators.Events.funnel(spark, sfTiny)
     assert(f.filter(col("t_click").isNotNull &&

@@ -78,6 +78,35 @@ class StressSpec extends SparkSpec {
     assert(g >= 6, "the storm bucket must actually have split")
   }
 
+  test("ngram-jaccard's 1-band candidate generation survives a duplicate " +
+      "storm: salted pairs equal the plain bucket self-join") {
+    // the min-shingle bucket key is a STRING (md5) — proves saltedBandPairs
+    // is key-type generic, and that the 1-band path loses no pair under a
+    // 5x copy storm (one bucket of width 5 per distinct doc)
+    import graft.functions.TextFns._
+    val docs = Tables.documents(spark, sfTiny).select("doc_id", "text")
+    val storm = (0 until 5).map(i =>
+      docs.select((col("doc_id") + lit(i * 1000000)).as("doc_id"),
+        col("text"))).reduce(_ unionAll _)
+    val base = storm
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), wordShingles(col("toks"), 3).as("shingles"))
+      .withColumn("bucket",
+        array_min(transform(col("shingles"), x => md5(x))))
+    val banded = base.select(col("doc_id"), lit(0).as("band_id"),
+      col("bucket").as("band_hash"))
+    val plain = base.select(col("bucket"), col("doc_id").as("doc_a"))
+      .join(base.select(col("bucket"), col("doc_id").as("doc_b")), "bucket")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val salted = operators.Dedup.saltedBandPairs(banded, target = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(salted == plain,
+      "salted 1-band candidates must equal the plain bucket self-join")
+    assert(salted.nonEmpty)
+  }
+
   test("hash-min CC converges on a worst-case 60-long chain") {
     import spark.implicits._
     // a path graph maximizes diameter: label 1 must walk 59 hops
