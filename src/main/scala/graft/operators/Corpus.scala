@@ -235,7 +235,44 @@ object Corpus {
       .orderBy(col("source"), col("lang"))
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling" — the hashed-n-gram
+    * variant collapsed to unigrams): each doc scored by how much more
+    * likely its tokens are under the TARGET domain's unigram LM (here
+    * the src0 feed, the high-quality-domain stand-in) than under the
+    * corpus LM. Add-one smoothing over the shared corpus vocabulary
+    * keeps unseen-in-target tokens finite. Per-token log ratios are
+    * 6dp-rounded then summed as exact decimals (the unigram-logprob
+    * discipline), so the score is accumulation-order-independent and
+    * cross-engine exact. Scale: two map-side-combinable vocabulary
+    * aggregates + one broadcastable totals row + one token-level
+    * equi-join — linear in corpus tokens, like txt_unigram_logprob. */
+  def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val exploded = Tables.documents(s, dir)
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), col("source"), explode(col("toks")).as("tok"))
+    val corpusCounts = exploded.groupBy(col("tok"))
+      .agg(count(lit(1)).as("n_c"),
+        count(when(col("source") === "src0", 1)).as("n_t"))
+    val totals = corpusCounts.agg(
+      sum(col("n_c")).as("big_n_c"), sum(col("n_t")).as("big_n_t"),
+      count(lit(1)).as("vocab"))
+    val term = round(log(
+      ((col("n_t") + lit(1)).cast("double")
+        / (col("big_n_t") + col("vocab")).cast("double"))
+      / ((col("n_c") + lit(1)).cast("double")
+        / (col("big_n_c") + col("vocab")).cast("double"))), 6)
+      .cast(DecimalType(18, 6))
+    exploded.join(broadcast(corpusCounts.crossJoin(totals)), "tok")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        sum(term).cast("double").as("dsir_logweight"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_dsir_weights" -> (dsirWeights _),
     "corpus_datacard" -> (datacard _),
     "corpus_clean" -> (clean _),
     "corpus_mix" -> (mix _),
@@ -244,6 +281,29 @@ object Corpus {
     "corpus_contamination" -> (contamination _))
 
   val oracles: Map[String, String] = Map(
+    // same smoothed unigram-LM ratio, term-for-term: (n_t+1)/(N_t+V)
+    // over (n_c+1)/(N_c+V), 6dp-rounded log terms, exact decimal sum
+    "corpus_dsir_weights" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |cnt AS (
+        |  SELECT tok, COUNT(*) AS n_c,
+        |    COUNT(CASE WHEN source = 'src0' THEN 1 END) AS n_t
+        |  FROM toks GROUP BY tok),
+        |tot AS (
+        |  SELECT CAST(SUM(n_c) AS BIGINT) AS big_n_c,
+        |    CAST(SUM(n_t) AS BIGINT) AS big_n_t,
+        |    COUNT(*) AS vocab
+        |  FROM cnt)
+        |SELECT doc_id, COUNT(*) AS n_toks,
+        |  CAST(SUM(CAST(ROUND(ln(
+        |    (CAST(n_t + 1 AS DOUBLE) / CAST(big_n_t + vocab AS DOUBLE))
+        |    / (CAST(n_c + 1 AS DOUBLE) / CAST(big_n_c + vocab AS DOUBLE))
+        |    ), 6) AS DECIMAL(18,6))) AS DOUBLE) AS dsir_logweight
+        |FROM toks JOIN cnt USING (tok), tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // DuckDB SUM(INTEGER) widens to HUGEINT — cast back to BIGINT
     "corpus_datacard" ->
       """SELECT source, lang, COUNT(*) AS n_docs,

@@ -202,13 +202,102 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  private val PhashBits = 32
+
+  /** STUB perceptual hash: 32-bit average-hash over stride classes —
+    * bit d is set iff the mean byte of class (i % 32) exceeds the
+    * payload's global mean byte. The comparison is exact integer
+    * cross-multiplication (sum_d · n_total > sum_total · n_d), so there
+    * is no float anywhere and the oracle recomputes every bit from code
+    * points. A real image pipeline swaps this for aHash/pHash over
+    * decoded 8×8 luma — the fingerprint-then-bucket machinery is
+    * identical. */
+  private def stubPhash(payload: Array[Byte]): Long = {
+    if (payload.isEmpty) return 0L
+    val sums = new Array[Long](PhashBits)
+    val cnts = new Array[Long](PhashBits)
+    var total = 0L
+    var i = 0
+    while (i < payload.length) {
+      val b = (payload(i) & 0xff).toLong
+      sums(i % PhashBits) += b
+      cnts(i % PhashBits) += 1
+      total += b
+      i += 1
+    }
+    var fp = 0L
+    var d = 0
+    while (d < PhashBits) {
+      if (sums(d) * payload.length > total * cnts(d)) fp |= 1L << d
+      d += 1
+    }
+    fp
+  }
+
+  private val phashSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("phash", LongType)))
+
+  /** Perceptual-hash near-dup buckets over the binary payloads: the
+    * fingerprint runs at the batched mapPartitions codec boundary (the
+    * binaryPipeline discipline), then one map-side-combinable groupBy
+    * turns identical fingerprints into dedup buckets — per doc, its
+    * fingerprint, the bucket width and the bucket's canonical (min) doc.
+    * At 100 TB this is exactly dedup_exact's shape on a 32-bit key:
+    * linear, one shuffle, no pairing. */
+  def phashDedup(s: SparkSession, dir: String): DataFrame = {
+    val withPayload = Tables.documents(s, dir).select(
+      col("doc_id"), col("text").cast("binary").as("payload"))
+    val enc = RowEncoder.encoderFor(phashSchema)
+    val fps = withPayload.mapPartitions { rows =>
+      rows.map { r =>
+        Row(r.getLong(0), stubPhash(r.getAs[Array[Byte]]("payload")))
+      }
+    }(enc)
+    val buckets = fps.groupBy(col("phash"))
+      .agg(count(lit(1)).as("n_bucket"),
+        min(col("doc_id")).as("canonical_id"))
+    fps.join(buckets, "phash")
+      .select(col("doc_id"), col("phash"), col("n_bucket"),
+        col("canonical_id"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_phash_dedup" -> (phashDedup _),
     "mm_binary_pipeline" -> (binaryPipelineChecked _),
     "mm_frame_sample" -> (frameSample _),
     "mm_audio_window" -> (audioWindow _),
     "mm_resize" -> (resize _))
 
   val oracles: Map[String, String] = Map(
+    // every phash bit recomputed from code points: bit d set iff the
+    // stride class's byte sum cross-multiplied beats the global sum
+    // (exact integers, strict >, matching stubPhash)
+    "mm_phash_dedup" ->
+      """WITH pos AS (
+        |  SELECT doc_id, length(text) AS len,
+        |    unnest(range(length(text))) AS i, text
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, len, i % 32 AS d,
+        |    unicode(substr(text, CAST(i AS INT) + 1, 1)) AS v
+        |  FROM pos),
+        |cls AS (
+        |  SELECT doc_id, MAX(len) AS len, d, SUM(v) AS sv, COUNT(*) AS nv
+        |  FROM b GROUP BY doc_id, d),
+        |tot AS (SELECT doc_id, SUM(v) AS st FROM b GROUP BY doc_id),
+        |fp AS (
+        |  SELECT c.doc_id,
+        |    COALESCE(CAST(SUM(CASE WHEN c.sv * c.len > t.st * c.nv
+        |      THEN (CAST(1 AS BIGINT) << CAST(c.d AS INT)) END) AS BIGINT),
+        |      0) AS phash
+        |  FROM cls c JOIN tot t USING (doc_id) GROUP BY c.doc_id),
+        |bk AS (
+        |  SELECT phash, COUNT(*) AS n_bucket, MIN(doc_id) AS canonical_id
+        |  FROM fp GROUP BY phash)
+        |SELECT doc_id, phash, n_bucket, canonical_id
+        |FROM fp JOIN bk USING (phash) ORDER BY doc_id""".stripMargin,
     // ASCII corpus: unicode(char) == byte value; // is integer division
     "mm_audio_window" ->
       """WITH frames AS (

@@ -327,7 +327,37 @@ object Streams {
     s.table("graft_stream_topk")
   }
 
+  /** Streaming CDC latest-wins merge — the continuous form of
+    * Etl.cdcMerge: each key's running (ts, event_id)-max record lives in
+    * complete-mode state. max(struct(version…, payload…)) is
+    * associative, so every micro-batch folds into state as a map-side
+    * partial argmax — state is one row per key regardless of stream
+    * length, and there is no window or sort anywhere. The snapshot after
+    * one AvailableNow pass equals the batch merge exactly (same
+    * oracle). */
+  def cdcMerge(s: SparkSession, dir: String): DataFrame = {
+    val agg = eventStream(s, dir)
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
+          col("value"))).as("last"),
+        count(lit(1)).as("n_changes"))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete)
+      .format("memory").queryName("graft_stream_cdc")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table("graft_stream_cdc")
+      .select(col("user_id"), col("last.ts").as("last_ts"),
+        col("last.event_id").as("last_event_id"),
+        col("last.event_type").as("last_event_type"),
+        col("last.value").as("last_value"), col("n_changes"),
+        (col("last.event_type") === "error").as("is_tombstone"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_cdc_merge" -> (cdcMerge _),
     "stream_topk_heavy_hitters" -> (topkHeavyHitters _),
     "stream_quarantine" -> (quarantine _),
     "stream_static_enrich" -> (staticEnrich _),
@@ -342,6 +372,8 @@ object Streams {
     * applies verbatim. stream_sessionize is rows-only (trailing open
     * sessions stay in state — spec-checked against the batch form). */
   val oracles: Map[String, String] = Map(
+    // associative argmax state: one pass converges to the batch merge
+    "stream_cdc_merge" -> graft.operators.Etl.oracles("etl_cdc_merge"),
     // complete-mode snapshot after one pass == the batch leaderboard
     "stream_topk_heavy_hitters" ->
       graft.operators.Events.oracles("ev_topk_heavy_hitters"),

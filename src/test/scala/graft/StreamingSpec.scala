@@ -96,6 +96,16 @@ class StreamingSpec extends SparkSpec {
       "converged complete-mode snapshot must equal the batch top-k")
   }
 
+  test("stream CDC merge snapshot equals the batch merge") {
+    val st = streaming.Streams.cdcMerge(spark, sfTiny)
+      .collect().map(_.toSeq).toSet
+    val batch = operators.Etl.cdcMerge(spark, sfTiny)
+      .collect().map(_.toSeq).toSet
+    assert(st.nonEmpty)
+    assert(st == batch,
+      "converged complete-mode argmax state must equal the batch merge")
+  }
+
   test("stream dedup matches batch distinct counts") {
     val streamed = streaming.Streams.dedup(spark, sfTiny)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
