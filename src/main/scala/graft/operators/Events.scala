@@ -138,6 +138,49 @@ object Events {
         col("attributed_click_id"))
   }
 
+  /** Multi-touch (position-based / U-shaped) attribution — the credit
+    * split a real ads report runs beside last-touch: each purchase's
+    * value is divided across ALL same-user clicks in the preceding hour
+    * — 40% first touch, 40% last, the middle 20% split evenly (a lone
+    * touch gets 100%). One user_id equi-join with a time-range
+    * predicate generates the touch pairs (the stream_join_attribution
+    * interval shape); the position window partitions by
+    * (user_id, purchase_id), which the join's user_id clustering
+    * already satisfies — no second shuffle. Share arithmetic is the
+    * same double formula in both engines; credit = share × exact-2dp
+    * purchase value, rounded once at the output. */
+  def attributionMulti(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), dec2(col("value")).as("val_dec"))
+    val byPurchase = Window.partitionBy(col("user_id"), col("purchase_id"))
+      .orderBy(col("click_ts"), col("click_id"))
+    val n = col("n_touches").cast("double")
+    val share =
+      when(col("n_touches") === 1, lit(1.0))
+        .when(col("n_touches") === 2, lit(0.5))
+        .when(col("position") === 1, lit(0.4))
+        .when(col("position") === col("n_touches"), lit(0.4))
+        .otherwise(lit(0.2) / (n - lit(2.0)))
+    purchases.join(clicks, Seq("user_id"))
+      .filter(col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+      .withColumn("position", row_number().over(byPurchase))
+      .withColumn("n_touches",
+        count(lit(1)).over(Window.partitionBy(col("user_id"),
+          col("purchase_id"))))
+      .select(col("purchase_id"), col("user_id"), col("click_id"),
+        col("position"), col("n_touches"),
+        round(share, 6).as("share"),
+        round(share * outd(col("val_dec")), 6).as("credit"))
+      .withColumn("position", col("position").cast("long"))
+      .orderBy(col("purchase_id"), col("position"))
+  }
+
   /** Cohort retention: first-seen day × day offset → distinct actives. */
   def retention(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
@@ -512,6 +555,7 @@ object Events {
     "ev_funnel" -> (funnel _),
     "ev_funnel_latency" -> (funnelLatency _),
     "ev_attribution" -> (attribution _),
+    "ev_attribution_multi" -> (attributionMulti _),
     "ev_retention" -> (retention _),
     "ev_campaign_stats" -> (campaignStats _),
     "ev_dau_wau" -> (dauWau _),
@@ -642,6 +686,30 @@ object Events {
         |  FROM f)
         |GROUP BY date_trunc('week', t_view)
         |ORDER BY cohort_week""".stripMargin,
+    "ev_attribution_multi" ->
+      """WITH t AS (
+        |  SELECT p.event_id AS purchase_id, p.user_id,
+        |    c.event_id AS click_id,
+        |    CAST(row_number() OVER w AS BIGINT) AS position,
+        |    COUNT(*) OVER (PARTITION BY p.user_id, p.event_id)
+        |      AS n_touches,
+        |    CAST(CAST(p.value AS DECIMAL(18,2)) AS DOUBLE) AS v
+        |  FROM events p JOIN events c
+        |    ON p.user_id = c.user_id
+        |    AND p.event_type = 'purchase' AND c.event_type = 'click'
+        |    AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+        |  WINDOW w AS (PARTITION BY p.user_id, p.event_id
+        |    ORDER BY c.ts, c.event_id)),
+        |sh AS (
+        |  SELECT *, CASE WHEN n_touches = 1 THEN 1.0
+        |    WHEN n_touches = 2 THEN 0.5
+        |    WHEN position = 1 THEN 0.4
+        |    WHEN position = n_touches THEN 0.4
+        |    ELSE 0.2 / (CAST(n_touches AS DOUBLE) - 2.0) END AS s
+        |  FROM t)
+        |SELECT purchase_id, user_id, click_id, position, n_touches,
+        |  ROUND(s, 6) AS share, ROUND(s * v, 6) AS credit
+        |FROM sh ORDER BY purchase_id, position""".stripMargin,
     "ev_attribution" ->
       """WITH touch AS (
         |  SELECT *, CASE WHEN event_type = 'click' THEN event_id END

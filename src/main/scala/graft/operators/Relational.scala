@@ -358,8 +358,39 @@ object Relational {
         outd(sum(dec2(col("p_retailprice")))).as("sum_price"))
   }
 
+  /** Nested-aggregate argmax (TPC-H Q20/Q2-adjacent shape): each part's
+    * LEADING supplier by shipped quantity, with its share of the part
+    * total — the correlated "max over THIS part's suppliers" subquery
+    * decorrelated by construction: per-(part, supplier) sums feed two
+    * per-part re-aggregations (total, and the argmax as one
+    * max(struct(qty, −suppkey)) — tie goes to the LOWEST suppkey with
+    * no window and no sort, map-side combinable). Both re-aggregates
+    * derive from the same pre-aggregation, so its exchange is reused;
+    * the supplier dim broadcasts. */
+  def q24NestedAgg(s: SparkSession, dir: String): DataFrame = {
+    val perSupp = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(dec2(col("l_quantity"))).as("supp_qty"))
+    val perPart = perSupp.groupBy(col("l_partkey"))
+      .agg(sum(col("supp_qty")).as("part_qty"),
+        count(lit(1)).as("n_suppliers"),
+        max(struct(col("supp_qty"), (-col("l_suppkey")).as("neg_supp")))
+          .as("top"))
+    perPart
+      .join(broadcast(Tables.supplier(s, dir)),
+        -col("top.neg_supp") === col("s_suppkey"))
+      .select(col("l_partkey").as("p_partkey"), col("s_name"),
+        col("n_suppliers"),
+        outd(col("top.supp_qty")).as("top_qty"),
+        outd(col("part_qty")).as("part_qty"),
+        round(col("top.supp_qty").cast("double")
+          / col("part_qty").cast("double"), 6).as("share"))
+      .orderBy(col("p_partkey"))
+  }
+
   /** Registry: SURVEY §2B name → operator. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q24_nested_agg" -> (q24NestedAgg _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_min_cost_supplier" -> (q2MinCostSupplier _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
@@ -382,6 +413,28 @@ object Relational {
 
   /** DuckDB oracles, column-name- and type-aligned with the plans above. */
   val oracles: Map[String, String] = Map(
+    "q24_nested_agg" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS supp_qty
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+        |pt AS (
+        |  SELECT l_partkey, SUM(supp_qty) AS part_qty,
+        |    COUNT(*) AS n_suppliers,
+        |    MAX(supp_qty) AS top_qty
+        |  FROM ps GROUP BY l_partkey),
+        |top AS (
+        |  SELECT p.l_partkey, MIN(l_suppkey) AS top_supp
+        |  FROM ps JOIN pt p USING (l_partkey)
+        |  WHERE supp_qty = top_qty GROUP BY p.l_partkey)
+        |SELECT pt.l_partkey AS p_partkey, s.s_name, n_suppliers,
+        |  CAST(top_qty AS DOUBLE) AS top_qty,
+        |  CAST(part_qty AS DOUBLE) AS part_qty,
+        |  ROUND(CAST(top_qty AS DOUBLE) / CAST(part_qty AS DOUBLE), 6)
+        |    AS share
+        |FROM pt JOIN top USING (l_partkey)
+        |JOIN supplier s ON top.top_supp = s.s_suppkey
+        |ORDER BY p_partkey""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

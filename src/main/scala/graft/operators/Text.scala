@@ -350,7 +350,37 @@ object Text {
       .orderBy(col("span"))
   }
 
+  /** Per-doc token Shannon entropy — the diversity/degenerate-text
+    * signal a quality filter thresholds alongside repetition ratios
+    * (low entropy = keyboard-mash or looped boilerplate). Written as
+    * H = ln(n) − (Σ tf·ln tf)/n so the per-type term needs no per-doc
+    * total: tf·ln(tf) terms are 9dp-rounded then summed as exact
+    * decimals (the unigram-logprob discipline) — accumulation-order-
+    * independent, cross-engine exact, and both aggregations ((doc,
+    * token) counts, then per-doc) are map-side combinable with no
+    * window anywhere. Linear in corpus tokens. */
+  def entropy(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val tf = Tables.documents(s, dir)
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val term = round(col("tf").cast("double")
+      * log(col("tf").cast("double")), 9).cast(DecimalType(18, 9))
+    tf.groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_toks"),
+        count(lit(1)).as("n_distinct"),
+        sum(term).cast("double").as("s_tlnt"))
+      .select(col("doc_id"), col("n_toks"), col("n_distinct"),
+        round(log(col("n_toks").cast("double"))
+          - col("s_tlnt") / col("n_toks").cast("double"), 6)
+          .as("entropy_nats"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt_entropy" -> (entropy _),
     "txt_boilerplate_ngrams" -> (boilerplateNgrams _),
     "txt_redact" -> (redact _),
     "txt_ccnet_bucket" -> (ccnetBucket _),
@@ -367,6 +397,25 @@ object Text {
     "txt_tfidf_topk" -> (tfidfTopk _))
 
   val oracles: Map[String, String] = Map(
+    // H = ln(n) - (sum tf*ln(tf))/n, 9dp-rounded decimal-summed terms
+    "txt_entropy" ->
+      """WITH tf AS (
+        |  SELECT doc_id, tok, COUNT(*) AS tf
+        |  FROM (SELECT doc_id,
+        |      unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |    FROM documents)
+        |  GROUP BY doc_id, tok),
+        |agg AS (
+        |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_toks,
+        |    COUNT(*) AS n_distinct,
+        |    CAST(SUM(CAST(ROUND(CAST(tf AS DOUBLE)
+        |      * ln(CAST(tf AS DOUBLE)), 9) AS DECIMAL(18,9))) AS DOUBLE)
+        |      AS s_tlnt
+        |  FROM tf GROUP BY doc_id)
+        |SELECT doc_id, n_toks, n_distinct,
+        |  ROUND(ln(CAST(n_toks AS DOUBLE))
+        |    - s_tlnt / CAST(n_toks AS DOUBLE), 6) AS entropy_nats
+        |FROM agg ORDER BY doc_id""".stripMargin,
     "txt_boilerplate_ngrams" ->
       """WITH t AS (
         |  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 8
