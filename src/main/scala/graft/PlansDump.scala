@@ -56,7 +56,26 @@ object PlansDump {
           "row_number — no single-task window"),
       "ev_asof_nearest" ->
         ("nearest as-of: both directional frames on ONE union + sort " +
-          "(single user_id exchange)"))
+          "(single user_id exchange)"),
+      "dedup_ngram_jaccard" ->
+        ("1-band min-shingle candidates through saltedBandPairs: width " +
+          "table co-partitioned with the band key, storm-safe"),
+      "dedup_minhash_incremental" ->
+        ("batch probes the landed band index: two-sided salted linear " +
+          "equi-join, never corpus×corpus"),
+      "etl_scd2" ->
+        "SCD2 intervals: both window passes on ONE user_id exchange",
+      "etl_cdc_merge" ->
+        "CDC latest-wins: single map-side-combinable max(struct) argmax",
+      "emb_covariance" ->
+        ("d² pair products generated expression-side (no self-join); " +
+          "shuffle only carries d² partial aggregates"),
+      "ev_attribution_multi" ->
+        ("U-shaped credit split: position window satisfied by the " +
+          "join's user_id clustering — no second shuffle"),
+      "q24_nested_agg" ->
+        ("nested-agg argmax: per-part re-aggregates reuse the " +
+          "per-supplier exchange; max(struct) instead of a window"))
     val sb = new StringBuilder
     sb.append("# PLANS — executed physical plans (sf0.001, regenerate " +
       "via `sbt \"runMain graft.PlansDump\"`)\n")
