@@ -75,7 +75,16 @@ object PlansDump {
           "join's user_id clustering — no second shuffle"),
       "q24_nested_agg" ->
         ("nested-agg argmax: per-part re-aggregates reuse the " +
-          "per-supplier exchange; max(struct) instead of a window"))
+          "per-supplier exchange; max(struct) instead of a window"),
+      "q25_interval_window" ->
+        ("calendar RANGE frame over a day index, partitioned by " +
+          "customer — window state never exceeds one customer's orders"),
+      "txt_novelty" ->
+        ("corpus-order novelty: first-seen min + join-back share ONE " +
+          "shingle-keyed exchange; linear in corpus tokens"),
+      "dedup_containment" ->
+        ("asymmetric containment on the salted min-shingle candidates: " +
+          "same storm-safe bucket join, integer-exact keep test"))
     val sb = new StringBuilder
     sb.append("# PLANS — executed physical plans (sf0.001, regenerate " +
       "via `sbt \"runMain graft.PlansDump\"`)\n")

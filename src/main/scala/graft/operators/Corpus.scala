@@ -271,7 +271,38 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** Quality-threshold sweep — the filter-tuning artifact every corpus
+    * curation pass produces before committing to a cutoff: for each
+    * candidate min-token-count threshold, how many documents and tokens
+    * survive (absolute + fraction of corpus). One corpus scan: the
+    * per-doc token count projects map-side, the bounded threshold list
+    * explodes each count onto ≤5 keys, and both aggregates are fully
+    * combinable — the sweep costs the same shuffle at 100 TB as at
+    * 100 MB. Totals ride a broadcast one-row aggregate. */
+  def filterSweep(s: SparkSession, dir: String): DataFrame = {
+    val thresholds = Seq(8, 16, 32, 64, 128)
+    val perDoc = Tables.documents(s, dir)
+      .select(size(tokens(col("text"))).as("n_toks"))
+    val total = perDoc.agg(count(lit(1)).as("total_docs"),
+      sum(col("n_toks")).as("total_tokens"))
+    perDoc
+      .select(col("n_toks"),
+        explode(array(thresholds.map(lit): _*)).as("threshold"))
+      .groupBy(col("threshold"))
+      .agg(count(when(col("n_toks") >= col("threshold"), 1)).as("docs_kept"),
+        sum(when(col("n_toks") >= col("threshold"), col("n_toks"))
+          .otherwise(0L)).as("tokens_kept"))
+      .crossJoin(broadcast(total))
+      .select(col("threshold"), col("docs_kept"), col("tokens_kept"),
+        round(col("docs_kept").cast("double")
+          / col("total_docs").cast("double"), 6).as("pct_docs"),
+        round(col("tokens_kept").cast("double")
+          / col("total_tokens").cast("double"), 6).as("pct_tokens"))
+      .orderBy(col("threshold"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_filter_sweep" -> (filterSweep _),
     "corpus_dsir_weights" -> (dsirWeights _),
     "corpus_datacard" -> (datacard _),
     "corpus_clean" -> (clean _),
@@ -281,6 +312,26 @@ object Corpus {
     "corpus_contamination" -> (contamination _))
 
   val oracles: Map[String, String] = Map(
+    "corpus_filter_sweep" ->
+      """WITH d AS (
+        |  SELECT len(regexp_split_to_array(trim(text), '\s+')) AS n_toks
+        |  FROM documents),
+        |tot AS (
+        |  SELECT COUNT(*) AS total_docs, SUM(n_toks) AS total_tokens
+        |  FROM d),
+        |t AS (SELECT UNNEST([8, 16, 32, 64, 128]) AS threshold)
+        |SELECT threshold,
+        |  COUNT(CASE WHEN n_toks >= threshold THEN 1 END) AS docs_kept,
+        |  CAST(COALESCE(SUM(CASE WHEN n_toks >= threshold
+        |    THEN n_toks END), 0) AS BIGINT) AS tokens_kept,
+        |  ROUND(CAST(COUNT(CASE WHEN n_toks >= threshold THEN 1 END)
+        |      AS DOUBLE) / CAST(total_docs AS DOUBLE), 6) AS pct_docs,
+        |  ROUND(CAST(COALESCE(SUM(CASE WHEN n_toks >= threshold
+        |        THEN n_toks END), 0) AS DOUBLE)
+        |    / CAST(total_tokens AS DOUBLE), 6) AS pct_tokens
+        |FROM t CROSS JOIN d CROSS JOIN tot
+        |GROUP BY threshold, total_docs, total_tokens
+        |ORDER BY threshold""".stripMargin,
     // same smoothed unigram-LM ratio, term-for-term: (n_t+1)/(N_t+V)
     // over (n_c+1)/(N_c+V), 6dp-rounded log terms, exact decimal sum
     "corpus_dsir_weights" ->

@@ -138,6 +138,34 @@ object Dedup {
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
   }
 
+  /** Containment near-dup pairs — the asymmetric overlap score
+    * C(A,B) = |A∩B| / |A| that catches SUBSET duplicates (a snippet
+    * quoted whole inside a longer page) which symmetric Jaccard dilutes
+    * below threshold. Same storm-safe min-shingle-bucket candidates as
+    * `ngramJaccard` (no size-ratio prefilter — it would prune exactly
+    * the asymmetric pairs this op exists for); the keep test is
+    * integer-exact (5·|A∩B| ≥ 4·min(|A|,|B|), i.e. max-containment
+    * ≥ 0.8) so both engines agree bit-for-bit at the boundary. */
+  def containment(s: SparkSession, dir: String): DataFrame = {
+    val base = shingled(s, dir)
+      .filter(size(col("shingles")) > 0)
+      .withColumn("bucket",
+        array_min(transform(col("shingles"), x => md5(x))))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val banded = base.select(col("doc_id"), lit(0).as("band_id"),
+      col("bucket").as("band_hash"))
+    val pairs = saltedBandPairs(banded, target = 64)
+    attach(pairs, base, "shingles")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .filter(col("inter") * 5 >=
+        least(size(col("sh_a")), size(col("sh_b"))) * 4)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double")
+          / size(col("sh_a")).cast("double"), 6).as("containment_a"),
+        round(col("inter").cast("double")
+          / size(col("sh_b")).cast("double"), 6).as("containment_b"))
+  }
+
   /** Unrounded Jaccard — threshold form. */
   private def rawJaccard(a: org.apache.spark.sql.Column,
       b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
@@ -452,6 +480,7 @@ object Dedup {
     "dedup_exact" -> (exact _),
     "dedup_exact_norm" -> (exactNormalized _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
+    "dedup_containment" -> (containment _),
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_simhash" -> (simhash _),
     "dedup_cluster" -> (cluster _),
@@ -500,6 +529,26 @@ object Dedup {
         |FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.doc_id < b2.doc_id
         |WHERE CAST(len(list_intersect(a.shingles, b2.shingles)) AS DOUBLE)
         |    / CAST(len(list_distinct(list_concat(a.shingles, b2.shingles))) AS DOUBLE) >= 0.5""".stripMargin,
+    "dedup_containment" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+        |      THEN list_transform(range(1, len(w) - 1),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        |      ELSE [] END) AS shingles
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |        FROM documents)),
+        |b AS (
+        |  SELECT doc_id, shingles,
+        |    list_min(list_transform(shingles, x -> md5(x))) AS bucket
+        |  FROM t WHERE len(shingles) > 0)
+        |SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+        |  ROUND(CAST(len(list_intersect(a.shingles, b2.shingles)) AS DOUBLE)
+        |    / CAST(len(a.shingles) AS DOUBLE), 6) AS containment_a,
+        |  ROUND(CAST(len(list_intersect(a.shingles, b2.shingles)) AS DOUBLE)
+        |    / CAST(len(b2.shingles) AS DOUBLE), 6) AS containment_b
+        |FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.doc_id < b2.doc_id
+        |WHERE len(list_intersect(a.shingles, b2.shingles)) * 5 >=
+        |  least(len(a.shingles), len(b2.shingles)) * 4""".stripMargin,
     "dedup_incremental" ->
       """WITH d AS (
         |  SELECT doc_id, md5(text) AS raw_hash,

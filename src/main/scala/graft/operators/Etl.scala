@@ -424,7 +424,30 @@ object Etl {
       .orderBy(col("user_id"))
   }
 
+  /** Partition-layout skew audit — the pre-write planning tool for the
+    * landing scheme: for the candidate (event_date × event_type) Hive
+    * layout, each cell's row count, payload bytes and skew factor
+    * against the mean cell. The decision input for "do I need salting
+    * or a coarser key" BEFORE committing a 100 TB write: one fully
+    * map-side-combinable aggregate onto the bounded cell space plus a
+    * one-row mean broadcast. */
+  def partitionAudit(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(s, dir)
+      .groupBy(col("ts").cast("date").cast("string").as("event_date"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(length(col("props"))).as("est_bytes"))
+    val mean = cells.agg(avg(col("n_rows")).as("avg_rows"))
+    cells.crossJoin(broadcast(mean))
+      .select(col("event_date"), col("event_type"), col("n_rows"),
+        col("est_bytes"),
+        round(col("n_rows").cast("double") / col("avg_rows"), 6)
+          .as("skew"))
+      .orderBy(col("event_date"), col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_partition_audit" -> (partitionAudit _),
     "etl_scd2" -> (scd2 _),
     "etl_cdc_merge" -> (cdcMerge _),
     "etl_schema_drift" -> (schemaDrift _),
@@ -441,6 +464,17 @@ object Etl {
     "etl_incremental" -> (incremental _))
 
   val oracles: Map[String, String] = Map(
+    "etl_partition_audit" ->
+      """WITH cells AS (
+        |  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date,
+        |    event_type, COUNT(*) AS n_rows,
+        |    CAST(SUM(length(props)) AS BIGINT) AS est_bytes
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT AVG(n_rows) AS avg_rows FROM cells)
+        |SELECT event_date, event_type, n_rows, est_bytes,
+        |  ROUND(CAST(n_rows AS DOUBLE) / avg_rows, 6) AS skew
+        |FROM cells CROSS JOIN t
+        |ORDER BY event_date, event_type""".stripMargin,
     "etl_scd2" ->
       """WITH r AS (
         |  SELECT user_id, event_type, ts, event_id,

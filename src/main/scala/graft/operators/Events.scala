@@ -181,6 +181,112 @@ object Events {
       .orderBy(col("purchase_id"), col("position"))
   }
 
+  /** Point-in-time-correct training-feature snapshot — the feature-store
+    * extract a churn/propensity model trains on: per user, engagement
+    * features computed STRICTLY before the cutoff (no leakage — counts,
+    * exact-decimal spend, µs recency, active days) and the label
+    * strictly after (any purchase in the following 7 days). One
+    * map-side-combinable groupBy over the pre-cutoff slice + one
+    * distinct-user label aggregate, left-joined — the exact shape a
+    * 100 TB feature pipeline lands daily; at scale the cutoff is the
+    * partition boundary, so both slices are partition-pruned scans. */
+  def featureSnapshot(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("2024-01-20").cast("timestamp")
+    val ev = Tables.events(s, dir)
+    val feats = ev.filter(col("ts") < cutoff)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        count(when(col("event_type") === "view", 1)).as("n_views"),
+        count(when(col("event_type") === "click", 1)).as("n_clicks"),
+        count(when(col("event_type") === "purchase", 1)).as("n_purchases"),
+        coalesce(outd(sum(when(col("event_type") === "purchase",
+          dec2(col("value"))))), lit(0.0)).as("spend"),
+        (unix_micros(cutoff) - unix_micros(max(col("ts"))))
+          .as("recency_us"),
+        countDistinct(col("ts").cast("date")).as("n_active_days"))
+    val labels = ev.filter(col("event_type") === "purchase" &&
+        col("ts") >= cutoff &&
+        col("ts") < cutoff + expr("INTERVAL 7 DAYS"))
+      .select(col("user_id")).distinct()
+      .withColumn("label", lit(1))
+    feats.join(labels, Seq("user_id"), "left")
+      .withColumn("label", coalesce(col("label"), lit(0)))
+      .orderBy(col("user_id"))
+  }
+
+  /** Seasonal-naive forecast baseline with error report — the
+    * monitoring-side forecast every ads dashboard starts from: predict
+    * each day's event volume with the same weekday one week earlier and
+    * report the absolute/percentage error. The raw feed pre-aggregates
+    * to the bounded daily table first; the 7-day shift is a self
+    * equi-join on the day key (gap-day correct where a lag(7) row
+    * offset isn't, and no window at all). */
+  def forecastBaseline(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val shifted = daily.select(date_add(col("day"), 7).as("day"),
+      col("n_events").as("forecast_events"))
+    daily.join(shifted, Seq("day"))
+      .select(col("day"), col("n_events"), col("forecast_events"),
+        abs(col("n_events") - col("forecast_events")).as("abs_err"),
+        round(abs(col("n_events") - col("forecast_events")).cast("double")
+          / col("n_events").cast("double"), 6).as("ape"))
+      .orderBy(col("day"))
+  }
+
+  /** Daily event-type count matrix via the pivot (long→wide) operator —
+    * the dashboard-facing reshape of the feed. The pivot value list is
+    * DECLARED (the event taxonomy is closed), so Spark skips the extra
+    * distinct-values job and the plan is a single map-side-combinable
+    * groupBy at any scale; absent (day, type) combinations land as 0. */
+  def typePivot(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val wide = Tables.events(s, dir)
+      .groupBy(col("ts").cast("date").as("day"))
+      .pivot("event_type", types)
+      .count()
+    types.foldLeft(wide)((df, t) =>
+        df.withColumn(t, coalesce(col(t), lit(0L))))
+      .orderBy(col("day"))
+  }
+
+  /** Daily new-vs-returning decomposition of DAU — the growth-accounting
+    * report behind every engagement dashboard. First-seen day is one
+    * combinable per-user min; the day×user distinct and the user-keyed
+    * join both shuffle on user_id, so the exchange is reused and no stage
+    * ever holds more than a user's worth of state. */
+  def newVsReturning(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("ts").cast("date").as("day"), col("user_id"))
+    val firstSeen = ev.groupBy(col("user_id"))
+      .agg(min(col("day")).as("first_day"))
+    ev.distinct()
+      .join(firstSeen, Seq("user_id"))
+      .groupBy(col("day"))
+      .agg(count(when(col("day") === col("first_day"), 1)).as("new_users"),
+        count(when(col("day") > col("first_day"), 1)).as("returning_users"),
+        count(lit(1)).as("dau"))
+      .orderBy(col("day"))
+  }
+
+  /** Hour-of-week seasonality profile — the (ISO weekday × hour) traffic
+    * and revenue matrix behind dayparting/bid-scheduling decisions. The
+    * key space is fixed (≤168 cells), so the whole report is one fully
+    * map-side-combinable aggregate: at 100 TB each task emits ≤168
+    * partial rows and the shuffle is constant-size. ISO weekday
+    * (Mon=1..Sun=7) on both engines. */
+  def seasonality(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .groupBy((weekday(col("ts")) + lit(1)).as("dow"),
+        hour(col("ts")).as("hod"))
+      .agg(count(lit(1)).as("n_events"),
+        count(when(col("event_type") === "purchase", 1)).as("n_purchases"),
+        coalesce(outd(sum(when(col("event_type") === "purchase",
+          dec2(col("value"))))), lit(0.0)).as("revenue"))
+      .orderBy(col("dow"), col("hod"))
+  }
+
   /** Cohort retention: first-seen day × day offset → distinct actives. */
   def retention(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
@@ -556,6 +662,11 @@ object Events {
     "ev_funnel_latency" -> (funnelLatency _),
     "ev_attribution" -> (attribution _),
     "ev_attribution_multi" -> (attributionMulti _),
+    "ev_feature_snapshot" -> (featureSnapshot _),
+    "ev_forecast_baseline" -> (forecastBaseline _),
+    "ev_type_pivot" -> (typePivot _),
+    "ev_new_vs_returning" -> (newVsReturning _),
+    "ev_seasonality" -> (seasonality _),
     "ev_retention" -> (retention _),
     "ev_campaign_stats" -> (campaignStats _),
     "ev_dau_wau" -> (dauWau _),
@@ -686,6 +797,69 @@ object Events {
         |  FROM f)
         |GROUP BY date_trunc('week', t_view)
         |ORDER BY cohort_week""".stripMargin,
+    "ev_feature_snapshot" ->
+      """WITH feats AS (
+        |  SELECT user_id, COUNT(*) AS n_events,
+        |    COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_views,
+        |    COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_clicks,
+        |    COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+        |      AS n_purchases,
+        |    COALESCE(CAST(SUM(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0.0)
+        |      AS spend,
+        |    epoch_us(TIMESTAMP '2024-01-20') - epoch_us(MAX(ts))
+        |      AS recency_us,
+        |    COUNT(DISTINCT CAST(ts AS DATE)) AS n_active_days
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-20'
+        |  GROUP BY user_id),
+        |lbl AS (
+        |  SELECT DISTINCT user_id, 1 AS label FROM events
+        |  WHERE event_type = 'purchase'
+        |    AND ts >= TIMESTAMP '2024-01-20'
+        |    AND ts < TIMESTAMP '2024-01-27')
+        |SELECT f.user_id, n_events, n_views, n_clicks, n_purchases,
+        |  spend, recency_us, n_active_days,
+        |  COALESCE(label, 0) AS label
+        |FROM feats f LEFT JOIN lbl USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+    "ev_type_pivot" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    "ev_seasonality" ->
+      """SELECT isodow(ts) AS dow, hour(ts) AS hod,
+        |  COUNT(*) AS n_events,
+        |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+        |    AS n_purchases,
+        |  COALESCE(CAST(SUM(CASE WHEN event_type = 'purchase'
+        |    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0.0)
+        |    AS revenue
+        |FROM events GROUP BY 1, 2 ORDER BY dow, hod""".stripMargin,
+    "ev_new_vs_returning" ->
+      """WITH fs AS (
+        |  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+        |  FROM events GROUP BY user_id),
+        |d AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events)
+        |SELECT day,
+        |  COUNT(CASE WHEN day = first_day THEN 1 END) AS new_users,
+        |  COUNT(CASE WHEN day > first_day THEN 1 END) AS returning_users,
+        |  COUNT(*) AS dau
+        |FROM d JOIN fs USING (user_id)
+        |GROUP BY day ORDER BY day""".stripMargin,
+    "ev_forecast_baseline" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+        |  FROM events GROUP BY 1)
+        |SELECT d.day, d.n_events, f.n_events AS forecast_events,
+        |  abs(d.n_events - f.n_events) AS abs_err,
+        |  ROUND(CAST(abs(d.n_events - f.n_events) AS DOUBLE)
+        |    / CAST(d.n_events AS DOUBLE), 6) AS ape
+        |FROM daily d JOIN daily f ON d.day = f.day + INTERVAL 7 DAY
+        |ORDER BY d.day""".stripMargin,
     "ev_attribution_multi" ->
       """WITH t AS (
         |  SELECT p.event_id AS purchase_id, p.user_id,

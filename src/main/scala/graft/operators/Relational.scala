@@ -388,8 +388,32 @@ object Relational {
       .orderBy(col("p_partkey"))
   }
 
+  /** Time-interval RANGE window — per order, the same customer's trailing
+    * 30-day spend and order count (the rolling customer-velocity feature
+    * fraud/credit models read). A RANGE frame over a day index, not a ROWS
+    * frame: the window is defined by calendar distance, so gap days and
+    * same-day ties are both handled exactly (all peer rows of a date are
+    * in frame — deterministic under any row order). Partitioned by
+    * customer: at 100 TB the window state is one customer's orders, never
+    * a global sort. */
+  def q25IntervalWindow(s: SparkSession, dir: String): DataFrame = {
+    val dayIdx = datediff(col("o_orderdate").cast("date"),
+      lit("1995-01-01").cast("date"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(dayIdx)
+      .rangeBetween(-30, 0)
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate").cast("date").as("o_orderdate"),
+        dec2(col("o_totalprice")).as("price_dec"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        outd(sum(col("price_dec")).over(w)).as("spend_30d"),
+        count(lit(1)).over(w).as("n_orders_30d"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Registry: SURVEY §2B name → operator. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25_interval_window" -> (q25IntervalWindow _),
     "q24_nested_agg" -> (q24NestedAgg _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_min_cost_supplier" -> (q2MinCostSupplier _),
@@ -413,6 +437,16 @@ object Relational {
 
   /** DuckDB oracles, column-name- and type-aligned with the plans above. */
   val oracles: Map[String, String] = Map(
+    "q25_interval_window" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(o_orderdate AS DATE) AS o_orderdate,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |    AS spend_30d,
+        |  COUNT(*) OVER w AS n_orders_30d
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+        |  RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
     "q24_nested_agg" ->
       """WITH ps AS (
         |  SELECT l_partkey, l_suppkey,

@@ -113,7 +113,23 @@ object Sampling {
       .orderBy(col("pos"))
   }
 
+  /** Deterministic k-fold cross-validation assignment: fold = a 24-bit
+    * content-hash draw mod k — reproducible across engines, reruns and
+    * repartitionings (the hashSplit convention, k-way). Pure projection,
+    * no shuffle; the fold table is what a CV harness joins against, so
+    * the assignment itself is the artifact. */
+  def kfold(s: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    val fold = pmod(conv(substring(md5(concat(lit("fold:"),
+      col("doc_id").cast("string"), lit(":"), col("text"))), 1, 6), 16, 10)
+      .cast("long"), lit(k.toLong)).cast("int")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), fold.as("fold"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "smp_kfold" -> (kfold _),
     "smp_hash_split" -> (hashSplit _),
     "smp_stratified" -> (stratifiedSample _),
     "smp_weighted" -> (weightedSample _),
@@ -121,6 +137,11 @@ object Sampling {
     "smp_interleave" -> (interleave _))
 
   val oracles: Map[String, String] = Map(
+    "smp_kfold" ->
+      """SELECT doc_id,
+        |  CAST(CAST('0x' || substr(md5('fold:' || CAST(doc_id AS VARCHAR)
+        |    || ':' || text), 1, 6) AS BIGINT) % 5 AS INT) AS fold
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "smp_hash_split" ->
       """WITH assigned AS (
         |  SELECT doc_id,

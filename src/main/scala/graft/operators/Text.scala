@@ -379,7 +379,65 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-doc novelty in corpus order — the fraction of a document's
+    * word-3-gram shingles whose FIRST corpus appearance (lowest doc_id)
+    * is this document: the dedup-aware "effective new data" measure
+    * behind epoch/repeat-budget decisions (the later copy of duplicated
+    * text scores ~0, the first copy ~1). Both the first-seen aggregate
+    * and the join back shuffle on the shingle key, so the exchange is
+    * reused; per-shingle state is one min — linear in corpus tokens,
+    * never doc×doc. */
+  def novelty(s: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(s, dir)
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"),
+        explode(wordShingles(col("toks"), 3)).as("shingle"))
+    val first = sh.groupBy(col("shingle"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    sh.join(first, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("first_doc") === col("doc_id"), 1)).as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        round(col("n_novel").cast("double")
+          / col("n_shingles").cast("double"), 6).as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Vocabulary coverage curve — tokens covered by the top-k most
+    * frequent types for a ladder of candidate vocabulary budgets: the
+    * tokenizer-design artifact (what fraction of the corpus a k-entry
+    * vocab explains before falling back to bytes/UNK). Type counts are
+    * one combinable aggregate; the frequency ranking is the two-pass
+    * bucket plan (Ranking — no single-task global window at any vocab
+    * size); the budget ladder is a bounded explode and the totals ride
+    * a one-row broadcast. */
+  def vocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    val ks = Seq(10, 25, 50, 100)
+    val counts = Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val bucketed = graft.operators.Ranking.withValueBucket(
+      counts, -col("n"), "bkt", 32)
+    val ranked = graft.operators.Ranking.bucketedRowNumber(
+      bucketed, Nil, "bkt", 32, Seq(col("n").desc, col("tok")), "rk")
+    val tot = counts.agg(sum(col("n")).as("total_tokens"))
+    ranked.crossJoin(broadcast(tot))
+      .select(explode(array(ks.map(lit): _*)).as("k"),
+        col("rk"), col("n"), col("total_tokens"))
+      .filter(col("rk") <= col("k"))
+      .groupBy(col("k"), col("total_tokens"))
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("n")).as("covered_tokens"))
+      .select(col("k"), col("n_types"), col("covered_tokens"),
+        round(col("covered_tokens").cast("double")
+          / col("total_tokens").cast("double"), 6).as("coverage"))
+      .orderBy(col("k"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt_vocab_coverage" -> (vocabCoverage _),
+    "txt_novelty" -> (novelty _),
     "txt_entropy" -> (entropy _),
     "txt_boilerplate_ngrams" -> (boilerplateNgrams _),
     "txt_redact" -> (redact _),
@@ -397,6 +455,36 @@ object Text {
     "txt_tfidf_topk" -> (tfidfTopk _))
 
   val oracles: Map[String, String] = Map(
+    "txt_vocab_coverage" ->
+      """WITH c AS (
+        |  SELECT tok, COUNT(*) AS n FROM (
+        |    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |    FROM documents) GROUP BY tok),
+        |r AS (SELECT tok, n,
+        |    row_number() OVER (ORDER BY n DESC, tok) AS rk FROM c),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total_tokens FROM c),
+        |kk AS (SELECT UNNEST([10, 25, 50, 100]) AS k)
+        |SELECT k, COUNT(*) AS n_types,
+        |  CAST(SUM(n) AS BIGINT) AS covered_tokens,
+        |  ROUND(CAST(SUM(n) AS DOUBLE) / CAST(total_tokens AS DOUBLE), 6)
+        |    AS coverage
+        |FROM kk JOIN r ON r.rk <= kk.k CROSS JOIN tot
+        |GROUP BY k, total_tokens ORDER BY k""".stripMargin,
+    "txt_novelty" ->
+      """WITH t AS (
+        |  SELECT doc_id, UNNEST(list_distinct(CASE WHEN len(w) >= 3
+        |      THEN list_transform(range(1, len(w) - 1),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        |      ELSE [] END)) AS shingle
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |        FROM documents)),
+        |f AS (SELECT shingle, MIN(doc_id) AS first_doc FROM t GROUP BY shingle)
+        |SELECT doc_id, COUNT(*) AS n_shingles,
+        |  COUNT(CASE WHEN first_doc = doc_id THEN 1 END) AS n_novel,
+        |  ROUND(CAST(COUNT(CASE WHEN first_doc = doc_id THEN 1 END)
+        |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+        |FROM t JOIN f USING (shingle)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // H = ln(n) - (sum tf*ln(tf))/n, 9dp-rounded decimal-summed terms
     "txt_entropy" ->
       """WITH tf AS (

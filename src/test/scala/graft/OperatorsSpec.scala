@@ -954,6 +954,251 @@ class OperatorsSpec extends SparkSpec {
     q.unpersist()
   }
 
+  test("ev_feature_snapshot: leakage-free — features see nothing at or " +
+      "after the cutoff, labels nothing before") {
+    val f = operators.Events.featureSnapshot(spark, sfTiny)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cutoff = "2024-01-20"
+    val ev = Tables.events(spark, sfTiny)
+    val pre = ev.filter(col("ts") < lit(cutoff).cast("timestamp"))
+    assert(f.count() == pre.select("user_id").distinct().count(),
+      "one feature row per pre-cutoff user")
+    assert(f.agg(sum("n_events")).first().getLong(0) == pre.count(),
+      "features must account for exactly the pre-cutoff feed")
+    assert(f.filter(col("recency_us") <= 0).count() == 0,
+      "recency is measured AT the cutoff, so it is strictly positive")
+    assert(f.filter(col("n_views") + col("n_clicks") + col("n_purchases")
+      > col("n_events")).count() == 0)
+    // label = exactly the users purchasing in [cutoff, cutoff+7d)
+    val buyers = ev.filter(col("event_type") === "purchase" &&
+        col("ts") >= lit(cutoff).cast("timestamp") &&
+        col("ts") < lit("2024-01-27").cast("timestamp"))
+      .select("user_id").distinct().collect().map(_.getLong(0)).toSet
+    val labeled = f.filter(col("label") === 1)
+      .select("user_id").collect().map(_.getLong(0)).toSet
+    assert(labeled == buyers.intersect(
+      f.select("user_id").collect().map(_.getLong(0)).toSet),
+      "label must be exactly the post-cutoff buyers with history")
+    assert(labeled.nonEmpty, "the window must contain conversions")
+    f.unpersist()
+  }
+
+  test("ev_forecast_baseline: forecast is the true day-minus-7 volume") {
+    val fc = operators.Events.forecastBaseline(spark, sfTiny)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assert(fc.count() > 0)
+    val daily = Tables.events(spark, sfTiny)
+      .groupBy(col("ts").cast("date").as("d")).count()
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    fc.collect().foreach { r =>
+      val day = r.getDate(0).toLocalDate
+      assert(r.getLong(2) == daily(day.minusDays(7).toString),
+        s"forecast for $day must equal the volume 7 days earlier")
+      assert(r.getLong(3) == math.abs(r.getLong(1) - r.getLong(2)))
+    }
+    fc.unpersist()
+  }
+
+  test("smp_kfold: deterministic, near-balanced folds in [0, k)") {
+    val f = operators.Sampling.kfold(spark, sfTiny)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = Tables.documents(spark, sfTiny).count()
+    assert(f.count() == n)
+    assert(f.filter(col("fold") < 0 || col("fold") >= 5).count() == 0)
+    val sizes = f.groupBy("fold").count()
+      .collect().map(_.getLong(1))
+    assert(sizes.length == 5, "every fold must be populated")
+    // hash balance: no fold more than 50% off the uniform share
+    assert(sizes.forall(s => s > n / 10 && s < n * 3 / 10),
+      s"fold sizes out of balance: ${sizes.toSeq}")
+    val again = operators.Sampling.kfold(spark, sfTiny)
+    assert(f.collect().toSeq == again.collect().toSeq)
+    f.unpersist()
+  }
+
+  test("q25_interval_window: frame is exactly the trailing 31 calendar days") {
+    val q = operators.Relational.q25IntervalWindow(spark, sfTiny)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val o = Tables.orders(spark, sfTiny)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate").cast("date").as("day"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+    assert(q.count() == o.count(), "one output row per order")
+    // brute-force recompute: self-join on customer + day distance
+    val expected = o.as("a").join(o.select(
+        col("o_custkey").as("b_cust"), col("day").as("b_day"),
+        col("price").as("b_price")),
+        col("a.o_custkey") === col("b_cust") &&
+          datediff(col("a.day"), col("b_day")).between(0, 30))
+      .groupBy(col("a.o_orderkey").as("k"))
+      .agg(sum(col("b_price")).cast("double").as("e_spend"),
+        count(lit(1)).as("e_n"))
+    val bad = q.join(expected, col("o_orderkey") === col("k"))
+      .filter(col("spend_30d") =!= col("e_spend") ||
+        col("n_orders_30d") =!= col("e_n")).count()
+    assert(bad == 0, "RANGE frame must equal the brute-force window")
+    q.unpersist()
+  }
+
+  test("ev_type_pivot: pivot columns account for every event exactly once") {
+    val p = operators.Events.typePivot(spark, sfTiny)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ev = Tables.events(spark, sfTiny)
+    assert(p.count() ==
+      ev.select(col("ts").cast("date")).distinct().count())
+    val total = p.agg(sum(col("click") + col("error") + col("purchase")
+      + col("signup") + col("view"))).first().getLong(0)
+    assert(total == ev.count(), "pivot cells must sum to the feed size")
+    val day = p.first()
+    val d = day.getDate(0)
+    val clicks = ev.filter(col("ts").cast("date") === lit(d) &&
+      col("event_type") === "click").count()
+    assert(day.getLong(day.fieldIndex("click")) == clicks)
+    p.unpersist()
+  }
+
+  test("ev_new_vs_returning: growth accounting balances") {
+    val g = operators.Events.newVsReturning(spark, sfTiny)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ev = Tables.events(spark, sfTiny)
+    // every user is new exactly once
+    assert(g.agg(sum("new_users")).first().getLong(0) ==
+      ev.select("user_id").distinct().count())
+    assert(g.filter(col("new_users") + col("returning_users")
+      =!= col("dau")).count() == 0, "dau must decompose exactly")
+    // spot-check one day's dau against the raw feed
+    val d = g.first().getDate(0)
+    assert(g.first().getLong(3) == ev
+      .filter(col("ts").cast("date") === lit(d))
+      .select("user_id").distinct().count())
+    g.unpersist()
+  }
+
+  test("dedup_containment: catches subset duplicates and scores exactly") {
+    val c = operators.Dedup.containment(spark, sfTiny)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assert(c.count() > 0)
+    // every pair honors the integer threshold: max containment >= 0.8
+    assert(c.filter(greatest(col("containment_a"), col("containment_b"))
+      < 0.8 - 1e-9).count() == 0)
+    assert(c.filter(col("doc_a") >= col("doc_b")).count() == 0,
+      "pairs must be ordered a < b, each exactly once")
+    assert(c.groupBy("doc_a", "doc_b").count()
+      .filter(col("count") > 1).count() == 0, "no duplicate pairs")
+    // recompute every reported score from the raw documents
+    val sh = Tables.documents(spark, sfTiny).select(col("doc_id"),
+      graft.functions.TextFns.wordShingles(
+        graft.functions.TextFns.tokens(col("text")), 3).as("sh"))
+    val bad = c
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .filter(col("containment_a") =!= round(col("inter").cast("double")
+          / size(col("sh_a")).cast("double"), 6) ||
+        col("containment_b") =!= round(col("inter").cast("double")
+          / size(col("sh_b")).cast("double"), 6))
+      .count()
+    assert(bad == 0, "reported containment must equal the recompute")
+    // the op's reason to exist: asymmetric pairs (one side contained,
+    // the other diluted under the symmetric-Jaccard 0.5 bar)
+    assert(c.filter(col("containment_b") === 1.0 ||
+      col("containment_a") === 1.0).count() > 0,
+      "testdata must surface at least one full-containment pair")
+    c.unpersist()
+  }
+
+  test("txt_novelty: first copy scores 1, a fully-contained later doc 0") {
+    val n = operators.Text.novelty(spark, sfTiny)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assert(n.filter(col("novelty") < 0 || col("novelty") > 1).count() == 0)
+    assert(n.filter(col("n_novel") > col("n_shingles")).count() == 0)
+    // the lowest-id doc can owe nothing to earlier docs
+    val firstDoc = n.orderBy(col("doc_id")).first()
+    assert(firstDoc.getLong(1) == firstDoc.getLong(2),
+      "doc with the lowest id must be 100% novel")
+    // a doc whose shingle set is fully contained in an EARLIER doc
+    // (containment_b = 1 on an a<b pair) has zero novel shingles
+    val contained = operators.Dedup.containment(spark, sfTiny)
+      .filter(col("containment_b") === 1.0)
+      .select(col("doc_b")).collect().map(_.getLong(0))
+    assert(contained.nonEmpty,
+      "testdata must contain a subset-duplicate pair")
+    val bad = n.filter(col("doc_id").isin(contained.toSeq: _*) &&
+      col("n_novel") > 0).count()
+    assert(bad == 0,
+      "docs fully contained in an earlier doc must have zero novelty")
+    n.unpersist()
+  }
+
+  test("ev_seasonality: 168-cell hour-of-week matrix accounts for the feed") {
+    val m = operators.Events.seasonality(spark, sfTiny)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assert(m.count() <= 168, "key space is bounded by 7x24")
+    assert(m.filter(col("dow") < 1 || col("dow") > 7 ||
+      col("hod") < 0 || col("hod") > 23).count() == 0)
+    val ev = Tables.events(spark, sfTiny)
+    assert(m.agg(sum("n_events")).first().getLong(0) == ev.count())
+    assert(m.agg(sum("n_purchases")).first().getLong(0) ==
+      ev.filter(col("event_type") === "purchase").count())
+    m.unpersist()
+  }
+
+  test("corpus_filter_sweep: monotone in the threshold, exact at 0-like floor") {
+    val sw = operators.Corpus.filterSweep(spark, sfTiny)
+      .orderBy(col("threshold"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rows = sw.collect()
+    assert(rows.length == 5, "one row per declared threshold")
+    // survivors can only shrink as the threshold rises
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo.getLong(1) >= hi.getLong(1), "docs_kept must be monotone")
+      assert(lo.getLong(2) >= hi.getLong(2), "tokens_kept must be monotone")
+    }
+    // cross-check one threshold against a direct filter
+    val docs = Tables.documents(spark, sfTiny)
+      .select(size(split(trim(col("text")), "\\s+")).as("n"))
+    val kept32 = docs.filter(col("n") >= 32).count()
+    assert(rows.find(_.getInt(0) == 32).get.getLong(1) == kept32)
+    assert(rows.forall(r => r.getDouble(3) >= 0 && r.getDouble(3) <= 1))
+    sw.unpersist()
+  }
+
+  test("etl_partition_audit: cells cover the feed; skews average to 1") {
+    val a = operators.Etl.partitionAudit(spark, sfTiny)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ev = Tables.events(spark, sfTiny)
+    assert(a.agg(sum("n_rows")).first().getLong(0) == ev.count(),
+      "every event lands in exactly one partition cell")
+    val meanSkew = a.agg(avg("skew")).first().getDouble(0)
+    assert(math.abs(meanSkew - 1.0) < 1e-4,
+      s"skew is measured against the mean cell, so it averages to 1 " +
+        s"(got $meanSkew)")
+    assert(a.filter(col("skew") <= 0).count() == 0)
+    a.unpersist()
+  }
+
+  test("txt_vocab_coverage: monotone ladder; top-k matches a direct rank") {
+    val v = operators.Text.vocabCoverage(spark, sfTiny)
+      .orderBy(col("k"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rows = v.collect()
+    assert(rows.length == 4)
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo.getLong(2) <= hi.getLong(2), "coverage must be monotone")
+      assert(lo.getLong(1) <= hi.getLong(1))
+    }
+    assert(rows.forall(r => r.getDouble(3) > 0 && r.getDouble(3) <= 1.0))
+    // cross-check k=10 against a driver-side exact recompute
+    val counts = Tables.documents(spark, sfTiny)
+      .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .groupBy("tok").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val top10 = counts.sortBy { case (t, n) => (-n, t) }.take(10)
+    assert(rows.head.getLong(2) == top10.map(_._2).sum,
+      "k=10 covered_tokens must equal the exact top-10 frequency sum")
+    v.unpersist()
+  }
+
   test("funnel ordering invariant: t_view <= t_click <= t_purchase") {
     val f = operators.Events.funnel(spark, sfTiny)
     assert(f.filter(col("t_click").isNotNull &&

@@ -45,7 +45,15 @@ class PlanAudit extends SparkSpec {
       "ann_ivf_kmeans_topk", "txt_tfidf_topk", "txt_unigram_logprob",
       "dedup_source_similarity", "ev_ab_significance",
       "q23_revenue_deciles", "ev_rfm_segments", "smp_interleave",
-      "txt_ccnet_bucket", "corpus_temperature", "emb_kmeans")
+      "txt_ccnet_bucket", "corpus_temperature", "emb_kmeans",
+      // corpus_dsir_weights / corpus_filter_sweep broadcast the same
+      // one-row corpus-totals table (scalar-subquery physical form)
+      "corpus_dsir_weights", "corpus_filter_sweep",
+      // etl_partition_audit broadcasts a one-row mean-cell aggregate
+      "etl_partition_audit",
+      // txt_vocab_coverage: ccnet's percentile-bounds broadcast + the
+      // one-row corpus-total broadcast
+      "txt_vocab_coverage")
     // the only inputs a partition-less window may sort in one task:
     // calendar-bounded pre-aggregates (≤ hours/days rows at ANY corpus
     // size), verified below to actually sit on an Aggregate

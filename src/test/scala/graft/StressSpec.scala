@@ -157,7 +157,9 @@ class StressSpec extends SparkSpec {
       "ann_lsh_topk" -> (d => operators.Similarity.lshTopk(spark, d)),
       "emb_kmeans" -> (d => operators.Similarity.kmeans(spark, d)),
       "txt_ccnet_bucket" -> (d => operators.Text.ccnetBucket(spark, d)),
-      "smp_interleave" -> (d => operators.Sampling.interleave(spark, d)))
+      "smp_interleave" -> (d => operators.Sampling.interleave(spark, d)),
+      "dedup_containment" -> (d => operators.Dedup.containment(spark, d)),
+      "txt_novelty" -> (d => operators.Text.novelty(spark, d)))
     def run(f: String => org.apache.spark.sql.DataFrame,
         d: String): Double = {
       val t0 = System.nanoTime()
