@@ -446,7 +446,41 @@ object Etl {
       .orderBy(col("event_date"), col("event_type"))
   }
 
+  /** Core of `etl_backfill_plan`, factored over an arbitrary events
+    * frame so the gap-detection path is testable (the shipped testdata
+    * has no gaps — specs inject one). */
+  private[graft] def backfillPlanFor(ev: DataFrame): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val cells = ev
+      .groupBy(col("ts").cast("date").as("d"),
+        col("event_type").as("t"))
+      .agg(count(lit(1)).as("n_rows"))
+    val bounds = cells.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    val grid = bounds
+      .select(explode(sequence(col("d0"), col("d1"))).as("d"))
+      .select(col("d"), explode(array(types.map(lit): _*)).as("t"))
+    grid.join(cells, Seq("d", "t"), "left")
+      .select(col("d").cast("string").as("event_date"),
+        col("t").as("event_type"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+        col("n_rows").isNull.as("missing"))
+      .orderBy(col("event_date"), col("event_type"))
+  }
+
+  /** Backfill plan — partition-completeness audit against the calendar:
+    * every (event_date × event_type) cell the landing layout SHOULD
+    * contain between the first and last observed day, with row counts
+    * and a missing flag. The complement of `etl_partition_audit` (which
+    * profiles cells that exist, and can't see absent ones): this is the
+    * artifact a scheduler turns into backfill jobs after an outage.
+    * One combinable aggregate onto the bounded cell space; the expected
+    * grid derives from a one-row min/max of the AGGREGATE (no second
+    * scan of the feed) and the closed type taxonomy. */
+  def backfillPlan(s: SparkSession, dir: String): DataFrame =
+    backfillPlanFor(Tables.events(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_backfill_plan" -> (backfillPlan _),
     "etl_partition_audit" -> (partitionAudit _),
     "etl_scd2" -> (scd2 _),
     "etl_cdc_merge" -> (cdcMerge _),
@@ -464,6 +498,20 @@ object Etl {
     "etl_incremental" -> (incremental _))
 
   val oracles: Map[String, String] = Map(
+    "etl_backfill_plan" ->
+      """WITH cells AS (
+        |  SELECT CAST(ts AS DATE) AS d, event_type AS t, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM cells),
+        |cal AS (SELECT UNNEST(generate_series(d0, d1, INTERVAL 1 DAY))::DATE
+        |    AS d FROM bounds),
+        |types AS (SELECT UNNEST(['click', 'error', 'purchase', 'signup',
+        |    'view']) AS t)
+        |SELECT CAST(cal.d AS VARCHAR) AS event_date, types.t AS event_type,
+        |  COALESCE(n, 0) AS n_rows, (n IS NULL) AS missing
+        |FROM cal CROSS JOIN types
+        |LEFT JOIN cells ON cells.d = cal.d AND cells.t = types.t
+        |ORDER BY event_date, event_type""".stripMargin,
     "etl_partition_audit" ->
       """WITH cells AS (
         |  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date,

@@ -118,6 +118,46 @@ object Text {
           .as("mean_logprob"))
   }
 
+  /** Bigram-LM quality score — the next step up from `unigramLogprob`
+    * on the LM-filter ladder: per doc, the mean log conditional
+    * probability log P(w2|w1) = log(c(w1 w2) / c(w1 ·)) under the
+    * corpus's own bigram counts (no smoothing needed — every scored
+    * bigram is by construction in the counts). Repetitive/templated
+    * text scores near 0, incoherent token soup scores very negative —
+    * the complement of `repetition`'s surface ratios.
+    *
+    * Scale shape: the bigram COUNT table is corpus-sized, so unlike
+    * `unigramLogprob`'s vocabulary broadcast it is joined back to the
+    * exploded stream with a shuffle equi-join on the bigram key —
+    * linear at any corpus size. Only the PREFIX totals (vocabulary-
+    * sized, one row per distinct first token) ride a broadcast. Log
+    * terms are 6dp-rounded then summed as exact decimals so the
+    * per-doc mean is identical under any accumulation order. */
+  def bigramLogprob(s: SparkSession, dir: String): DataFrame = {
+    val w = col("toks")
+    val bigrams = when(size(w) >= 2,
+      transform(sequence(lit(1), size(w) - 1),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val exploded = Tables.documents(s, dir)
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), explode(bigrams).as("bigram"))
+    val b = exploded.groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+    val p = b.groupBy(split(col("bigram"), " ").getItem(0).as("w1"))
+      .agg(sum(col("n")).as("np"))
+    val term = b.join(broadcast(p),
+        split(col("bigram"), " ").getItem(0) === col("w1"))
+      .select(col("bigram"),
+        round(log(col("n").cast("double") / col("np").cast("double")), 6)
+          .cast(DecimalType(18, 6)).as("lp"))
+    exploded.join(term, "bigram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("lp")).cast("double") / count(lit(1)).cast("double"),
+          4).as("mean_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Document chunking: fixed 32-token windows with 8-token overlap
     * (stride 24) — the unit-of-work shaping for embedding/training jobs.
     * Pure projection + explode; chunk boundaries derive from token
@@ -449,6 +489,7 @@ object Text {
     "txt_lang_id" -> (langId _),
     "txt_fingerprint" -> (fingerprint _),
     "txt_unigram_logprob" -> (unigramLogprob _),
+    "txt_bigram_logprob" -> (bigramLogprob _),
     "txt_chunk" -> (chunk _),
     "txt_pack" -> (pack _),
     "txt_ngram_stats" -> (ngramStats _),
@@ -484,6 +525,27 @@ object Text {
         |  ROUND(CAST(COUNT(CASE WHEN first_doc = doc_id THEN 1 END)
         |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
         |FROM t JOIN f USING (shingle)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // same conditional-prob ratio term-for-term: c(w1 w2)/c(w1 ·),
+    // 6dp-rounded log terms, exact decimal sum, 4dp mean
+    "txt_bigram_logprob" ->
+      """WITH t AS (
+        |  SELECT doc_id, UNNEST(CASE WHEN len(w) >= 2
+        |      THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+        |      ELSE [] END) AS bigram
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |        FROM documents)),
+        |b AS (SELECT bigram, COUNT(*) AS n FROM t GROUP BY bigram),
+        |p AS (SELECT split_part(bigram, ' ', 1) AS w1, SUM(n) AS np
+        |      FROM b GROUP BY 1),
+        |term AS (SELECT bigram,
+        |    CAST(ROUND(ln(CAST(n AS DOUBLE) / CAST(np AS DOUBLE)), 6)
+        |      AS DECIMAL(18,6)) AS lp
+        |  FROM b JOIN p ON split_part(b.bigram, ' ', 1) = p.w1)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  ROUND(CAST(SUM(lp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4)
+        |    AS mean_logprob
+        |FROM t JOIN term USING (bigram)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // H = ln(n) - (sum tf*ln(tf))/n, 9dp-rounded decimal-summed terms
     "txt_entropy" ->

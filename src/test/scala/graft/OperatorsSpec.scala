@@ -1199,6 +1199,71 @@ class OperatorsSpec extends SparkSpec {
     v.unpersist()
   }
 
+  test("txt_bigram_logprob: bigram accounting exact, scores never positive") {
+    val b = operators.Text.bigramLogprob(spark, sfTiny)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docs = Tables.documents(spark, sfTiny)
+      .select(col("doc_id"), size(split(trim(col("text")), "\\s+")).as("n"))
+    assert(b.count() == docs.filter(col("n") >= 2).count(),
+      "one row per doc with at least one bigram")
+    assert(b.join(docs, "doc_id")
+      .filter(col("n_bigrams") =!= col("n") - 1).count() == 0,
+      "a doc's bigram count is its token count minus one")
+    assert(b.filter(col("mean_logprob") > 0).count() == 0,
+      "conditional log-probabilities are never positive")
+    assert(b.filter(col("mean_logprob") < 0).count() > 0,
+      "diverse corpus text must score strictly negative somewhere")
+    b.unpersist()
+  }
+
+  test("corpus_epoch_plan: weights normalize, caps hold, budget is spent") {
+    val p = operators.Corpus.epochPlan(spark, sfTiny)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rows = p.collect()
+    assert(rows.length == Tables.documents(spark, sfTiny)
+      .select("source").distinct().count())
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-3,
+      "target weights must normalize to 1 (up to per-row rounding)")
+    rows.foreach { r =>
+      val n = r.getLong(1); val desired = r.getLong(4)
+      val epochs = r.getDouble(5); val planned = r.getLong(6)
+      assert(epochs <= 4.0 + 1e-9, "epoch cap")
+      assert(planned == math.min(desired, 4 * n),
+        "planned tokens must respect the repeat cap")
+      assert(math.abs(epochs -
+        math.min(desired.toDouble / n.toDouble, 4.0)) < 1e-6)
+    }
+    val total = rows.map(_.getLong(1)).sum
+    val desiredSum = rows.map(_.getLong(4)).sum
+    assert(desiredSum <= 2 * total && desiredSum >= 2 * total - rows.length,
+      "per-source floors lose under one token each off the 2x budget")
+    p.unpersist()
+  }
+
+  test("etl_backfill_plan: gapless feed is clean; injected outage detected") {
+    val a = operators.Etl.backfillPlan(spark, sfTiny)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ev = Tables.events(spark, sfTiny)
+    assert(a.count() ==
+      ev.select(col("ts").cast("date")).distinct().count() * 5,
+      "grid = contiguous days x declared types")
+    assert(a.agg(sum("n_rows")).first().getLong(0) == ev.count(),
+      "every event lands in exactly one expected cell")
+    assert(a.filter(col("missing")).count() == 0, "testdata has no gaps")
+    // inject a one-day outage in the middle of the span
+    val gapped = ev.filter(
+      col("ts").cast("date") =!= lit("2024-01-05").cast("date"))
+    val plan = operators.Etl.backfillPlanFor(gapped)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assert(plan.count() == a.count(), "the calendar grid must not shrink")
+    assert(plan.filter(col("missing")).count() == 5,
+      "the dropped day must surface as its 5 missing cells")
+    assert(plan.filter(col("missing") &&
+      col("event_date") === "2024-01-05").count() == 5)
+    plan.unpersist()
+    a.unpersist()
+  }
+
   test("funnel ordering invariant: t_view <= t_click <= t_purchase") {
     val f = operators.Events.funnel(spark, sfTiny)
     assert(f.filter(col("t_click").isNotNull &&

@@ -53,7 +53,10 @@ class PlanAudit extends SparkSpec {
       "etl_partition_audit",
       // txt_vocab_coverage: ccnet's percentile-bounds broadcast + the
       // one-row corpus-total broadcast
-      "txt_vocab_coverage")
+      "txt_vocab_coverage",
+      // corpus_epoch_plan: temperature's pattern — one-row total and
+      // normalizer broadcasts onto the ≤#sources count table
+      "corpus_epoch_plan")
     // the only inputs a partition-less window may sort in one task:
     // calendar-bounded pre-aggregates (≤ hours/days rows at ANY corpus
     // size), verified below to actually sit on an Aggregate
