@@ -287,6 +287,25 @@ object Events {
       .orderBy(col("dow"), col("hod"))
   }
 
+  /** Per-event lag features — the sequence-model feature row every
+    * next-event/churn model consumes: previous event type, exact µs gap
+    * since the previous event, and the session-start flag (gap ≥ 30 min
+    * or first event ever — the same boundary rule `sessionize` uses).
+    * One user-partitioned ordered window with a (ts, event_id)
+    * tie-break, so the frame never holds more than one user's events
+    * and the output is deterministic under same-timestamp ties. */
+  def lagFeatures(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gap = unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        lag(col("event_type"), 1).over(w).as("prev_type"),
+        gap.as("gap_us"),
+        (gap.isNull || gap >= lit(1800000000L)).as("is_session_start"))
+      .orderBy(col("event_id"))
+  }
+
   /** Cohort retention: first-seen day × day offset → distinct actives. */
   def retention(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
@@ -667,6 +686,7 @@ object Events {
     "ev_type_pivot" -> (typePivot _),
     "ev_new_vs_returning" -> (newVsReturning _),
     "ev_seasonality" -> (seasonality _),
+    "ev_lag_features" -> (lagFeatures _),
     "ev_retention" -> (retention _),
     "ev_campaign_stats" -> (campaignStats _),
     "ev_dau_wau" -> (dauWau _),
@@ -860,6 +880,15 @@ object Events {
         |    / CAST(d.n_events AS DOUBLE), 6) AS ape
         |FROM daily d JOIN daily f ON d.day = f.day + INTERVAL 7 DAY
         |ORDER BY d.day""".stripMargin,
+    "ev_lag_features" ->
+      """SELECT event_id, user_id, event_type,
+        |  lag(event_type) OVER w AS prev_type,
+        |  epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us,
+        |  COALESCE(epoch_us(ts) - lag(epoch_us(ts)) OVER w
+        |    >= 1800000000, TRUE) AS is_session_start
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
     "ev_attribution_multi" ->
       """WITH t AS (
         |  SELECT p.event_id AS purchase_id, p.user_id,

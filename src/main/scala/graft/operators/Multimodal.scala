@@ -263,7 +263,43 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Shard-packing plan over the binary payloads — the WebDataset-style
+    * layout step that turns N opaque media files into fixed-size training
+    * shards: payloads are laid out in deterministic content-hash order
+    * and assigned to the 8 KiB shard their START offset falls in
+    * (offset-based sharding — payloads stay whole, a boundary item is
+    * flagged `spans_next` for the tar writer's carry logic). Each
+    * shard's span is exactly the budget, so shard sizes never drift no
+    * matter how skewed payload sizes are.
+    *
+    * Scale shape: pure arithmetic on payload LENGTHS (no payload bytes
+    * move until the write itself); the global running offset is
+    * `Ranking.bucketedPrefixSum` over 256 hex-prefix buckets of the
+    * hash — never a single-task global cumsum. Budget is a power of two
+    * so shard ids are exact bit shifts. */
+  def shardPack(s: SparkSession, dir: String): DataFrame = {
+    val budgetBits = 13 // 8 KiB per shard
+    val budget = 1L << budgetBits
+    val items = Tables.documents(s, dir)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_bytes"))
+      .withColumn("hk",
+        md5(concat(lit("shard:"), col("doc_id").cast("string"))))
+      .withColumn("__bkt", Ranking.hexPrefixBucket(col("hk")))
+    val cum = Ranking.bucketedPrefixSum(items, "__bkt", 256,
+      Seq(col("hk"), col("doc_id")), col("n_bytes"), "start_off")
+    cum.select(
+        shiftright(col("start_off"), budgetBits).as("shard_id"),
+        col("doc_id"), col("n_bytes"),
+        (col("start_off") - shiftright(col("start_off"), budgetBits)
+          * lit(budget)).as("offset_in_shard"),
+        (col("start_off") + col("n_bytes") >
+          (shiftright(col("start_off"), budgetBits) + 1) * lit(budget))
+          .as("spans_next"))
+      .orderBy(col("shard_id"), col("offset_in_shard"), col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_shard_pack" -> (shardPack _),
     "mm_phash_dedup" -> (phashDedup _),
     "mm_binary_pipeline" -> (binaryPipelineChecked _),
     "mm_frame_sample" -> (frameSample _),
@@ -271,6 +307,23 @@ object Multimodal {
     "mm_resize" -> (resize _))
 
   val oracles: Map[String, String] = Map(
+    // same hash order and exclusive prefix sum as the Spark side; shard
+    // id and offset from integer division on the start offset
+    "mm_shard_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+        |    md5('shard:' || CAST(doc_id AS VARCHAR)) AS hk
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, n_bytes,
+        |    CAST(COALESCE(SUM(n_bytes) OVER (ORDER BY hk, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS so
+        |  FROM t)
+        |SELECT CAST(so // 8192 AS BIGINT) AS shard_id, doc_id, n_bytes,
+        |  CAST(so - (so // 8192) * 8192 AS BIGINT) AS offset_in_shard,
+        |  so + n_bytes > ((so // 8192) + 1) * 8192 AS spans_next
+        |FROM o ORDER BY shard_id, offset_in_shard, doc_id""".stripMargin,
     // every phash bit recomputed from code points: bit d set iff the
     // stride class's byte sum cross-multiplied beats the global sum
     // (exact integers, strict >, matching stubPhash)

@@ -88,6 +88,42 @@ object Text {
             .as("pred_lang"): _*)
   }
 
+  /** Language-ID evaluation — the confusion matrix of the `langId`
+    * heuristic against the labeled `lang` column, with per-label shares
+    * (row-normalized recall): the QA artifact that decides whether a
+    * cheap classifier is good enough to route a corpus (here it
+    * measurably is NOT — the pseudo profiles hit ~22% on the synthetic
+    * labels, which is exactly what this op exists to surface).
+    * Prediction is the same single-pass ProfileScores projection as
+    * `langId`; the matrix is one fully map-side-combinable aggregate
+    * onto a ≤|langs|² key space, constant-size shuffle at any corpus
+    * size; label totals ride a broadcast of the bounded matrix itself. */
+  def langidEval(s: SparkSession, dir: String): DataFrame = {
+    val scores: Seq[(String, Column)] =
+      LangProfiles.zipWithIndex.map { case ((lang, _), i) =>
+        lang -> element_at(col("scores"), i + 1)
+      }
+    val best = scores.map { case (lang, sc) =>
+      struct((-sc).as("neg"), lit(lang).as("lang"))
+    }
+    val cells = Tables.documents(s, dir)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("scores", graft.functions.ProfileScores.profileScores(
+        col("toks"), LangProfiles.map(_._2)))
+      .select(col("lang").as("label_lang"),
+        element_at(array_sort(array(best: _*)), 1).getField("lang")
+          .as("pred_lang"))
+      .groupBy(col("label_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    val totals = cells.groupBy(col("label_lang"))
+      .agg(sum(col("n_docs")).as("n_label"))
+    cells.join(broadcast(totals), "label_lang")
+      .select(col("label_lang"), col("pred_lang"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("n_label").cast("double"),
+          6).as("share"))
+      .orderBy(col("label_lang"), col("pred_lang"))
+  }
+
   /** Document fingerprint via the native RollingHash codegen expression. */
   def fingerprint(s: SparkSession, dir: String): DataFrame = {
     Tables.documents(s, dir).select(
@@ -487,6 +523,7 @@ object Text {
     "txt_token_count" -> (tokenCount _),
     "txt_quality_score" -> (qualityScore _),
     "txt_lang_id" -> (langId _),
+    "txt_langid_eval" -> (langidEval _),
     "txt_fingerprint" -> (fingerprint _),
     "txt_unigram_logprob" -> (unigramLogprob _),
     "txt_bigram_logprob" -> (bigramLogprob _),
@@ -687,6 +724,40 @@ object Text {
         |    WHEN s_fr >= s_zh THEN 'fr'
         |    ELSE 'zh' END AS pred_lang
         |FROM scored""".stripMargin,
+    // same scoring and cascading-argmax rule as txt_lang_id, joined to
+    // the label column and row-normalized
+    "txt_langid_eval" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      x -> list_contains(['der','und','nicht','merge','sort','hash','batch'], x))) AS s_de,
+        |    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      x -> list_contains(['the','a','of','join','query','fast','table'], x))) AS s_en,
+        |    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      x -> list_contains(['el','la','que','scan','filter','row','column'], x))) AS s_es,
+        |    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      x -> list_contains(['le','les','une','group','window','stream','value'], x))) AS s_fr,
+        |    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      x -> list_contains(['data','key','line','part','small','slow','customer'], x))) AS s_zh
+        |  FROM documents),
+        |pred AS (
+        |  SELECT lang AS label_lang, CASE
+        |    WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |    WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |    WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |    WHEN s_fr >= s_zh THEN 'fr'
+        |    ELSE 'zh' END AS pred_lang
+        |  FROM scored),
+        |cells AS (
+        |  SELECT label_lang, pred_lang, COUNT(*) AS n_docs
+        |  FROM pred GROUP BY 1, 2),
+        |totals AS (
+        |  SELECT label_lang, SUM(n_docs) AS n_label FROM cells GROUP BY 1)
+        |SELECT label_lang, pred_lang, n_docs,
+        |  ROUND(CAST(n_docs AS DOUBLE) / CAST(n_label AS DOUBLE), 6)
+        |    AS share
+        |FROM cells JOIN totals USING (label_lang)
+        |ORDER BY label_lang, pred_lang""".stripMargin,
     "txt_chunk" ->
       """WITH t AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w

@@ -1264,6 +1264,83 @@ class OperatorsSpec extends SparkSpec {
     a.unpersist()
   }
 
+  test("txt_langid_eval: matrix accounts for every doc; shares normalize") {
+    val m = operators.Text.langidEval(spark, sfTiny)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docs = Tables.documents(spark, sfTiny)
+    assert(m.agg(sum("n_docs")).first().getLong(0) == docs.count(),
+      "every document lands in exactly one confusion cell")
+    assert(m.count() <= 25, "matrix is bounded by |langs|^2")
+    // per-label shares must sum to ~1 (each share rounded to 6dp)
+    val off = m.groupBy("label_lang").agg(sum("share").as("s"))
+      .filter(abs(col("s") - 1.0) > 1e-4).count()
+    assert(off == 0, "row-normalized shares must sum to 1 per label")
+    // the matrix must agree with a direct label/pred join of txt_lang_id
+    val direct = operators.Text.langId(spark, sfTiny)
+      .select(col("doc_id"), col("pred_lang"))
+      .join(docs.select(col("doc_id"), col("lang").as("label_lang")),
+        "doc_id")
+      .groupBy("label_lang", "pred_lang").agg(count(lit(1)).as("n_direct"))
+    assert(m.join(direct, Seq("label_lang", "pred_lang"), "full")
+      .filter(col("n_docs").isNull || col("n_direct").isNull ||
+        col("n_docs") =!= col("n_direct")).count() == 0,
+      "eval matrix must equal the langId-derived matrix cell-for-cell")
+    m.unpersist()
+  }
+
+  test("mm_shard_pack: offsets exact, shards contiguous, payloads whole") {
+    val p = operators.Multimodal.shardPack(spark, sfTiny)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docs = Tables.documents(spark, sfTiny)
+    assert(p.count() == docs.count(), "every payload is placed once")
+    assert(p.agg(sum("n_bytes")).first().getLong(0) ==
+      docs.agg(sum(length(col("text")))).first().getLong(0),
+      "placed bytes must equal corpus bytes")
+    assert(p.filter(col("offset_in_shard") < 0 ||
+      col("offset_in_shard") >= 8192).count() == 0)
+    // shard ids are contiguous 0..max (offset-based sharding can't skip)
+    val ids = p.select("shard_id").distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.head == 0 && ids.last == ids.length - 1,
+      "shard ids must be dense")
+    // recompute every start offset with a test-local global cumsum
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("hk"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val expected = docs
+      .select(col("doc_id"), length(col("text")).cast("long").as("nb"),
+        md5(concat(lit("shard:"), col("doc_id").cast("string"))).as("hk"))
+      .withColumn("so", coalesce(sum(col("nb")).over(w), lit(0L)))
+      .select(col("doc_id"), (col("so") % 8192).as("e_off"),
+        floor(col("so") / 8192).as("e_shard"))
+    assert(p.join(expected, "doc_id")
+      .filter(col("offset_in_shard") =!= col("e_off") ||
+        col("shard_id") =!= col("e_shard")).count() == 0,
+      "bucketed prefix sum must equal the global-window recompute")
+    p.unpersist()
+  }
+
+  test("ev_lag_features: per-user sequence accounting and session rule") {
+    val f = operators.Events.lagFeatures(spark, sfTiny)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ev = Tables.events(spark, sfTiny)
+    assert(f.count() == ev.count(), "one feature row per event")
+    assert(f.filter(col("prev_type").isNull).count() ==
+      ev.select("user_id").distinct().count(),
+      "exactly one sequence head per user")
+    assert(f.filter(col("gap_us") < 0).count() == 0,
+      "ordered by (ts, event_id), gaps are never negative")
+    assert(f.filter(col("prev_type").isNull &&
+      !col("is_session_start")).count() == 0,
+      "a user's first event always starts a session")
+    assert(f.filter(col("gap_us") >= 1800000000L &&
+      !col("is_session_start")).count() == 0)
+    assert(f.filter(col("gap_us") < 1800000000L &&
+      col("is_session_start")).count() == 0)
+    f.unpersist()
+  }
+
   test("funnel ordering invariant: t_view <= t_click <= t_purchase") {
     val f = operators.Events.funnel(spark, sfTiny)
     assert(f.filter(col("t_click").isNotNull &&
