@@ -86,6 +86,48 @@ object Dedup {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** EXACT cross-source shingle-overlap matrix — the ground truth that
+    * `sourceSimilarity`'s MinHash sketches approximate: for every source
+    * pair, the number of distinct word-3-gram shingles both vocabularies
+    * share, each side's vocabulary size, and the overlap coefficient
+    * |A∩B| / min(|A|,|B|) — the crawl-comparison / provenance-audit
+    * report in exact form.
+    *
+    * Scale shape: NEVER a shingle-table self-join. The per-shingle
+    * source set is bounded by the SOURCE REGISTRY (≤ tens), so each
+    * shingle contributes its ≤C(|sources|,2) pairs via a bounded
+    * in-row explode, and the pair counts are one fully combinable
+    * aggregate onto the bounded pair space — linear in corpus tokens
+    * at any scale. Vocabulary totals ride a broadcast. */
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(s, dir)
+      .withColumn("toks", tokens(col("text")))
+      .select(col("source"), explode(wordShingles(col("toks"), 3))
+        .as("shingle"))
+      .distinct()
+    val tot = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val sets = sh.groupBy(col("shingle"))
+      .agg(array_sort(collect_set(col("source"))).as("srcs"))
+      .filter(size(col("srcs")) >= 2)
+    val pairs = sets
+      .select(posexplode(col("srcs")).as(Seq("i", "src_a")), col("srcs"))
+      .select(col("src_a"), explode(
+        slice(col("srcs"), col("i") + lit(2), size(col("srcs"))))
+        .as("src_b"))
+    pairs.groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(tot.select(col("source").as("src_a"),
+        col("n").as("n_a"))), "src_a")
+      .join(broadcast(tot.select(col("source").as("src_b"),
+        col("n").as("n_b"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        col("n_a"), col("n_b"),
+        round(col("n_shared").cast("double")
+          / least(col("n_a"), col("n_b")).cast("double"), 6)
+          .as("overlap_coef"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   /** Exact dedup: group by full-content hash, keep the smallest id as the
     * canonical copy. One map-side-combinable shuffle. */
   def exact(s: SparkSession, dir: String): DataFrame = {
@@ -487,6 +529,7 @@ object Dedup {
     "dedup_incremental" -> (incremental _),
     "dedup_minhash_incremental" -> (minhashIncremental _),
     "dedup_source_similarity" -> (sourceSimilarity _),
+    "dedup_source_overlap" -> (sourceOverlap _),
     "dedup_embedding_cosine" -> (embeddingCosine _))
 
   val oracles: Map[String, String] = Map(
@@ -504,6 +547,27 @@ object Dedup {
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
         |COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
+    // the oracle may pair via the self-join DuckDB is happy with at
+    // sf0.01 — the Spark side must NOT (bounded per-shingle explode)
+    "dedup_source_overlap" ->
+      """WITH t AS (
+        |  SELECT DISTINCT source, UNNEST(CASE WHEN len(w) >= 3
+        |      THEN list_transform(range(1, len(w) - 1),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        |      ELSE [] END) AS shingle
+        |  FROM (SELECT source, regexp_split_to_array(trim(text), '\s+') AS w
+        |        FROM documents)),
+        |tot AS (SELECT source, COUNT(*) AS n FROM t GROUP BY source),
+        |c AS (SELECT a.source AS src_a, b.source AS src_b,
+        |    COUNT(*) AS n_shared
+        |  FROM t a JOIN t b ON a.shingle = b.shingle AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, n_shared, ta.n AS n_a, tb.n AS n_b,
+        |  ROUND(CAST(n_shared AS DOUBLE) / least(ta.n, tb.n), 6)
+        |    AS overlap_coef
+        |FROM c JOIN tot ta ON ta.source = c.src_a
+        |JOIN tot tb ON tb.source = c.src_b
+        |ORDER BY src_a, src_b""".stripMargin,
     "dedup_exact_norm" ->
       """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
         |    AS norm_hash,

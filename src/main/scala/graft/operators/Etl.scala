@@ -479,7 +479,39 @@ object Etl {
   def backfillPlan(s: SparkSession, dir: String): DataFrame =
     backfillPlanFor(Tables.events(s, dir))
 
+  /** Per-column data-quality profile of the feed — the column-level DQ
+    * report (null counts, exact distinct cardinality, min/max) every
+    * landing pipeline publishes beside the data. Values are projected
+    * into one canonical string vocabulary per column class (ints as
+    * digits, timestamps as epoch-µs, money as exact 2dp decimals) so
+    * min/max/distinct are engine-neutral. One scan: the row explodes
+    * onto its 6 (column, value) pairs map-side and everything
+    * aggregates on the 6-key space; the distinct count shuffles
+    * (column, value) pairs — linear, and the place to swap in
+    * approx_count_distinct (q19's path) at extreme cardinalities. */
+  def dqProfile(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val reps: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      "event_id" -> col("event_id").cast("string"),
+      "ts" -> unix_micros(col("ts")).cast("string"),
+      "user_id" -> col("user_id").cast("string"),
+      "event_type" -> col("event_type"),
+      "value" -> col("value").cast("decimal(18,2)").cast("string"),
+      "props" -> col("props"))
+    ev.select(explode(array(reps.map { case (n, c) =>
+        struct(lit(n).as("c"), c.as("v")) }: _*)).as("x"))
+      .select(col("x.c").as("column_name"), col("x.v").as("v"))
+      .groupBy(col("column_name"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("v")).as("n_nonnull"),
+        countDistinct(col("v")).as("n_distinct"),
+        min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"))
+      .orderBy(col("column_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_dq_profile" -> (dqProfile _),
     "etl_backfill_plan" -> (backfillPlan _),
     "etl_partition_audit" -> (partitionAudit _),
     "etl_scd2" -> (scd2 _),
@@ -498,6 +530,20 @@ object Etl {
     "etl_incremental" -> (incremental _))
 
   val oracles: Map[String, String] = Map(
+    "etl_dq_profile" ->
+      """WITH v AS (
+        |  SELECT 'event_id' AS column_name, CAST(event_id AS VARCHAR) AS v
+        |  FROM events
+        |  UNION ALL SELECT 'ts', CAST(epoch_us(ts) AS VARCHAR) FROM events
+        |  UNION ALL SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events
+        |  UNION ALL SELECT 'event_type', event_type FROM events
+        |  UNION ALL SELECT 'value',
+        |    CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) FROM events
+        |  UNION ALL SELECT 'props', props FROM events)
+        |SELECT column_name, COUNT(*) AS n_rows, COUNT(v) AS n_nonnull,
+        |  COUNT(DISTINCT v) AS n_distinct,
+        |  MIN(v) AS min_v, MAX(v) AS max_v
+        |FROM v GROUP BY column_name ORDER BY column_name""".stripMargin,
     "etl_backfill_plan" ->
       """WITH cells AS (
         |  SELECT CAST(ts AS DATE) AS d, event_type AS t, COUNT(*) AS n

@@ -1341,6 +1341,50 @@ class OperatorsSpec extends SparkSpec {
     f.unpersist()
   }
 
+  test("dedup_source_overlap: matrix matches a direct per-pair recompute") {
+    val m = operators.Dedup.sourceOverlap(spark, sfTiny)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docs = Tables.documents(spark, sfTiny)
+    val nSrc = docs.select("source").distinct().count()
+    assert(m.count() > 0 && m.count() <= nSrc * (nSrc - 1) / 2)
+    assert(m.filter(col("src_a") >= col("src_b")).count() == 0,
+      "pairs ordered a < b, each once")
+    assert(m.filter(col("overlap_coef") <= 0 ||
+      col("overlap_coef") > 1).count() == 0)
+    assert(m.filter(col("n_shared") >
+      least(col("n_a"), col("n_b"))).count() == 0,
+      "shared vocab can't exceed either side")
+    // recompute one pair directly from the exact shingle sets
+    val sh = docs.select(col("source"),
+        explode(graft.functions.TextFns.wordShingles(
+          graft.functions.TextFns.tokens(col("text")), 3)).as("sh"))
+      .distinct()
+    val first = m.first()
+    val a = sh.filter(col("source") === first.getString(0)).select("sh")
+    val b = sh.filter(col("source") === first.getString(1)).select("sh")
+    assert(a.intersect(b).count() == first.getLong(2),
+      "n_shared must equal the exact set intersection")
+    assert(a.count() == first.getLong(3) && b.count() == first.getLong(4))
+    m.unpersist()
+  }
+
+  test("etl_dq_profile: six columns whose counts reconcile with the feed") {
+    val p = operators.Etl.dqProfile(spark, sfTiny)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ev = Tables.events(spark, sfTiny)
+    assert(p.count() == 6, "one profile row per declared column")
+    assert(p.filter(col("n_rows") =!= ev.count()).count() == 0)
+    assert(p.filter(col("n_nonnull") > col("n_rows")).count() == 0)
+    assert(p.filter(col("n_distinct") > col("n_nonnull")).count() == 0)
+    val et = p.filter(col("column_name") === "event_type").first()
+    assert(et.getLong(3) == ev.select("event_type").distinct().count())
+    assert(et.getString(4) == "click" && et.getString(5) == "view",
+      "string min/max must be the lexicographic extremes")
+    val eid = p.filter(col("column_name") === "event_id").first()
+    assert(eid.getLong(3) == ev.count(), "event ids are unique in the feed")
+    p.unpersist()
+  }
+
   test("funnel ordering invariant: t_view <= t_click <= t_purchase") {
     val f = operators.Events.funnel(spark, sfTiny)
     assert(f.filter(col("t_click").isNotNull &&
