@@ -84,7 +84,25 @@ object PlansDump {
           "shingle-keyed exchange; linear in corpus tokens"),
       "dedup_containment" ->
         ("asymmetric containment on the salted min-shingle candidates: " +
-          "same storm-safe bucket join, integer-exact keep test"))
+          "same storm-safe bucket join, integer-exact keep test"),
+      "txt_bigram_logprob" ->
+        ("bigram LM score: corpus-sized count table joins back via a " +
+          "SHUFFLE equi-join (only vocab-sized prefix totals broadcast)"),
+      "mm_shard_pack" ->
+        ("shard layout from lengths only: bucketed prefix sum, shard " +
+          "ids by bit shift — no global cumsum, no payload movement"),
+      "dedup_source_overlap" ->
+        ("exact source-pair overlap: bounded in-row pair explode per " +
+          "shingle — never a shingle-table self-join"),
+      "etl_fk_audit" ->
+        ("FK audit: seven anti-joins (dims broadcast, orders keyed) " +
+          "each collapsing to a one-row count before the union"),
+      "emb_pq" ->
+        ("PQ coding: subvector table joins the BROADCAST landed " +
+          "codebook on the subspace key — O(n·M·k), no pair explosion"),
+      "dedup_band_tuning" ->
+        ("S-curve tuning: candidate pass + ×4 config explode; IEEE " +
+          "multiply chains, micro-unit quantize before the sum"))
     val sb = new StringBuilder
     sb.append("# PLANS — executed physical plans (sf0.001, regenerate " +
       "via `sbt \"runMain graft.PlansDump\"`)\n")

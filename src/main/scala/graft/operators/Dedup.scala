@@ -208,6 +208,177 @@ object Dedup {
           / size(col("sh_b")).cast("double"), 6).as("containment_b"))
   }
 
+  /** Jaccard-threshold sweep — the dedup-aggressiveness tuning artifact:
+    * over the SAME storm-safe min-shingle-bucket candidates as
+    * `ngramJaccard`, how many near-dup pairs and how many dropped docs
+    * (keep-lowest convention: the higher id of each pair) each
+    * candidate threshold in {0.5 … 0.9} would produce. The keep test is
+    * integer-exact (10·|A∩B| ≥ t·|A∪B|, t ∈ 5..9 scaled by 10), so both
+    * engines agree bit-for-bit at every boundary. One candidate pass,
+    * bounded threshold explode, one combinable aggregate — the sweep
+    * costs one extra aggregate over the pair table, not five reruns. */
+  def thresholdSweep(s: SparkSession, dir: String): DataFrame = {
+    val base = shingled(s, dir)
+      .filter(size(col("shingles")) > 0)
+      .withColumn("bucket",
+        array_min(transform(col("shingles"), x => md5(x))))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val banded = base.select(col("doc_id"), lit(0).as("band_id"),
+      col("bucket").as("band_hash"))
+    val pairs = saltedBandPairs(banded, target = 64)
+    val sized = attach(pairs, base, "shingles")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni",
+        size(array_distinct(concat(col("sh_a"), col("sh_b")))))
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"))
+    sized
+      .select(col("doc_b"), col("inter"), col("uni"),
+        explode(array((5 to 9).map(lit): _*)).as("t10"))
+      .filter(col("inter") * 10 >= col("t10") * col("uni"))
+      .groupBy((col("t10") * 10).as("threshold_pct"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("doc_b")).as("n_docs_dropped"))
+      .orderBy(col("threshold_pct"))
+  }
+
+  /** LSH band-geometry tuning table — the S-curve analysis run before
+    * anyone picks `minhashLsh`'s (bands, rows-per-band) split: for each
+    * way of spending the k = 32 signature budget, the expected detection
+    * probability 1−(1−j^r)^b evaluated against the corpus's OWN observed
+    * candidate-pair similarity distribution (the storm-safe min-shingle
+    * buckets), plus the config's threshold s* = (1/b)^(1/r). The output
+    * answers "which split catches ≥ X% of OUR near-dups", not the
+    * textbook curve at hypothetical similarities.
+    *
+    * Determinism discipline: every power is a power of two, so j^r and
+    * (1−j^r)^b are explicit IEEE multiply chains (j2 = j·j, q2 = q·q, …)
+    * and s* is a sqrt chain — each step exactly rounded, bit-identical
+    * in any IEEE engine, where a libm `pow` would not be. Per-pair
+    * probabilities are quantized to integer micro-units BEFORE the
+    * cross-partition sum (the decimal-first discipline for a quantity
+    * that has no decimal form). One candidate pass, ×4 config explode,
+    * one combinable aggregate. */
+  def bandTuning(s: SparkSession, dir: String): DataFrame = {
+    val base = shingled(s, dir)
+      .filter(size(col("shingles")) > 0)
+      .withColumn("bucket",
+        array_min(transform(col("shingles"), x => md5(x))))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val banded = base.select(col("doc_id"), lit(0).as("band_id"),
+      col("bucket").as("band_hash"))
+    val pairs = saltedBandPairs(banded, target = 64)
+    val sized = attach(pairs, base, "shingles")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni",
+        size(array_distinct(concat(col("sh_a"), col("sh_b")))))
+      .withColumn("j", col("inter").cast("double") / col("uni").cast("double"))
+    val cfg = Seq((32, 1), (16, 2), (8, 4), (4, 8))
+    sized
+      .select(col("inter"), col("uni"), col("j"),
+        explode(array(cfg.map { case (b, r) =>
+          struct(lit(b).as("b"), lit(r).as("r")) }: _*)).as("c"))
+      .select(col("inter"), col("uni"), col("j"),
+        col("c.b").as("bands"), col("c.r").as("rows_per_band"))
+      .withColumn("j2", col("j") * col("j"))
+      .withColumn("j4", col("j2") * col("j2"))
+      .withColumn("j8", col("j4") * col("j4"))
+      .withColumn("jr",
+        when(col("rows_per_band") === 1, col("j"))
+          .when(col("rows_per_band") === 2, col("j2"))
+          .when(col("rows_per_band") === 4, col("j4"))
+          .otherwise(col("j8")))
+      .withColumn("q", lit(1.0) - col("jr"))
+      .withColumn("q2", col("q") * col("q"))
+      .withColumn("q4", col("q2") * col("q2"))
+      .withColumn("q8", col("q4") * col("q4"))
+      .withColumn("q16", col("q8") * col("q8"))
+      .withColumn("q32", col("q16") * col("q16"))
+      .withColumn("prob", lit(1.0) -
+        when(col("bands") === 4, col("q4"))
+          .when(col("bands") === 8, col("q8"))
+          .when(col("bands") === 16, col("q16"))
+          .otherwise(col("q32")))
+      .withColumn("p_u", round(col("prob") * lit(1e6)).cast("long"))
+      .withColumn("near", col("inter") * 2 >= col("uni"))
+      .groupBy(col("bands"), col("rows_per_band"))
+      .agg(count(lit(1)).as("n_cand"),
+        count(when(col("near"), 1)).as("n_near"),
+        sum(when(col("near"), col("p_u")).otherwise(lit(0L))).as("pu_near"))
+      .withColumn("s_star", round(
+        when(col("rows_per_band") === 1, lit(1.0) / col("bands"))
+          .when(col("rows_per_band") === 2, sqrt(lit(1.0) / col("bands")))
+          .when(col("rows_per_band") === 4,
+            sqrt(sqrt(lit(1.0) / col("bands"))))
+          .otherwise(sqrt(sqrt(sqrt(lit(1.0) / col("bands"))))), 6))
+      .withColumn("exp_caught_near",
+        round(col("pu_near").cast("double") / lit(1e6), 6))
+      .withColumn("exp_recall_near",
+        when(col("n_near") > 0,
+          round(col("pu_near").cast("double") / lit(1e6)
+            / col("n_near").cast("double"), 6)))
+      .select(col("bands"), col("rows_per_band"), col("s_star"),
+        col("n_cand"), col("n_near"), col("exp_caught_near"),
+        col("exp_recall_near"))
+      .orderBy(col("rows_per_band"))
+  }
+
+  /** Landing dir for the calibration signatures — the simhashFpDir
+    * contract: computable from `dir` alone so the static oracle SQL can
+    * read the run's signatures. */
+  private[graft] def mhCalibDir(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_mhcalib_" +
+      dir.replaceAll("[^0-9a-zA-Z]", "_")
+
+  /** MinHash calibration — estimated vs exact Jaccard, pair by pair: for
+    * every storm-safe min-shingle-bucket candidate, the k = 32 signature
+    * agreement fraction next to the exact shingle Jaccard and their
+    * absolute gap. This is the report that justifies (or kills) trusting
+    * `minhashLsh`'s sketch verification at a given k — the observed
+    * error column IS the ±1/√k theory check, per pair, on real data.
+    *
+    * The signature table lands to parquet, so the oracle re-derives
+    * everything downstream of signature generation brute-force in DuckDB
+    * (agreement count, exact Jaccard, gap) — fully hash-checked; only
+    * the multiply-shift hash itself stays Spark-side (the simhash
+    * contract). est = n_agree/32 and the gap are IEEE-exact (power-of-
+    * two divide, exact subtract), so no float indeterminism. */
+  def minhashCalibration(s: SparkSession, dir: String): DataFrame = {
+    val k = 32
+    val base = Tables.documents(s, dir)
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), wordShingles(col("toks"), 3).as("shingles"),
+        graft.functions.ShingleHash64.shingleHash64(col("toks"), 3).as("hs"))
+      .filter(size(col("shingles")) > 0)
+      .withColumn("sig",
+        graft.functions.SketchExprs.minhashSig(col("hs"), k))
+      .withColumn("bucket",
+        array_min(transform(col("shingles"), x => md5(x))))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    base.select(col("doc_id"), col("sig"))
+      .write.mode("overwrite").parquet(mhCalibDir(dir))
+    val banded = base.select(col("doc_id"), lit(0).as("band_id"),
+      col("bucket").as("band_hash"))
+    saltedBandPairs(banded, target = 64)
+      .join(base.select(col("doc_id").as("doc_a"),
+        col("shingles").as("sh_a"), col("sig").as("sig_a")), "doc_a")
+      .join(base.select(col("doc_id").as("doc_b"),
+        col("shingles").as("sh_b"), col("sig").as("sig_b")), "doc_b")
+      .withColumn("n_agree",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("long"))
+      .withColumn("est", col("n_agree").cast("double") / lit(32.0))
+      .withColumn("j",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+          / size(array_distinct(concat(col("sh_a"), col("sh_b"))))
+            .cast("double"))
+      .select(col("doc_a"), col("doc_b"), col("n_agree"),
+        round(col("est"), 6).as("est_jaccard"),
+        round(col("j"), 6).as("jaccard"),
+        round(abs(col("est") - col("j")), 6).as("abs_err"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Unrounded Jaccard — threshold form. */
   private def rawJaccard(a: org.apache.spark.sql.Column,
       b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
@@ -522,6 +693,9 @@ object Dedup {
     "dedup_exact" -> (exact _),
     "dedup_exact_norm" -> (exactNormalized _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
+    "dedup_threshold_sweep" -> (thresholdSweep _),
+    "dedup_band_tuning" -> (bandTuning _),
+    "dedup_minhash_calibration" -> (minhashCalibration _),
     "dedup_containment" -> (containment _),
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_simhash" -> (simhash _),
@@ -547,6 +721,126 @@ object Dedup {
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
         |COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
+    // same bucket-candidate CTE as dedup_ngram_jaccard, integer-exact
+    // grid filter (10*inter >= t*union)
+    "dedup_threshold_sweep" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+        |      THEN list_transform(range(1, len(w) - 1),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        |      ELSE [] END) AS shingles
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |        FROM documents)),
+        |b AS (
+        |  SELECT doc_id, shingles,
+        |    list_min(list_transform(shingles, x -> md5(x))) AS bucket
+        |  FROM t WHERE len(shingles) > 0),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+        |    len(list_intersect(a.shingles, b2.shingles)) AS inter,
+        |    len(list_distinct(list_concat(a.shingles, b2.shingles))) AS uni
+        |  FROM b a JOIN b b2 ON a.bucket = b2.bucket
+        |    AND a.doc_id < b2.doc_id),
+        |g AS (SELECT UNNEST([5, 6, 7, 8, 9]) AS t10)
+        |SELECT t10 * 10 AS threshold_pct, COUNT(*) AS n_pairs,
+        |  COUNT(DISTINCT doc_b) AS n_docs_dropped
+        |FROM g JOIN p ON inter * 10 >= t10 * uni
+        |GROUP BY t10 ORDER BY threshold_pct""".stripMargin,
+    // same candidate CTE; every power is an explicit IEEE multiply /
+    // sqrt chain mirroring the Spark expressions step by step, and the
+    // per-pair probability is quantized to integer micro-units before
+    // the order-dependent SUM
+    "dedup_band_tuning" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+        |      THEN list_transform(range(1, len(w) - 1),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        |      ELSE [] END) AS shingles
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |        FROM documents)),
+        |b AS (
+        |  SELECT doc_id, shingles,
+        |    list_min(list_transform(shingles, x -> md5(x))) AS bucket
+        |  FROM t WHERE len(shingles) > 0),
+        |p AS (
+        |  SELECT len(list_intersect(a.shingles, b2.shingles)) AS inter,
+        |    len(list_distinct(list_concat(a.shingles, b2.shingles))) AS uni
+        |  FROM b a JOIN b b2 ON a.bucket = b2.bucket
+        |    AND a.doc_id < b2.doc_id),
+        |cfg AS (SELECT * FROM (VALUES (32, 1), (16, 2), (8, 4), (4, 8))
+        |  AS v(bands, rows_per_band)),
+        |x0 AS (
+        |  SELECT bands, rows_per_band, inter, uni,
+        |    CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS j
+        |  FROM cfg CROSS JOIN p),
+        |x1 AS (SELECT *, j * j AS j2 FROM x0),
+        |x2 AS (SELECT *, j2 * j2 AS j4 FROM x1),
+        |x3 AS (SELECT *, j4 * j4 AS j8 FROM x2),
+        |x4 AS (SELECT *, CASE rows_per_band WHEN 1 THEN j WHEN 2 THEN j2
+        |    WHEN 4 THEN j4 ELSE j8 END AS jr FROM x3),
+        |x5 AS (SELECT *, 1.0 - jr AS q FROM x4),
+        |x6 AS (SELECT *, q * q AS q2 FROM x5),
+        |x7 AS (SELECT *, q2 * q2 AS q4 FROM x6),
+        |x8 AS (SELECT *, q4 * q4 AS q8 FROM x7),
+        |x9 AS (SELECT *, q8 * q8 AS q16 FROM x8),
+        |xa AS (SELECT *, q16 * q16 AS q32 FROM x9),
+        |xb AS (SELECT *, 1.0 - CASE bands WHEN 4 THEN q4 WHEN 8 THEN q8
+        |    WHEN 16 THEN q16 ELSE q32 END AS prob FROM xa),
+        |xc AS (SELECT *, CAST(round(prob * 1e6) AS BIGINT) AS p_u,
+        |    (inter * 2 >= uni) AS near FROM xb),
+        |g AS (
+        |  SELECT bands, rows_per_band, COUNT(*) AS n_cand,
+        |    COUNT(CASE WHEN near THEN 1 END) AS n_near,
+        |    CAST(SUM(CASE WHEN near THEN p_u ELSE 0 END) AS BIGINT)
+        |      AS pu_near
+        |  FROM xc GROUP BY bands, rows_per_band)
+        |SELECT bands, rows_per_band,
+        |  ROUND(CASE rows_per_band
+        |    WHEN 1 THEN 1.0 / bands
+        |    WHEN 2 THEN sqrt(1.0 / bands)
+        |    WHEN 4 THEN sqrt(sqrt(1.0 / bands))
+        |    ELSE sqrt(sqrt(sqrt(1.0 / bands))) END, 6) AS s_star,
+        |  n_cand, n_near,
+        |  ROUND(CAST(pu_near AS DOUBLE) / 1e6, 6) AS exp_caught_near,
+        |  CASE WHEN n_near > 0 THEN
+        |    ROUND(CAST(pu_near AS DOUBLE) / 1e6
+        |      / CAST(n_near AS DOUBLE), 6) END AS exp_recall_near
+        |FROM g ORDER BY rows_per_band""".stripMargin,
+    // signatures read from the landed parquet (simhash contract): the
+    // oracle re-derives agreement, exact Jaccard, and the gap
+    "dedup_minhash_calibration" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+        |      THEN list_transform(range(1, len(w) - 1),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        |      ELSE [] END) AS shingles
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+        |        FROM documents)),
+        |b AS (
+        |  SELECT doc_id, shingles,
+        |    list_min(list_transform(shingles, x -> md5(x))) AS bucket
+        |  FROM t WHERE len(shingles) > 0),
+        |sg AS (SELECT doc_id, sig
+        |  FROM '${mhCalibDir("__SFDIR__")}/*.parquet'),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+        |    len(list_intersect(a.shingles, b2.shingles)) AS inter,
+        |    len(list_distinct(list_concat(a.shingles, b2.shingles))) AS uni
+        |  FROM b a JOIN b b2 ON a.bucket = b2.bucket
+        |    AND a.doc_id < b2.doc_id),
+        |e AS (
+        |  SELECT doc_a, doc_b, inter, uni,
+        |    len(list_filter(range(1, 33),
+        |      i -> sa.sig[i] = sb.sig[i])) AS n_agree
+        |  FROM p
+        |  JOIN sg sa ON sa.doc_id = p.doc_a
+        |  JOIN sg sb ON sb.doc_id = p.doc_b)
+        |SELECT doc_a, doc_b, CAST(n_agree AS BIGINT) AS n_agree,
+        |  ROUND(CAST(n_agree AS DOUBLE) / 32.0, 6) AS est_jaccard,
+        |  ROUND(CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE), 6) AS jaccard,
+        |  ROUND(ABS(CAST(n_agree AS DOUBLE) / 32.0
+        |    - CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE)), 6) AS abs_err
+        |FROM e ORDER BY doc_a, doc_b""".stripMargin,
     // the oracle may pair via the self-join DuckDB is happy with at
     // sf0.01 — the Spark side must NOT (bounded per-shingle explode)
     "dedup_source_overlap" ->

@@ -510,7 +510,85 @@ object Etl {
       .orderBy(col("column_name"))
   }
 
+  /** Referential-integrity audit over the star schema — orphan counts for
+    * every FK edge, the cross-table DQ report that complements the
+    * per-column `etl_dq_profile`: a load that lands lineitems before
+    * their orders (or drops a dim partition) shows up here as a non-zero
+    * orphan count, not as a silent inner-join row loss in some
+    * downstream query.
+    *
+    * Scale shape: each edge is ONE anti-join on its key — dim parents
+    * (nation, region, part, supplier, customer) broadcast, the
+    * orders-side edge shuffles on the key like any fact join — followed
+    * by a one-row count; the seven one-row results union. Null FKs are
+    * counted separately (a null key is a quality signal, not an orphan).
+    * No edge ever materializes the orphan rows themselves — at 100 TB
+    * the audit emits seven numbers, and a follow-up targeted query
+    * fetches offenders only when a count is non-zero. */
+  def fkAudit(s: SparkSession, dir: String): DataFrame = {
+    def edge(name: String, child: DataFrame, ck: String,
+        parent: DataFrame, pk: String): DataFrame = {
+      val keys = child.select(col(ck).as("k"))
+      val orphans = keys.filter(col("k").isNotNull)
+        .join(parent.select(col(pk).as("k")), Seq("k"), "left_anti")
+        .agg(count(lit(1)).as("n_orphan"))
+      keys.agg(count(lit(1)).as("n_child"),
+          (count(lit(1)) - count(col("k"))).as("n_null_key"))
+        .crossJoin(orphans)
+        .select(lit(name).as("fk_edge"), col("n_child"),
+          col("n_null_key"), col("n_orphan"),
+          round(col("n_orphan") * lit(100.0) / col("n_child"), 6)
+            .as("orphan_pct"))
+    }
+    val li = Tables.lineitem(s, dir)
+    Seq(
+      edge("customer.c_nationkey->nation", Tables.customer(s, dir),
+        "c_nationkey", Tables.nation(s, dir), "n_nationkey"),
+      edge("lineitem.l_orderkey->orders", li, "l_orderkey",
+        Tables.orders(s, dir), "o_orderkey"),
+      edge("lineitem.l_partkey->part", li, "l_partkey",
+        Tables.part(s, dir), "p_partkey"),
+      edge("lineitem.l_suppkey->supplier", li, "l_suppkey",
+        Tables.supplier(s, dir), "s_suppkey"),
+      edge("nation.n_regionkey->region", Tables.nation(s, dir),
+        "n_regionkey", Tables.region(s, dir), "r_regionkey"),
+      edge("orders.o_custkey->customer", Tables.orders(s, dir),
+        "o_custkey", Tables.customer(s, dir), "c_custkey"),
+      edge("supplier.s_nationkey->nation", Tables.supplier(s, dir),
+        "s_nationkey", Tables.nation(s, dir), "n_nationkey"))
+      .reduce(_ unionAll _)
+      .orderBy(col("fk_edge"))
+  }
+
+  /** Landing-freshness report — per event day: row count, first/last
+    * event time (epoch-µs, the engine-neutral timestamp vocabulary) and
+    * how many hours the day's newest row lags the feed's global newest
+    * row. The staleness column is what a freshness SLO monitor alerts
+    * on: yesterday's partition stuck at staleness ≈ 24 h while today's
+    * grows means ingestion died mid-stream.
+    *
+    * One scan: daily min/max/count are a combinable aggregate onto the
+    * bounded day space, and the global high-water mark is a one-row
+    * aggregate OF THE DAILY TABLE (never a second scan of the feed),
+    * broadcast back onto it. */
+  def freshness(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("ts").cast("date").as("d"))
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_micros(col("ts"))).as("first_us"),
+        max(unix_micros(col("ts"))).as("last_us"))
+    val hwm = daily.agg(max(col("last_us")).as("hwm_us"))
+    daily.crossJoin(broadcast(hwm))
+      .select(col("d").cast("string").as("event_date"),
+        col("n_events"), col("first_us"), col("last_us"),
+        round((col("hwm_us") - col("last_us")).cast("double")
+          / lit(3.6e9), 6).as("staleness_hours"))
+      .orderBy(col("event_date"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_fk_audit" -> (fkAudit _),
+    "etl_freshness" -> (freshness _),
     "etl_dq_profile" -> (dqProfile _),
     "etl_backfill_plan" -> (backfillPlan _),
     "etl_partition_audit" -> (partitionAudit _),
@@ -530,6 +608,67 @@ object Etl {
     "etl_incremental" -> (incremental _))
 
   val oracles: Map[String, String] = Map(
+    // per edge: NOT EXISTS decorrelates to the same anti-join; null FKs
+    // counted separately, never as orphans
+    "etl_fk_audit" ->
+      """WITH e AS (
+        |  SELECT 'customer.c_nationkey->nation' AS fk_edge,
+        |    COUNT(*) AS n_child, COUNT(*) - COUNT(c_nationkey) AS n_null_key,
+        |    SUM(CASE WHEN c_nationkey IS NOT NULL AND NOT EXISTS
+        |      (SELECT 1 FROM nation WHERE n_nationkey = c_nationkey)
+        |      THEN 1 ELSE 0 END) AS n_orphan
+        |  FROM customer
+        |  UNION ALL SELECT 'lineitem.l_orderkey->orders',
+        |    COUNT(*), COUNT(*) - COUNT(l_orderkey),
+        |    SUM(CASE WHEN l_orderkey IS NOT NULL AND NOT EXISTS
+        |      (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+        |      THEN 1 ELSE 0 END)
+        |  FROM lineitem
+        |  UNION ALL SELECT 'lineitem.l_partkey->part',
+        |    COUNT(*), COUNT(*) - COUNT(l_partkey),
+        |    SUM(CASE WHEN l_partkey IS NOT NULL AND NOT EXISTS
+        |      (SELECT 1 FROM part WHERE p_partkey = l_partkey)
+        |      THEN 1 ELSE 0 END)
+        |  FROM lineitem
+        |  UNION ALL SELECT 'lineitem.l_suppkey->supplier',
+        |    COUNT(*), COUNT(*) - COUNT(l_suppkey),
+        |    SUM(CASE WHEN l_suppkey IS NOT NULL AND NOT EXISTS
+        |      (SELECT 1 FROM supplier WHERE s_suppkey = l_suppkey)
+        |      THEN 1 ELSE 0 END)
+        |  FROM lineitem
+        |  UNION ALL SELECT 'nation.n_regionkey->region',
+        |    COUNT(*), COUNT(*) - COUNT(n_regionkey),
+        |    SUM(CASE WHEN n_regionkey IS NOT NULL AND NOT EXISTS
+        |      (SELECT 1 FROM region WHERE r_regionkey = n_regionkey)
+        |      THEN 1 ELSE 0 END)
+        |  FROM nation
+        |  UNION ALL SELECT 'orders.o_custkey->customer',
+        |    COUNT(*), COUNT(*) - COUNT(o_custkey),
+        |    SUM(CASE WHEN o_custkey IS NOT NULL AND NOT EXISTS
+        |      (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+        |      THEN 1 ELSE 0 END)
+        |  FROM orders
+        |  UNION ALL SELECT 'supplier.s_nationkey->nation',
+        |    COUNT(*), COUNT(*) - COUNT(s_nationkey),
+        |    SUM(CASE WHEN s_nationkey IS NOT NULL AND NOT EXISTS
+        |      (SELECT 1 FROM nation WHERE n_nationkey = s_nationkey)
+        |      THEN 1 ELSE 0 END)
+        |  FROM supplier)
+        |SELECT fk_edge, n_child, n_null_key,
+        |  CAST(n_orphan AS BIGINT) AS n_orphan,
+        |  ROUND(n_orphan * 100.0 / n_child, 6) AS orphan_pct
+        |FROM e ORDER BY fk_edge""".stripMargin,
+    "etl_freshness" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n_events,
+        |    MIN(epoch_us(ts)) AS first_us, MAX(epoch_us(ts)) AS last_us
+        |  FROM events GROUP BY 1),
+        |hwm AS (SELECT MAX(last_us) AS hwm_us FROM daily)
+        |SELECT CAST(d AS VARCHAR) AS event_date, n_events, first_us,
+        |  last_us,
+        |  ROUND(CAST(hwm_us - last_us AS DOUBLE) / 3.6e9, 6)
+        |    AS staleness_hours
+        |FROM daily CROSS JOIN hwm ORDER BY event_date""".stripMargin,
     "etl_dq_profile" ->
       """WITH v AS (
         |  SELECT 'event_id' AS column_name, CAST(event_id AS VARCHAR) AS v

@@ -181,6 +181,46 @@ object Events {
       .orderBy(col("purchase_id"), col("position"))
   }
 
+  /** Time-decay multi-touch attribution — the third standard model after
+    * last-touch (`attribution`) and U-shaped (`attributionMulti`):
+    * recent touches earn more credit. Decay weights are DYADIC —
+    * 2^(4−k) for decay bucket k = floor(gap/15min) within the 1-hour
+    * window — so every weight, weight sum and share is exact in both
+    * engines under ANY accumulation order (a float e^{−λt} would be
+    * reduction-order-nondeterministic). Same single user_id-keyed join
+    * and purchase-partitioned windows as the U-shaped model. */
+  def attributionDecay(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), dec2(col("value")).as("val_dec"))
+    val byPurchase = Window.partitionBy(col("user_id"), col("purchase_id"))
+      .orderBy(col("click_ts"), col("click_id"))
+    val overP = Window.partitionBy(col("user_id"), col("purchase_id"))
+    purchases.join(clicks, Seq("user_id"))
+      .filter(col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+      .withColumn("gap_us",
+        unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+      .withColumn("decay_bucket",
+        least(floor(col("gap_us") / lit(900000000L)), lit(4L)))
+      .withColumn("w_int",
+        element_at(array(lit(16L), lit(8L), lit(4L), lit(2L), lit(1L)),
+          col("decay_bucket").cast("int") + 1))
+      .withColumn("sw", sum(col("w_int")).over(overP))
+      .withColumn("position", row_number().over(byPurchase).cast("long"))
+      .select(col("purchase_id"), col("user_id"), col("click_id"),
+        col("position"), col("gap_us"), col("decay_bucket"),
+        round(col("w_int").cast("double") / col("sw").cast("double"), 6)
+          .as("share"),
+        round(col("w_int").cast("double") / col("sw").cast("double")
+          * outd(col("val_dec")), 6).as("credit"))
+      .orderBy(col("purchase_id"), col("position"))
+  }
+
   /** Point-in-time-correct training-feature snapshot — the feature-store
     * extract a churn/propensity model trains on: per user, engagement
     * features computed STRICTLY before the cutoff (no leakage — counts,
@@ -672,7 +712,34 @@ object Events {
       .orderBy(col("user_id"))
   }
 
+  /** Inactivity-gap histogram — the churn-risk signal feeding retention
+    * models: across all users, how long the silences between consecutive
+    * ACTIVE DAYS last (a user active on day 3 and day 10 contributes one
+    * 7-day gap). Output per gap length: how many such gaps occurred and
+    * how many distinct users produced one — the curve a team reads to
+    * pick its "dormant after N days" threshold.
+    *
+    * Scale shape: the (user, day) distinct is one map-side-combinable
+    * exchange; the lag window is PER-USER partitioned (never global),
+    * and the histogram is a second combinable aggregate onto the
+    * bounded gap-length space. */
+  def inactivityGaps(s: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(s, dir)
+      .select(col("user_id"), col("ts").cast("date").as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    days
+      .withColumn("gap_days",
+        datediff(col("day"), lag(col("day"), 1).over(w)).cast("long"))
+      .filter(col("gap_days").isNotNull)
+      .groupBy(col("gap_days"))
+      .agg(count(lit(1)).as("n_gaps"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("gap_days"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_inactivity_gaps" -> (inactivityGaps _),
     "ev_cohort_ltv" -> (cohortLtv _),
     "ev_bot_detection" -> (botDetection _),
     "ev_tumbling_window" -> (tumblingWindow _),
@@ -681,6 +748,7 @@ object Events {
     "ev_funnel_latency" -> (funnelLatency _),
     "ev_attribution" -> (attribution _),
     "ev_attribution_multi" -> (attributionMulti _),
+    "ev_attribution_decay" -> (attributionDecay _),
     "ev_feature_snapshot" -> (featureSnapshot _),
     "ev_forecast_baseline" -> (forecastBaseline _),
     "ev_type_pivot" -> (typePivot _),
@@ -700,6 +768,18 @@ object Events {
     "ev_rfm_segments" -> (rfmSegments _))
 
   val oracles: Map[String, String] = Map(
+    "ev_inactivity_gaps" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |g AS (
+        |  SELECT user_id, date_diff('day',
+        |    lag(day) OVER (PARTITION BY user_id ORDER BY day), day)
+        |    AS gap_days
+        |  FROM days)
+        |SELECT CAST(gap_days AS BIGINT) AS gap_days, COUNT(*) AS n_gaps,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM g WHERE gap_days IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "ev_cohort_ltv" ->
       """WITH cohort AS (
         |  SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day
@@ -880,6 +960,35 @@ object Events {
         |    / CAST(d.n_events AS DOUBLE), 6) AS ape
         |FROM daily d JOIN daily f ON d.day = f.day + INTERVAL 7 DAY
         |ORDER BY d.day""".stripMargin,
+    // same dyadic weight ladder 2^(4-k): exact under any accumulation
+    // order in both engines
+    "ev_attribution_decay" ->
+      """WITH t AS (
+        |  SELECT p.event_id AS purchase_id, p.user_id,
+        |    c.event_id AS click_id, c.ts AS click_ts, p.value,
+        |    epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |  FROM events p JOIN events c ON p.user_id = c.user_id
+        |  WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        |    AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR),
+        |k AS (
+        |  SELECT *, least(gap_us // 900000000, 4) AS decay_bucket FROM t),
+        |w AS (
+        |  SELECT *,
+        |    ([16, 8, 4, 2, 1])[CAST(decay_bucket AS INT) + 1] AS w_int,
+        |    row_number() OVER (PARTITION BY user_id, purchase_id
+        |      ORDER BY click_ts, click_id) AS position
+        |  FROM k),
+        |s AS (
+        |  SELECT *, SUM(w_int) OVER (PARTITION BY user_id, purchase_id)
+        |    AS sw
+        |  FROM w)
+        |SELECT purchase_id, user_id, click_id,
+        |  CAST(position AS BIGINT) AS position, gap_us,
+        |  CAST(decay_bucket AS BIGINT) AS decay_bucket,
+        |  ROUND(CAST(w_int AS DOUBLE) / CAST(sw AS DOUBLE), 6) AS share,
+        |  ROUND(CAST(w_int AS DOUBLE) / CAST(sw AS DOUBLE)
+        |    * CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE), 6) AS credit
+        |FROM s ORDER BY purchase_id, position""".stripMargin,
     "ev_lag_features" ->
       """SELECT event_id, user_id, event_type,
         |  lag(event_type) OVER w AS prev_type,

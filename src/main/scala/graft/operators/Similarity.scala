@@ -302,6 +302,93 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Landing dir for the PQ codebook — the kmeansCentDir contract:
+    * computable from `dir` alone so the static oracle SQL can read the
+    * run's codebook. */
+  private[graft] def pqCodebookDir(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_pq_" +
+      dir.replaceAll("[^0-9a-zA-Z]", "_")
+
+  /** Product quantization — the compression step between `emb_kmeans`'s
+    * coarse quantizer and a shippable ANN index (the IVF-PQ shape): the
+    * 64-dim space splits into M = 4 16-dim subspaces, each learns its
+    * own k = 16 codebook (Lloyd, 3 sweeps, `kmeans`'s determinism
+    * discipline: lowest-vec_id seeds, ordered-fold means, argmin ties to
+    * the lower cluster id), and every vector is coded as 4 sub-codes —
+    * 64 floats compressed to 4 small ids plus a shared 4×16×16 codebook.
+    * Output: per (vector, subspace), the chosen code and the squared
+    * reconstruction error — the quantization-loss report that decides
+    * whether the codebook is good enough to replace raw vectors.
+    *
+    * Scale: each sweep is one scan of the (n·M)-row subvector table
+    * against a BROADCAST 64-row codebook (equi-join on the subspace
+    * key, O(n·M·k) work); means shuffle n·d values onto the bounded
+    * (M·k·subdim) key space. The codebook lands to parquet and the
+    * emitted coding is recomputed against the LANDED table, so the
+    * oracle re-derives the exact assignment brute-force in DuckDB. */
+  def pq(s: SparkSession, dir: String): DataFrame = {
+    val m = 4
+    val subDim = 16
+    val k = 16
+    val sweeps = 3
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("vd"))
+    val subs = emb.select(col("vec_id"),
+        explode(array((0 until m).map(i =>
+          struct(lit(i).as("sub"),
+            slice(col("vd"), i * subDim + 1, subDim).as("sv"))): _*)).as("x"))
+      .select(col("vec_id"), col("x.sub").as("sub"), col("x.sv").as("sv"))
+      .withColumn("nx2", dotD(col("sv"), col("sv")))
+      .localCheckpoint()
+    // seeds: the k lowest vec_ids' subvectors; cluster id = seed vec_id
+    // (the kmeans convention — deterministic, no driver collect)
+    var cent: DataFrame = emb.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").as("cluster"),
+        explode(array((0 until m).map(i =>
+          struct(lit(i).as("sub"),
+            slice(col("vd"), i * subDim + 1, subDim).as("cv"))): _*)).as("x"))
+      .select(col("x.sub").as("sub"), col("cluster"), col("x.cv").as("cv"))
+    def assigned(c: DataFrame): DataFrame =
+      subs.join(broadcast(
+          c.withColumn("nc2", dotD(col("cv"), col("cv")))), Seq("sub"))
+        .withColumn("dist",
+          (col("nx2") + col("nc2")) - lit(2.0) * dotD(col("sv"), col("cv")))
+    for (_ <- 1 to sweeps) {
+      val assign = assigned(cent)
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(min_by(col("cluster"), struct(col("dist"), col("cluster")))
+            .as("cluster"),
+          first(col("sv")).as("sv"))
+      val means = assign
+        .select(col("sub"), col("cluster"), col("vec_id"),
+          posexplode(col("sv")).as(Seq("i", "x")))
+        .groupBy(col("sub"), col("cluster"), col("i"))
+        .agg(collect_list(struct(col("vec_id"), col("x"))).as("xs"))
+        .select(col("sub"), col("cluster"), col("i"),
+          (aggregate(array_sort(col("xs")), lit(0.0),
+            (acc, e) => acc + e.getField("x")) / size(col("xs"))).as("c"))
+        .groupBy(col("sub"), col("cluster"))
+        .agg(collect_list(struct(col("i"), col("c"))).as("cs"))
+        .select(col("sub"), col("cluster"),
+          transform(array_sort(col("cs")), e => e.getField("c")).as("cv"))
+      cent = cent.select(col("sub"), col("cluster"), col("cv").as("cv_prev"))
+        .join(means, Seq("sub", "cluster"), "left")
+        .select(col("sub"), col("cluster"),
+          coalesce(col("cv"), col("cv_prev")).as("cv"))
+        .localCheckpoint()
+    }
+    cent.write.mode("overwrite").parquet(pqCodebookDir(dir))
+    val landed = s.read.parquet(pqCodebookDir(dir))
+    assigned(landed)
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min_by(struct(col("cluster"), col("dist")),
+        struct(col("dist"), col("cluster"))).as("best"))
+      .select(col("vec_id"), col("sub").cast("int").as("subspace"),
+        col("best").getField("cluster").as("code"),
+        round(col("best").getField("dist"), 6).as("recon_se"))
+      .orderBy(col("vec_id"), col("subspace"))
+  }
+
   /** Per-dimension corpus statistics — the anisotropy / dead-dimension
     * audit run before shipping an embedding index: per dim, the count,
     * exact-decimal sums of the (9dp-rounded) values and |values|, and
@@ -381,7 +468,38 @@ object Similarity {
       .orderBy(col("dim_i"), col("dim_j"))
   }
 
+  /** ANN recall report — the index-quality eval every vector store
+    * publishes before an approximate index replaces brute force: per
+    * query and per method (sign-LSH, IVF), how many of the exact
+    * brute-force top-k the approximate index recovered. Both
+    * approximate results and the exact baseline are the operators
+    * above; the overlap is a left-semi equi-join on (query, neighbor),
+    * so the eval costs the two index probes plus a per-query count —
+    * nothing pairwise. Recall depends on the probabilistic index
+    * geometry → rows-only; specs bound it against the same floors the
+    * index ops already carry. */
+  def recallEval(s: SparkSession, dir: String): DataFrame = {
+    val bf = bruteForceTopk(s, dir)
+      .select(col("query_id"), col("neighbor_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def evalOf(method: String, approx: DataFrame): DataFrame = {
+      val hits = bf.join(approx.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+      bf.groupBy(col("query_id")).agg(count(lit(1)).as("k_eff"))
+        .join(hits, Seq("query_id"), "left")
+        .select(lit(method).as("method"), col("query_id"), col("k_eff"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+    }
+    evalOf("lsh", lshTopk(s, dir))
+      .unionAll(evalOf("ivf", ivfTopk(s, dir)))
+      .withColumn("recall",
+        round(col("n_hits").cast("double") / col("k_eff").cast("double"), 6))
+      .orderBy(col("method"), col("query_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_recall_eval" -> (recallEval _),
     "emb_covariance" -> (covariance _),
     "ann_bruteforce_topk" -> (bruteForceTopk _),
     "ann_lsh_topk" -> (lshTopk _),
@@ -389,6 +507,7 @@ object Similarity {
     "ann_ivf_kmeans_topk" -> (ivfKmeansTopk _),
     "emb_normalize" -> (embNormalize _),
     "emb_kmeans" -> (kmeans _),
+    "emb_pq" -> (pq _),
     "emb_dim_stats" -> (dimStats _),
     "emb_centroid_audit" -> (centroidAudit _))
 
@@ -455,6 +574,28 @@ object Similarity {
         |QUALIFY row_number() OVER (PARTITION BY vec_id
         |  ORDER BY dist, cluster) = 1
         |ORDER BY vec_id""".stripMargin,
+    // the kmeans oracle's shape per subspace: codebook from the landed
+    // parquet, distance term-for-term identical, ties to lower cluster
+    "emb_pq" ->
+      s"""WITH c AS (SELECT sub, cluster, cv
+        |  FROM '${pqCodebookDir("__SFDIR__")}/*.parquet'),
+        |e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+        |  FROM embeddings),
+        |sp AS (SELECT unnest(range(0, 4)) AS sub),
+        |sv AS (SELECT vec_id, sub,
+        |    vd[sub * 16 + 1 : sub * 16 + 16] AS sv
+        |  FROM e CROSS JOIN sp),
+        |d AS (SELECT s.vec_id, s.sub, c.cluster,
+        |    (list_dot_product(sv, sv) + list_dot_product(cv, cv))
+        |      - 2.0 * list_dot_product(sv, cv) AS dist
+        |  FROM sv s JOIN c ON c.sub = s.sub)
+        |SELECT vec_id, CAST(sub AS INT) AS subspace, cluster AS code,
+        |  ROUND(dist, 6) AS recon_se
+        |FROM d
+        |QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+        |  ORDER BY dist, cluster) = 1
+        |ORDER BY vec_id, subspace""".stripMargin,
     "emb_dim_stats" ->
       """WITH idx AS (
         |  SELECT vec_id, embedding,

@@ -1385,6 +1385,186 @@ class OperatorsSpec extends SparkSpec {
     p.unpersist()
   }
 
+  test("dedup_threshold_sweep: monotone; 50pct row equals ngram_jaccard") {
+    val sw = operators.Dedup.thresholdSweep(spark, sfTiny)
+      .orderBy(col("threshold_pct"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rows = sw.collect()
+    assert(rows.nonEmpty && rows.length <= 5)
+    rows.sliding(2).filter(_.length == 2).foreach { case Array(lo, hi) =>
+      assert(lo.getLong(1) >= hi.getLong(1),
+        "pairs can only shrink as the bar rises")
+      assert(lo.getLong(2) >= hi.getLong(2))
+    }
+    assert(rows.forall(r => r.getLong(2) <= r.getLong(1)),
+      "dropped docs never exceed surviving pairs")
+    // the 0.5 row must equal dedup_ngram_jaccard's pair count: same
+    // candidates, same integer-exact bar (its prefilter is lossless)
+    assert(rows.head.getInt(0) == 50)
+    assert(rows.head.getLong(1) ==
+      operators.Dedup.ngramJaccard(spark, sfTiny).count())
+    sw.unpersist()
+  }
+
+  test("ev_attribution_decay: shares normalize; newer touches earn more") {
+    val a = operators.Events.attributionDecay(spark, sfTiny)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assert(a.count() > 0)
+    assert(a.count() ==
+      operators.Events.attributionMulti(spark, sfTiny).count(),
+      "decay model must credit exactly the U-shaped model's touch set")
+    val off = a.groupBy("purchase_id").agg(sum("share").as("s"))
+      .filter(abs(col("s") - 1.0) > 1e-3).count()
+    assert(off == 0, "per-purchase shares must sum to 1")
+    // position rises with click_ts, so gaps shrink and shares must not
+    val viol = a.as("x").join(a.as("y"),
+      col("x.purchase_id") === col("y.purchase_id") &&
+        col("x.position") + 1 === col("y.position") &&
+        col("x.share") > col("y.share") + 1e-9).count()
+    assert(viol == 0, "a more recent touch never earns a smaller share")
+    assert(a.filter(col("decay_bucket") < 0 ||
+      col("decay_bucket") > 4).count() == 0)
+    a.unpersist()
+  }
+
+  test("ann_recall_eval: totals equal the direct intersect counts") {
+    val r = operators.Similarity.recallEval(spark, sfTiny)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assert(r.select("method").distinct().count() == 2)
+    assert(r.filter(col("recall") < 0 || col("recall") > 1).count() == 0)
+    assert(r.filter(col("n_hits") > col("k_eff")).count() == 0)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val bf = pairs(operators.Similarity.bruteForceTopk(spark, sfTiny))
+    val lsh = pairs(operators.Similarity.lshTopk(spark, sfTiny))
+    assert(r.filter(col("method") === "lsh").agg(sum("n_hits"))
+      .first().getLong(0) == bf.intersect(lsh).size,
+      "reported hits must equal the exact overlap")
+    assert(r.filter(col("method") === "ivf").agg(sum("n_hits"))
+      .first().getLong(0) >= 20, "the ANN spec's IVF floor holds here")
+    r.unpersist()
+  }
+
+  test("etl_fk_audit: seven edges, clean star schema shows zero orphans") {
+    val a = operators.Etl.fkAudit(spark, sfTiny)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assert(a.count() == 7)
+    assert(a.filter(col("n_orphan") =!= 0L || col("n_null_key") =!= 0L)
+      .count() == 0, "driver-generated star schema must be FK-clean")
+    assert(a.filter(col("orphan_pct") =!= 0.0).count() == 0)
+    val liEdges = a.filter(col("fk_edge").startsWith("lineitem.")).collect()
+    assert(liEdges.length == 3)
+    val nLi = Tables.lineitem(spark, sfTiny).count()
+    assert(liEdges.forall(_.getLong(1) == nLi),
+      "every lineitem edge audits the full fact row count")
+    a.unpersist()
+  }
+
+  test("etl_freshness: newest day has zero staleness; counts reconcile") {
+    val f = operators.Etl.freshness(spark, sfTiny)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assert(f.count() > 1)
+    assert(f.filter(col("staleness_hours") < 0.0).count() == 0)
+    assert(f.filter(col("staleness_hours") === 0.0).count() == 1,
+      "exactly one day carries the high-water mark")
+    assert(f.filter(col("first_us") > col("last_us")).count() == 0)
+    assert(f.agg(sum("n_events")).first().getLong(0) ==
+      Tables.events(spark, sfTiny).count())
+    f.unpersist()
+  }
+
+  test("ev_inactivity_gaps: totals reconcile with the active-day table") {
+    val g = operators.Events.inactivityGaps(spark, sfTiny)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assert(g.count() > 0)
+    assert(g.filter(col("gap_days") < 1L).count() == 0,
+      "distinct active days can never be less than one day apart")
+    assert(g.filter(col("n_users") > col("n_gaps")).count() == 0)
+    // every (user, day) beyond a user's first day is exactly one gap
+    val days = Tables.events(spark, sfTiny)
+      .select(col("user_id"), col("ts").cast("date").as("day")).distinct()
+    val expected = days.count() - days.select("user_id").distinct().count()
+    assert(g.agg(sum("n_gaps")).first().getLong(0) == expected)
+    g.unpersist()
+  }
+
+  test("dedup_band_tuning: S-curve geometry behaves; shared candidates") {
+    val t = operators.Dedup.bandTuning(spark, sfTiny)
+      .orderBy(col("rows_per_band"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rows = t.collect()
+    assert(rows.length == 4)
+    assert(rows.map(_.getInt(1)).toSeq == Seq(1, 2, 4, 8))
+    // more rows per band → higher threshold s*, lower expected recall
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo.getDouble(2) < hi.getDouble(2), "s_star must rise with r")
+      assert(lo.getDouble(6) >= hi.getDouble(6),
+        "expected recall must fall as the S-curve steepens")
+    }
+    assert(rows.forall(r => r.getDouble(6) >= 0.0 && r.getDouble(6) <= 1.0))
+    assert(rows.map(_.getLong(3)).distinct.length == 1,
+      "every config is evaluated on the same candidate set")
+    t.unpersist()
+  }
+
+  test("dedup_minhash_calibration: error bounded by sketch theory") {
+    val c = operators.Dedup.minhashCalibration(spark, sfTiny)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = c.count()
+    assert(n > 0)
+    // same storm-safe candidate generator as band tuning
+    assert(n == operators.Dedup.bandTuning(spark, sfTiny)
+      .select("n_cand").first().getLong(0))
+    assert(c.filter(col("est_jaccard") < 0.0 || col("est_jaccard") > 1.0 ||
+      col("jaccard") < 0.0 || col("jaccard") > 1.0).count() == 0)
+    assert(c.filter(col("n_agree") > 32L).count() == 0)
+    // mean |est - exact| within ~1.2/sqrt(k): generous but quadratic
+    // failures (wrong pairing, wrong k) blow far past it
+    val meanErr = c.agg(avg("abs_err")).first().getDouble(0)
+    assert(meanErr <= 1.2 / math.sqrt(32.0),
+      f"mean calibration error $meanErr%.4f exceeds sketch theory bound")
+    c.unpersist()
+  }
+
+  test("emb_pq: full coding, live codebook, Lloyd beats the seed book") {
+    import graft.functions.VectorFns.{asDouble, dotD}
+    val p = operators.Similarity.pq(spark, sfTiny)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = Tables.embeddings(spark, sfTiny).count()
+    assert(p.count() == 4 * n, "every vector gets one code per subspace")
+    assert(p.filter(col("recon_se") < -1e-6).count() == 0,
+      "squared reconstruction error can only be numerically ~nonnegative")
+    val util = p.groupBy("subspace").agg(countDistinct("code").as("u"))
+    assert(util.count() == 4)
+    assert(util.filter(col("u") < 2).count() == 0,
+      "no subspace's codebook may collapse to a single code")
+    val cb = spark.read.parquet(operators.Similarity.pqCodebookDir(sfTiny))
+    assert(cb.count() == 4 * 16, "4 subspaces x 16 centroids landed")
+    // the trained codebook must code at least as well as the seed
+    // codebook it started from — a broken Lloyd update fails this
+    val emb = Tables.embeddings(spark, sfTiny)
+      .select(col("vec_id"), asDouble(col("embedding")).as("vd"))
+    def subSplit(v: org.apache.spark.sql.Column, as: String) =
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("sub"), slice(v, i * 16 + 1, 16).as(as))): _*))
+    val subs = emb.select(col("vec_id"), subSplit(col("vd"), "sv").as("x"))
+      .select(col("vec_id"), col("x.sub").as("sub"), col("x.sv").as("sv"))
+    val seeds = emb.orderBy(col("vec_id")).limit(16)
+      .select(subSplit(col("vd"), "cv").as("x"))
+      .select(col("x.sub").as("sub"), col("x.cv").as("cv"))
+    val seedCost = subs.join(broadcast(seeds), Seq("sub"))
+      .withColumn("d", dotD(col("sv"), col("sv"))
+        + dotD(col("cv"), col("cv"))
+        - lit(2.0) * dotD(col("sv"), col("cv")))
+      .groupBy(col("vec_id"), col("sub")).agg(min(col("d")).as("d"))
+      .agg(sum("d")).first().getDouble(0)
+    val trainedCost = p.agg(sum("recon_se")).first().getDouble(0)
+    assert(trainedCost <= seedCost + 1e-6,
+      f"Lloyd worsened the codebook: $trainedCost%.3f > $seedCost%.3f")
+    p.unpersist()
+  }
+
   test("funnel ordering invariant: t_view <= t_click <= t_purchase") {
     val f = operators.Events.funnel(spark, sfTiny)
     assert(f.filter(col("t_click").isNotNull &&

@@ -56,7 +56,13 @@ class PlanAudit extends SparkSpec {
       "txt_vocab_coverage",
       // corpus_epoch_plan: temperature's pattern — one-row total and
       // normalizer broadcasts onto the ≤#sources count table
-      "corpus_epoch_plan")
+      "corpus_epoch_plan",
+      // ann_recall_eval composes ann_bruteforce_topk + ann_ivf_topk, so
+      // it inherits their by-design BNLJ baselines
+      "ann_recall_eval",
+      // etl_fk_audit / etl_freshness cross-join one-row aggregates
+      // (orphan counts, the high-water mark) — the partition_audit shape
+      "etl_fk_audit", "etl_freshness")
     // the only inputs a partition-less window may sort in one task:
     // calendar-bounded pre-aggregates (≤ hours/days rows at ANY corpus
     // size), verified below to actually sit on an Aggregate

@@ -159,7 +159,10 @@ class StressSpec extends SparkSpec {
       "txt_ccnet_bucket" -> (d => operators.Text.ccnetBucket(spark, d)),
       "smp_interleave" -> (d => operators.Sampling.interleave(spark, d)),
       "dedup_containment" -> (d => operators.Dedup.containment(spark, d)),
-      "txt_novelty" -> (d => operators.Text.novelty(spark, d)))
+      "txt_novelty" -> (d => operators.Text.novelty(spark, d)),
+      "txt_bigram_logprob" -> (d => operators.Text.bigramLogprob(spark, d)),
+      "mm_shard_pack" -> (d => operators.Multimodal.shardPack(spark, d)),
+      "dedup_source_overlap" -> (d => operators.Dedup.sourceOverlap(spark, d)))
     def run(f: String => org.apache.spark.sql.DataFrame,
         d: String): Double = {
       val t0 = System.nanoTime()
@@ -169,12 +172,21 @@ class StressSpec extends SparkSpec {
     }
     ops.foreach { case (_, f) => run(f, dir1) } // JVM/codegen warm-up
     ops.foreach { case (name, f) =>
-      val t1 = run(f, dir1)
-      val t10 = run(f, dir10)
-      info(f"$name: 1x=$t1%.2fs 10x=$t10%.2fs ratio=${t10 / t1}%.1fx")
+      var t1 = run(f, dir1)
+      var t10 = run(f, dir10)
       // 10x data, 2x slack => 20x; max(t1, 0.5s) + 2s absorb the fixed
       // per-job constants that dominate sub-second local runs
-      assert(t10 <= 20.0 * math.max(t1, 0.5) + 2.0,
+      def bound = 20.0 * math.max(t1, 0.5) + 2.0
+      if (t10 > bound) {
+        // wall-clock on a shared box: one re-measure of BOTH points
+        // absorbs an ambient load spike without loosening the bound —
+        // a real quadratic blowup (100x work) fails both attempts
+        val r1 = run(f, dir1)
+        val r10 = run(f, dir10)
+        t1 = math.min(t1, r1); t10 = math.min(t10, r10)
+      }
+      info(f"$name: 1x=$t1%.2fs 10x=$t10%.2fs ratio=${t10 / t1}%.1fx")
+      assert(t10 <= bound,
         f"$name scaled superlinearly: 1x=$t1%.2fs -> 10x=$t10%.2fs")
     }
   }
