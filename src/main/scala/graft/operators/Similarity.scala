@@ -468,6 +468,86 @@ object Similarity {
       .orderBy(col("dim_i"), col("dim_j"))
   }
 
+  /** Landing dir for the PCA component table — the kmeansCentDir
+    * contract: computable from `dir` alone so the static oracle SQL can
+    * read the run's components. */
+  private[graft] def pcaCompDir(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_pca_" +
+      dir.replaceAll("[^0-9a-zA-Z]", "_")
+
+  /** PCA projection — the dimensionality-reduction leg of embedding
+    * curation (whitening, 2-D corpus maps, variance audits): the top
+    * p = 4 principal components of the embedding covariance, and every
+    * vector's centered projection onto them.
+    *
+    * Scale split, explicitly: the covariance and mean tables are
+    * BOUNDED by d² = 64² — they're `emb_covariance` / `emb_dim_stats`
+    * aggregates, so collecting them to the driver is O(d²) no matter
+    * how many vectors flow in (the same bounded-artifact rule as a
+    * broadcast dim). The eigensolve (power iteration + deflation, 100
+    * sweeps, fixed uniform init, sign fixed by first non-tiny
+    * coordinate) is sequential driver math on that 64×64 matrix —
+    * deterministic to the bit. The corpus-sized work — projecting every
+    * vector — happens distributed against the BROADCAST landed
+    * component table. Components land with a precomputed `mu_dot`
+    * (mean·component) so both engines compute dot(v,c) − mu_dot with
+    * identical float steps; the oracle re-derives every projection from
+    * the landed components in DuckDB. */
+  def pcaProject(s: SparkSession, dir: String): DataFrame = {
+    val p = 4
+    val iters = 100
+    val covRows = covariance(s, dir)
+      .select(col("dim_i"), col("dim_j"), col("cov")).collect()
+    val d = covRows.iterator.map(_.getInt(1)).max + 1
+    val m = Array.ofDim[Double](d, d)
+    covRows.foreach { r =>
+      m(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      m(r.getInt(1))(r.getInt(0)) = r.getDouble(2)
+    }
+    val means = dimStats(s, dir)
+      .select(col("dim"), col("sum_x"),
+        col("n_vecs").cast("double").as("n")).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1) / r.getDouble(2)).toMap
+    def matVec(v: Array[Double]): Array[Double] =
+      Array.tabulate(d)(i => (0 until d).map(j => m(i)(j) * v(j)).sum)
+    // re-orthogonalize against the found components EVERY sweep (not
+    // one-shot deflation): close eigenvalues otherwise leak earlier
+    // directions back in and leave the basis only ~1e-4 orthogonal
+    val found = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    val comps = (0 until p).map { c =>
+      var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+      for (_ <- 0 until iters) {
+        var w = matVec(v)
+        found.foreach { u =>
+          val dp = (0 until d).map(i => w(i) * u(i)).sum
+          w = Array.tabulate(d)(i => w(i) - dp * u(i))
+        }
+        val nrm = math.sqrt(w.map(x => x * x).sum)
+        if (nrm > 0.0) v = w.map(_ / nrm)
+      }
+      val k = v.indexWhere(x => math.abs(x) > 1e-12)
+      if (k >= 0 && v(k) < 0) v = v.map(x => -x)
+      val av = matVec(v)
+      val lam = (0 until d).map(i => v(i) * av(i)).sum
+      found += v
+      val muDot = (0 until d).map(i => means(i) * v(i)).sum
+      (c, v.toSeq, lam, muDot)
+    }
+    import s.implicits._
+    comps.toDF("comp", "cv", "eigval", "mu_dot")
+      .coalesce(1).write.mode("overwrite").parquet(pcaCompDir(dir))
+    val landed = s.read.parquet(pcaCompDir(dir))
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("vd"))
+      .crossJoin(broadcast(landed))
+      .select(col("vec_id"), col("comp").cast("int").as("comp"),
+        // + 0.0 collapses IEEE negative zero (the covariance rationale)
+        (round(dotD(col("vd"), col("cv")) - col("mu_dot"), 6) + lit(0.0))
+          .as("proj"),
+        round(col("eigval"), 6).as("eigval"))
+      .orderBy(col("vec_id"), col("comp"))
+  }
+
   /** ANN recall report — the index-quality eval every vector store
     * publishes before an approximate index replaces brute force: per
     * query and per method (sign-LSH, IVF), how many of the exact
@@ -508,6 +588,7 @@ object Similarity {
     "emb_normalize" -> (embNormalize _),
     "emb_kmeans" -> (kmeans _),
     "emb_pq" -> (pq _),
+    "emb_pca_project" -> (pcaProject _),
     "emb_dim_stats" -> (dimStats _),
     "emb_centroid_audit" -> (centroidAudit _))
 
@@ -574,6 +655,19 @@ object Similarity {
         |QUALIFY row_number() OVER (PARTITION BY vec_id
         |  ORDER BY dist, cluster) = 1
         |ORDER BY vec_id""".stripMargin,
+    // components from the landed parquet; proj = dot(v,c) − mu_dot with
+    // identical float steps in both engines; +0.0 collapses -0.0
+    "emb_pca_project" ->
+      s"""WITH c AS (SELECT comp, cv, eigval, mu_dot
+        |  FROM '${pcaCompDir("__SFDIR__")}/*.parquet'),
+        |e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+        |  FROM embeddings)
+        |SELECT vec_id, CAST(comp AS INT) AS comp,
+        |  ROUND(list_dot_product(vd, cv) - mu_dot, 6) + 0.0 AS proj,
+        |  ROUND(eigval, 6) AS eigval
+        |FROM e CROSS JOIN c
+        |ORDER BY vec_id, comp""".stripMargin,
     // the kmeans oracle's shape per subspace: codebook from the landed
     // parquet, distance term-for-term identical, ties to lower cluster
     "emb_pq" ->

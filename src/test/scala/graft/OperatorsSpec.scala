@@ -1565,6 +1565,38 @@ class OperatorsSpec extends SparkSpec {
     p.unpersist()
   }
 
+  test("emb_pca_project: orthonormal components, variance matches eigval") {
+    val pr = operators.Similarity.pcaProject(spark, sfTiny)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = Tables.embeddings(spark, sfTiny).count()
+    assert(pr.count() == 4 * n, "every vector projects onto 4 components")
+    val cb = spark.read.parquet(operators.Similarity.pcaCompDir(sfTiny))
+      .collect().sortBy(_.getAs[Int]("comp"))
+    assert(cb.length == 4)
+    val vs = cb.map(_.getAs[Seq[Double]]("cv").toArray)
+    vs.foreach(v =>
+      assert(math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-9,
+        "components must be unit-norm"))
+    for (i <- vs.indices; j <- i + 1 until vs.length)
+      assert(math.abs(vs(i).zip(vs(j)).map { case (a, b) => a * b }.sum)
+        < 1e-6, s"components $i,$j must be orthogonal")
+    val eig = cb.map(_.getAs[Double]("eigval"))
+    assert(eig.sliding(2).forall { case Array(a, b) => a >= b - 1e-9 },
+      "eigenvalues must be non-increasing")
+    assert(eig.forall(_ >= -1e-9))
+    // the projection's empirical variance IS the component's eigenvalue
+    val stats = pr.groupBy("comp")
+      .agg(avg(col("proj")).as("m"),
+        avg(col("proj") * col("proj")).as("m2"))
+      .collect().map(r =>
+        r.getInt(0) -> (r.getDouble(2) - r.getDouble(1) * r.getDouble(1)))
+    stats.foreach { case (c, v) =>
+      assert(math.abs(v - eig(c)) <= math.max(1e-3, 0.02 * eig(c)),
+        f"comp $c projection variance $v%.5f vs eigenvalue ${eig(c)}%.5f")
+    }
+    pr.unpersist()
+  }
+
   test("funnel ordering invariant: t_view <= t_click <= t_purchase") {
     val f = operators.Events.funnel(spark, sfTiny)
     assert(f.filter(col("t_click").isNotNull &&

@@ -62,7 +62,9 @@ class PlanAudit extends SparkSpec {
       "ann_recall_eval",
       // etl_fk_audit / etl_freshness cross-join one-row aggregates
       // (orphan counts, the high-water mark) — the partition_audit shape
-      "etl_fk_audit", "etl_freshness")
+      "etl_fk_audit", "etl_freshness",
+      // emb_pca_project cross-joins the broadcast 4-row component table
+      "emb_pca_project")
     // the only inputs a partition-less window may sort in one task:
     // calendar-bounded pre-aggregates (≤ hours/days rows at ANY corpus
     // size), verified below to actually sit on an Aggregate
