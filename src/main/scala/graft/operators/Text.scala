@@ -426,6 +426,57 @@ object Text {
       .orderBy(col("span"))
   }
 
+  /** Boilerplate scrub — the ACTION step after `txt_boilerplate_ngrams`
+    * detects cross-doc duplicated spans (the Lee et al. exact-substring
+    * dedup applied): every token covered by a word-8-gram appearing in
+    * ≥ 3 distinct documents is masked out, and the doc is reassembled
+    * from the surviving tokens, with the masked-token count and ratio —
+    * the transform a C4-style cleaning pipeline actually ships.
+    *
+    * Scale shape: positional 8-grams explode linearly in corpus tokens
+    * and hit-test against the curated span list with one string-keyed
+    * equi-join (the list is the ≥3-doc aggregate, orders of magnitude
+    * smaller than the corpus; AQE broadcasts it when it fits). Covered
+    * positions explode ×8 off the hits only, dedupe on (doc, position),
+    * and fold back into one bounded-by-doc-length array per doc — no
+    * step is ever pairwise in documents. */
+  def boilerplateScrub(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), col("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val spans = docs
+      .select(explode(wordShingles(col("toks"), 8)).as("span"))
+      .groupBy(col("span")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 3)
+      .select(col("span"))
+    val gramAt = (i: org.apache.spark.sql.Column) =>
+      concat_ws(" ", (0 until 8).map(o =>
+        element_at(col("toks"), i + lit(o))): _*)
+    val posGrams = docs.filter(size(col("toks")) >= 8)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("toks")) - lit(7)),
+          i => struct(i.as("i"), gramAt(i).as("g")))).as("x"))
+      .select(col("doc_id"), col("x.i").as("i"), col("x.g").as("g"))
+    val cov = posGrams.join(spans, posGrams("g") === spans("span"))
+      .select(col("doc_id"), explode(sequence(col("i"), col("i") + 7))
+        .as("cp"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_set(col("cp"))).as("cps"))
+    docs.join(cov, Seq("doc_id"), "left")
+      .withColumn("cps", coalesce(col("cps"), array().cast("array<int>")))
+      .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+        size(col("cps")).as("n_masked"),
+        round(size(col("cps")).cast("double")
+          / size(col("toks")).cast("double"), 6).as("masked_ratio"),
+        array_join(transform(
+          filter(sequence(lit(1), size(col("toks"))),
+            i => !array_contains(col("cps"), i)),
+          i => element_at(col("toks"), i)), " ").as("scrubbed_text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-doc token Shannon entropy — the diversity/degenerate-text
     * signal a quality filter thresholds alongside repetition ratios
     * (low entropy = keyboard-mash or looped boilerplate). Written as
@@ -516,6 +567,7 @@ object Text {
     "txt_novelty" -> (novelty _),
     "txt_entropy" -> (entropy _),
     "txt_boilerplate_ngrams" -> (boilerplateNgrams _),
+    "txt_boilerplate_scrub" -> (boilerplateScrub _),
     "txt_redact" -> (redact _),
     "txt_ccnet_bucket" -> (ccnetBucket _),
     "txt_repetition" -> (repetition _),
@@ -616,6 +668,49 @@ object Text {
         |SELECT span, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc_id
         |FROM (SELECT doc_id, unnest(spans) AS span FROM t)
         |GROUP BY span HAVING COUNT(*) >= 3 ORDER BY span""".stripMargin,
+    // the boilerplate CTE (distinct spans per doc, >=3-doc floor), then
+    // POSITIONAL grams hit-test, covered positions explode x8, and the
+    // doc reassembles from the surviving token indices
+    "txt_boilerplate_scrub" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 8
+        |      THEN list_transform(range(1, len(w) - 6),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+        |          || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' '
+        |          || w[i+6] || ' ' || w[i+7])
+        |      ELSE [] END) AS spans
+        |  FROM d),
+        |b AS (
+        |  SELECT span FROM (SELECT doc_id, unnest(spans) AS span FROM t)
+        |  GROUP BY span HAVING COUNT(*) >= 3),
+        |pos AS (
+        |  SELECT doc_id, u.i AS i, u.g AS g FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(w) - 6),
+        |      i -> {'i': i, 'g': w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |        || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5]
+        |        || ' ' || w[i+6] || ' ' || w[i+7]})) AS u
+        |    FROM d WHERE len(w) >= 8)),
+        |hit AS (SELECT p.doc_id, p.i FROM pos p JOIN b ON p.g = b.span),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, unnest(range(i, i + 8)) AS cp FROM hit),
+        |covs AS (
+        |  SELECT doc_id, list_sort(array_agg(cp)) AS cps
+        |  FROM cov GROUP BY doc_id),
+        |o AS (
+        |  SELECT d.doc_id, len(w) AS n_tokens,
+        |    COALESCE(cps, []) AS cps, w
+        |  FROM d LEFT JOIN covs USING (doc_id))
+        |SELECT doc_id, n_tokens, len(cps) AS n_masked,
+        |  ROUND(CAST(len(cps) AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+        |    AS masked_ratio,
+        |  COALESCE(array_to_string(list_transform(
+        |    list_filter(range(1, n_tokens + 1),
+        |      i -> NOT list_contains(cps, i)),
+        |    i -> w[i]), ' '), '') AS scrubbed_text
+        |FROM o ORDER BY doc_id""".stripMargin,
     // same scored CTE as txt_unigram_logprob (decimal-summed, exact);
     // DuckDB's ntile is the ANSI tiling ntileFromRank reproduces
     "txt_ccnet_bucket" ->
