@@ -497,6 +497,23 @@ object Dedup {
   def cluster(s: SparkSession, dir: String): DataFrame =
     clusterOfPairs(ngramJaccard(s, dir).select(col("doc_a"), col("doc_b")))
 
+  /** Cluster-size histogram — the dedup-impact report published after a
+    * clustering run: for each near-dup cluster size, how many clusters,
+    * how many documents they hold, and how many would drop under the
+    * keep-lowest-id convention — the number a curation team quotes as
+    * "near-dup dedup removes X docs". Two combinable aggregates over
+    * `dedup_cluster`'s labels (per-cluster count, then the bounded
+    * size histogram); nothing new shuffles at corpus scale. */
+  def clusterStats(s: SparkSession, dir: String): DataFrame =
+    cluster(s, dir)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"),
+        ((col("cluster_size") - 1) * col("n_clusters")).as("n_dropped"))
+      .orderBy(col("cluster_size"))
+
   /** Hash-min connected components over an id-pair graph. Converges in
     * O(component diameter) rounds; a round is one equi-join + one
     * groupBy-min over the (small) label table. THROWS if the cap is hit
@@ -700,6 +717,7 @@ object Dedup {
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_simhash" -> (simhash _),
     "dedup_cluster" -> (cluster _),
+    "dedup_cluster_stats" -> (clusterStats _),
     "dedup_incremental" -> (incremental _),
     "dedup_minhash_incremental" -> (minhashIncremental _),
     "dedup_source_similarity" -> (sourceSimilarity _),
@@ -997,6 +1015,40 @@ object Dedup {
         |  JOIN edges e ON e.src = r.node)
         |SELECT node AS doc_id, MIN(lbl) AS cluster_id
         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+    // same recursive-CC CTE, then the size histogram
+    "dedup_cluster_stats" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+        |      THEN list_transform(range(1, len(w) - 1),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        |      ELSE [] END) AS shingles
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |        FROM documents)),
+        |b AS (
+        |  SELECT doc_id, shingles,
+        |    list_min(list_transform(shingles, x -> md5(x))) AS bucket
+        |  FROM t),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b
+        |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.doc_id < b2.doc_id
+        |  WHERE CAST(len(list_intersect(a.shingles, b2.shingles)) AS DOUBLE)
+        |    / CAST(len(list_distinct(list_concat(a.shingles, b2.shingles))) AS DOUBLE) >= 0.5),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+        |  UNION ALL SELECT doc_b, doc_a FROM p),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |reach AS (
+        |  SELECT node, node AS lbl FROM nodes
+        |  UNION
+        |  SELECT e.dst AS node, r.lbl FROM reach r
+        |  JOIN edges e ON e.src = r.node),
+        |lbls AS (
+        |  SELECT node AS doc_id, MIN(lbl) AS cluster_id
+        |  FROM reach GROUP BY node),
+        |szs AS (
+        |  SELECT cluster_id, COUNT(*) AS sz FROM lbls GROUP BY cluster_id)
+        |SELECT sz AS cluster_size, COUNT(*) AS n_clusters,
+        |  sz * COUNT(*) AS n_docs, (sz - 1) * COUNT(*) AS n_dropped
+        |FROM szs GROUP BY sz ORDER BY cluster_size""".stripMargin,
     "dedup_embedding_cosine" ->
       """WITH e AS (
         |  SELECT label, vec_id,

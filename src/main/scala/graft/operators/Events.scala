@@ -738,7 +738,63 @@ object Events {
       .orderBy(col("gap_days"))
   }
 
+  /** Landing dir for the stationary distribution — the landed-artifact
+    * contract (simhashFpDir): computable from `dir` alone so the static
+    * oracle SQL can read the run's vector. */
+  private[graft] def markovDir(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_markov_" +
+      dir.replaceAll("[^0-9a-zA-Z]", "_")
+
+  /** Markov steady state vs today's mix — the long-run behavior report
+    * behind `ev_transition_matrix`: the stationary distribution of the
+    * per-user event-type chain next to each type's empirical share, and
+    * the drift between them (where user behavior is heading vs where it
+    * is). The transition matrix is BOUNDED by the type taxonomy (≤ 5²
+    * cells — an aggregate, not data), so collecting it to the driver is
+    * O(|types|²) at any event scale; the power iteration (60 sweeps,
+    * uniform init, dangling states self-loop) is deterministic
+    * sequential driver math. The stationary vector lands to parquet and
+    * the report recomputes against the LANDED table, so the oracle
+    * re-derives every output value in DuckDB. */
+  def markovStationary(s: SparkSession, dir: String): DataFrame = {
+    val rows = transitionMatrix(s, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val states = rows.flatMap(t => Seq(t._1, t._2)).distinct.sorted
+    val idx = states.zipWithIndex.toMap
+    val n = states.length
+    val cnt = Array.ofDim[Double](n, n)
+    rows.foreach { case (f, t, c) => cnt(idx(f))(idx(t)) = c.toDouble }
+    val rowTot = cnt.map(_.sum)
+    val p = Array.tabulate(n, n)((i, j) =>
+      if (rowTot(i) == 0.0) { if (i == j) 1.0 else 0.0 }
+      else cnt(i)(j) / rowTot(i))
+    var pi = Array.fill(n)(1.0 / n.toDouble)
+    for (_ <- 0 until 60) {
+      val nx = Array.tabulate(n)(j => (0 until n).map(i => pi(i) * p(i)(j)).sum)
+      val mass = nx.sum
+      pi = nx.map(_ / mass)
+    }
+    import s.implicits._
+    states.zip(pi).toSeq.toDF("event_type", "stationary")
+      .coalesce(1).write.mode("overwrite").parquet(markovDir(dir))
+    val landed = s.read.parquet(markovDir(dir))
+    val emp = Tables.events(s, dir)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_events"))
+    val tot = emp.agg(sum(col("n_events")).as("tot"))
+    emp.crossJoin(broadcast(tot))
+      .join(broadcast(landed), Seq("event_type"), "left")
+      .withColumn("st", coalesce(col("stationary"), lit(0.0)))
+      .withColumn("emp",
+        col("n_events").cast("double") / col("tot").cast("double"))
+      .select(col("event_type"), col("n_events"),
+        round(col("emp"), 6).as("empirical_share"),
+        round(col("st"), 6).as("stationary_share"),
+        (round(col("st") - col("emp"), 6) + lit(0.0)).as("delta"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_markov_stationary" -> (markovStationary _),
     "ev_inactivity_gaps" -> (inactivityGaps _),
     "ev_cohort_ltv" -> (cohortLtv _),
     "ev_bot_detection" -> (botDetection _),
@@ -768,6 +824,23 @@ object Events {
     "ev_rfm_segments" -> (rfmSegments _))
 
   val oracles: Map[String, String] = Map(
+    // stationary vector from the landed parquet; empirical shares and
+    // the drift recomputed with identical float steps
+    "ev_markov_stationary" ->
+      s"""WITH st AS (SELECT event_type, stationary
+        |  FROM '${markovDir("__SFDIR__")}/*.parquet'),
+        |emp AS (SELECT event_type, COUNT(*) AS n_events
+        |  FROM events GROUP BY event_type),
+        |tot AS (SELECT SUM(n_events) AS tot FROM emp)
+        |SELECT e.event_type, e.n_events,
+        |  ROUND(CAST(e.n_events AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+        |    AS empirical_share,
+        |  ROUND(COALESCE(stationary, 0.0), 6) AS stationary_share,
+        |  ROUND(COALESCE(stationary, 0.0)
+        |    - CAST(e.n_events AS DOUBLE) / CAST(tot AS DOUBLE), 6) + 0.0
+        |    AS delta
+        |FROM emp e CROSS JOIN tot LEFT JOIN st USING (event_type)
+        |ORDER BY event_type""".stripMargin,
     "ev_inactivity_gaps" ->
       """WITH days AS (
         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),

@@ -64,7 +64,10 @@ class PlanAudit extends SparkSpec {
       // (orphan counts, the high-water mark) — the partition_audit shape
       "etl_fk_audit", "etl_freshness",
       // emb_pca_project cross-joins the broadcast 4-row component table
-      "emb_pca_project")
+      "emb_pca_project",
+      // ev_markov_stationary cross-joins the one-row total (the
+      // partition_audit shape) next to the broadcast 5-row vector
+      "ev_markov_stationary")
     // the only inputs a partition-less window may sort in one task:
     // calendar-bounded pre-aggregates (≤ hours/days rows at ANY corpus
     // size), verified below to actually sit on an Aggregate
