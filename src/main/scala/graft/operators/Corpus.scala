@@ -343,7 +343,42 @@ object Corpus {
       .orderBy(col("threshold"))
   }
 
+  /** Batch-vs-corpus distribution drift — the data-drift gate an
+    * incremental landing passes before it joins the mixture: per
+    * (source, lang) cell, the landed corpus's share against today's
+    * batch's share (the `dedup_incremental` pmod-5 day stand-in), the
+    * share delta, and the batch→corpus KL contribution b·ln(b/c) —
+    * alert when a crawl changes shape, not after training notices.
+    *
+    * One corpus scan onto the BOUNDED (source × lang) cell space (fully
+    * map-side combinable), one-row totals broadcast back; ln runs per
+    * CELL, not per row, so no decimal-sum discipline is needed — the
+    * per-cell table IS the report. */
+  def batchDrift(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(s, dir)
+      .withColumn("is_batch", pmod(col("doc_id"), lit(5)) === 0)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(when(!col("is_batch"), 1)).as("n_corpus"),
+        count(when(col("is_batch"), 1)).as("n_batch"))
+    val tot = cells.agg(sum(col("n_corpus")).as("tc"),
+      sum(col("n_batch")).as("tb"))
+    cells.crossJoin(broadcast(tot))
+      .withColumn("c",
+        col("n_corpus").cast("double") / col("tc").cast("double"))
+      .withColumn("b",
+        col("n_batch").cast("double") / col("tb").cast("double"))
+      .select(col("source"), col("lang"), col("n_corpus"), col("n_batch"),
+        round(col("c"), 6).as("corpus_share"),
+        round(col("b"), 6).as("batch_share"),
+        (round(col("b") - col("c"), 6) + lit(0.0)).as("delta"),
+        when(col("n_batch") > 0 && col("n_corpus") > 0,
+          round(col("b") * log(col("b") / col("c")), 6) + lit(0.0))
+          .as("kl_term"))
+      .orderBy(col("source"), col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_batch_drift" -> (batchDrift _),
     "corpus_filter_sweep" -> (filterSweep _),
     "corpus_epoch_plan" -> (epochPlan _),
     "corpus_dsir_weights" -> (dsirWeights _),
@@ -355,6 +390,29 @@ object Corpus {
     "corpus_contamination" -> (contamination _))
 
   val oracles: Map[String, String] = Map(
+    // identical float steps: shares as double ratios, per-cell ln,
+    // +0.0 collapses -0.0; null KL where either side is absent
+    "corpus_batch_drift" ->
+      """WITH d AS (
+        |  SELECT source, lang, (doc_id % 5 = 0) AS is_batch
+        |  FROM documents),
+        |cells AS (
+        |  SELECT source, lang,
+        |    COUNT(CASE WHEN NOT is_batch THEN 1 END) AS n_corpus,
+        |    COUNT(CASE WHEN is_batch THEN 1 END) AS n_batch
+        |  FROM d GROUP BY source, lang),
+        |tot AS (SELECT SUM(n_corpus) AS tc, SUM(n_batch) AS tb FROM cells),
+        |x AS (
+        |  SELECT source, lang, n_corpus, n_batch,
+        |    CAST(n_corpus AS DOUBLE) / CAST(tc AS DOUBLE) AS c,
+        |    CAST(n_batch AS DOUBLE) / CAST(tb AS DOUBLE) AS b
+        |  FROM cells CROSS JOIN tot)
+        |SELECT source, lang, n_corpus, n_batch,
+        |  ROUND(c, 6) AS corpus_share, ROUND(b, 6) AS batch_share,
+        |  ROUND(b - c, 6) + 0.0 AS delta,
+        |  CASE WHEN n_batch > 0 AND n_corpus > 0
+        |    THEN ROUND(b * ln(b / c), 6) + 0.0 END AS kl_term
+        |FROM x ORDER BY source, lang""".stripMargin,
     "corpus_filter_sweep" ->
       """WITH d AS (
         |  SELECT len(regexp_split_to_array(trim(text), '\s+')) AS n_toks

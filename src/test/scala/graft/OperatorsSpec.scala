@@ -1665,6 +1665,25 @@ class OperatorsSpec extends SparkSpec {
     m.unpersist()
   }
 
+  test("corpus_batch_drift: shares normalize; total KL is nonnegative") {
+    val dft = operators.Corpus.batchDrift(spark, sfTiny)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assert(dft.count() > 0)
+    assert(math.abs(dft.agg(sum("corpus_share")).first().getDouble(0)
+      - 1.0) < 1e-4)
+    assert(math.abs(dft.agg(sum("batch_share")).first().getDouble(0)
+      - 1.0) < 1e-4)
+    assert(dft.agg((sum("n_corpus") + sum("n_batch")).as("t"))
+      .first().getLong(0) == Tables.documents(spark, sfTiny).count(),
+      "every document lands in exactly one cell-side")
+    assert(dft.filter(abs(col("delta") -
+      (col("batch_share") - col("corpus_share"))) > 1e-5).count() == 0)
+    // Gibbs: over a shared support the KL sum can't go negative
+    if (dft.filter(col("kl_term").isNull).count() == 0)
+      assert(dft.agg(sum("kl_term")).first().getDouble(0) >= -1e-6)
+    dft.unpersist()
+  }
+
   test("funnel ordering invariant: t_view <= t_click <= t_purchase") {
     val f = operators.Events.funnel(spark, sfTiny)
     assert(f.filter(col("t_click").isNotNull &&

@@ -67,7 +67,9 @@ class PlanAudit extends SparkSpec {
       "emb_pca_project",
       // ev_markov_stationary cross-joins the one-row total (the
       // partition_audit shape) next to the broadcast 5-row vector
-      "ev_markov_stationary")
+      "ev_markov_stationary",
+      // corpus_batch_drift cross-joins its one-row share totals
+      "corpus_batch_drift")
     // the only inputs a partition-less window may sort in one task:
     // calendar-bounded pre-aggregates (≤ hours/days rows at ANY corpus
     // size), verified below to actually sit on an Aggregate
