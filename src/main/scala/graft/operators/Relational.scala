@@ -325,6 +325,25 @@ object Relational {
     * negated revenue, offsets, within-bucket row_number; see Ranking).
     * The per-customer aggregate ends in a shuffle, so ReuseExchange
     * feeds all ranking branches and the grand total from ONE scan. */
+  /** TPC-H Q13 shape — customer order-count distribution INCLUDING the
+    * zero-order customers an inner join silently drops: LEFT join dim →
+    * fact, per-customer count (counting the nullable fact key, so
+    * no-match rows count 0), then the bounded histogram. Both
+    * aggregates are map-side combinable; the join shuffles on custkey
+    * (fact-sized) and the histogram key space is bounded by the max
+    * orders-per-customer. The classic "are inactive accounts real"
+    * marketing readout. */
+  def q26CustDistribution(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).select(col("c_custkey"))
+      .join(Tables.orders(s, dir).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_custkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
   def q23RevenueDeciles(s: SparkSession, dir: String): DataFrame = {
     val perCust = Tables.orders(s, dir)
       .groupBy(col("o_custkey"))
@@ -433,10 +452,18 @@ object Relational {
     "q16_grouping_sets" -> (q16GroupingSets _),
     "q21_disjunctive_pushdown" -> (q21DisjunctivePushdown _),
     "q22_outer_reconcile" -> (q22OuterReconcile _),
-    "q23_revenue_deciles" -> (q23RevenueDeciles _))
+    "q23_revenue_deciles" -> (q23RevenueDeciles _),
+    "q26_cust_distribution" -> (q26CustDistribution _))
 
   /** DuckDB oracles, column-name- and type-aligned with the plans above. */
   val oracles: Map[String, String] = Map(
+    "q26_cust_distribution" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_custkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
     "q25_interval_window" ->
       """SELECT o_orderkey, o_custkey,
         |  CAST(o_orderdate AS DATE) AS o_orderdate,

@@ -46,6 +46,32 @@ object Sampling {
       .select(col("lang"), col("doc_id"), col("rn").cast("int").as("rn"))
   }
 
+  /** Label-balanced downsample — the class-rebalance step before
+    * training a probe/classifier on skewed labels: every label keeps
+    * exactly min-label-count vectors, chosen in deterministic
+    * content-hash order (md5 over the id, the weightedSample
+    * discipline — reruns and engine swaps keep the same set). The
+    * per-label rank rides the same two-pass bucket ranking as
+    * stratifiedSample (256 hash-prefix sub-buckets per label — a
+    * dominant class spreads over 256 tasks, never one); the global
+    * min-count is a one-row broadcast. */
+  def classBalance(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(s, dir)
+      .withColumn("__hk",
+        md5(concat(lit("balance:"), col("vec_id").cast("string"))))
+      .withColumn("__bkt", Ranking.hexPrefixBucket(col("__hk")))
+    val ranked = Ranking.bucketedRowNumber(base, Seq("label"), "__bkt", 256,
+      Seq(col("__hk"), col("vec_id")), "rn", totalName = Some("n_label"))
+    val minCount = Tables.embeddings(s, dir)
+      .groupBy(col("label")).agg(count(lit(1)).as("n"))
+      .agg(min(col("n")).as("m"))
+    ranked.crossJoin(broadcast(minCount))
+      .filter(col("rn") <= col("m"))
+      .select(col("label"), col("vec_id"), col("rn").cast("int").as("rn"),
+        col("n_label").as("n_label_total"), col("m").as("kept_per_label"))
+      .orderBy(col("label"), col("rn"))
+  }
+
   /** Quality-weighted deterministic sampling — the "temperature"
     * upsample/downsample of a training mix: each doc keeps with
     * probability = its (capped) quality weight, decided by comparing the
@@ -134,9 +160,26 @@ object Sampling {
     "smp_stratified" -> (stratifiedSample _),
     "smp_weighted" -> (weightedSample _),
     "smp_shuffle" -> (shuffleOrder _),
+    "smp_class_balance" -> (classBalance _),
     "smp_interleave" -> (interleave _))
 
   val oracles: Map[String, String] = Map(
+    // same md5 order; DuckDB's plain per-label window is fine at
+    // oracle scale — the Spark side is the one that must bucket
+    "smp_class_balance" ->
+      """WITH r AS (
+        |  SELECT label, vec_id,
+        |    row_number() OVER (PARTITION BY label
+        |      ORDER BY md5('balance:' || CAST(vec_id AS VARCHAR)), vec_id)
+        |      AS rn,
+        |    COUNT(*) OVER (PARTITION BY label) AS n_label
+        |  FROM embeddings),
+        |m AS (SELECT MIN(n) AS m FROM
+        |  (SELECT COUNT(*) AS n FROM embeddings GROUP BY label))
+        |SELECT label, vec_id, CAST(rn AS INT) AS rn,
+        |  n_label AS n_label_total, m AS kept_per_label
+        |FROM r CROSS JOIN m WHERE rn <= m
+        |ORDER BY label, rn""".stripMargin,
     "smp_kfold" ->
       """SELECT doc_id,
         |  CAST(CAST('0x' || substr(md5('fold:' || CAST(doc_id AS VARCHAR)

@@ -1684,6 +1684,40 @@ class OperatorsSpec extends SparkSpec {
     dft.unpersist()
   }
 
+  test("q26_cust_distribution: histogram accounts for every customer") {
+    val h = operators.Relational.q26CustDistribution(spark, sfTiny)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assert(h.count() > 0)
+    assert(h.agg(sum("custdist")).first().getLong(0) ==
+      Tables.customer(spark, sfTiny).count(),
+      "every customer lands in exactly one count bucket")
+    assert(h.agg(sum(col("c_count") * col("custdist"))).first().getLong(0)
+      == Tables.orders(spark, sfTiny).count(),
+      "the histogram's mass is exactly the orders table")
+    h.unpersist()
+  }
+
+  test("smp_class_balance: every label keeps exactly the min count") {
+    val b = operators.Sampling.classBalance(spark, sfTiny)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = Tables.embeddings(spark, sfTiny)
+      .groupBy("label").count().collect().map(_.getLong(1))
+    val m = counts.min
+    assert(b.count() == m * counts.length,
+      "balanced set = min-count x n_labels")
+    assert(b.groupBy("label").count()
+      .filter(col("count") =!= m).count() == 0)
+    assert(b.filter(col("rn") > col("kept_per_label")).count() == 0)
+    assert(b.filter(col("kept_per_label") =!= m).count() == 0)
+    // determinism: the same hash order on a rerun keeps the same set
+    val again = operators.Sampling.classBalance(spark, sfTiny)
+      .select("label", "vec_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(again == b.select("label", "vec_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet)
+    b.unpersist()
+  }
+
   test("funnel ordering invariant: t_view <= t_click <= t_purchase") {
     val f = operators.Events.funnel(spark, sfTiny)
     assert(f.filter(col("t_click").isNotNull &&

@@ -69,7 +69,9 @@ class PlanAudit extends SparkSpec {
       // partition_audit shape) next to the broadcast 5-row vector
       "ev_markov_stationary",
       // corpus_batch_drift cross-joins its one-row share totals
-      "corpus_batch_drift")
+      "corpus_batch_drift",
+      // smp_class_balance cross-joins the one-row min-label-count
+      "smp_class_balance")
     // the only inputs a partition-less window may sort in one task:
     // calendar-bounded pre-aggregates (≤ hours/days rows at ANY corpus
     // size), verified below to actually sit on an Aggregate
