@@ -217,7 +217,11 @@ object Dedup {
     * engines agree bit-for-bit at every boundary. One candidate pass,
     * bounded threshold explode, one combinable aggregate — the sweep
     * costs one extra aggregate over the pair table, not five reruns. */
-  def thresholdSweep(s: SparkSession, dir: String): DataFrame = {
+  /** Shared candidate stage for the tuning suite: the storm-safe
+    * min-md5-shingle bucket pairs with exact intersection/union sizes —
+    * the (doc_a, doc_b, inter, uni) table `thresholdSweep` and
+    * `bandTuning` both aggregate over. */
+  private def sizedCandidates(s: SparkSession, dir: String): DataFrame = {
     val base = shingled(s, dir)
       .filter(size(col("shingles")) > 0)
       .withColumn("bucket",
@@ -225,13 +229,15 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val banded = base.select(col("doc_id"), lit(0).as("band_id"),
       col("bucket").as("band_hash"))
-    val pairs = saltedBandPairs(banded, target = 64)
-    val sized = attach(pairs, base, "shingles")
+    attach(saltedBandPairs(banded, target = 64), base, "shingles")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("uni",
         size(array_distinct(concat(col("sh_a"), col("sh_b")))))
       .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"))
-    sized
+  }
+
+  def thresholdSweep(s: SparkSession, dir: String): DataFrame = {
+    sizedCandidates(s, dir)
       .select(col("doc_b"), col("inter"), col("uni"),
         explode(array((5 to 9).map(lit): _*)).as("t10"))
       .filter(col("inter") * 10 >= col("t10") * col("uni"))
@@ -259,21 +265,9 @@ object Dedup {
     * that has no decimal form). One candidate pass, ×4 config explode,
     * one combinable aggregate. */
   def bandTuning(s: SparkSession, dir: String): DataFrame = {
-    val base = shingled(s, dir)
-      .filter(size(col("shingles")) > 0)
-      .withColumn("bucket",
-        array_min(transform(col("shingles"), x => md5(x))))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val banded = base.select(col("doc_id"), lit(0).as("band_id"),
-      col("bucket").as("band_hash"))
-    val pairs = saltedBandPairs(banded, target = 64)
-    val sized = attach(pairs, base, "shingles")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("uni",
-        size(array_distinct(concat(col("sh_a"), col("sh_b")))))
-      .withColumn("j", col("inter").cast("double") / col("uni").cast("double"))
     val cfg = Seq((32, 1), (16, 2), (8, 4), (4, 8))
-    sized
+    sizedCandidates(s, dir)
+      .withColumn("j", col("inter").cast("double") / col("uni").cast("double"))
       .select(col("inter"), col("uni"), col("j"),
         explode(array(cfg.map { case (b, r) =>
           struct(lit(b).as("b"), lit(r).as("r")) }: _*)).as("c"))
