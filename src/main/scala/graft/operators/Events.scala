@@ -738,6 +738,43 @@ object Events {
       .orderBy(col("gap_days"))
   }
 
+  /** Sample-ratio-mismatch check — the experimentation-platform DQ gate
+    * that runs BEFORE anyone reads `ev_ab_significance`: per campaign,
+    * are users actually split 50/50 between variants? Assignment is the
+    * deterministic hash split every experiment framework uses (first
+    * md5 hex char < '8' → A — exactly 8 of 16 outcomes, and the same
+    * string compare in any engine); the chi-square statistic against
+    * the expected even split trips the alarm at the df=1, α=0.05
+    * critical value. A skewed split means assignment is broken and
+    * every downstream lift number is garbage — the alarm, not the
+    * z-test, is the first thing to check.
+    *
+    * One scan → distinct (campaign, user) → two combinable counts onto
+    * the bounded campaign space; pure arithmetic after that. */
+  def abSrmCheck(s: SparkSession, dir: String): DataFrame = {
+    val campaign =
+      get_json_object(col("props"), "$.k").cast("int") % lit(10)
+    val assigned = Tables.events(s, dir)
+      .withColumn("campaign", campaign)
+      .select(col("campaign"), col("user_id"),
+        (substring(md5(concat(lit("assign:"),
+          col("user_id").cast("string"))), 1, 1) < lit("8")).as("in_a"))
+      .distinct()
+    val chi2 =
+      (col("n_a").cast("double") - col("e")) *
+        (col("n_a").cast("double") - col("e")) / col("e") +
+        (col("n_b").cast("double") - col("e")) *
+        (col("n_b").cast("double") - col("e")) / col("e")
+    assigned.groupBy(col("campaign"))
+      .agg(count(when(col("in_a"), 1)).as("n_a"),
+        count(when(!col("in_a"), 1)).as("n_b"))
+      .withColumn("e", (col("n_a") + col("n_b")).cast("double") / lit(2.0))
+      .select(col("campaign"), col("n_a"), col("n_b"),
+        round(chi2, 6).as("chi2"),
+        coalesce(chi2 > lit(3.841459), lit(false)).as("srm_alarm"))
+      .orderBy(col("campaign"))
+  }
+
   /** Landing dir for the stationary distribution — the landed-artifact
     * contract (simhashFpDir): computable from `dir` alone so the static
     * oracle SQL can read the run's vector. */
@@ -795,6 +832,7 @@ object Events {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_markov_stationary" -> (markovStationary _),
+    "ev_ab_srm_check" -> (abSrmCheck _),
     "ev_inactivity_gaps" -> (inactivityGaps _),
     "ev_cohort_ltv" -> (cohortLtv _),
     "ev_bot_detection" -> (botDetection _),
@@ -824,6 +862,32 @@ object Events {
     "ev_rfm_segments" -> (rfmSegments _))
 
   val oracles: Map[String, String] = Map(
+    // identical hash split (single hex char string compare) and
+    // chi-square arithmetic, term for term
+    "ev_ab_srm_check" ->
+      """WITH a AS (
+        |  SELECT DISTINCT
+        |    CAST(json_extract_string(props, '$.k') AS INT) % 10
+        |      AS campaign,
+        |    user_id,
+        |    substr(md5('assign:' || CAST(user_id AS VARCHAR)), 1, 1) < '8'
+        |      AS in_a
+        |  FROM events),
+        |g AS (
+        |  SELECT campaign,
+        |    COUNT(CASE WHEN in_a THEN 1 END) AS n_a,
+        |    COUNT(CASE WHEN NOT in_a THEN 1 END) AS n_b
+        |  FROM a GROUP BY campaign),
+        |x AS (SELECT campaign, n_a, n_b,
+        |  CAST(n_a + n_b AS DOUBLE) / 2.0 AS e FROM g)
+        |SELECT campaign, n_a, n_b,
+        |  ROUND((CAST(n_a AS DOUBLE) - e) * (CAST(n_a AS DOUBLE) - e) / e
+        |    + (CAST(n_b AS DOUBLE) - e) * (CAST(n_b AS DOUBLE) - e) / e, 6)
+        |    AS chi2,
+        |  COALESCE(((CAST(n_a AS DOUBLE) - e) * (CAST(n_a AS DOUBLE) - e) / e
+        |    + (CAST(n_b AS DOUBLE) - e) * (CAST(n_b AS DOUBLE) - e) / e)
+        |    > 3.841459, false) AS srm_alarm
+        |FROM x ORDER BY campaign""".stripMargin,
     // stationary vector from the landed parquet; empirical shares and
     // the drift recomputed with identical float steps
     "ev_markov_stationary" ->
