@@ -102,7 +102,13 @@ object PlansDump {
           "codebook on the subspace key — O(n·M·k), no pair explosion"),
       "dedup_band_tuning" ->
         ("S-curve tuning: candidate pass + ×4 config explode; IEEE " +
-          "multiply chains, micro-unit quantize before the sum"))
+          "multiply chains, micro-unit quantize before the sum"),
+      "q26_cust_distribution" ->
+        ("Q13 shape: LEFT join keeps zero-order customers, both " +
+          "aggregates partial/map-side, bounded histogram keys"),
+      "smp_class_balance" ->
+        ("balanced downsample: per-label two-pass bucket ranking — a " +
+          "dominant class spreads over 256 tasks, never one"))
     val sb = new StringBuilder
     sb.append("# PLANS — executed physical plans (sf0.001, regenerate " +
       "via `sbt \"runMain graft.PlansDump\"`)\n")
