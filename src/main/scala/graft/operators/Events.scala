@@ -60,6 +60,23 @@ object Events {
         outd(sum(dec2(col("value")))).as("sum_value"))
   }
 
+  /** Session-depth histogram — the engagement-shape report over
+    * `sessionize`'s output: for each session depth (events per
+    * session), how many sessions, how many distinct users produced one,
+    * and the mean session duration at that depth — the curve that
+    * separates one-and-done traffic from engaged use. Two extra
+    * combinable aggregates over the sessionized table (bounded depth
+    * key space); nothing new shuffles beyond sessionize's single
+    * user_id exchange. */
+  def sessionStats(s: SparkSession, dir: String): DataFrame =
+    sessionize(s, dir)
+      .groupBy(col("n_events").as("session_depth"))
+      .agg(count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(sum(col("duration_us")).cast("double")
+          / count(lit(1)).cast("double"), 6).as("avg_duration_us"))
+      .orderBy(col("session_depth"))
+
   /** Ordered funnel view→click→purchase: each later step's first hit must
     * strictly follow the previous step's. Three chained window projections
     * over ONE user_id partitioning (each step's window may reference the
@@ -838,6 +855,7 @@ object Events {
     "ev_bot_detection" -> (botDetection _),
     "ev_tumbling_window" -> (tumblingWindow _),
     "ev_sessionize" -> (sessionize _),
+    "ev_session_stats" -> (sessionStats _),
     "ev_funnel" -> (funnel _),
     "ev_funnel_latency" -> (funnelLatency _),
     "ev_attribution" -> (attribution _),
@@ -981,6 +999,30 @@ object Events {
         |  epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM sess GROUP BY user_id, session_id""".stripMargin,
+    // the sessionize CTE plus the depth histogram
+    "ev_session_stats" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |      THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS session_id
+        |  FROM flagged),
+        |per AS (
+        |  SELECT user_id, session_id, COUNT(*) AS n_events,
+        |    epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
+        |  FROM sess GROUP BY user_id, session_id)
+        |SELECT n_events AS session_depth, COUNT(*) AS n_sessions,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  ROUND(CAST(SUM(duration_us) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS avg_duration_us
+        |FROM per GROUP BY n_events ORDER BY session_depth""".stripMargin,
     "ev_funnel" ->
       """WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
         |    WHERE event_type = 'view' GROUP BY user_id),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -426,6 +427,44 @@ object Text {
       .orderBy(col("span"))
   }
 
+  /** Zipf fit — the power-law audit of the token distribution: a
+    * least-squares line through (ln rank, ln frequency) over the top-100
+    * types. Natural text sits near slope −1; a flat slope means
+    * synthetic/degenerate vocabulary, a cliff means boilerplate — the
+    * one-row corpus-health number next to the vocabulary-coverage curve.
+    *
+    * Scale shape: type counts are one combinable aggregate; the top-100
+    * is a distributed TopK (`orderBy.limit`, deterministic tie-break),
+    * and the rank window runs over that LIMIT-bounded table — 100 rows
+    * in one task by construction, at any corpus size (the audit's
+    * bounded-global-window allowance). The regression sums follow the
+    * unigram-logprob discipline (ln terms 9dp-rounded → exact decimal
+    * sums), so the fit is accumulation-order-independent and
+    * cross-engine exact. */
+  def zipfFit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val top = Tables.documents(s, dir)
+      .withColumn("toks", tokens(col("text")))
+      .select(explode(col("toks")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(100)
+    val w = Window.orderBy(col("n").desc, col("tok"))
+    val lx = log(col("rank"))
+    val ly = log(col("n"))
+    def dsum(c: org.apache.spark.sql.Column, p: Int) =
+      sum(round(c, 9).cast(DecimalType(p, 9))).cast("double")
+    val fitted = top.withColumn("rank", row_number().over(w))
+      .agg(count(lit(1)).as("mcnt"),
+        dsum(lx, 18).as("sx"), dsum(ly, 18).as("sy"),
+        dsum(lx * ly, 28).as("sxy"), dsum(lx * lx, 28).as("sxx"))
+    val m = col("mcnt").cast("double")
+    val slope = (m * col("sxy") - col("sx") * col("sy")) /
+      (m * col("sxx") - col("sx") * col("sx"))
+    fitted.select(col("mcnt").as("n_points"),
+      round(slope, 6).as("slope"),
+      round((col("sy") - slope * col("sx")) / m, 6).as("intercept"))
+  }
+
   /** Boilerplate scrub — the ACTION step after `txt_boilerplate_ngrams`
     * detects cross-doc duplicated spans (the Lee et al. exact-substring
     * dedup applied): every token covered by a word-8-gram appearing in
@@ -568,6 +607,7 @@ object Text {
     "txt_entropy" -> (entropy _),
     "txt_boilerplate_ngrams" -> (boilerplateNgrams _),
     "txt_boilerplate_scrub" -> (boilerplateScrub _),
+    "txt_zipf_fit" -> (zipfFit _),
     "txt_redact" -> (redact _),
     "txt_ccnet_bucket" -> (ccnetBucket _),
     "txt_repetition" -> (repetition _),
@@ -668,6 +708,33 @@ object Text {
         |SELECT span, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc_id
         |FROM (SELECT doc_id, unnest(spans) AS span FROM t)
         |GROUP BY span HAVING COUNT(*) >= 3 ORDER BY span""".stripMargin,
+    // identical TopK tie-break, 9dp-rounded ln terms summed as exact
+    // decimals, fit arithmetic term for term
+    "txt_zipf_fit" ->
+      """WITH c AS (
+        |  SELECT tok, COUNT(*) AS n FROM (
+        |    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |    FROM documents) GROUP BY tok),
+        |top AS (SELECT tok, n FROM c ORDER BY n DESC, tok LIMIT 100),
+        |r AS (SELECT n,
+        |    row_number() OVER (ORDER BY n DESC, tok) AS rank FROM top),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS mcnt,
+        |    CAST(SUM(CAST(ROUND(ln(rank), 9) AS DECIMAL(18,9)))
+        |      AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(ROUND(ln(n), 9) AS DECIMAL(18,9)))
+        |      AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(ROUND(ln(rank) * ln(n), 9) AS DECIMAL(28,9)))
+        |      AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(ROUND(ln(rank) * ln(rank), 9) AS DECIMAL(28,9)))
+        |      AS DOUBLE) AS sxx
+        |  FROM r)
+        |SELECT mcnt AS n_points,
+        |  ROUND((CAST(mcnt AS DOUBLE) * sxy - sx * sy)
+        |    / (CAST(mcnt AS DOUBLE) * sxx - sx * sx), 6) AS slope,
+        |  ROUND((sy - (CAST(mcnt AS DOUBLE) * sxy - sx * sy)
+        |    / (CAST(mcnt AS DOUBLE) * sxx - sx * sx) * sx)
+        |    / CAST(mcnt AS DOUBLE), 6) AS intercept
+        |FROM t""".stripMargin,
     // the boilerplate CTE (distinct spans per doc, >=3-doc floor), then
     // POSITIONAL grams hit-test, covered positions explode x8, and the
     // doc reassembles from the surviving token indices

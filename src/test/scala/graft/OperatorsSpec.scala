@@ -1738,6 +1738,38 @@ class OperatorsSpec extends SparkSpec {
     srm.unpersist()
   }
 
+  test("ev_session_stats: histogram reconciles with sessionize") {
+    val st = operators.Events.sessionStats(spark, sfTiny)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assert(st.count() > 0)
+    val sess = operators.Events.sessionize(spark, sfTiny)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assert(st.agg(sum("n_sessions")).first().getLong(0) == sess.count())
+    assert(st.agg(sum(col("session_depth") * col("n_sessions")))
+      .first().getLong(0) == Tables.events(spark, sfTiny).count(),
+      "depth-weighted session mass is exactly the event count")
+    assert(st.filter(col("n_users") > col("n_sessions")).count() == 0)
+    assert(st.filter(col("avg_duration_us") < 0.0).count() == 0)
+    // depth-1 sessions have zero duration by definition
+    assert(st.filter(col("session_depth") === 1 &&
+      col("avg_duration_us") =!= 0.0).count() == 0)
+    sess.unpersist(); st.unpersist()
+  }
+
+  test("txt_zipf_fit: a sane fit over the top-100 types") {
+    val z = operators.Text.zipfFit(spark, sfTiny).collect()
+    assert(z.length == 1)
+    val row = z.head
+    val vocab = Tables.documents(spark, sfTiny)
+      .select(explode(graft.functions.TextFns.tokens(col("text")))
+        .as("tok")).distinct().count()
+    assert(row.getLong(0) == math.min(100L, vocab),
+      "fits over min(100, vocabulary) points")
+    assert(row.getDouble(1) <= 1e-9,
+      "frequency can only fall (or stay flat) as rank grows")
+    assert(!row.getDouble(1).isNaN && !row.getDouble(2).isNaN)
+  }
+
   test("funnel ordering invariant: t_view <= t_click <= t_purchase") {
     val f = operators.Events.funnel(spark, sfTiny)
     assert(f.filter(col("t_click").isNotNull &&

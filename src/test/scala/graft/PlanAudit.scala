@@ -75,7 +75,10 @@ class PlanAudit extends SparkSpec {
     // the only inputs a partition-less window may sort in one task:
     // calendar-bounded pre-aggregates (≤ hours/days rows at ANY corpus
     // size), verified below to actually sit on an Aggregate
-    val globalWindowBounded = Set("ev_hourly_anomaly", "ev_rolling_revenue")
+    // txt_zipf_fit's rank window sits on a LIMIT 100 over the type-count
+    // aggregate — bounded by construction at any corpus size
+    val globalWindowBounded =
+      Set("ev_hourly_anomaly", "ev_rolling_revenue", "txt_zipf_fit")
     val violations = scala.collection.mutable.ListBuffer.empty[String]
     println("=====AUDIT START=====")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
