@@ -567,6 +567,57 @@ object Dedup {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the embedding space with the TRAINED k-means quantizer
+    * (`Similarity.kmeans`'s landed centroids), then hunt near-dup pairs
+    * only WITHIN a cluster — the published answer to "embedding cosine
+    * dedup without O(n²)". A vector is dropped when a lower-id member of
+    * its own cluster sits above the cosine threshold; output is one row
+    * per dropped vector with its canonical keeper (the lowest such
+    * partner), the max offending cosine and the partner count.
+    *
+    * Scale shape: assignment is the IVF discipline — one corpus scan
+    * against the broadcast k-centroid table, map-side-partial min_by —
+    * and pair generation shuffles on the cluster key, so cost is
+    * O(Σ cluster²). k is fixed (=8) here to match the landed quantizer;
+    * at 100 TB k scales with the corpus (SemDeDup uses n/k ≈ constant
+    * cluster sizes) and the shape is unchanged. The oracle re-derives
+    * assignment AND pairs brute-force in DuckDB from the landed centroid
+    * parquet (`__SFDIR__` contract), so the whole decision is
+    * hash-checked, not merely spec-checked. */
+  def semantic(s: SparkSession, dir: String): DataFrame = {
+    Similarity.kmeans(s, dir) // runs Lloyd's + lands the centroid table
+    val cents = s.read.parquet(Similarity.kmeansCentDir(dir))
+      .withColumn("nc2", VectorFns.dotD(col("cv"), col("cv")))
+    val assigned = Tables.embeddings(s, dir)
+      .select(col("vec_id"), VectorFns.asDouble(col("embedding")).as("vd"))
+      .withColumn("nx2", VectorFns.dotD(col("vd"), col("vd")))
+      .crossJoin(broadcast(cents))
+      .withColumn("dist",
+        (col("nx2") + col("nc2")) - lit(2.0) * VectorFns.dotD(col("vd"), col("cv")))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("cluster"), struct(col("dist"), col("cluster")))
+          .as("cluster"),
+        first(col("vd")).as("vd"))
+      .withColumn("nrm", sqrt(VectorFns.dotD(col("vd"), col("vd"))))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val a = assigned.select(col("cluster"), col("vec_id").as("vec_a"),
+      col("vd").as("vd_a"), col("nrm").as("nrm_a"))
+    val b = assigned.select(col("cluster"), col("vec_id").as("vec_b"),
+      col("vd").as("vd_b"), col("nrm").as("nrm_b"))
+    a.join(b, Seq("cluster")).filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine",
+        round(VectorFns.cosineWithNorms(col("vd_a"), col("vd_b"),
+          col("nrm_a"), col("nrm_b")), 6))
+      .filter(col("cosine") >= 0.35)
+      .groupBy(col("vec_b").as("vec_id"))
+      .agg(min(col("cluster")).as("cluster"),
+        min(col("vec_a")).as("dup_of"),
+        max(col("cosine")).as("max_cosine"),
+        count(lit(1)).as("n_partners"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Batch-vs-corpus incremental dedup — the production shape: a new
     * day's documents deduped against the LANDED corpus's hash index
     * (exact + normalized), not merely within-batch. Each batch doc gets
@@ -716,7 +767,8 @@ object Dedup {
     "dedup_minhash_incremental" -> (minhashIncremental _),
     "dedup_source_similarity" -> (sourceSimilarity _),
     "dedup_source_overlap" -> (sourceOverlap _),
-    "dedup_embedding_cosine" -> (embeddingCosine _))
+    "dedup_embedding_cosine" -> (embeddingCosine _),
+    "dedup_semantic" -> (semantic _))
 
   val oracles: Map[String, String] = Map(
     "dedup_stats" ->
@@ -1056,5 +1108,34 @@ object Dedup {
         |WHERE ROUND(list_dot_product(a.emb, b.emb)
         |    / (sqrt(list_dot_product(a.emb, a.emb))
         |       * sqrt(list_dot_product(b.emb, b.emb))), 6) >= 0.3
-        |ORDER BY vec_a, vec_b""".stripMargin)
+        |ORDER BY vec_a, vec_b""".stripMargin,
+    // the emb_kmeans assignment CTE (landed centroids, identical distance
+    // term order, ties to the lower cluster), then within-cluster pairs
+    // and the keep-lowest-id drop rule
+    "dedup_semantic" ->
+      s"""WITH c AS (SELECT cluster, cv
+        |  FROM '${Similarity.kmeansCentDir("__SFDIR__")}/*.parquet'),
+        |e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+        |  FROM embeddings),
+        |a AS (
+        |  SELECT vec_id, cluster, vd FROM (
+        |    SELECT e.vec_id, c.cluster, e.vd,
+        |      (list_dot_product(vd, vd) + list_dot_product(cv, cv))
+        |        - 2.0 * list_dot_product(vd, cv) AS dist
+        |    FROM e, c)
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY dist, cluster) = 1),
+        |p AS (
+        |  SELECT x.cluster, x.vec_id AS vec_a, y.vec_id AS vec_b,
+        |    ROUND(list_dot_product(x.vd, y.vd)
+        |      / (sqrt(list_dot_product(x.vd, x.vd))
+        |         * sqrt(list_dot_product(y.vd, y.vd))), 6) AS cosine
+        |  FROM a x JOIN a y ON x.cluster = y.cluster
+        |    AND x.vec_id < y.vec_id)
+        |SELECT vec_b AS vec_id, MIN(cluster) AS cluster,
+        |  MIN(vec_a) AS dup_of, MAX(cosine) AS max_cosine,
+        |  CAST(COUNT(*) AS BIGINT) AS n_partners
+        |FROM p WHERE cosine >= 0.35
+        |GROUP BY vec_b ORDER BY vec_id""".stripMargin)
 }

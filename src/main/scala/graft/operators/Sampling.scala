@@ -154,8 +154,45 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  /** Time-based train/test split over the event stream — the
+    * leakage-free alternative to hash splits for forecasting/attribution
+    * models: everything up to the 80% point of the observed time range
+    * trains, the tail tests. The cutoff is exact integer-µs arithmetic
+    * (lo + (hi−lo)·4 DIV 5), so the boundary is bit-identical across
+    * engines. Output: one row per split with event/user counts and the
+    * time range, plus the headline leakage number — users active on BOTH
+    * sides (a time split cannot de-leak users; the gate must know).
+    *
+    * Scale: one min/max scan (combinable), one broadcast one-row bounds
+    * join, per-split counts map-side combinable; the user-overlap leg is
+    * a per-user two-flag aggregate — one user_id shuffle, no window. */
+  def temporalSplit(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+    val bounds = ev.agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+      .select(col("lo"), col("hi"),
+        expr("lo + ((hi - lo) * 4) DIV 5").as("cut_us"))
+    val tagged = ev.crossJoin(broadcast(bounds))
+      .withColumn("split",
+        when(col("us") <= col("cut_us"), "train").otherwise("test"))
+    val leak = tagged.groupBy(col("user_id"))
+      .agg(max(when(col("split") === "train", 1).otherwise(0)).as("tr"),
+        max(when(col("split") === "test", 1).otherwise(0)).as("te"))
+      .agg(sum(when(col("tr") === 1 && col("te") === 1, 1L).otherwise(0L))
+        .as("n_users_leaked"))
+    tagged.groupBy(col("split"), col("cut_us"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("us")).as("min_us"), max(col("us")).as("max_us"))
+      .crossJoin(broadcast(leak))
+      .select(col("split"), col("n_events"), col("n_users"),
+        col("min_us"), col("max_us"), col("cut_us"), col("n_users_leaked"))
+      .orderBy(col("split"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "smp_kfold" -> (kfold _),
+    "smp_temporal_split" -> (temporalSplit _),
     "smp_hash_split" -> (hashSplit _),
     "smp_stratified" -> (stratifiedSample _),
     "smp_weighted" -> (weightedSample _),
@@ -164,6 +201,23 @@ object Sampling {
     "smp_interleave" -> (interleave _))
 
   val oracles: Map[String, String] = Map(
+    // integer-µs cutoff arithmetic identical term for term; the leaked
+    // count is the users seen on both sides of the boundary
+    "smp_temporal_split" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |b AS (SELECT MIN(us) AS lo, MAX(us) AS hi,
+        |    MIN(us) + ((MAX(us) - MIN(us)) * 4) // 5 AS cut_us FROM e),
+        |t AS (SELECT user_id, us, cut_us,
+        |    CASE WHEN us <= cut_us THEN 'train' ELSE 'test' END AS split
+        |  FROM e CROSS JOIN b),
+        |u AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users_leaked FROM (
+        |  SELECT user_id FROM t GROUP BY user_id
+        |  HAVING COUNT(DISTINCT split) = 2))
+        |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  MIN(us) AS min_us, MAX(us) AS max_us, cut_us, n_users_leaked
+        |FROM t CROSS JOIN u GROUP BY split, cut_us, n_users_leaked
+        |ORDER BY split""".stripMargin,
     // same md5 order; DuckDB's plain per-label window is fine at
     // oracle scale — the Spark side is the one that must bucket
     "smp_class_balance" ->

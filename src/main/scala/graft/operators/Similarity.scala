@@ -578,8 +578,28 @@ object Similarity {
       .orderBy(col("method"), col("query_id"))
   }
 
+  /** Document↔embedding coverage audit — the referential gate before any
+    * ANN/semantic-dedup stage ships: every training doc should carry an
+    * embedding and every embedding should point at a live doc. One
+    * full-outer equi-join on the id + conditional counts (one shuffle on
+    * the id key, count-combinable), emitting the one-row reconciliation
+    * (totals, matched, and each orphan side) a pipeline gate asserts on. */
+  def docCoverage(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"))
+    val v = Tables.embeddings(s, dir).select(col("vec_id"))
+    d.join(v, d("doc_id") === v("vec_id"), "full_outer")
+      .agg(
+        sum(when(d("doc_id").isNotNull, 1L).otherwise(0L)).as("n_docs"),
+        sum(when(v("vec_id").isNotNull, 1L).otherwise(0L)).as("n_vecs"),
+        sum(when(d("doc_id").isNotNull && v("vec_id").isNotNull, 1L)
+          .otherwise(0L)).as("n_matched"),
+        sum(when(v("vec_id").isNull, 1L).otherwise(0L)).as("n_doc_only"),
+        sum(when(d("doc_id").isNull, 1L).otherwise(0L)).as("n_vec_only"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_recall_eval" -> (recallEval _),
+    "emb_doc_coverage" -> (docCoverage _),
     "emb_covariance" -> (covariance _),
     "ann_bruteforce_topk" -> (bruteForceTopk _),
     "ann_lsh_topk" -> (lshTopk _),
@@ -593,6 +613,20 @@ object Similarity {
     "emb_centroid_audit" -> (centroidAudit _))
 
   val oracles: Map[String, String] = Map(
+    "emb_doc_coverage" ->
+      """SELECT
+        |  CAST(SUM(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN v.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_vecs,
+        |  CAST(SUM(CASE WHEN d.doc_id IS NOT NULL
+        |    AND v.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_matched,
+        |  CAST(SUM(CASE WHEN v.vec_id IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_doc_only,
+        |  CAST(SUM(CASE WHEN d.doc_id IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_vec_only
+        |FROM documents d FULL JOIN embeddings v ON d.doc_id = v.vec_id""".stripMargin,
     // pair products generated expression-side exactly as the op does
     // (range is end-exclusive = Spark's 0-based transform index; emb is
     // 1-indexed in DuckDB), 9dp-round → exact decimal sums, cov/corr

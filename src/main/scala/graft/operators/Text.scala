@@ -465,6 +465,27 @@ object Text {
       round((col("sy") - slope * col("sx")) / m, 6).as("intercept"))
   }
 
+  /** Lexical-diversity audit per source — hapax share and type/token
+    * ratio, the standard degenerate-text detectors (a source whose
+    * hapax share collapses is template/boilerplate; one whose TTR
+    * collapses is repetition). Two map-side-combinable aggregation
+    * levels: (source, type) counts, then per-source rollup — key space
+    * is sources × vocabulary, never corpus rows; no window, no join. */
+  def hapaxRatio(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("n"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        round(col("n_hapax").cast("double") / col("n_types").cast("double"), 6)
+          .as("hapax_ratio"),
+        round(col("n_types").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("type_token_ratio"))
+      .orderBy(col("source"))
+
   /** Boilerplate scrub — the ACTION step after `txt_boilerplate_ngrams`
     * detects cross-doc duplicated spans (the Lee et al. exact-substring
     * dedup applied): every token covered by a word-8-gram appearing in
@@ -608,6 +629,7 @@ object Text {
     "txt_boilerplate_ngrams" -> (boilerplateNgrams _),
     "txt_boilerplate_scrub" -> (boilerplateScrub _),
     "txt_zipf_fit" -> (zipfFit _),
+    "txt_hapax_ratio" -> (hapaxRatio _),
     "txt_redact" -> (redact _),
     "txt_ccnet_bucket" -> (ccnetBucket _),
     "txt_repetition" -> (repetition _),
@@ -735,6 +757,22 @@ object Text {
         |    / (CAST(mcnt AS DOUBLE) * sxx - sx * sx) * sx)
         |    / CAST(mcnt AS DOUBLE), 6) AS intercept
         |FROM t""".stripMargin,
+    "txt_hapax_ratio" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |c AS (SELECT source, tok, COUNT(*) AS n FROM t GROUP BY 1, 2)
+        |SELECT source,
+        |  CAST(SUM(n) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(*) AS BIGINT) AS n_types,
+        |  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hapax,
+        |  ROUND(CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS hapax_ratio,
+        |  ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6)
+        |    AS type_token_ratio
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
     // the boilerplate CTE (distinct spans per doc, >=3-doc floor), then
     // POSITIONAL grams hit-test, covered positions explode x8, and the
     // doc reassembles from the surviving token indices

