@@ -847,7 +847,148 @@ object Events {
       .orderBy(col("event_type"))
   }
 
+  /** CUSUM drift detector — the changepoint scan a spend-monitoring
+    * pager runs over each campaign's daily revenue: S_t = Σ_{i≤t}(x_i −
+    * x̄), reported as the scaled-integer S'_t = n·prefix_t − t·total so
+    * every comparison is exact (revenue is DECIMAL(18,2) cents — no
+    * float accumulates anywhere). The headline drift statistic is
+    * (max S' − min S')/n cents and the changepoint is the EARLIEST day
+    * attaining max |S'| — deterministic under ties in both engines.
+    *
+    * Scale shape: one combinable (campaign, day) aggregate over the
+    * fact scan; every window below it is PARTITIONED BY campaign over
+    * the bounded daily table (≤ campaigns × days rows — an aggregate,
+    * not data), so no global window exists at any fact scale. */
+  def cusumDrift(s: SparkSession, dir: String): DataFrame = {
+    val campaign =
+      get_json_object(col("props"), "$.k").cast("int") % lit(10)
+    val daily = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .withColumn("campaign", campaign)
+      .groupBy(col("campaign"), col("ts").cast("date").as("day"))
+      .agg((sum(dec2(col("value"))) * lit(100)).cast("long").as("rev_cents"))
+    val wOrd = Window.partitionBy(col("campaign")).orderBy(col("day"))
+    val wAll = Window.partitionBy(col("campaign"))
+    daily
+      .withColumn("t", row_number().over(wOrd).cast("long"))
+      .withColumn("prefix_cents", sum(col("rev_cents")).over(wOrd))
+      .withColumn("n_days", count(lit(1)).over(wAll))
+      .withColumn("total_cents", sum(col("rev_cents")).over(wAll))
+      .withColumn("s_scaled",
+        col("n_days") * col("prefix_cents") - col("t") * col("total_cents"))
+      .withColumn("max_abs", max(abs(col("s_scaled"))).over(wAll))
+      .groupBy(col("campaign"))
+      .agg(max(col("n_days")).as("n_days"),
+        round(max(col("total_cents")).cast("double") / lit(100.0), 2)
+          .as("total_revenue"),
+        round((max(col("s_scaled")) - min(col("s_scaled"))).cast("double")
+          / lit(100.0) / max(col("n_days")).cast("double"), 6)
+          .as("drift_stat"),
+        min(when(abs(col("s_scaled")) === col("max_abs"), col("day")))
+          .as("changepoint_day"))
+      .orderBy(col("campaign"))
+  }
+
+  /** A/B power analysis — the "is this test even big enough" gate an
+    * experimentation platform runs beside `ev_ab_srm_check`: per
+    * campaign, user-level conversion rates under the same deterministic
+    * md5 hash assignment, and the per-arm sample size required to
+    * detect the OBSERVED delta at α=0.05 / 80% power
+    * (n = ⌈(z_{α/2}+z_β)²·(p_a(1−p_a)+p_b(1−p_b))/δ²⌉; the z constant
+    * is the shared literal (1.959964+0.841621)² so both engines run
+    * the identical exactly-rounded float chain). δ=0 → NULL (no
+    * detectable effect, nothing to power).
+    *
+    * One scan → per-(campaign, user) combinable conversion flag → two
+    * combinable counts onto the bounded campaign space. */
+  def powerAnalysis(s: SparkSession, dir: String): DataFrame = {
+    val campaign =
+      get_json_object(col("props"), "$.k").cast("int") % lit(10)
+    val perUser = Tables.events(s, dir)
+      .withColumn("campaign", campaign)
+      .groupBy(col("campaign"), col("user_id"))
+      .agg((count(when(col("event_type") === "purchase", 1)) > 0)
+        .as("converted"))
+      .withColumn("in_a",
+        substring(md5(concat(lit("assign:"),
+          col("user_id").cast("string"))), 1, 1) < lit("8"))
+    val pA = col("conv_a").cast("double") /
+      nullif(col("n_a"), lit(0L)).cast("double")
+    val pB = col("conv_b").cast("double") /
+      nullif(col("n_b"), lit(0L)).cast("double")
+    val delta = pA - pB
+    val s2 = pA * (lit(1.0) - pA) + pB * (lit(1.0) - pB)
+    val nReq = when(delta =!= lit(0.0),
+      ceil(lit(7.8488784725122245) * s2 / (delta * delta)))
+    perUser.groupBy(col("campaign"))
+      .agg(count(when(col("in_a"), 1)).as("n_a"),
+        count(when(!col("in_a"), 1)).as("n_b"),
+        count(when(col("in_a") && col("converted"), 1)).as("conv_a"),
+        count(when(!col("in_a") && col("converted"), 1)).as("conv_b"))
+      .select(col("campaign"), col("n_a"), col("n_b"),
+        col("conv_a"), col("conv_b"),
+        round(pA, 6).as("p_a"), round(pB, 6).as("p_b"),
+        (round(delta, 6) + lit(0.0)).as("delta"),
+        nReq.as("n_required"),
+        (col("n_a") >= nReq && col("n_b") >= nReq).as("powered"))
+      .orderBy(col("campaign"))
+  }
+
+  /** Simple-exponential-smoothing revenue level (α = 1/2) — the
+    * one-number forecast a budget pacer carries per campaign. Over the
+    * last ≤16 active days (oldest→newest index t, T days total):
+    * s_T = [Σ_{t≥2} 2^{t−1}·x_t + 2·x_1] / 2^T — the standard SES
+    * recursion s_t = αx_t + (1−α)s_{t−1} with s_1 = x_1, cleared of
+    * float accumulation entirely: cents × dyadic integer weights sum
+    * EXACTLY in BIGINT (≤2^15·Σcents ≪ 2^53, so even the final
+    * scaled/denom division is one exactly-rounded IEEE op in both
+    * engines). The flat SES forecast for tomorrow IS the level.
+    *
+    * Scale shape: same bounded (campaign, day) aggregate as the CUSUM
+    * op; the rank/count windows are campaign-partitioned over that
+    * bounded table — nothing global, nothing data-sized. */
+  def forecastSes(s: SparkSession, dir: String): DataFrame = {
+    val campaign =
+      get_json_object(col("props"), "$.k").cast("int") % lit(10)
+    val daily = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .withColumn("campaign", campaign)
+      .groupBy(col("campaign"), col("ts").cast("date").as("day"))
+      .agg((sum(dec2(col("value"))) * lit(100)).cast("long").as("rev_cents"))
+    val wDesc = Window.partitionBy(col("campaign"))
+      .orderBy(col("day").desc)
+    val last = daily
+      .withColumn("r", row_number().over(wDesc).cast("long"))
+      .filter(col("r") <= 16)
+      .withColumn("n_days_used",
+        count(lit(1)).over(Window.partitionBy(col("campaign"))))
+      .withColumn("t", col("n_days_used") - col("r") + lit(1L))
+      .withColumn("w", when(col("t") === 1L, lit(2L))
+        .otherwise(expr(
+          "cast(shiftleft(cast(1 as bigint), cast(t - 1 as int)) as bigint)")))
+    last.groupBy(col("campaign"))
+      .agg(max(col("n_days_used")).as("n_days_used"),
+        max(col("day")).as("last_day"),
+        sum(col("w") * col("rev_cents")).as("scaled"),
+        max(when(col("r") === 1L, col("rev_cents"))).as("last_cents"))
+      .withColumn("denom", expr(
+        "cast(shiftleft(cast(1 as bigint), cast(n_days_used as int)) as bigint)"))
+      .select(col("campaign"), col("n_days_used"), col("last_day"),
+        round(col("last_cents").cast("double") / lit(100.0), 2)
+          .as("last_revenue"),
+        round(col("scaled").cast("double") / col("denom").cast("double")
+          / lit(100.0), 6).as("ses_level"),
+        (round(col("scaled").cast("double") / col("denom").cast("double")
+          / lit(100.0)
+          - col("last_cents").cast("double") / lit(100.0), 6) + lit(0.0))
+          .as("residual"))
+      .orderBy(col("campaign"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_cusum_drift" -> (cusumDrift _),
+    "ev_power_analysis" -> (powerAnalysis _),
+    "ev_forecast_ses" -> (forecastSes _),
     "ev_markov_stationary" -> (markovStationary _),
     "ev_ab_srm_check" -> (abSrmCheck _),
     "ev_inactivity_gaps" -> (inactivityGaps _),
@@ -880,6 +1021,111 @@ object Events {
     "ev_rfm_segments" -> (rfmSegments _))
 
   val oracles: Map[String, String] = Map(
+    // integer-cents CUSUM: every window value BIGINT-exact, the two
+    // final divisions the only float steps (identical operand order)
+    "ev_cusum_drift" ->
+      """WITH daily AS (
+        |  SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10
+        |      AS campaign,
+        |    CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS rev_cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT campaign, day,
+        |    CAST(row_number() OVER wo AS BIGINT) AS t,
+        |    SUM(rev_cents) OVER wo AS prefix_cents,
+        |    COUNT(*) OVER wa AS n_days,
+        |    SUM(rev_cents) OVER wa AS total_cents
+        |  FROM daily
+        |  WINDOW wo AS (PARTITION BY campaign ORDER BY day),
+        |    wa AS (PARTITION BY campaign)),
+        |s2 AS (SELECT *,
+        |  n_days * prefix_cents - t * total_cents AS s_scaled FROM sc),
+        |s3 AS (SELECT *,
+        |  MAX(ABS(s_scaled)) OVER (PARTITION BY campaign) AS max_abs
+        |  FROM s2)
+        |SELECT campaign, MAX(n_days) AS n_days,
+        |  ROUND(CAST(MAX(total_cents) AS DOUBLE) / 100.0, 2)
+        |    AS total_revenue,
+        |  ROUND(CAST(MAX(s_scaled) - MIN(s_scaled) AS DOUBLE) / 100.0
+        |    / CAST(MAX(n_days) AS DOUBLE), 6) AS drift_stat,
+        |  MIN(CASE WHEN ABS(s_scaled) = max_abs THEN day END)
+        |    AS changepoint_day
+        |FROM s3 GROUP BY campaign ORDER BY campaign""".stripMargin,
+    // identical hash assignment and the identical float chain for the
+    // required-n formula (the z-sum squared is a shared literal)
+    "ev_power_analysis" ->
+      """WITH u AS (
+        |  SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10
+        |      AS campaign,
+        |    user_id,
+        |    COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) > 0
+        |      AS converted
+        |  FROM events GROUP BY 1, 2),
+        |a AS (SELECT *,
+        |  substr(md5('assign:' || CAST(user_id AS VARCHAR)), 1, 1) < '8'
+        |    AS in_a FROM u),
+        |g AS (
+        |  SELECT campaign,
+        |    COUNT(CASE WHEN in_a THEN 1 END) AS n_a,
+        |    COUNT(CASE WHEN NOT in_a THEN 1 END) AS n_b,
+        |    COUNT(CASE WHEN in_a AND converted THEN 1 END) AS conv_a,
+        |    COUNT(CASE WHEN NOT in_a AND converted THEN 1 END) AS conv_b
+        |  FROM a GROUP BY campaign),
+        |p AS (SELECT *,
+        |  CAST(conv_a AS DOUBLE) / CAST(NULLIF(n_a, 0) AS DOUBLE) AS pa,
+        |  CAST(conv_b AS DOUBLE) / CAST(NULLIF(n_b, 0) AS DOUBLE) AS pb
+        |  FROM g),
+        |q AS (SELECT *,
+        |  CASE WHEN pa - pb <> 0.0 THEN
+        |    CAST(CEIL(7.8488784725122245
+        |      * (pa * (1.0 - pa) + pb * (1.0 - pb))
+        |      / ((pa - pb) * (pa - pb))) AS BIGINT) END AS n_required
+        |  FROM p)
+        |SELECT campaign, n_a, n_b, conv_a, conv_b,
+        |  ROUND(pa, 6) AS p_a, ROUND(pb, 6) AS p_b,
+        |  ROUND(pa - pb, 6) + 0.0 AS delta, n_required,
+        |  n_a >= n_required AND n_b >= n_required AS powered
+        |FROM q ORDER BY campaign""".stripMargin,
+    // dyadic-weight SES: BIGINT weight sums, one exactly-rounded
+    // division per output value
+    "ev_forecast_ses" ->
+      """WITH daily AS (
+        |  SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10
+        |      AS campaign,
+        |    CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS rev_cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY campaign
+        |    ORDER BY day DESC) AS BIGINT) AS r
+        |  FROM daily),
+        |lastw AS (
+        |  SELECT *, COUNT(*) OVER (PARTITION BY campaign)
+        |    AS n_days_used
+        |  FROM rk WHERE r <= 16),
+        |wt AS (SELECT *,
+        |  n_days_used - r + 1 AS t,
+        |  CASE WHEN n_days_used - r + 1 = 1 THEN CAST(2 AS BIGINT)
+        |    ELSE CAST(1 AS BIGINT)
+        |      << CAST(n_days_used - r AS INT) END AS w
+        |  FROM lastw),
+        |g AS (
+        |  SELECT campaign, MAX(n_days_used) AS n_days_used,
+        |    MAX(day) AS last_day,
+        |    SUM(w * rev_cents) AS scaled,
+        |    MAX(CASE WHEN r = 1 THEN rev_cents END) AS last_cents,
+        |    CAST(1 AS BIGINT) << CAST(MAX(n_days_used) AS INT) AS denom
+        |  FROM wt GROUP BY campaign)
+        |SELECT campaign, n_days_used, last_day,
+        |  ROUND(CAST(last_cents AS DOUBLE) / 100.0, 2) AS last_revenue,
+        |  ROUND(CAST(scaled AS DOUBLE) / CAST(denom AS DOUBLE) / 100.0, 6)
+        |    AS ses_level,
+        |  ROUND(CAST(scaled AS DOUBLE) / CAST(denom AS DOUBLE) / 100.0
+        |    - CAST(last_cents AS DOUBLE) / 100.0, 6) + 0.0 AS residual
+        |FROM g ORDER BY campaign""".stripMargin,
     // identical hash split (single hex char string compare) and
     // chi-square arithmetic, term for term
     "ev_ab_srm_check" ->

@@ -562,6 +562,84 @@ class OperatorsSpec extends SparkSpec {
     sp.unpersist()
   }
 
+  test("ev_cusum_drift: drift non-negative, changepoint inside the " +
+      "campaign's day span, revenue reconciles") {
+    val d = operators.Events.cusumDrift(spark, sfTiny)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assert(d.count() > 0)
+    assert(d.filter(col("drift_stat") < 0.0).count() == 0,
+      "max S' - min S' is a range — never negative")
+    assert(d.filter(col("n_days") < 1).count() == 0)
+    // campaign revenue totals must reconcile with the raw purchases
+    val total = Tables.events(spark, sfTiny)
+      .filter(col("event_type") === "purchase")
+      .agg(sum(col("value").cast("decimal(18,2)"))).first()
+      .getDecimal(0).doubleValue()
+    val got = d.agg(sum(col("total_revenue"))).first().getDouble(0)
+    assert(math.abs(got - total) < 0.01 * d.count(),
+      s"campaign totals $got must sum to the corpus total $total")
+    // the changepoint is an actual active day of its campaign
+    val daily = Tables.events(spark, sfTiny)
+      .filter(col("event_type") === "purchase")
+      .withColumn("campaign",
+        get_json_object(col("props"), "$.k").cast("int") % lit(10))
+      .select(col("campaign"), col("ts").cast("date").as("day"))
+      .distinct()
+    assert(d.join(daily,
+      d("campaign") <=> daily("campaign") &&
+        d("changepoint_day") === daily("day")).count() == d.count())
+    d.unpersist()
+  }
+
+  test("ev_power_analysis: arms partition the exposed users; powered " +
+      "iff both arms clear the required n") {
+    val p = operators.Events.powerAnalysis(spark, sfTiny)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assert(p.count() > 0)
+    assert(p.filter(col("conv_a") > col("n_a") ||
+      col("conv_b") > col("n_b")).count() == 0)
+    val exposed = Tables.events(spark, sfTiny)
+      .withColumn("campaign",
+        get_json_object(col("props"), "$.k").cast("int") % lit(10))
+      .select(col("campaign"), col("user_id")).distinct().count()
+    assert(p.agg(sum(col("n_a") + col("n_b"))).first().getLong(0)
+      == exposed, "every exposed (campaign, user) lands in exactly one arm")
+    assert(p.filter(col("n_required").isNotNull && col("n_required") < 1)
+      .count() == 0)
+    assert(p.filter(col("powered") &&
+      (col("n_a") < col("n_required") || col("n_b") < col("n_required")))
+      .count() == 0)
+    p.unpersist()
+  }
+
+  test("ev_forecast_ses: level is a convex combination of the window " +
+      "days; residual identity holds") {
+    val f = operators.Events.forecastSes(spark, sfTiny)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assert(f.count() > 0)
+    assert(f.filter(col("n_days_used") < 1 || col("n_days_used") > 16)
+      .count() == 0)
+    // dyadic weights sum to exactly 1 → level ∈ [min, max] of the
+    // window's daily revenues; bound loosely by the campaign's global
+    // daily min/max
+    val bounds = Tables.events(spark, sfTiny)
+      .filter(col("event_type") === "purchase")
+      .withColumn("campaign",
+        get_json_object(col("props"), "$.k").cast("int") % lit(10))
+      .groupBy(col("campaign"), col("ts").cast("date").as("day"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double")
+        .as("rev"))
+      .groupBy(col("campaign"))
+      .agg(min(col("rev")).as("lo"), max(col("rev")).as("hi"))
+    assert(f.join(bounds, Seq("campaign"))
+      .filter(col("ses_level") < col("lo") - 0.01 ||
+        col("ses_level") > col("hi") + 0.01).count() == 0)
+    assert(f.filter(
+      abs(col("residual") - (col("ses_level") - col("last_revenue")))
+        > 0.000002).count() == 0)
+    f.unpersist()
+  }
+
   test("quarantine: reasons dense and registry-consistent; clean feed " +
       "flags exactly the outlier rows") {
     val q = operators.Etl.quarantine(spark, sfTiny)
