@@ -377,7 +377,59 @@ object Corpus {
       .orderBy(col("source"), col("lang"))
   }
 
+  /** Token-budget trim — the quality-pruned cut a fixed training budget
+    * forces: each source keeps its highest-quality docs (stopword-hit
+    * count DESC, md5 + doc_id tie-breaks — all integer-exact) until
+    * HALF its token mass is spent; a doc is kept iff its inclusive
+    * prefix-token sum fits the budget, so the cut is a clean prefix of
+    * the quality order. The report is the per-source trim ledger:
+    * docs/tokens before and after, the budget, and the fill ratio.
+    *
+    * Scale shape: the per-source prefix sum runs on the two-pass bucket
+    * plan (`Ranking.bucketedPrefixSum` with a group key) over 256
+    * value-buckets of the combined (−quality, md5-prefix) sort integer —
+    * a dominant source spreads across 256 tasks, never one; totals ride
+    * the same pass and broadcast back. */
+  def tokenBudgetTrim(s: SparkSession, dir: String): DataFrame = {
+    val stop = array(Seq("the", "a", "of", "and", "to", "in").map(lit): _*)
+    val d = Tables.documents(s, dir)
+      .withColumn("toks", tokens(col("text")))
+      .select(col("source"), col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(filter(col("toks"), x => array_contains(stop, x)))
+          .cast("long").as("q_hits"),
+        md5(col("text")).as("h"))
+      // one integer carrying (quality DESC, md5-prefix ASC): monotone
+      // along the trim order, so value buckets stay contiguous per
+      // source even when one quality level dominates
+      .withColumn("sv", -col("q_hits") * lit(16777216L) +
+        conv(substring(col("h"), 1, 6), 16, 10).cast("long"))
+    val bucketed = Ranking.withValueBucket(d, col("sv"), "__bkt", 256)
+    val cum = Ranking.bucketedPrefixSum(bucketed, "__bkt", 256,
+      Seq(col("sv"), col("h"), col("doc_id")), col("n_tokens"),
+      "cum_excl", group = Seq("source"))
+    val totals = d.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("tokens_total"))
+      .withColumn("budget_tokens", expr("tokens_total div 2"))
+    cum.join(broadcast(totals), Seq("source"))
+      .withColumn("keep",
+        col("cum_excl") + col("n_tokens") <= col("budget_tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("keep"), 1)).as("n_kept"),
+        max(col("tokens_total")).as("tokens_total"),
+        max(col("budget_tokens")).as("budget_tokens"),
+        coalesce(sum(when(col("keep"), col("n_tokens"))), lit(0L))
+          .as("tokens_kept"),
+        round(coalesce(sum(when(col("keep"), col("n_tokens"))), lit(0L))
+          .cast("double")
+          / nullif(max(col("budget_tokens")), lit(0L)).cast("double"), 6)
+          .as("fill_ratio"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_token_budget_trim" -> (tokenBudgetTrim _),
     "corpus_batch_drift" -> (batchDrift _),
     "corpus_filter_sweep" -> (filterSweep _),
     "corpus_epoch_plan" -> (epochPlan _),
@@ -390,6 +442,42 @@ object Corpus {
     "corpus_contamination" -> (contamination _))
 
   val oracles: Map[String, String] = Map(
+    // identical integer order (q_hits DESC, md5, doc_id) and integer
+    // prefix sums; HUGEINT window sums cast back to BIGINT for the hash
+    "corpus_token_budget_trim" ->
+      """WITH d AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tokens,
+        |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      x -> list_contains(['the','a','of','and','to','in'], x)))
+        |      AS BIGINT) AS q_hits,
+        |    md5(text) AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT *,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY q_hits DESC, h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum_excl,
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY source) AS BIGINT)
+        |      AS tokens_total,
+        |    COUNT(*) OVER (PARTITION BY source) AS n_docs
+        |  FROM d),
+        |k AS (SELECT *,
+        |  tokens_total // 2 AS budget_tokens,
+        |  cum_excl + n_tokens <= tokens_total // 2 AS keep FROM c)
+        |SELECT source, MAX(n_docs) AS n_docs,
+        |  COUNT(CASE WHEN keep THEN 1 END) AS n_kept,
+        |  MAX(tokens_total) AS tokens_total,
+        |  MAX(budget_tokens) AS budget_tokens,
+        |  CAST(COALESCE(SUM(CASE WHEN keep THEN n_tokens END), 0)
+        |    AS BIGINT) AS tokens_kept,
+        |  ROUND(CAST(COALESCE(SUM(CASE WHEN keep THEN n_tokens END), 0)
+        |      AS DOUBLE)
+        |    / CAST(NULLIF(MAX(budget_tokens), 0) AS DOUBLE), 6)
+        |    AS fill_ratio
+        |FROM k GROUP BY source ORDER BY source""".stripMargin,
     // identical float steps: shares as double ratios, per-cell ln,
     // +0.0 collapses -0.0; null KL where either side is absent
     "corpus_batch_drift" ->

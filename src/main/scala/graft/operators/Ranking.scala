@@ -76,16 +76,19 @@ object Ranking {
     * bucket (parallel across nBuckets tasks). Result column is LONG and
     * excludes the current row (first row of the total order gets 0). */
   def bucketedPrefixSum(df: DataFrame, bkt: String, nBuckets: Int,
-      order: Seq[Column], value: Column, cumName: String): DataFrame = {
-    val sums = df.groupBy(col(bkt))
+      order: Seq[Column], value: Column, cumName: String,
+      group: Seq[String] = Seq.empty): DataFrame = {
+    val gCols = group.map(col)
+    val sums = df.groupBy(gCols :+ col(bkt): _*)
       .agg(sum(value.cast("long")).as("__bs"))
     val off = sums.filter(col(bkt) < lit(nBuckets - 1))
-      .select(explode(sequence(col(bkt) + lit(1), lit(nBuckets - 1)))
-        .as(bkt), col("__bs"))
-      .groupBy(col(bkt)).agg(sum(col("__bs")).as("__off"))
-    val localW = Window.partitionBy(col(bkt)).orderBy(order: _*)
+      .select(gCols :+
+        explode(sequence(col(bkt) + lit(1), lit(nBuckets - 1))).as(bkt) :+
+        col("__bs"): _*)
+      .groupBy(gCols :+ col(bkt): _*).agg(sum(col("__bs")).as("__off"))
+    val localW = Window.partitionBy(gCols :+ col(bkt): _*).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    df.join(broadcast(off), Seq(bkt), "left")
+    df.join(broadcast(off), group :+ bkt, "left")
       .withColumn(cumName, coalesce(col("__off"), lit(0L)) +
         coalesce(sum(value.cast("long")).over(localW), lit(0L)))
       .drop("__off")

@@ -190,7 +190,34 @@ object Sampling {
       .orderBy(col("split"))
   }
 
+  /** Group-aware holdout — the split GroupKFold guards with: every USER
+    * lands wholly in train or holdout (md5 user-hash nibble, 14/16 vs
+    * 2/16), so user-level leakage across the split is zero BY
+    * CONSTRUCTION — the complement of `smp_temporal_split`'s time
+    * boundary. Reports per-split user/event/purchase mass plus exact
+    * decimal revenue so the holdout's composition is auditable.
+    *
+    * One scan: the assignment is a pure projection of user_id, the
+    * stats one combinable aggregate onto the two-row split space. */
+  def groupHoldout(s: SparkSession, dir: String): DataFrame = {
+    val split = when(
+      substring(md5(concat(lit("grp:"), col("user_id").cast("string"))),
+        32, 1).isin("e", "f"), "holdout").otherwise(lit("train"))
+    Tables.events(s, dir)
+      .withColumn("split", split)
+      .groupBy(col("split"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"),
+        count(when(col("event_type") === "purchase", 1))
+          .as("n_purchases"),
+        sum(col("value").cast(
+          org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("total_value"))
+      .orderBy(col("split"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "smp_group_holdout" -> (groupHoldout _),
     "smp_kfold" -> (kfold _),
     "smp_temporal_split" -> (temporalSplit _),
     "smp_hash_split" -> (hashSplit _),
@@ -201,6 +228,21 @@ object Sampling {
     "smp_interleave" -> (interleave _))
 
   val oracles: Map[String, String] = Map(
+    // identical md5 nibble assignment; BIGINT casts on the count sums
+    "smp_group_holdout" ->
+      """WITH a AS (
+        |  SELECT *, CASE WHEN substr(md5('grp:'
+        |      || CAST(user_id AS VARCHAR)), 32, 1) IN ('e', 'f')
+        |    THEN 'holdout' ELSE 'train' END AS split
+        |  FROM events)
+        |SELECT split,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  COUNT(*) AS n_events,
+        |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+        |    AS n_purchases,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_value
+        |FROM a GROUP BY split ORDER BY split""".stripMargin,
     // integer-µs cutoff arithmetic identical term for term; the leaked
     // count is the users seen on both sides of the boundary
     "smp_temporal_split" ->
