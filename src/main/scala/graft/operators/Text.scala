@@ -622,7 +622,69 @@ object Text {
       .orderBy(col("k"))
   }
 
+  /** Readability scoring — the grade-level gate a kid-safe / plain-
+    * language corpus filter thresholds on: Flesch-Kincaid grade and
+    * Flesch reading-ease from exact integer counts (whitespace words,
+    * [.!?]+ terminator runs as sentences, vowel-group runs as the
+    * standard syllable approximation). The two formulas are the only
+    * float steps — identical literal chains in both engines; empty or
+    * sentence-less docs yield NULL scores, not a divide-by-zero.
+    * Pure codegen projection: no shuffle at any corpus size. */
+  def readability(s: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    // collapse each vowel run to one '~', count the survivors: exact
+    // integer syllable proxy, same regex semantics in Java and RE2
+    val collapsed = regexp_replace(lower(t), "[aeiouy]+", "~")
+    val nSyll = (length(collapsed)
+      - length(regexp_replace(collapsed, "~", ""))).cast("long")
+    val nWords = size(tokens(t)).cast("long")
+    val nSent = size(regexp_extract_all(t, lit("[\\.!\\?]+"), lit(0)))
+      .cast("long")
+    val wps = nWords.cast("double") /
+      nullif(nSent, lit(0L)).cast("double")
+    val spw = nSyll.cast("double") /
+      nullif(nWords, lit(0L)).cast("double")
+    Tables.documents(s, dir).select(col("doc_id"),
+      nWords.as("n_words"), nSent.as("n_sentences"),
+      nSyll.as("n_syllables"),
+      (round(lit(0.39) * wps + lit(11.8) * spw - lit(15.59), 6)
+        + lit(0.0)).as("fk_grade"),
+      (round(lit(206.835) - lit(1.015) * wps - lit(84.6) * spw, 6)
+        + lit(0.0)).as("flesch_ease"))
+  }
+
+  /** Code-vs-prose gate — the router that keeps source files out of a
+    * prose corpus (or routes them INTO a code corpus): exact counts of
+    * code-shaped characters (braces/brackets, semicolons), indented
+    * lines ((?m)-anchored, same RE2/Java semantics) and total lines,
+    * with an integer-exact verdict — code iff braces+semicolons clear
+    * 1-per-50-chars or ≥¼ of lines are indented. No float thresholds
+    * anywhere; one codegen projection, no shuffle. */
+  def codeDetect(s: SparkSession, dir: String): DataFrame =
+    codeDetectOf(Tables.documents(s, dir))
+
+  /** The synthetic corpus is all prose — the spec injects a code doc
+    * through this seam to prove both verdicts fire. */
+  private[graft] def codeDetectOf(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    val nBraces = size(regexp_extract_all(t,
+      lit("[\\{\\}\\[\\]\\(\\)]"), lit(0))).cast("long")
+    val nSemis = size(regexp_extract_all(t, lit("[;=]"), lit(0)))
+      .cast("long")
+    val nIndent = size(regexp_extract_all(t,
+      lit("(?m)^(  |\\t)"), lit(0))).cast("long")
+    val nLines = (size(regexp_extract_all(t, lit("\n"), lit(0)))
+      + lit(1)).cast("long")
+    docs.select(col("doc_id"),
+      nBraces.as("n_braces"), nSemis.as("n_semis"),
+      nIndent.as("n_indent_lines"), nLines.as("n_lines"),
+      ((nBraces + nSemis) * lit(50L) >= length(t).cast("long") ||
+        nIndent * lit(4L) >= nLines).as("is_code"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt_readability" -> (readability _),
+    "txt_code_detect" -> (codeDetect _),
     "txt_vocab_coverage" -> (vocabCoverage _),
     "txt_novelty" -> (novelty _),
     "txt_entropy" -> (entropy _),
@@ -647,6 +709,46 @@ object Text {
     "txt_tfidf_topk" -> (tfidfTopk _))
 
   val oracles: Map[String, String] = Map(
+    // identical integer counts; the FK/ease formulas are the only float
+    // steps and share literal-for-literal operand order
+    "txt_readability" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      AS n_words,
+        |    CAST(len(regexp_extract_all(text, '[\.!\?]+')) AS BIGINT)
+        |      AS n_sentences,
+        |    CAST(length(regexp_replace(lower(text), '[aeiouy]+', '~', 'g'))
+        |      - length(replace(regexp_replace(lower(text), '[aeiouy]+',
+        |          '~', 'g'), '~', '')) AS BIGINT) AS n_syllables
+        |  FROM documents),
+        |r AS (SELECT *,
+        |  CAST(n_words AS DOUBLE)
+        |    / CAST(NULLIF(n_sentences, 0) AS DOUBLE) AS wps,
+        |  CAST(n_syllables AS DOUBLE)
+        |    / CAST(NULLIF(n_words, 0) AS DOUBLE) AS spw
+        |  FROM c)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  ROUND(0.39 * wps + 11.8 * spw - 15.59, 6) + 0.0 AS fk_grade,
+        |  ROUND(206.835 - 1.015 * wps - 84.6 * spw, 6) + 0.0
+        |    AS flesch_ease
+        |FROM r""".stripMargin,
+    // pure integer counts and integer-threshold verdict
+    "txt_code_detect" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[\{\}\[\]\(\)]')) AS BIGINT)
+        |    AS n_braces,
+        |  CAST(len(regexp_extract_all(text, '[;=]')) AS BIGINT) AS n_semis,
+        |  CAST(len(regexp_extract_all(text, '(?m)^(  |\t)')) AS BIGINT)
+        |    AS n_indent_lines,
+        |  CAST(len(regexp_extract_all(text, chr(10))) + 1 AS BIGINT)
+        |    AS n_lines,
+        |  (len(regexp_extract_all(text, '[\{\}\[\]\(\)]'))
+        |      + len(regexp_extract_all(text, '[;=]'))) * 50
+        |    >= length(text)
+        |  OR len(regexp_extract_all(text, '(?m)^(  |\t)')) * 4
+        |    >= len(regexp_extract_all(text, chr(10))) + 1 AS is_code
+        |FROM documents""".stripMargin,
     "txt_vocab_coverage" ->
       """WITH c AS (
         |  SELECT tok, COUNT(*) AS n FROM (
