@@ -597,7 +597,85 @@ object Similarity {
         sum(when(d("doc_id").isNull, 1L).otherwise(0L)).as("n_vec_only"))
   }
 
+  /** Matryoshka truncation audit — the "can we ship half the dims"
+    * report an embedding-storage owner reads before truncating: cosine
+    * between each vector and its dim-prefix is prefix_norm/full_norm
+    * (the cross terms vanish), so the audit needs NO pairwise work —
+    * one projection, then per-label means. Retention is quantized to
+    * DECIMAL(18,9) per row before summing, so the aggregate is exact
+    * under any accumulation order; the final /count is one IEEE step.
+    * Reports d/2 and d/4 retention per label. */
+  def matryoshkaAudit(s: SparkSession, dir: String): DataFrame = {
+    def dec9(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      round(c, 9).cast(org.apache.spark.sql.types.DecimalType(18, 9))
+    val base = Tables.embeddings(s, dir)
+      .select(col("label"), asDouble(col("embedding")).as("vd"))
+      .withColumn("nrm", sqrt(dotD(col("vd"), col("vd"))))
+      .withColumn("h2",
+        slice(col("vd"), lit(1), (size(col("vd")) / lit(2)).cast("int")))
+      .withColumn("h4",
+        slice(col("vd"), lit(1), (size(col("vd")) / lit(4)).cast("int")))
+      .withColumn("ret_half", dec9(sqrt(dotD(col("h2"), col("h2")))
+        / nullif(col("nrm"), lit(0.0))))
+      .withColumn("ret_quarter", dec9(sqrt(dotD(col("h4"), col("h4")))
+        / nullif(col("nrm"), lit(0.0))))
+    base.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("ret_half")).cast("double")
+          / count(col("ret_half")).cast("double"), 6)
+          .as("avg_ret_half"),
+        round(sum(col("ret_quarter")).cast("double")
+          / count(col("ret_quarter")).cast("double"), 6)
+          .as("avg_ret_quarter"),
+        min(col("ret_half")).cast("double").as("min_ret_half"))
+      .orderBy(col("label"))
+  }
+
+  /** k-NN graph over the landed k-means cells — the neighborhood
+    * structure SemDeDup-style curation and graph clustering start
+    * from: each vector's top-5 cosine neighbors WITHIN its cluster
+    * (cluster-local candidates — never all-pairs), deterministic ties
+    * (rounded cosine DESC, neighbor id ASC). Rides `emb_kmeans`'s
+    * landed centroid table, so DuckDB re-derives assignment, candidate
+    * set and ranking from the same artifact. The per-vector rank
+    * window partitions on vec_id — cluster-sized lists spread across
+    * every vector, no global sort anywhere. */
+  def knnGraph(s: SparkSession, dir: String): DataFrame = {
+    kmeans(s, dir) // runs Lloyd's + lands the centroid table
+    val cents = s.read.parquet(kmeansCentDir(dir))
+      .withColumn("nc2", dotD(col("cv"), col("cv")))
+    val assigned = Tables.embeddings(s, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("vd"))
+      .withColumn("nx2", dotD(col("vd"), col("vd")))
+      .crossJoin(broadcast(cents))
+      .withColumn("dist",
+        (col("nx2") + col("nc2")) - lit(2.0) * dotD(col("vd"), col("cv")))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("cluster"), struct(col("dist"), col("cluster")))
+          .as("cluster"),
+        first(col("vd")).as("vd"))
+      .withColumn("nrm", sqrt(dotD(col("vd"), col("vd"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = assigned.select(col("cluster"), col("vec_id"),
+      col("vd").as("vd_a"), col("nrm").as("nrm_a"))
+    val b = assigned.select(col("cluster"), col("vec_id").as("nbr_id"),
+      col("vd").as("vd_b"), col("nrm").as("nrm_b"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cosine").desc, col("nbr_id"))
+    a.join(b, Seq("cluster")).filter(col("vec_id") =!= col("nbr_id"))
+      .withColumn("cosine",
+        round(cosineWithNorms(col("vd_a"), col("vd_b"),
+          col("nrm_a"), col("nrm_b")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("vec_id"), col("rank"), col("nbr_id"),
+        col("cluster"), col("cosine"))
+      .orderBy(col("vec_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_matryoshka_audit" -> (matryoshkaAudit _),
+    "emb_knn_graph" -> (knnGraph _),
     "ann_recall_eval" -> (recallEval _),
     "emb_doc_coverage" -> (docCoverage _),
     "emb_covariance" -> (covariance _),
@@ -613,6 +691,63 @@ object Similarity {
     "emb_centroid_audit" -> (centroidAudit _))
 
   val oracles: Map[String, String] = Map(
+    // prefix-norm / full-norm identity; DECIMAL(18,9) quantized terms
+    // sum exactly, one IEEE division + round at the end
+    "emb_matryoshka_audit" ->
+      """WITH e AS (
+        |  SELECT label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+        |  FROM embeddings),
+        |r AS (
+        |  SELECT label,
+        |    CAST(ROUND(sqrt(list_dot_product(
+        |        vd[1:CAST(len(vd) // 2 AS INT)],
+        |        vd[1:CAST(len(vd) // 2 AS INT)]))
+        |      / NULLIF(sqrt(list_dot_product(vd, vd)), 0.0), 9)
+        |      AS DECIMAL(18,9)) AS ret_half,
+        |    CAST(ROUND(sqrt(list_dot_product(
+        |        vd[1:CAST(len(vd) // 4 AS INT)],
+        |        vd[1:CAST(len(vd) // 4 AS INT)]))
+        |      / NULLIF(sqrt(list_dot_product(vd, vd)), 0.0), 9)
+        |      AS DECIMAL(18,9)) AS ret_quarter
+        |  FROM e)
+        |SELECT label, COUNT(*) AS n_vecs,
+        |  ROUND(CAST(SUM(ret_half) AS DOUBLE)
+        |    / CAST(COUNT(ret_half) AS DOUBLE), 6) AS avg_ret_half,
+        |  ROUND(CAST(SUM(ret_quarter) AS DOUBLE)
+        |    / CAST(COUNT(ret_quarter) AS DOUBLE), 6) AS avg_ret_quarter,
+        |  CAST(MIN(ret_half) AS DOUBLE) AS min_ret_half
+        |FROM r GROUP BY label ORDER BY label""".stripMargin,
+    // assignment, candidates and ranking re-derived from the landed
+    // centroid table; ties broken on (rounded cosine DESC, nbr id)
+    "emb_knn_graph" ->
+      s"""WITH c AS (SELECT cluster, cv
+        |  FROM '${kmeansCentDir("__SFDIR__")}/*.parquet'),
+        |e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+        |  FROM embeddings),
+        |a AS (
+        |  SELECT vec_id, cluster, vd FROM (
+        |    SELECT e.vec_id, c.cluster, e.vd,
+        |      (list_dot_product(vd, vd) + list_dot_product(cv, cv))
+        |        - 2.0 * list_dot_product(vd, cv) AS dist
+        |    FROM e, c)
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY dist, cluster) = 1),
+        |p AS (
+        |  SELECT x.vec_id, y.vec_id AS nbr_id, x.cluster,
+        |    ROUND(list_dot_product(x.vd, y.vd)
+        |      / NULLIF(sqrt(list_dot_product(x.vd, x.vd))
+        |          * sqrt(list_dot_product(y.vd, y.vd)), 0.0), 6)
+        |      AS cosine
+        |  FROM a x JOIN a y ON x.cluster = y.cluster
+        |    AND x.vec_id <> y.vec_id),
+        |k AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY cosine DESC, nbr_id) AS BIGINT) AS rank
+        |  FROM p)
+        |SELECT vec_id, rank, nbr_id, cluster, cosine
+        |FROM k WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin,
     "emb_doc_coverage" ->
       """SELECT
         |  CAST(SUM(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END)

@@ -717,6 +717,42 @@ class OperatorsSpec extends SparkSpec {
       .getAs[Boolean]("is_code"))
   }
 
+  test("emb_matryoshka_audit: retention in (0,1], quarter never beats " +
+      "half, label rows cover the corpus") {
+    val m = operators.Similarity.matryoshkaAudit(spark, sfTiny)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assert(m.count() > 0)
+    assert(m.agg(sum(col("n_vecs"))).first().getLong(0)
+      == Tables.embeddings(spark, sfTiny).count())
+    assert(m.filter(col("avg_ret_half") <= 0.0 ||
+      col("avg_ret_half") > 1.0 + 1e-9).count() == 0)
+    assert(m.filter(col("avg_ret_quarter") > col("avg_ret_half"))
+      .count() == 0, "a shorter prefix can never retain more mass")
+    assert(m.filter(col("min_ret_half") > col("avg_ret_half"))
+      .count() == 0)
+    m.unpersist()
+  }
+
+  test("emb_knn_graph: dense ranks, no self edges, neighbors " +
+      "cluster-local") {
+    val g = operators.Similarity.knnGraph(spark, sfTiny)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assert(g.count() > 0)
+    assert(g.filter(col("vec_id") === col("nbr_id")).count() == 0)
+    assert(g.filter(col("rank") < 1 || col("rank") > 5).count() == 0)
+    // ranks are dense per vector: max rank == row count per vector
+    val perVec = g.groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n"), max(col("rank")).as("mx"))
+    assert(perVec.filter(col("n") =!= col("mx")).count() == 0)
+    // cluster-locality: a neighbor that itself appears as a source
+    // must carry the same cluster id
+    val src = g.select(col("vec_id").as("nbr_id"),
+      col("cluster").as("nbr_cluster")).distinct()
+    assert(g.join(src, Seq("nbr_id"))
+      .filter(col("cluster") =!= col("nbr_cluster")).count() == 0)
+    g.unpersist()
+  }
+
   test("quarantine: reasons dense and registry-consistent; clean feed " +
       "flags exactly the outlier rows") {
     val q = operators.Etl.quarantine(spark, sfTiny)

@@ -77,7 +77,13 @@ class PlanAudit extends SparkSpec {
       "dedup_semantic",
       // smp_temporal_split cross-joins the one-row bounds and leak
       // aggregates (the partition_audit shape)
-      "smp_temporal_split")
+      "smp_temporal_split",
+      // corpus_token_budget_trim rides withValueBucket's one-row
+      // percentile-bounds broadcast (the ccnet/vocab_coverage shape)
+      "corpus_token_budget_trim",
+      // emb_knn_graph assigns the corpus against the broadcast fixed-k
+      // centroid table — dedup_semantic's O(n·k) ivf shape
+      "emb_knn_graph")
     // the only inputs a partition-less window may sort in one task:
     // calendar-bounded pre-aggregates (≤ hours/days rows at ANY corpus
     // size), verified below to actually sit on an Aggregate
