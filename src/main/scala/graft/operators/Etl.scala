@@ -586,7 +586,82 @@ object Etl {
       .orderBy(col("event_date"))
   }
 
+  /** Late-arrival audit — the batch measurement a streaming watermark
+    * is tuned from: `event_id` is the feed's arrival sequence, so an
+    * event of day d is LATE iff some later-day event arrived before it
+    * (its id exceeds the minimum arrival id among days > d). Per day:
+    * volume, the late count, the late fraction and the crossing
+    * threshold — read before picking `withWatermark`'s delay.
+    *
+    * Scale shape: per-day min/max ids are one combinable aggregate; the
+    * later-day running min is a window over the BOUNDED day table; the
+    * late count is one broadcast equi-join of that day table back onto
+    * the feed. No data-sized window anywhere. */
+  def lateArrivals(s: SparkSession, dir: String): DataFrame =
+    lateArrivalsOf(Tables.events(s, dir))
+
+  /** The synthetic feed arrives perfectly ordered (0 lates) — the spec
+    * injects an out-of-order feed through this seam to prove the
+    * detector fires. */
+  private[graft] def lateArrivalsOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = events
+      .select(col("event_id"), col("ts").cast("date").as("day"))
+    val days = ev.groupBy(col("day"))
+      .agg(count(lit(1)).as("n_events"), min(col("event_id")).as("min_id"))
+    val wLater = Window.orderBy(col("day"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val thresholds = days
+      .withColumn("later_min_id", min(col("min_id")).over(wLater))
+    ev.join(broadcast(thresholds), Seq("day"))
+      .groupBy(col("day"))
+      .agg(max(col("n_events")).as("n_events"),
+        count(when(col("event_id") > col("later_min_id"), 1))
+          .as("n_late"),
+        max(col("later_min_id")).as("watermark_id"))
+      .withColumn("late_fraction",
+        round(col("n_late").cast("double")
+          / col("n_events").cast("double"), 6))
+      .orderBy(col("day"))
+  }
+
+  /** Snapshot diff — the day-over-day dimension reconciliation a
+    * warehouse runs after each load: yesterday's customer snapshot
+    * (derived deterministically here: every 17th key's balance shifted,
+    * every 23rd key absent; today additionally drops every 29th key, so
+    * all four verdicts occur) full-outer-joined to today's on the
+    * business key, each row classed added / removed / changed /
+    * unchanged, rolled up to the audit counts with min/max affected
+    * keys. One keyed join at any dimension size; balances compared as
+    * exact decimals. */
+  def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val today = Tables.customer(s, dir)
+      .filter(pmod(col("c_custkey"), lit(29)) =!= 7)
+      .select(col("c_custkey"), col("c_acctbal").cast(DecimalType(18, 2))
+        .as("bal_new"))
+    val yesterday = Tables.customer(s, dir)
+      .filter(pmod(col("c_custkey"), lit(23)) =!= 5)
+      .select(col("c_custkey"),
+        when(pmod(col("c_custkey"), lit(17)) === 3,
+          col("c_acctbal").cast(DecimalType(18, 2)) + lit(10))
+          .otherwise(col("c_acctbal").cast(DecimalType(18, 2)))
+          .as("bal_old"))
+    today.join(yesterday, Seq("c_custkey"), "full_outer")
+      .withColumn("change_type",
+        when(col("bal_old").isNull, "added")
+          .when(col("bal_new").isNull, "removed")
+          .when(col("bal_new") =!= col("bal_old"), "changed")
+          .otherwise(lit("unchanged")))
+      .groupBy(col("change_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("c_custkey")).as("min_key"),
+        max(col("c_custkey")).as("max_key"))
+      .orderBy(col("change_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_late_arrivals" -> (lateArrivals _),
+    "etl_snapshot_diff" -> (snapshotDiff _),
     "etl_fk_audit" -> (fkAudit _),
     "etl_freshness" -> (freshness _),
     "etl_dq_profile" -> (dqProfile _),
@@ -608,6 +683,52 @@ object Etl {
     "etl_incremental" -> (incremental _))
 
   val oracles: Map[String, String] = Map(
+    // arrival sequence = event_id; the later-day running min rides the
+    // bounded day table in both engines
+    "etl_late_arrivals" ->
+      """WITH ev AS (
+        |  SELECT event_id, CAST(ts AS DATE) AS day FROM events),
+        |d AS (
+        |  SELECT day, COUNT(*) AS n_events, MIN(event_id) AS min_id
+        |  FROM ev GROUP BY day),
+        |t AS (
+        |  SELECT day, n_events,
+        |    MIN(min_id) OVER (ORDER BY day
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+        |      AS later_min_id
+        |  FROM d)
+        |SELECT ev.day, MAX(t.n_events) AS n_events,
+        |  COUNT(CASE WHEN ev.event_id > t.later_min_id THEN 1 END)
+        |    AS n_late,
+        |  MAX(t.later_min_id) AS watermark_id,
+        |  ROUND(CAST(COUNT(CASE WHEN ev.event_id > t.later_min_id
+        |        THEN 1 END) AS DOUBLE)
+        |    / CAST(MAX(t.n_events) AS DOUBLE), 6) AS late_fraction
+        |FROM ev JOIN t USING (day)
+        |GROUP BY ev.day ORDER BY ev.day""".stripMargin,
+    // identical deterministic yesterday/today derivations; exact
+    // decimal balance compare
+    "etl_snapshot_diff" ->
+      """WITH today AS (
+        |  SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal_new
+        |  FROM customer WHERE c_custkey % 29 <> 7),
+        |y AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 17 = 3
+        |      THEN CAST(c_acctbal AS DECIMAL(18,2)) + 10
+        |      ELSE CAST(c_acctbal AS DECIMAL(18,2)) END AS bal_old
+        |  FROM customer WHERE c_custkey % 23 <> 5),
+        |j AS (
+        |  SELECT COALESCE(t.c_custkey, y.c_custkey) AS c_custkey,
+        |    bal_new, bal_old
+        |  FROM today t FULL OUTER JOIN y ON t.c_custkey = y.c_custkey)
+        |SELECT CASE WHEN bal_old IS NULL THEN 'added'
+        |    WHEN bal_new IS NULL THEN 'removed'
+        |    WHEN bal_new <> bal_old THEN 'changed'
+        |    ELSE 'unchanged' END AS change_type,
+        |  COUNT(*) AS n_rows, MIN(c_custkey) AS min_key,
+        |  MAX(c_custkey) AS max_key
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     // per edge: NOT EXISTS decorrelates to the same anti-join; null FKs
     // counted separately, never as orphans
     "etl_fk_audit" ->

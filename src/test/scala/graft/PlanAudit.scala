@@ -89,8 +89,11 @@ class PlanAudit extends SparkSpec {
     // size), verified below to actually sit on an Aggregate
     // txt_zipf_fit's rank window sits on a LIMIT 100 over the type-count
     // aggregate — bounded by construction at any corpus size
+    // etl_late_arrivals' later-day running min rides the per-day
+    // aggregate — calendar-bounded at any feed size
     val globalWindowBounded =
-      Set("ev_hourly_anomaly", "ev_rolling_revenue", "txt_zipf_fit")
+      Set("ev_hourly_anomaly", "ev_rolling_revenue", "txt_zipf_fit",
+        "etl_late_arrivals")
     val violations = scala.collection.mutable.ListBuffer.empty[String]
     println("=====AUDIT START=====")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
