@@ -22,6 +22,12 @@ case class Ev(user_id: Long, event_id: Long, ts_us: Long,
 case class SessionRow(user_id: Long, session_start_us: Long,
     session_end_us: Long, n_events: Long, sum_value: Double)
 case class SessState(pending: List[Ev])
+case class FunnelEv(user_id: Long, event_id: Long, ts_us: Long,
+    event_type: String, ts: java.sql.Timestamp)
+case class FunnelSnap(user_id: Long, rev: Long, t_view_us: Option[Long],
+    t_click_us: Option[Long], t_purchase_us: Option[Long])
+case class FunnelState(rev: Long, tView: Option[Long],
+    tClick: Option[Long], tPurchase: Option[Long], recent: List[FunnelEv])
 
 object Streams {
 
@@ -356,7 +362,79 @@ object Streams {
       .orderBy(col("user_id"))
   }
 
+  /** Streaming funnel — the live form of Events.funnel: per user, the
+    * earliest view → first later click → first later purchase,
+    * maintained incrementally. State is BOUNDED: the funnel tuple plus
+    * only the events inside the watermark horizon — any event that
+    * could still revise a stage (a view lowering t_view re-admits only
+    * clicks NEWER than the new t_view, which is itself in-horizon) is
+    * by construction still retained, so pruning loses nothing the
+    * watermark hasn't already forbidden. Each revision emits a
+    * rev-tagged snapshot (append mode); the read takes the max-rev
+    * snapshot per user, so the converged output equals the batch
+    * funnel REGARDLESS of how the feed was batched — which is why the
+    * batch oracle applies verbatim. */
+  def funnel(s: SparkSession, dir: String): DataFrame =
+    funnelPipeline(s, eventStream(s, dir), "graft_stream_funnel")
+
+  private[graft] def funnelPipeline(s: SparkSession,
+      stream: DataFrame, queryName: String): DataFrame = {
+    import s.implicits._
+    val horizonUs = 1800L * 1000000L
+
+    def minOver(ts: List[Long], extra: Option[Long],
+        gt: Option[Long]): Option[Long] = gt.flatMap { lo =>
+      val el = (ts ++ extra).filter(_ > lo)
+      if (el.isEmpty) None else Some(el.min)
+    }
+
+    val fn: (Long, Iterator[FunnelEv], GroupState[FunnelState]) =>
+        Iterator[FunnelSnap] = (user, evs, state) => {
+      val st = state.getOption
+        .getOrElse(FunnelState(0L, None, None, None, Nil))
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      val merged = st.recent ++ evs.toList
+      val views = merged.collect {
+        case e if e.event_type == "view" => e.ts_us } ++ st.tView
+      val v = if (views.isEmpty) None else Some(views.min)
+      val c = minOver(merged.collect {
+        case e if e.event_type == "click" => e.ts_us }, st.tClick, v)
+      val p = minOver(merged.collect {
+        case e if e.event_type == "purchase" => e.ts_us }, st.tPurchase, c)
+      val changed = (v, c, p) != ((st.tView, st.tClick, st.tPurchase))
+      val rev = if (changed) st.rev + 1L else st.rev
+      state.update(FunnelState(rev, v, c, p,
+        merged.filter(_.ts_us >= wmUs - horizonUs)))
+      if (changed && v.isDefined) Iterator(FunnelSnap(user, rev, v, c, p))
+      else Iterator.empty
+    }
+
+    val out = stream
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"), col("ts"))
+      .withWatermark("ts", "30 minutes")
+      .as[FunnelEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+    val q = out.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName(queryName)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(queryName)
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("rev"), col("t_view_us"), col("t_click_us"),
+        col("t_purchase_us"))).as("m"))
+      .select(col("user_id"),
+        timestamp_micros(col("m.t_view_us")).as("t_view"),
+        timestamp_micros(col("m.t_click_us")).as("t_click"),
+        timestamp_micros(col("m.t_purchase_us")).as("t_purchase"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_funnel" -> (funnel _),
     "stream_cdc_merge" -> (cdcMerge _),
     "stream_topk_heavy_hitters" -> (topkHeavyHitters _),
     "stream_quarantine" -> (quarantine _),
@@ -372,6 +450,9 @@ object Streams {
     * applies verbatim. stream_sessionize is rows-only (trailing open
     * sessions stay in state — spec-checked against the batch form). */
   val oracles: Map[String, String] = Map(
+    // max-rev snapshot per user converges to the batch funnel under
+    // any batching, so the batch oracle applies verbatim
+    "stream_funnel" -> graft.operators.Events.oracles("ev_funnel"),
     // associative argmax state: one pass converges to the batch merge
     "stream_cdc_merge" -> graft.operators.Etl.oracles("etl_cdc_merge"),
     // complete-mode snapshot after one pass == the batch leaderboard

@@ -75,6 +75,46 @@ class StreamingSpec extends SparkSpec {
     ts.getTime / 1000L * 1000000L + (ts.getNanos / 1000L) % 1000000L
   }
 
+  test("multi-batch stream funnel converges to the batch funnel") {
+    // same 4-file time-ordered replay as the sessionize regression: the
+    // max-rev snapshot per user must equal the batch funnel even when
+    // stage events arrive across different triggers
+    val splitDir = java.nio.file.Files
+      .createTempDirectory("graft_funnel_mb").toString
+    val ev = Tables.events(spark, sfTiny).orderBy("ts")
+    val n = ev.count()
+    val rows = ev.collect()
+    rows.grouped((n / 4 + 1).toInt).zipWithIndex.foreach { case (chunk, i) =>
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(chunk.toList.map(r =>
+          org.apache.spark.sql.Row(r.getLong(0), unixMicros(r, 1),
+            r.getLong(2), r.getString(3), r.getDouble(4), r.getString(5)))),
+        org.apache.spark.sql.types.StructType(Seq(
+          f("event_id"), fl("ts"), f("user_id"), fs("event_type"),
+          fd("value"), fs("props"))))
+        .coalesce(1).write.parquet(s"$splitDir/batch_$i")
+      val t = java.nio.file.attribute.FileTime
+        .fromMillis(1700000000000L + i * 60000L)
+      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$splitDir/batch_$i"))
+        .forEach(p => java.nio.file.Files.setLastModifiedTime(p, t))
+    }
+    val stream = spark.readStream
+      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, " +
+        "value DOUBLE, props STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$splitDir/batch_*")
+      .withColumn("ts", expr("timestamp_micros(ts)"))
+    val streamed = streaming.Streams
+      .funnelPipeline(spark, stream, "graft_multibatch_funnel")
+      .collect().map(_.toSeq).toSet
+    val batch = operators.Events.funnel(spark, sfTiny)
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch,
+      s"multi-batch snapshot diverged: ${(streamed -- batch).take(3)} / " +
+        s"missing ${(batch -- streamed).take(3)}")
+  }
+
   test("stream quarantine equals the batch quarantine row for row") {
     val st = streaming.Streams.quarantine(spark, sfTiny)
       .collect().map(_.toSeq).toSet
