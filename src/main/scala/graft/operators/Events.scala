@@ -985,7 +985,56 @@ object Events {
       .orderBy(col("campaign"))
   }
 
+  /** Event-type co-occurrence lift — the association matrix behind
+    * "users who X also Y" targeting: for every unordered type pair,
+    * lift = P(both)/(P(a)·P(b)) over users, with the exact user counts
+    * that produced it. The per-user type-set is one combinable
+    * aggregate (5 indicator maxes — the taxonomy is closed); a second
+    * one-row aggregate computes all 16 scalars in one pass and the
+    * 10-row pair grid explodes from it. Lift shares the exact operand
+    * order cross-engine, so the matrix hashes. */
+  def cooccurrenceLift(s: SparkSession, dir: String): DataFrame =
+    cooccurrenceLiftOf(Tables.events(s, dir))
+
+  /** Every synthetic user touches every type (all lifts exactly 1) —
+    * the spec injects a skewed feed through this seam to prove the
+    * lift actually discriminates. */
+  private[graft] def cooccurrenceLiftOf(events: DataFrame): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val pairs = for { a <- types; b <- types if a < b } yield (a, b)
+    val hasCols = types.map(t =>
+      max(when(col("event_type") === t, 1L).otherwise(0L)).as(s"has_$t"))
+    val perUser = events
+      .groupBy(col("user_id"))
+      .agg(hasCols.head, hasCols.tail: _*)
+    // ONE pass over the per-user table computes all 16 scalars; the
+    // 10-row pair grid then explodes out of that single row
+    val totals = perUser.agg(
+      count(lit(1)).as("n_users"),
+      types.map(t => sum(col(s"has_$t")).as(s"n_$t")) ++
+        pairs.map { case (a, b) =>
+          sum(col(s"has_$a") * col(s"has_$b")).as(s"nb_${a}_$b")
+        }: _*)
+    val grid = totals.select(col("n_users"),
+      explode(array(pairs.map { case (a, b) =>
+        struct(lit(a).as("type_a"), lit(b).as("type_b"),
+          col(s"n_$a").as("n_a"), col(s"n_$b").as("n_b"),
+          col(s"nb_${a}_$b").as("n_both"))
+      }: _*)).as("p"))
+    grid.select(col("p.type_a").as("type_a"), col("p.type_b").as("type_b"),
+        col("p.n_a").as("n_a"), col("p.n_b").as("n_b"),
+        col("p.n_both").as("n_both"),
+        round(col("p.n_both").cast("double") * col("n_users").cast("double")
+          / nullif(col("p.n_a") * col("p.n_b"), lit(0L)).cast("double"), 6)
+          .as("lift"),
+        round(col("p.n_both").cast("double")
+          / nullif(col("p.n_a"), lit(0L)).cast("double"), 6)
+          .as("p_b_given_a"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_cooccurrence_lift" -> (cooccurrenceLift _),
     "ev_cusum_drift" -> (cusumDrift _),
     "ev_power_analysis" -> (powerAnalysis _),
     "ev_forecast_ses" -> (forecastSes _),
@@ -1021,6 +1070,66 @@ object Events {
     "ev_rfm_segments" -> (rfmSegments _))
 
   val oracles: Map[String, String] = Map(
+    // per-user indicator grid → one-row scalar pass → 10-pair grid;
+    // identical float chain for lift and the conditional rate
+    "ev_cooccurrence_lift" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS has_click,
+        |    MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |      AS has_error,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS has_purchase,
+        |    MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+        |      AS has_signup,
+        |    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS has_view
+        |  FROM events GROUP BY user_id),
+        |t AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+        |    CAST(SUM(has_click) AS BIGINT) AS n_click,
+        |    CAST(SUM(has_error) AS BIGINT) AS n_error,
+        |    CAST(SUM(has_purchase) AS BIGINT) AS n_purchase,
+        |    CAST(SUM(has_signup) AS BIGINT) AS n_signup,
+        |    CAST(SUM(has_view) AS BIGINT) AS n_view,
+        |    CAST(SUM(has_click * has_error) AS BIGINT) AS nb_click_error,
+        |    CAST(SUM(has_click * has_purchase) AS BIGINT)
+        |      AS nb_click_purchase,
+        |    CAST(SUM(has_click * has_signup) AS BIGINT)
+        |      AS nb_click_signup,
+        |    CAST(SUM(has_click * has_view) AS BIGINT) AS nb_click_view,
+        |    CAST(SUM(has_error * has_purchase) AS BIGINT)
+        |      AS nb_error_purchase,
+        |    CAST(SUM(has_error * has_signup) AS BIGINT)
+        |      AS nb_error_signup,
+        |    CAST(SUM(has_error * has_view) AS BIGINT) AS nb_error_view,
+        |    CAST(SUM(has_purchase * has_signup) AS BIGINT)
+        |      AS nb_purchase_signup,
+        |    CAST(SUM(has_purchase * has_view) AS BIGINT)
+        |      AS nb_purchase_view,
+        |    CAST(SUM(has_signup * has_view) AS BIGINT) AS nb_signup_view
+        |  FROM u),
+        |g AS (
+        |  SELECT n_users, p.* FROM t, LATERAL (VALUES
+        |    ('click', 'error', n_click, n_error, nb_click_error),
+        |    ('click', 'purchase', n_click, n_purchase, nb_click_purchase),
+        |    ('click', 'signup', n_click, n_signup, nb_click_signup),
+        |    ('click', 'view', n_click, n_view, nb_click_view),
+        |    ('error', 'purchase', n_error, n_purchase, nb_error_purchase),
+        |    ('error', 'signup', n_error, n_signup, nb_error_signup),
+        |    ('error', 'view', n_error, n_view, nb_error_view),
+        |    ('purchase', 'signup', n_purchase, n_signup,
+        |      nb_purchase_signup),
+        |    ('purchase', 'view', n_purchase, n_view, nb_purchase_view),
+        |    ('signup', 'view', n_signup, n_view, nb_signup_view))
+        |    AS p(type_a, type_b, n_a, n_b, n_both))
+        |SELECT type_a, type_b, n_a, n_b, n_both,
+        |  ROUND(CAST(n_both AS DOUBLE) * CAST(n_users AS DOUBLE)
+        |    / CAST(NULLIF(n_a * n_b, 0) AS DOUBLE), 6) AS lift,
+        |  ROUND(CAST(n_both AS DOUBLE)
+        |    / CAST(NULLIF(n_a, 0) AS DOUBLE), 6) AS p_b_given_a
+        |FROM g ORDER BY type_a, type_b""".stripMargin,
     // integer-cents CUSUM: every window value BIGINT-exact, the two
     // final divisions the only float steps (identical operand order)
     "ev_cusum_drift" ->

@@ -216,7 +216,44 @@ object Sampling {
       .orderBy(col("split"))
   }
 
+  /** Negative downsampling — the CTR-training staple: keep every
+    * positive (click), hash-keep 2/16 of negatives (views), and report
+    * per campaign the class balance before/after plus the calibration
+    * factor a trainer must re-weight kept negatives by. The keep rule
+    * is the last md5 nibble of the event id (deterministic, rerun- and
+    * engine-stable); everything downstream is integer counts and two
+    * identically-ordered float divisions.
+    *
+    * One scan, one combinable aggregate onto the bounded campaign
+    * space — the sampled TRAINING SET itself is a pure filter any
+    * consumer applies with the same rule; this op publishes its audit. */
+  def negativeDownsample(s: SparkSession, dir: String): DataFrame = {
+    val campaign =
+      get_json_object(col("props"), "$.k").cast("int") % lit(10)
+    val keepNeg = substring(md5(concat(lit("neg:"),
+      col("event_id").cast("string"))), 32, 1).isin("0", "1")
+    Tables.events(s, dir)
+      .filter(col("event_type").isin("view", "click"))
+      .withColumn("campaign", campaign)
+      .groupBy(col("campaign"))
+      .agg(count(when(col("event_type") === "click", 1)).as("n_pos"),
+        count(when(col("event_type") === "view", 1)).as("n_neg"),
+        count(when(col("event_type") === "view" && keepNeg, 1))
+          .as("n_neg_kept"))
+      .withColumn("pos_rate_before",
+        round(col("n_pos").cast("double")
+          / (col("n_pos") + col("n_neg")).cast("double"), 6))
+      .withColumn("pos_rate_after",
+        round(col("n_pos").cast("double")
+          / (col("n_pos") + col("n_neg_kept")).cast("double"), 6))
+      .withColumn("calib_factor",
+        round(col("n_neg").cast("double")
+          / nullif(col("n_neg_kept"), lit(0L)).cast("double"), 6))
+      .orderBy(col("campaign"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "smp_negative_downsample" -> (negativeDownsample _),
     "smp_group_holdout" -> (groupHoldout _),
     "smp_kfold" -> (kfold _),
     "smp_temporal_split" -> (temporalSplit _),
@@ -228,6 +265,30 @@ object Sampling {
     "smp_interleave" -> (interleave _))
 
   val oracles: Map[String, String] = Map(
+    // identical md5-nibble keep rule and float division order
+    "smp_negative_downsample" ->
+      """WITH e AS (
+        |  SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10
+        |      AS campaign,
+        |    event_type,
+        |    substr(md5('neg:' || CAST(event_id AS VARCHAR)), 32, 1)
+        |      IN ('0', '1') AS keep_neg
+        |  FROM events WHERE event_type IN ('view', 'click')),
+        |g AS (
+        |  SELECT campaign,
+        |    COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_pos,
+        |    COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_neg,
+        |    COUNT(CASE WHEN event_type = 'view' AND keep_neg THEN 1 END)
+        |      AS n_neg_kept
+        |  FROM e GROUP BY campaign)
+        |SELECT campaign, n_pos, n_neg, n_neg_kept,
+        |  ROUND(CAST(n_pos AS DOUBLE)
+        |    / CAST(n_pos + n_neg AS DOUBLE), 6) AS pos_rate_before,
+        |  ROUND(CAST(n_pos AS DOUBLE)
+        |    / CAST(n_pos + n_neg_kept AS DOUBLE), 6) AS pos_rate_after,
+        |  ROUND(CAST(n_neg AS DOUBLE)
+        |    / CAST(NULLIF(n_neg_kept, 0) AS DOUBLE), 6) AS calib_factor
+        |FROM g ORDER BY campaign""".stripMargin,
     // identical md5 nibble assignment; BIGINT casts on the count sums
     "smp_group_holdout" ->
       """WITH a AS (

@@ -802,6 +802,52 @@ class OperatorsSpec extends SparkSpec {
     d.unpersist()
   }
 
+  test("ev_cooccurrence_lift: dense corpus is all-ones; an injected " +
+      "skewed feed discriminates") {
+    val m = operators.Events.cooccurrenceLift(spark, sfTiny)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assert(m.count() == 10, "C(5,2) unordered pairs")
+    assert(m.filter(col("n_both") > col("n_a") ||
+      col("n_both") > col("n_b")).count() == 0)
+    assert(m.filter(col("lift") === 1.0).count() == 10,
+      "every synthetic user touches every type")
+    m.unpersist()
+    // skewed feed: u1/u2 click+purchase together, u3 views only —
+    // click/purchase lift = n·both/(na·nb) = 3·2/(2·2) = 1.5;
+    // click/view never co-occur → lift 0
+    import spark.implicits._
+    val feed = Seq(
+      (1L, 1L, "click"), (2L, 1L, "purchase"),
+      (3L, 2L, "click"), (4L, 2L, "purchase"),
+      (5L, 3L, "view"))
+      .toDF("event_id", "user_id", "event_type")
+    val v = operators.Events.cooccurrenceLiftOf(feed)
+      .filter(col("type_a") === "click")
+    val cp = v.filter(col("type_b") === "purchase").first()
+    assert(cp.getAs[Double]("lift") == 1.5)
+    assert(cp.getAs[Double]("p_b_given_a") == 1.0)
+    assert(v.filter(col("type_b") === "view").first()
+      .getAs[Double]("lift") == 0.0)
+  }
+
+  test("smp_negative_downsample: positives untouched, kept negatives " +
+      "a subset, rates and calibration consistent") {
+    val d = operators.Sampling.negativeDownsample(spark, sfTiny)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assert(d.count() > 0)
+    assert(d.filter(col("n_neg_kept") > col("n_neg")).count() == 0)
+    assert(d.filter(col("pos_rate_after") < col("pos_rate_before"))
+      .count() == 0, "downsampling negatives can only raise the rate")
+    assert(d.filter(col("calib_factor") < 1.0).count() == 0)
+    // totals reconcile with the raw feed
+    val ev = Tables.events(spark, sfTiny)
+    assert(d.agg(sum(col("n_pos"))).first().getLong(0)
+      == ev.filter(col("event_type") === "click").count())
+    assert(d.agg(sum(col("n_neg"))).first().getLong(0)
+      == ev.filter(col("event_type") === "view").count())
+    d.unpersist()
+  }
+
   test("quarantine: reasons dense and registry-consistent; clean feed " +
       "flags exactly the outlier rows") {
     val q = operators.Etl.quarantine(spark, sfTiny)
