@@ -298,7 +298,53 @@ object Multimodal {
       .orderBy(col("shard_id"), col("offset_in_shard"), col("doc_id"))
   }
 
+  /** Byte-distribution stats over the binary payload — the cheap
+    * corruption / wrong-codec detector a media landing runs before any
+    * decode: distinct byte count, collision probability (the Simpson
+    * index — compressed/encrypted payloads sit near 1/256, text far
+    * above) and the top byte's share. The histogram is built per
+    * payload inside `mapPartitions` (256 boxed longs per row, one codec
+    * context per task, no shuffle); every output is an exact integer or
+    * one integer division, so the ASCII corpus lets a SQL oracle
+    * recompute byte-for-byte from code points. */
+  def byteStats(s: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("n_bytes", LongType),
+      StructField("n_distinct", LongType),
+      StructField("coll_pairs", LongType),
+      StructField("max_n", LongType)))
+    val enc = RowEncoder.encoderFor(schema)
+    val withPayload = Tables.documents(s, dir)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val counted = withPayload.mapPartitions { rows =>
+      rows.map { r =>
+        val p = r.getAs[Array[Byte]]("payload")
+        val h = new Array[Long](256)
+        var i = 0
+        while (i < p.length) { h(p(i) & 0xff) += 1L; i += 1 }
+        var dist = 0L; var coll = 0L; var mx = 0L
+        var b = 0
+        while (b < 256) {
+          val n = h(b)
+          if (n > 0L) { dist += 1L; coll += n * (n - 1L)
+            if (n > mx) mx = n }
+          b += 1
+        }
+        Row(r.getLong(0), p.length.toLong, dist, coll, mx)
+      }
+    }(enc)
+    counted.select(col("doc_id"), col("n_bytes"), col("n_distinct"),
+      round(col("coll_pairs").cast("double")
+        / nullif(col("n_bytes") * (col("n_bytes") - 1L), lit(0L))
+          .cast("double"), 6).as("collision_prob"),
+      round(col("max_n").cast("double") / col("n_bytes").cast("double"), 6)
+        .as("top_byte_share"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_byte_stats" -> (byteStats _),
     "mm_shard_pack" -> (shardPack _),
     "mm_phash_dedup" -> (phashDedup _),
     "mm_binary_pipeline" -> (binaryPipelineChecked _),
@@ -307,6 +353,27 @@ object Multimodal {
     "mm_resize" -> (resize _))
 
   val oracles: Map[String, String] = Map(
+    // byte histogram re-derived from code points (ASCII corpus);
+    // integer counts, two identically-ordered divisions
+    "mm_byte_stats" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(text, '')) AS c
+        |  FROM documents WHERE length(text) > 0),
+        |cc AS (SELECT doc_id, c, COUNT(*) AS n FROM ch
+        |  GROUP BY doc_id, c),
+        |agg AS (
+        |  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bytes,
+        |    COUNT(*) AS n_distinct,
+        |    CAST(SUM(n * (n - 1)) AS BIGINT) AS coll,
+        |    CAST(MAX(n) AS BIGINT) AS max_n
+        |  FROM cc GROUP BY doc_id)
+        |SELECT doc_id, n_bytes, n_distinct,
+        |  ROUND(CAST(coll AS DOUBLE)
+        |    / CAST(NULLIF(n_bytes * (n_bytes - 1), 0) AS DOUBLE), 6)
+        |    AS collision_prob,
+        |  ROUND(CAST(max_n AS DOUBLE) / CAST(n_bytes AS DOUBLE), 6)
+        |    AS top_byte_share
+        |FROM agg""".stripMargin,
     // same hash order and exclusive prefix sum as the Spark side; shard
     // id and offset from integer division on the start offset
     "mm_shard_pack" ->

@@ -682,7 +682,29 @@ object Text {
         nIndent * lit(4L) >= nLines).as("is_code"))
   }
 
+  /** First-iteration BPE merge statistics — the pair-count table a
+    * byte-pair-encoding tokenizer trainer starts from: adjacent
+    * character pairs WITHIN words, weighted by word frequency, top-50
+    * merge candidates (count DESC, pair ASC — deterministic). The
+    * token-vocabulary aggregate collapses the corpus before any pair
+    * explode (pairs ride the vocab, ≪ corpus tokens), then one bounded
+    * top-k. All counts integer-exact. */
+  def bpeMergeCandidates(s: SparkSession, dir: String): DataFrame = {
+    val vocab = Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) >= 2)
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    vocab
+      .select(explode(expr(
+        "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"))
+        .as("pair"), col("n"))
+      .groupBy(col("pair")).agg(sum(col("n")).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("pair"))
+      .limit(50)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt_bpe_merge_candidates" -> (bpeMergeCandidates _),
     "txt_readability" -> (readability _),
     "txt_code_detect" -> (codeDetect _),
     "txt_vocab_coverage" -> (vocabCoverage _),
@@ -709,6 +731,22 @@ object Text {
     "txt_tfidf_topk" -> (tfidfTopk _))
 
   val oracles: Map[String, String] = Map(
+    // vocab-weighted within-word pair counts; integer-exact, ties on
+    // the pair string
+    "txt_bpe_merge_candidates" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |v AS (
+        |  SELECT tok, COUNT(*) AS n FROM toks
+        |  WHERE length(tok) >= 2 GROUP BY tok),
+        |p AS (
+        |  SELECT unnest(list_transform(range(1, length(tok)),
+        |    i -> substr(tok, CAST(i AS INT), 2))) AS pair, n
+        |  FROM v)
+        |SELECT pair, CAST(SUM(n) AS BIGINT) AS n_occurrences
+        |FROM p GROUP BY pair
+        |ORDER BY n_occurrences DESC, pair LIMIT 50""".stripMargin,
     // identical integer counts; the FK/ease formulas are the only float
     // steps and share literal-for-literal operand order
     "txt_readability" ->

@@ -848,6 +848,52 @@ class OperatorsSpec extends SparkSpec {
     d.unpersist()
   }
 
+  test("txt_bpe_merge_candidates: 2-char pairs, descending counts, " +
+      "mass bounded by adjacent positions") {
+    val b = operators.Text.bpeMergeCandidates(spark, sfTiny)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assert(b.count() == 50)
+    assert(b.filter(length(col("pair")) =!= 2).count() == 0)
+    assert(b.filter(col("n_occurrences") < 1).count() == 0)
+    val counts = b.orderBy(col("n_occurrences").desc, col("pair"))
+      .select(col("n_occurrences")).collect().map(_.getLong(0))
+    assert(counts.zip(counts.tail).forall { case (a, c) => a >= c },
+      "top-k must be sorted by count")
+    // total pair mass over ALL pairs ≤ total adjacent positions
+    val positions = Tables.documents(spark, sfTiny)
+      .select(explode(graft.functions.TextFns.tokens(col("text")))
+        .as("tok"))
+      .filter(length(col("tok")) >= 2)
+      .agg(sum(length(col("tok")) - 1)).first().getLong(0)
+    assert(b.agg(sum(col("n_occurrences"))).first().getLong(0)
+      <= positions)
+    b.unpersist()
+  }
+
+  test("mm_byte_stats: histogram identities hold; a known payload " +
+      "reconciles exactly") {
+    val st = operators.Multimodal.byteStats(spark, sfTiny)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDocs = Tables.documents(spark, sfTiny)
+      .filter(length(col("text")) > 0).count()
+    assert(st.count() == nDocs)
+    assert(st.filter(col("n_distinct") > 256 ||
+      col("n_distinct") > col("n_bytes")).count() == 0)
+    assert(st.filter(col("collision_prob") < 0.0 ||
+      col("collision_prob") > 1.0).count() == 0)
+    assert(st.filter(col("top_byte_share") * col("n_distinct") < 1.0 -
+      1e-9).count() == 0, "max share is at least the uniform share")
+    // exact reconciliation on one known doc
+    val doc = Tables.documents(spark, sfTiny)
+      .orderBy(col("doc_id")).select(col("doc_id"), col("text")).first()
+    val bytes = doc.getString(1).getBytes("UTF-8")
+    val hist = bytes.groupBy(identity).map(_._2.length)
+    val row = st.filter(col("doc_id") === doc.getLong(0)).first()
+    assert(row.getAs[Long]("n_bytes") == bytes.length.toLong)
+    assert(row.getAs[Long]("n_distinct") == hist.size.toLong)
+    st.unpersist()
+  }
+
   test("quarantine: reasons dense and registry-consistent; clean feed " +
       "flags exactly the outlier rows") {
     val q = operators.Etl.quarantine(spark, sfTiny)
