@@ -1033,7 +1033,47 @@ object Events {
       .orderBy(col("type_a"), col("type_b"))
   }
 
+  /** MAD-based daily revenue anomaly gate — the robust twin of
+    * `ev_hourly_anomaly`'s z-scores (a single whale day inflates a
+    * mean/σ gate into silence; medians shrug): per day, the deviation
+    * from the median daily revenue and the alarm at deviation >
+    * 3×MAD. Medians are DISCRETE order statistics (the element at
+    * ceil(m/2) of the sorted list — funnelLatency's exact-BIGINT
+    * discipline, no interpolation ulps) over the CALENDAR-BOUNDED
+    * daily table, so the two collect-sort passes are aggregate-sized;
+    * the raw feed only ever sees one combinable groupBy. All
+    * comparisons exact integer cents. */
+  def anomalyMad(s: SparkSession, dir: String): DataFrame =
+    anomalyMadOf(Tables.events(s, dir))
+
+  /** The synthetic feed has no revenue spikes — the spec injects one
+    * through this seam to prove the alarm fires. */
+  private[graft] def anomalyMadOf(events: DataFrame): DataFrame = {
+    val daily = events
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg((sum(dec2(col("value"))) * lit(100)).cast("long").as("rev_cents"))
+    def discreteMedian(c: Column): Column =
+      element_at(array_sort(collect_list(c)),
+        expr(s"(count(1) + 1) div 2").cast("int"))
+    val med = daily.agg(discreteMedian(col("rev_cents")).as("med_cents"))
+    val withMed = daily.crossJoin(broadcast(med))
+      .withColumn("dev", abs(col("rev_cents") - col("med_cents")))
+    val mad = withMed.agg(discreteMedian(col("dev")).as("mad_cents"))
+    withMed.crossJoin(broadcast(mad))
+      .select(col("day"),
+        round(col("rev_cents").cast("double") / lit(100.0), 2)
+          .as("day_revenue"),
+        round(col("med_cents").cast("double") / lit(100.0), 2)
+          .as("median_revenue"),
+        round(col("dev").cast("double") / lit(100.0), 2).as("deviation"),
+        round(col("mad_cents").cast("double") / lit(100.0), 2).as("mad"),
+        (col("dev") > lit(3L) * col("mad_cents")).as("is_anomaly"))
+      .orderBy(col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_anomaly_mad" -> (anomalyMad _),
     "ev_cooccurrence_lift" -> (cooccurrenceLift _),
     "ev_cusum_drift" -> (cusumDrift _),
     "ev_power_analysis" -> (powerAnalysis _),
@@ -1070,6 +1110,31 @@ object Events {
     "ev_rfm_segments" -> (rfmSegments _))
 
   val oracles: Map[String, String] = Map(
+    // discrete order-statistic medians over the bounded daily table;
+    // exact integer cents throughout, alarm threshold integer-exact
+    "ev_anomaly_mad" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS rev_cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |m AS (
+        |  SELECT list_sort(list(rev_cents))[
+        |    CAST((COUNT(*) + 1) // 2 AS INT)] AS med_cents FROM daily),
+        |d AS (
+        |  SELECT daily.*, med_cents,
+        |    abs(rev_cents - med_cents) AS dev
+        |  FROM daily, m),
+        |md AS (
+        |  SELECT list_sort(list(dev))[
+        |    CAST((COUNT(*) + 1) // 2 AS INT)] AS mad_cents FROM d)
+        |SELECT day,
+        |  ROUND(CAST(rev_cents AS DOUBLE) / 100.0, 2) AS day_revenue,
+        |  ROUND(CAST(med_cents AS DOUBLE) / 100.0, 2) AS median_revenue,
+        |  ROUND(CAST(dev AS DOUBLE) / 100.0, 2) AS deviation,
+        |  ROUND(CAST(mad_cents AS DOUBLE) / 100.0, 2) AS mad,
+        |  dev > 3 * mad_cents AS is_anomaly
+        |FROM d, md ORDER BY day""".stripMargin,
     // per-user indicator grid → one-row scalar pass → 10-pair grid;
     // identical float chain for lift and the conditional rate
     "ev_cooccurrence_lift" ->

@@ -333,6 +333,37 @@ object Relational {
     * (fact-sized) and the histogram key space is bounded by the max
     * orders-per-customer. The classic "are inactive accounts real"
     * marketing readout. */
+  /** Running market-segment revenue share — the cumulative share-shift
+    * chart an account team reads: per (order month × segment), monthly
+    * and cumulative exact-decimal revenue and the segment's running
+    * share of the cumulative total. The month×segment grid is a
+    * BOUNDED aggregate (calendar × 5 segments), so the cumulative
+    * windows ride it for free; the share is the single float division,
+    * identically ordered in both engines. One customer-keyed join
+    * (dimension broadcast at any fact scale). */
+  def q27RunningShare(s: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(date_trunc("month", col("o_orderdate"))
+        .cast("date").as("month"), col("c_mktsegment"))
+      .agg(sum(dec2(col("o_totalprice"))).as("month_rev_dec"))
+    val wSeg = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("month"))
+    val wAll = Window.orderBy(col("month"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    monthly
+      .withColumn("cum_rev_dec", sum(col("month_rev_dec")).over(wSeg))
+      .withColumn("cum_total_dec", sum(col("month_rev_dec")).over(wAll))
+      .select(col("month"), col("c_mktsegment"),
+        outd(col("month_rev_dec")).as("month_revenue"),
+        outd(col("cum_rev_dec")).as("cum_revenue"),
+        round(outd(col("cum_rev_dec")) / outd(col("cum_total_dec")), 6)
+          .as("cum_share"))
+      .orderBy(col("month"), col("c_mktsegment"))
+  }
+
   def q26CustDistribution(s: SparkSession, dir: String): DataFrame = {
     Tables.customer(s, dir).select(col("c_custkey"))
       .join(Tables.orders(s, dir).select(col("o_custkey")),
@@ -453,10 +484,29 @@ object Relational {
     "q21_disjunctive_pushdown" -> (q21DisjunctivePushdown _),
     "q22_outer_reconcile" -> (q22OuterReconcile _),
     "q23_revenue_deciles" -> (q23RevenueDeciles _),
-    "q26_cust_distribution" -> (q26CustDistribution _))
+    "q26_cust_distribution" -> (q26CustDistribution _),
+    "q27_running_share" -> (q27RunningShare _))
 
   /** DuckDB oracles, column-name- and type-aligned with the plans above. */
   val oracles: Map[String, String] = Map(
+    // bounded month×segment grid; cumulative decimal sums exact, the
+    // share is the single identically-ordered float division
+    "q27_running_share" ->
+      """WITH m AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |    c_mktsegment,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS month_rev
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2)
+        |SELECT month, c_mktsegment,
+        |  CAST(month_rev AS DOUBLE) AS month_revenue,
+        |  CAST(SUM(month_rev) OVER (PARTITION BY c_mktsegment
+        |    ORDER BY month) AS DOUBLE) AS cum_revenue,
+        |  ROUND(CAST(SUM(month_rev) OVER (PARTITION BY c_mktsegment
+        |      ORDER BY month) AS DOUBLE)
+        |    / CAST(SUM(month_rev) OVER (ORDER BY month) AS DOUBLE), 6)
+        |    AS cum_share
+        |FROM m ORDER BY month, c_mktsegment""".stripMargin,
     "q26_cust_distribution" ->
       """SELECT c_count, COUNT(*) AS custdist FROM (
         |  SELECT c_custkey, COUNT(o_custkey) AS c_count

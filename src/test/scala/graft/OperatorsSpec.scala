@@ -894,6 +894,55 @@ class OperatorsSpec extends SparkSpec {
     st.unpersist()
   }
 
+  test("q27_running_share: shares in range, cumulative revenue " +
+      "monotone per segment and covering the corpus") {
+    val r = operators.Relational.q27RunningShare(spark, sfTiny)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assert(r.count() > 0)
+    assert(r.filter(col("cum_share") <= 0.0 ||
+      col("cum_share") > 1.0 + 1e-9).count() == 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_mktsegment")).orderBy(col("month"))
+    val lagged = r.withColumn("prev", lag(col("cum_revenue"), 1).over(w))
+    assert(lagged.filter(col("prev").isNotNull &&
+      col("cum_revenue") < col("prev")).count() == 0,
+      "cumulative revenue can never decrease")
+    // each segment's final cumulative revenue sums to the corpus total
+    val segTotals = r.groupBy(col("c_mktsegment"))
+      .agg(max(col("cum_revenue")).as("final_cum"))
+      .agg(sum(col("final_cum"))).first().getDouble(0)
+    val total = Tables.orders(spark, sfTiny)
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)"))).first()
+      .getDecimal(0).doubleValue()
+    assert(math.abs(segTotals - total) < 0.01,
+      s"segment cumulative totals $segTotals must cover the corpus $total")
+    r.unpersist()
+  }
+
+  test("ev_anomaly_mad: quiet feed stays quiet; an injected spike " +
+      "day trips the alarm") {
+    val a = operators.Events.anomalyMad(spark, sfTiny)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assert(a.count() > 0)
+    assert(a.filter(col("deviation") < 0.0 || col("mad") < 0.0)
+      .count() == 0)
+    assert(a.select(countDistinct(col("median_revenue"))).first()
+      .getLong(0) == 1L, "one global median")
+    a.unpersist()
+    // inject: 9 quiet days around 100 plus one 100x spike day
+    import spark.implicits._
+    val feed = (1 to 9).map(d =>
+      (d.toLong, f"2024-02-$d%02d 10:00:00", "purchase",
+        100.0 + d)) :+ (10L, "2024-02-10 10:00:00", "purchase", 10000.0)
+    val df = feed.toDF("event_id", "tss", "event_type", "value")
+      .select(col("event_id"), col("tss").cast("timestamp").as("ts"),
+        col("event_type"), col("value"))
+    val v = operators.Events.anomalyMadOf(df)
+    assert(v.filter(col("is_anomaly")).count() == 1L)
+    assert(v.filter(col("is_anomaly")).first()
+      .getAs[java.sql.Date]("day").toString == "2024-02-10")
+  }
+
   test("quarantine: reasons dense and registry-consistent; clean feed " +
       "flags exactly the outlier rows") {
     val q = operators.Etl.quarantine(spark, sfTiny)

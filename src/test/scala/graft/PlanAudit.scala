@@ -83,7 +83,10 @@ class PlanAudit extends SparkSpec {
       "corpus_token_budget_trim",
       // emb_knn_graph assigns the corpus against the broadcast fixed-k
       // centroid table — dedup_semantic's O(n·k) ivf shape
-      "emb_knn_graph")
+      "emb_knn_graph",
+      // ev_anomaly_mad cross-joins its one-row median and MAD
+      // aggregates (the partition_audit shape)
+      "ev_anomaly_mad")
     // the only inputs a partition-less window may sort in one task:
     // calendar-bounded pre-aggregates (≤ hours/days rows at ANY corpus
     // size), verified below to actually sit on an Aggregate
@@ -93,7 +96,9 @@ class PlanAudit extends SparkSpec {
     // aggregate — calendar-bounded at any feed size
     val globalWindowBounded =
       Set("ev_hourly_anomaly", "ev_rolling_revenue", "txt_zipf_fit",
-        "etl_late_arrivals")
+        "etl_late_arrivals",
+        // q27's cumulative-total window rides the month×segment grid
+        "q27_running_share")
     val violations = scala.collection.mutable.ListBuffer.empty[String]
     println("=====AUDIT START=====")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
