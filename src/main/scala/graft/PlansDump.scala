@@ -108,7 +108,23 @@ object PlansDump {
           "aggregates partial/map-side, bounded histogram keys"),
       "smp_class_balance" ->
         ("balanced downsample: per-label two-pass bucket ranking — a " +
-          "dominant class spreads over 256 tasks, never one"))
+          "dominant class spreads over 256 tasks, never one"),
+      "corpus_token_budget_trim" ->
+        ("budget trim: GROUPED bucketed prefix sum over 256 value " +
+          "buckets of the (−quality, md5-prefix) sort integer — a " +
+          "dominant source spreads over 256 tasks"),
+      "emb_knn_graph" ->
+        ("k-NN graph: broadcast landed centroids → cluster-local pair " +
+          "join → per-vector rank window (partitioned on vec_id)"),
+      "ev_cusum_drift" ->
+        ("CUSUM: one combinable daily aggregate; every window below " +
+          "it campaign-partitioned over the bounded day table"),
+      "q27_running_share" ->
+        ("running share: cumulative windows ride the bounded " +
+          "month×segment grid, never the fact table"),
+      "ev_cooccurrence_lift" ->
+        ("lift matrix: per-user indicator aggregate → one-row " +
+          "16-scalar pass → 10-row explode — never a pairwise join"))
     val sb = new StringBuilder
     sb.append("# PLANS — executed physical plans (sf0.001, regenerate " +
       "via `sbt \"runMain graft.PlansDump\"`)\n")

@@ -1072,7 +1072,76 @@ object Events {
       .orderBy(col("day"))
   }
 
+  /** Frequency-capping audit — the over-exposure report an ads server
+    * tunes its cap from: per (campaign, user, day), view counts; per
+    * campaign, how many user-days exceeded the cap (3/day), how many
+    * impressions the cap would have saved, and the waste fraction.
+    * Two combinable aggregates — (campaign, user, day) then campaign —
+    * one scan, integer-exact except the one rounded division. */
+  def frequencyCapping(s: SparkSession, dir: String): DataFrame = {
+    val cap = 3L
+    val campaign =
+      get_json_object(col("props"), "$.k").cast("int") % lit(10)
+    Tables.events(s, dir)
+      .filter(col("event_type") === "view")
+      .withColumn("campaign", campaign)
+      .groupBy(col("campaign"), col("user_id"),
+        col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n_views"))
+      .groupBy(col("campaign"))
+      .agg(count(lit(1)).as("n_user_days"),
+        sum(col("n_views")).as("n_impressions"),
+        count(when(col("n_views") > cap, 1)).as("n_capped_user_days"),
+        coalesce(sum(when(col("n_views") > cap, col("n_views") - cap)),
+          lit(0L)).as("n_wasted"))
+      .withColumn("waste_fraction",
+        round(col("n_wasted").cast("double")
+          / col("n_impressions").cast("double"), 6))
+      .orderBy(col("campaign"))
+  }
+
+  /** Attribution-window sweep — the lookback-tuning artifact behind
+    * `ev_attribution`: for each candidate window (15m / 1h / 6h / 24h),
+    * how many purchases have ANY prior click within the window, and
+    * the conversion coverage that window buys. The click→purchase
+    * match is ONE user-keyed join with a time-range predicate (the
+    * attribution shape); the 4-window sweep is a bounded explode over
+    * the matched gap — no per-window rescan. */
+  def conversionWindows(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        unix_micros(col("ts")).as("p_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("c_us"))
+    // per purchase: the smallest click gap within 24h (one join pass)
+    val gaps = purchases.join(clicks, Seq("user_id"))
+      .filter(col("c_us") <= col("p_us") &&
+        col("c_us") >= col("p_us") - lit(86400000000L))
+      .groupBy(col("purchase_id"))
+      .agg(min(col("p_us") - col("c_us")).as("best_gap_us"))
+    val windows = Seq(
+      ("15m", 900000000L), ("1h", 3600000000L),
+      ("6h", 21600000000L), ("24h", 86400000000L))
+    val nPurch = purchases.groupBy().agg(count(lit(1)).as("n_purchases"))
+    val swept = gaps.select(explode(array(windows.map { case (lbl, us) =>
+      struct(lit(lbl).as("window_label"), lit(us).as("window_us"),
+        (col("best_gap_us") <= us).as("hit"))
+    }: _*)).as("w"))
+      .groupBy(col("w.window_label").as("window_label"),
+        col("w.window_us").as("window_us"))
+      .agg(count(when(col("w.hit"), 1)).as("n_attributed"))
+    swept.crossJoin(broadcast(nPurch))
+      .select(col("window_label"), col("window_us"),
+        col("n_attributed"), col("n_purchases"),
+        round(col("n_attributed").cast("double")
+          / col("n_purchases").cast("double"), 6).as("coverage"))
+      .orderBy(col("window_us"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_frequency_capping" -> (frequencyCapping _),
+    "ev_conversion_windows" -> (conversionWindows _),
     "ev_anomaly_mad" -> (anomalyMad _),
     "ev_cooccurrence_lift" -> (cooccurrenceLift _),
     "ev_cusum_drift" -> (cusumDrift _),
@@ -1110,6 +1179,52 @@ object Events {
     "ev_rfm_segments" -> (rfmSegments _))
 
   val oracles: Map[String, String] = Map(
+    // two combinable aggregates, integer cap arithmetic
+    "ev_frequency_capping" ->
+      """WITH ud AS (
+        |  SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10
+        |      AS campaign,
+        |    user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n_views
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2, 3)
+        |SELECT campaign, COUNT(*) AS n_user_days,
+        |  CAST(SUM(n_views) AS BIGINT) AS n_impressions,
+        |  COUNT(CASE WHEN n_views > 3 THEN 1 END) AS n_capped_user_days,
+        |  CAST(COALESCE(SUM(CASE WHEN n_views > 3 THEN n_views - 3 END),
+        |    0) AS BIGINT) AS n_wasted,
+        |  ROUND(CAST(COALESCE(SUM(CASE WHEN n_views > 3
+        |        THEN n_views - 3 END), 0) AS DOUBLE)
+        |    / CAST(SUM(n_views) AS DOUBLE), 6) AS waste_fraction
+        |FROM ud GROUP BY campaign ORDER BY campaign""".stripMargin,
+    // one user-keyed range join → best gap per purchase → bounded
+    // 4-window sweep
+    "ev_conversion_windows" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS p_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, epoch_us(ts) AS c_us
+        |  FROM events WHERE event_type = 'click'),
+        |g AS (
+        |  SELECT p.purchase_id, MIN(p.p_us - c.c_us) AS best_gap_us
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |    AND c.c_us <= p.p_us AND c.c_us >= p.p_us - 86400000000
+        |  GROUP BY p.purchase_id),
+        |n AS (SELECT COUNT(*) AS n_purchases FROM p),
+        |w AS (SELECT * FROM (VALUES
+        |  ('15m', CAST(900000000 AS BIGINT)),
+        |  ('1h', CAST(3600000000 AS BIGINT)),
+        |  ('6h', CAST(21600000000 AS BIGINT)),
+        |  ('24h', CAST(86400000000 AS BIGINT)))
+        |  AS w(window_label, window_us)),
+        |s AS (
+        |  SELECT window_label, window_us,
+        |    COUNT(CASE WHEN best_gap_us <= window_us THEN 1 END)
+        |      AS n_attributed
+        |  FROM w CROSS JOIN g GROUP BY window_label, window_us)
+        |SELECT window_label, window_us, n_attributed, n_purchases,
+        |  ROUND(CAST(n_attributed AS DOUBLE)
+        |    / CAST(n_purchases AS DOUBLE), 6) AS coverage
+        |FROM s CROSS JOIN n ORDER BY window_us""".stripMargin,
     // discrete order-statistic medians over the bounded daily table;
     // exact integer cents throughout, alarm threshold integer-exact
     "ev_anomaly_mad" ->

@@ -943,6 +943,39 @@ class OperatorsSpec extends SparkSpec {
       .getAs[java.sql.Date]("day").toString == "2024-02-10")
   }
 
+  test("ev_frequency_capping: waste bounded, impressions reconcile") {
+    val f = operators.Events.frequencyCapping(spark, sfTiny)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assert(f.count() > 0)
+    assert(f.filter(col("n_wasted") > col("n_impressions")).count() == 0)
+    assert(f.filter(col("n_capped_user_days") > col("n_user_days"))
+      .count() == 0)
+    assert(f.filter(col("waste_fraction") < 0.0 ||
+      col("waste_fraction") > 1.0).count() == 0)
+    assert(f.agg(sum(col("n_impressions"))).first().getLong(0)
+      == Tables.events(spark, sfTiny)
+        .filter(col("event_type") === "view").count())
+    // the cap identity: wasted = sum over capped user-days of n - 3,
+    // so capped days each waste at least 1
+    assert(f.filter(col("n_wasted") < col("n_capped_user_days"))
+      .count() == 0)
+    f.unpersist()
+  }
+
+  test("ev_conversion_windows: coverage monotone in the window") {
+    val w = operators.Events.conversionWindows(spark, sfTiny)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assert(w.count() == 4)
+    assert(w.filter(col("n_attributed") > col("n_purchases"))
+      .count() == 0)
+    val rows = w.orderBy(col("window_us")).collect()
+    val covs = rows.map(_.getAs[Double]("coverage"))
+    assert(covs.zip(covs.tail).forall { case (a, b) => a <= b },
+      "a longer lookback can only attribute more")
+    assert(covs.last > 0.0, "24h must attribute something")
+    w.unpersist()
+  }
+
   test("quarantine: reasons dense and registry-consistent; clean feed " +
       "flags exactly the outlier rows") {
     val q = operators.Etl.quarantine(spark, sfTiny)

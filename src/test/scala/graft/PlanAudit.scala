@@ -86,7 +86,9 @@ class PlanAudit extends SparkSpec {
       "emb_knn_graph",
       // ev_anomaly_mad cross-joins its one-row median and MAD
       // aggregates (the partition_audit shape)
-      "ev_anomaly_mad")
+      "ev_anomaly_mad",
+      // ev_conversion_windows cross-joins the one-row purchase total
+      "ev_conversion_windows")
     // the only inputs a partition-less window may sort in one task:
     // calendar-bounded pre-aggregates (≤ hours/days rows at ANY corpus
     // size), verified below to actually sit on an Aggregate
