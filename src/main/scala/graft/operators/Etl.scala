@@ -659,7 +659,36 @@ object Etl {
       .orderBy(col("change_type"))
   }
 
+  /** Deletion-propagation audit — the right-to-be-forgotten compliance
+    * report a privacy team runs after a purge: given the deletion
+    * queue (here the deterministic stand-in user_id % 31 == 9), how
+    * many records still reference queued users, per event type, with
+    * the distinct offending users and their share of the table. The
+    * queue joins as a LEFT SEMI against the feed (broadcast at real
+    * queue sizes — a deletion list is never fact-sized); counts all
+    * combinable. A clean purge reads all zeros; this synthetic feed
+    * deliberately hasn't purged, so the audit shows the leftovers. */
+  def gdprDeleteAudit(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val queue = ev.select(col("user_id")).distinct()
+      .filter(col("user_id").isNotNull &&
+        pmod(col("user_id"), lit(31)) === 9)
+    val remaining = ev.join(broadcast(queue), Seq("user_id"), "left_semi")
+    val perType = remaining.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_remaining"),
+        countDistinct(col("user_id")).as("n_queued_users_present"))
+    val typeTotals = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_total"))
+    perType.join(typeTotals, Seq("event_type"))
+      .select(col("event_type"), col("n_remaining"),
+        col("n_queued_users_present"), col("n_total"),
+        round(col("n_remaining").cast("double")
+          / col("n_total").cast("double"), 6).as("leak_share"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_gdpr_delete_audit" -> (gdprDeleteAudit _),
     "etl_late_arrivals" -> (lateArrivals _),
     "etl_snapshot_diff" -> (snapshotDiff _),
     "etl_fk_audit" -> (fkAudit _),
@@ -683,6 +712,27 @@ object Etl {
     "etl_incremental" -> (incremental _))
 
   val oracles: Map[String, String] = Map(
+    // same deterministic deletion queue; semi-join + combinable counts
+    "etl_gdpr_delete_audit" ->
+      """WITH q AS (
+        |  SELECT DISTINCT user_id FROM events
+        |  WHERE user_id IS NOT NULL AND user_id % 31 = 9),
+        |r AS (
+        |  SELECT e.event_type, e.user_id FROM events e
+        |  WHERE e.user_id IN (SELECT user_id FROM q)),
+        |pt AS (
+        |  SELECT event_type, COUNT(*) AS n_remaining,
+        |    COUNT(DISTINCT user_id) AS n_queued_users_present
+        |  FROM r GROUP BY event_type),
+        |tt AS (
+        |  SELECT event_type, COUNT(*) AS n_total
+        |  FROM events GROUP BY event_type)
+        |SELECT pt.event_type, n_remaining, n_queued_users_present,
+        |  n_total,
+        |  ROUND(CAST(n_remaining AS DOUBLE)
+        |    / CAST(n_total AS DOUBLE), 6) AS leak_share
+        |FROM pt JOIN tt ON pt.event_type = tt.event_type
+        |ORDER BY pt.event_type""".stripMargin,
     // arrival sequence = event_id; the later-day running min rides the
     // bounded day table in both engines
     "etl_late_arrivals" ->

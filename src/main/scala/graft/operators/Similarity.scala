@@ -673,7 +673,47 @@ object Similarity {
       .orderBy(col("vec_id"), col("rank"))
   }
 
+  /** ANN index shard plan — the layout step between training the
+    * quantizer and serving it: k-means cells striped across 8 index
+    * shards in size-rank order (rank r → shard (r−1) mod 8 — the
+    * deterministic round-robin that keeps the biggest cells apart),
+    * reported per shard with its cluster count, vector mass and
+    * balance vs the even share. Assignment is the one O(n·k) broadcast
+    * scan every IVF op pays; ranking/striping ride the BOUNDED
+    * cluster table (k is fixed — an aggregate, not data). */
+  def indexShards(s: SparkSession, dir: String): DataFrame = {
+    kmeans(s, dir) // runs Lloyd's + lands the centroid table
+    val cents = s.read.parquet(kmeansCentDir(dir))
+      .withColumn("nc2", dotD(col("cv"), col("cv")))
+    val sizes = Tables.embeddings(s, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("vd"))
+      .withColumn("nx2", dotD(col("vd"), col("vd")))
+      .crossJoin(broadcast(cents))
+      .withColumn("dist",
+        (col("nx2") + col("nc2")) - lit(2.0) * dotD(col("vd"), col("cv")))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("cluster"), struct(col("dist"), col("cluster")))
+        .as("cluster"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_vectors"))
+    val w = Window.orderBy(col("n_vectors").desc, col("cluster"))
+    val striped = sizes
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("shard_id", pmod(col("rank") - 1L, lit(8L)))
+    val total = striped.groupBy().agg(sum(col("n_vectors")).as("n_all"))
+    striped.groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("n_vectors")).as("n_vectors"))
+      .crossJoin(broadcast(total))
+      .withColumn("balance",
+        round(col("n_vectors").cast("double") * lit(8.0)
+          / col("n_all").cast("double"), 6))
+      .drop("n_all")
+      .orderBy(col("shard_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_index_shards" -> (indexShards _),
     "emb_matryoshka_audit" -> (matryoshkaAudit _),
     "emb_knn_graph" -> (knnGraph _),
     "ann_recall_eval" -> (recallEval _),
@@ -691,6 +731,38 @@ object Similarity {
     "emb_centroid_audit" -> (centroidAudit _))
 
   val oracles: Map[String, String] = Map(
+    // assignment re-derived from the landed centroids; rank-striped
+    // shards over the bounded cluster table
+    "emb_index_shards" ->
+      s"""WITH c AS (SELECT cluster, cv
+        |  FROM '${kmeansCentDir("__SFDIR__")}/*.parquet'),
+        |e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+        |  FROM embeddings),
+        |a AS (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT e.vec_id, c.cluster,
+        |      (list_dot_product(vd, vd) + list_dot_product(cv, cv))
+        |        - 2.0 * list_dot_product(vd, cv) AS dist
+        |    FROM e, c)
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY dist, cluster) = 1),
+        |s AS (
+        |  SELECT cluster, COUNT(*) AS n_vectors
+        |  FROM a GROUP BY cluster),
+        |r AS (
+        |  SELECT *, CAST(row_number() OVER (ORDER BY n_vectors DESC,
+        |    cluster) AS BIGINT) AS rank
+        |  FROM s),
+        |sh AS (
+        |  SELECT (rank - 1) % 8 AS shard_id, COUNT(*) AS n_clusters,
+        |    CAST(SUM(n_vectors) AS BIGINT) AS n_vectors
+        |  FROM r GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_vectors) AS BIGINT) AS n_all FROM sh)
+        |SELECT shard_id, n_clusters, n_vectors,
+        |  ROUND(CAST(n_vectors AS DOUBLE) * 8.0
+        |    / CAST(n_all AS DOUBLE), 6) AS balance
+        |FROM sh CROSS JOIN t ORDER BY shard_id""".stripMargin,
     // prefix-norm / full-norm identity; DECIMAL(18,9) quantized terms
     // sum exactly, one IEEE division + round at the end
     "emb_matryoshka_audit" ->

@@ -88,7 +88,10 @@ class PlanAudit extends SparkSpec {
       // aggregates (the partition_audit shape)
       "ev_anomaly_mad",
       // ev_conversion_windows cross-joins the one-row purchase total
-      "ev_conversion_windows")
+      "ev_conversion_windows",
+      // emb_index_shards: kmeans-centroid broadcast assignment + the
+      // one-row vector total
+      "emb_index_shards")
     // the only inputs a partition-less window may sort in one task:
     // calendar-bounded pre-aggregates (≤ hours/days rows at ANY corpus
     // size), verified below to actually sit on an Aggregate
@@ -100,7 +103,9 @@ class PlanAudit extends SparkSpec {
       Set("ev_hourly_anomaly", "ev_rolling_revenue", "txt_zipf_fit",
         "etl_late_arrivals",
         // q27's cumulative-total window rides the month×segment grid
-        "q27_running_share")
+        "q27_running_share",
+        // emb_index_shards' size rank rides the fixed-k cluster table
+        "emb_index_shards")
     val violations = scala.collection.mutable.ListBuffer.empty[String]
     println("=====AUDIT START=====")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
