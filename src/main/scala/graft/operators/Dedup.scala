@@ -586,7 +586,7 @@ object Dedup {
     * parquet (`__SFDIR__` contract), so the whole decision is
     * hash-checked, not merely spec-checked. */
   def semantic(s: SparkSession, dir: String): DataFrame = {
-    Similarity.kmeans(s, dir) // runs Lloyd's + lands the centroid table
+    Similarity.ensureKmeansLanded(s, dir) // lands the centroid table (memoized)
     val cents = s.read.parquet(Similarity.kmeansCentDir(dir))
       .withColumn("nc2", VectorFns.dotD(col("cv"), col("cv")))
     val assigned = Tables.embeddings(s, dir)

@@ -1139,7 +1139,45 @@ object Events {
       .orderBy(col("window_us"))
   }
 
+  /** Churn-label generation — the supervised-label table a retention
+    * model trains on: per (user, active week), whether the user is
+    * seen again in the NEXT calendar week (label 0) or goes silent
+    * (label 1, churn-at-week), rolled up to the weekly churn-rate
+    * report. The week grid is (user, week) DISTINCT — one combinable
+    * exchange — and "seen next week" is a self equi-join on
+    * (user, week+7d): linear, gap-correct (a user active in weeks 1
+    * and 3 churns at 1), no window anywhere. The LAST observed week is
+    * excluded from the report — its future is unobserved, and leaving
+    * it in would fabricate 100% churn. */
+  def churnLabels(s: SparkSession, dir: String): DataFrame =
+    churnLabelsOf(Tables.events(s, dir))
+
+  /** Seam for the spec: the dense synthetic feed may never churn, so
+    * the spec injects a user with a gap week to prove the label-1 and
+    * gap-correctness paths. */
+  private[graft] def churnLabelsOf(events: DataFrame): DataFrame = {
+    val weeks = events
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("week"))
+      .distinct()
+    val next = weeks.select(col("user_id"),
+      date_sub(col("week"), 7).as("week"), lit(1).as("seen_next"))
+      .distinct()
+    val maxWeek = weeks.agg(max(col("week")).as("max_week"))
+    weeks.join(next, Seq("user_id", "week"), "left")
+      .crossJoin(broadcast(maxWeek))
+      .filter(col("week") < col("max_week"))
+      .groupBy(col("week"))
+      .agg(count(lit(1)).as("n_active_users"),
+        count(when(col("seen_next").isNull, 1)).as("n_churned"))
+      .withColumn("churn_rate",
+        round(col("n_churned").cast("double")
+          / col("n_active_users").cast("double"), 6))
+      .orderBy(col("week"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_churn_labels" -> (churnLabels _),
     "ev_frequency_capping" -> (frequencyCapping _),
     "ev_conversion_windows" -> (conversionWindows _),
     "ev_anomaly_mad" -> (anomalyMad _),
@@ -1179,6 +1217,25 @@ object Events {
     "ev_rfm_segments" -> (rfmSegments _))
 
   val oracles: Map[String, String] = Map(
+    // (user, week) distinct + a self equi-join on week+7d; the last
+    // week is censored in both engines
+    "ev_churn_labels" ->
+      """WITH w AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', ts) AS DATE) AS week FROM events),
+        |n AS (
+        |  SELECT DISTINCT user_id, week - 7 AS week, 1 AS seen_next
+        |  FROM w),
+        |mx AS (SELECT MAX(week) AS max_week FROM w)
+        |SELECT w.week, COUNT(*) AS n_active_users,
+        |  COUNT(CASE WHEN n.seen_next IS NULL THEN 1 END) AS n_churned,
+        |  ROUND(CAST(COUNT(CASE WHEN n.seen_next IS NULL THEN 1 END)
+        |      AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS churn_rate
+        |FROM w LEFT JOIN n ON w.user_id = n.user_id AND w.week = n.week
+        |CROSS JOIN mx
+        |WHERE w.week < max_week
+        |GROUP BY w.week ORDER BY w.week""".stripMargin,
     // two combinable aggregates, integer cap arithmetic
     "ev_frequency_capping" ->
       """WITH ud AS (

@@ -118,7 +118,7 @@ object Similarity {
     * better than sampled ones, so the recall floor is higher
     * (spec-checked against brute force). */
   def ivfKmeansTopk(s: SparkSession, dir: String): DataFrame = {
-    kmeans(s, dir) // runs Lloyd's and lands the centroid table (eager)
+    ensureKmeansLanded(s, dir) // lands the centroid table (memoized)
     val cents = s.read.parquet(kmeansCentDir(dir))
       .select(col("cluster").as("cell_id"), col("cv").as("c_vd"))
       .withColumn("c_nrm", sqrt(dotD(col("c_vd"), col("c_vd"))))
@@ -230,6 +230,21 @@ object Similarity {
   private[graft] def kmeansCentDir(dir: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_kmeans_cent_" +
       dir.replaceAll("[^0-9a-zA-Z]", "_")
+
+  /** Train-once memo for the landed quantizer: the downstream consumers
+    * (dedup_semantic, emb_knn_graph, emb_index_shards) only need the
+    * LANDED centroid table, and Lloyd's is deterministic for a given
+    * input — re-running it per consumer re-lands identical bytes. Keyed
+    * by (SparkContext identity, data dir) so a fresh session (or a
+    * different scale factor) always retrains. */
+  private val kmeansLanded =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), Boolean]
+  private[graft] def ensureKmeansLanded(s: SparkSession, dir: String): Unit = {
+    kmeansLanded.getOrElseUpdate(
+      (System.identityHashCode(s.sparkContext), dir),
+      { kmeans(s, dir); true })
+    ()
+  }
 
   /** Distributed Lloyd's k-means (k = 8, 5 sweeps) over the embedding
     * corpus — the clustering leg of embedding curation (IVF coarse
@@ -641,7 +656,7 @@ object Similarity {
     * window partitions on vec_id — cluster-sized lists spread across
     * every vector, no global sort anywhere. */
   def knnGraph(s: SparkSession, dir: String): DataFrame = {
-    kmeans(s, dir) // runs Lloyd's + lands the centroid table
+    ensureKmeansLanded(s, dir) // lands the centroid table (memoized)
     val cents = s.read.parquet(kmeansCentDir(dir))
       .withColumn("nc2", dotD(col("cv"), col("cv")))
     val assigned = Tables.embeddings(s, dir)
@@ -682,7 +697,7 @@ object Similarity {
     * scan every IVF op pays; ranking/striping ride the BOUNDED
     * cluster table (k is fixed — an aggregate, not data). */
   def indexShards(s: SparkSession, dir: String): DataFrame = {
-    kmeans(s, dir) // runs Lloyd's + lands the centroid table
+    ensureKmeansLanded(s, dir) // lands the centroid table (memoized)
     val cents = s.read.parquet(kmeansCentDir(dir))
       .withColumn("nc2", dotD(col("cv"), col("cv")))
     val sizes = Tables.embeddings(s, dir)

@@ -91,7 +91,9 @@ class PlanAudit extends SparkSpec {
       "ev_conversion_windows",
       // emb_index_shards: kmeans-centroid broadcast assignment + the
       // one-row vector total
-      "emb_index_shards")
+      "emb_index_shards",
+      // ev_churn_labels cross-joins the one-row max-week censor bound
+      "ev_churn_labels")
     // the only inputs a partition-less window may sort in one task:
     // calendar-bounded pre-aggregates (≤ hours/days rows at ANY corpus
     // size), verified below to actually sit on an Aggregate
