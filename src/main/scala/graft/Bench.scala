@@ -97,7 +97,7 @@ object Bench {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           true
         } catch { case _: Throwable => false }
-      spark.catalog.clearCache() // ops persist derived tables
+      Caches.release(spark) // ops persist/checkpoint derived tables
       name -> (if (ok)
         math.round((System.nanoTime() - t0) / 1e9 * 1000.0) / 1000.0
       else -1.0)
@@ -132,6 +132,24 @@ object Bench {
     }
     // full per-query archive line first...
     println(s"""{"metric":"total_detail","value":$total,"unit":"sec","sf":"$sfDir","groups":${obj(groups)}$headRatio,"queries":$qs$tailMaps}""")
+    // ...and the same map as a FILE: the driver keeps only the last
+    // ~2000 chars of stdout, so round-over-round regression detection
+    // (absolute per-op seconds, not just ratios) needs a durable home —
+    // committed per round as BENCH_DETAIL.json
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+      "/root/repo/BENCH_DETAIL.json")
+    try {
+      val ratioMap = ratios.toMap
+      val perOp = results.map { case (k, sparkS) =>
+        val d = duck.get(k).filter(_ > 0)
+        jstr(k) + ":{\"spark_s\":" + sparkS +
+          d.map(v => ",\"duckdb_s\":" + v).getOrElse("") +
+          ratioMap.get(k).map(v => ",\"ratio\":" + v).getOrElse("") + "}"
+      }.mkString(",")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath),
+        s"""{"sf":${jstr(sfDir)},"total_s":$total$headRatio,""" +
+          s""""groups":${obj(groups)},"ops":{$perOp}}""" + "\n")
+    } catch { case _: Throwable => () }
     // ...then the contract's ONE JSON line LAST and COMPACT: the driver
     // keeps only the final ~2000 chars of output, so the self-contained
     // headline (totals, groups, baseline ratio, worst offenders) must fit
@@ -147,7 +165,7 @@ object Bench {
     // full map gets tail-truncated, so a failure must name itself here
     val failedField = if (failed.isEmpty) ""
       else s""","failed":${failed.take(5).map(jstr).mkString("[", ",", "]")}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_ops":${results.size},"n_failed":${failed.size}$failedField$headRatio,"groups":${obj(groups)},"slowest_s":${obj(slowest)},"slowest_note":"slowest 8 of ${results.size}; full map in the total_detail line above","worst_ratio_duck100ms":${obj(worst)}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_ops":${results.size},"n_failed":${failed.size}$failedField$headRatio,"groups":${obj(groups)},"slowest_s":${obj(slowest)},"slowest_note":"slowest 8 of ${results.size}; full per-op {spark_s,duckdb_s,ratio} map in $detailPath and the total_detail line above","worst_ratio_duck100ms":${obj(worst)}}""")
     spark.stop()
   }
 }

@@ -44,4 +44,10 @@ object GraftSession {
       // of data pages (off by default; exact same results, skips decode)
       .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // timezone-naive parquet timestamps (timestamp[us] with no tz)
+      // must read as TimestampType, not TIMESTAMP_NTZ: the session is
+      // pinned UTC so the values are identical, every chrono function
+      // (unix_micros, window, watermark) accepts them, and scan-level
+      // filter pushdown stays intact — no per-column casts
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 }

@@ -28,7 +28,11 @@ object Pipeline {
       maxRetries: Int = 0,
       format: String = "parquet",
       url: Option[String] = None,
-      timeoutSec: Option[Int] = None)
+      timeoutSec: Option[Int] = None,
+      // reference source registry carries `auth_required` and
+      // `rate_limit` per source (config/config.json:33-56)
+      authRequired: Boolean = false,
+      rateLimitPerSec: Option[Double] = None)
 
   /** The pluggable extract leg — the reference's `extract_data` pulls
     * per-source REST endpoints (lambda_function.py:188-215); a Spark
@@ -56,15 +60,33 @@ object Pipeline {
     * wrap a single object. One response body is one API page — parsing
     * it driver-side then distributing via spark.read.json keeps the
     * per-record shaping (the scale-bearing part) in Spark. */
-  final class JsonResponseExtractor(fetch: String => String)
+  final class JsonResponseExtractor(
+      fetch: (String, Map[String, String]) => String,
+      tokenFor: String => Option[String])
       extends Extractor {
+
+    /** Unauthenticated transport (fixture maps, open APIs). */
+    def this(fetch: String => String) =
+      this((url, _) => fetch(url), _ => None)
+
     def extract(spark: SparkSession, src: Source): DataFrame = {
       import org.json4s._
       import org.json4s.jackson.JsonMethods
       val url = src.url.getOrElse(
         throw new IllegalArgumentException(s"source ${src.name} has no url"))
+      // reference pulls credentials from a secret store at run time
+      // (lambda_function.py:151-163) and sends a Content-Type header
+      // (:145-148); the bearer token goes ONLY into the request header —
+      // never into errors, the summary, or logs
+      val headers = Map("Content-Type" -> "application/json") ++
+        (if (src.authRequired)
+          Map("Authorization" -> ("Bearer " + tokenFor(src.name).getOrElse(
+            throw new IllegalStateException(
+              s"source ${src.name} requires auth but no credential is " +
+                "available from the token provider"))))
+        else Map.empty)
       def str(v: JValue): String = JsonMethods.compact(JsonMethods.render(v))
-      val records: Seq[String] = JsonMethods.parse(fetch(url)) match {
+      val records: Seq[String] = JsonMethods.parse(fetch(url, headers)) match {
         case obj @ JObject(_) =>
           // envelope priority exactly as the reference sniffs it
           Seq("results", "data", "products")
@@ -118,7 +140,9 @@ object Pipeline {
           (v \ "retry_attempts").extractOpt[Int].getOrElse(defaultRetries),
           (v \ "format").extractOpt[String].getOrElse("parquet"),
           (v \ "url").extractOpt[String],
-          (v \ "timeout").extractOpt[Int])
+          (v \ "timeout").extractOpt[Int],
+          (v \ "auth_required").extractOpt[Boolean].getOrElse(false),
+          (v \ "rate_limit").extractOpt[Double])
       }
       case _ => Nil
     }
@@ -180,9 +204,24 @@ object Pipeline {
             throw e
         }
     }
+    // per-source min-interval throttle (reference registry `rate_limit`):
+    // rate_limit = N → at most N extract attempts per second per source,
+    // enforced across retries too — a flapping endpoint must not be
+    // hammered at retry speed
+    val lastAttemptNs = scala.collection.mutable.Map.empty[String, Long]
+    def throttled(src: Source): Unit = src.rateLimitPerSec.foreach { rl =>
+      val minIntervalNs = (1e9 / rl).toLong
+      lastAttemptNs.get(src.name).foreach { last =>
+        val waitNs = last + minIntervalNs - System.nanoTime()
+        if (waitNs > 0) Thread.sleep(waitNs / 1000000L + 1L)
+      }
+      lastAttemptNs(src.name) = System.nanoTime()
+    }
     val results = config.sources.map { src =>
       def attempt(remaining: Int): SourceResult =
-        try timed(src) {
+        // throttle outside the timeout: queueing for the rate limit is
+        // not part of the attempt's own budget
+        try { throttled(src); timed(src) {
           val raw = extractor.extract(spark, src)
           val limited = src.limit.map(raw.limit).getOrElse(raw)
           val shaped = standardize(limited, src.name, config.runDate)
@@ -195,7 +234,7 @@ object Pipeline {
           val n = spark.read.format(src.format)
             .schema(shaped.schema).load(out).count()
           SourceResult(src.name, "ok", n, "")
-        } catch {
+        } } catch {
           case _: Throwable if remaining > 0 => attempt(remaining - 1)
           case e: Throwable if config.errorHandling == "continue" =>
             SourceResult(src.name, "error", 0L,

@@ -64,15 +64,21 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
-  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to map
-    * to TimestampType; read it as raw nanos and floor-divide to micros —
-    * the same truncation DuckDB applies, so oracle timestamps agree.
-    * (`div`, not `/`: double division would lose precision above 2^53.) */
+  /** events.ts lands as either TIMESTAMP(MICROS) (maps straight to
+    * TimestampType) or TIMESTAMP(NANOS), which Spark 4 refuses to map;
+    * with the legacy conf the NANOS case reads as raw nanos LONG and is
+    * floor-divided to micros — the same truncation DuckDB applies, so
+    * oracle timestamps agree under both layouts. (`div`, not `/`:
+    * double division would lose precision above 2^53.) */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
+    val df = apply(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.expr(
+          "timestamp_micros(ts div 1000)"))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

@@ -51,7 +51,7 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      finally spark.catalog.clearCache() // ops persist derived tables
+      finally Caches.release(spark) // ops persist/checkpoint derived tables
     }
     // JSON string escape (shared with Bench): backslash, quote, and ALL
     // control chars (<0x20) — a tab or CR in builder-authored SQL would

@@ -65,23 +65,46 @@ object Similarity {
       math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) /
         math.log(2.0)).toInt))
 
+  /** Landing dir for the sign-LSH bucket table — the kmeansCentDir
+    * contract: computable from `dir` alone so the static oracle SQL can
+    * read the run's bucket assignments. */
+  private[graft] def lshBucketsDir(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_lsh_buckets_" +
+      dir.replaceAll("[^0-9a-zA-Z]", "_")
+
   /** Sign-LSH approximate top-k: L=2 independent hash tables of
     * `planesFor(n)` hyperplane sign bits each (OR-amplification — a
     * candidate matches if it collides in ANY table); queries probe only
     * their own buckets. The corpus count is one parquet-metadata job.
-    * Recall is spec-checked against brute force at multiple SFs. */
+    *
+    * The (vec_id, table_id, bucket) table LANDS to parquet and the
+    * emitted result is recomputed from the landed buckets, so the
+    * oracle re-derives candidate generation + scoring + ranking
+    * brute-force in DuckDB (the simhash/kmeans landed-artifact
+    * pattern) — only the seeded hyperplane hash itself stays
+    * Spark-side. Recall is additionally spec-checked against brute
+    * force at multiple SFs. */
   def lshTopk(s: SparkSession, dir: String): DataFrame = {
     val corpusPrep = prepared(s, dir, "neighbor_id")
     val planes = planesFor(corpusPrep.count())
     val tables = 2
-    def bucketed(df: DataFrame, vecCol: String): DataFrame =
-      df.withColumn("table_id",
+    corpusPrep
+      .withColumn("table_id",
         explode(array((0 until tables).map(lit(_)): _*)))
-        .withColumn("bucket",
-          graft.functions.VectorFns.signLshBucketSeeded(
-            col(vecCol), planes, col("table_id")))
-    val corpus = bucketed(corpusPrep, "vd")
-    val qs = bucketed(querySet(s, dir), "q_vd")
+      .withColumn("bucket",
+        graft.functions.VectorFns.signLshBucketSeeded(
+          col("vd"), planes, col("table_id")))
+      .select(col("neighbor_id").as("vec_id"), col("table_id"),
+        col("bucket"))
+      .write.mode("overwrite").parquet(lshBucketsDir(dir))
+    val landed = s.read.parquet(lshBucketsDir(dir))
+    val corpus = landed
+      .select(col("vec_id").as("neighbor_id"), col("table_id"),
+        col("bucket"))
+      .join(corpusPrep, "neighbor_id")
+    val qs = landed.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("table_id"), col("bucket"))
+      .join(querySet(s, dir), "query_id")
     val scored = broadcast(qs)
       .join(corpus, Seq("table_id", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
@@ -102,14 +125,28 @@ object Similarity {
       .limit(k)
       .select(col("cell_id"), col("vd").as("c_vd"), col("nrm").as("c_nrm"))
 
+  /** Landing dir for the sampled IVF coarse-centroid table — the
+    * kmeansCentDir contract: computable from `dir` alone. */
+  private[graft] def ivfCentDir(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_ivf_cent_" +
+      dir.replaceAll("[^0-9a-zA-Z]", "_")
+
   /** IVF-style approximate top-k: every vector joins its nearest of k
     * fixed centroids, queries probe `nprobe` nearest cells. Two
-    * broadcast joins + one windowed top-k — no cross product. */
+    * broadcast joins + one windowed top-k — no cross product. The
+    * sampled centroid table LANDS to parquet and the probe plan runs
+    * against the landed table, so the oracle re-derives assignment,
+    * probes and ranking brute-force in DuckDB. */
   def ivfTopk(s: SparkSession, dir: String): DataFrame =
     ivfTopk(s, dir, k = 16, nprobe = 6)
 
-  def ivfTopk(s: SparkSession, dir: String, k: Int, nprobe: Int): DataFrame =
-    ivfWith(s, dir, centroidTable(s, dir, k), nprobe)
+  def ivfTopk(s: SparkSession, dir: String, k: Int, nprobe: Int): DataFrame = {
+    centroidTable(s, dir, k).select(col("cell_id"), col("c_vd"))
+      .write.mode("overwrite").parquet(ivfCentDir(dir))
+    val cents = s.read.parquet(ivfCentDir(dir))
+      .withColumn("c_nrm", sqrt(dotD(col("c_vd"), col("c_vd"))))
+    ivfWith(s, dir, cents, nprobe)
+  }
 
   /** IVF with a TRAINED coarse quantizer: kmeans()'s landed centroids
     * instead of hash-sampled corpus vectors — the production IVF shape
@@ -1003,6 +1040,111 @@ object Similarity {
         |  CAST(err_sum AS DOUBLE) AS sum_q_err,
         |  CAST(dims AS BIGINT) AS n_dims
         |FROM err ORDER BY vec_id""".stripMargin,
+    // candidate generation re-derived from the landed bucket table
+    // (collide in ANY of the L tables), scoring + ranking brute-force;
+    // only the seeded hyperplane hash stays Spark-side
+    "ann_lsh_topk" ->
+      s"""WITH b AS (SELECT vec_id, table_id, bucket
+        |  FROM '${lshBucketsDir("__SFDIR__")}/*.parquet'),
+        |e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+        |  FROM embeddings),
+        |c AS (SELECT b.table_id, b.bucket, b.vec_id AS neighbor_id, e.vd
+        |  FROM b JOIN e USING (vec_id)),
+        |q AS (SELECT b.table_id, b.bucket, b.vec_id AS query_id,
+        |    e.vd AS q_vd
+        |  FROM b JOIN e USING (vec_id) WHERE b.vec_id < 5),
+        |scored AS (
+        |  SELECT DISTINCT query_id, neighbor_id,
+        |    ROUND(list_dot_product(q_vd, vd)
+        |      / NULLIF(sqrt(list_dot_product(q_vd, q_vd))
+        |         * sqrt(list_dot_product(vd, vd)), 0.0), 6) AS cosine
+        |  FROM q JOIN c USING (table_id, bucket)
+        |  WHERE neighbor_id <> query_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+        |FROM ranked WHERE rank <= 10""".stripMargin,
+    // assignment (nearest cell, ties to lower cell id), nprobe=6 probes
+    // and ranking re-derived from the landed sampled-centroid table
+    "ann_ivf_topk" ->
+      s"""WITH c AS (SELECT cell_id, c_vd
+        |  FROM '${ivfCentDir("__SFDIR__")}/*.parquet'),
+        |cn AS (SELECT cell_id, c_vd,
+        |    sqrt(list_dot_product(c_vd, c_vd)) AS c_nrm FROM c),
+        |en AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd,
+        |    sqrt(list_dot_product(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE)), list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |a AS (
+        |  SELECT vec_id AS neighbor_id, vd, nrm, cell_id FROM (
+        |    SELECT en.vec_id, en.vd, en.nrm, cn.cell_id,
+        |      list_dot_product(vd, c_vd) / NULLIF(nrm * c_nrm, 0.0) AS sim
+        |    FROM en CROSS JOIN cn)
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY sim DESC, cell_id) = 1),
+        |p AS (
+        |  SELECT query_id, cell_id FROM (
+        |    SELECT en.vec_id AS query_id, cn.cell_id,
+        |      list_dot_product(vd, c_vd) / NULLIF(nrm * c_nrm, 0.0) AS sim
+        |    FROM en CROSS JOIN cn WHERE en.vec_id < 5)
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, cell_id) <= 6),
+        |scored AS (
+        |  SELECT p.query_id, a.neighbor_id,
+        |    ROUND(list_dot_product(q.vd, a.vd)
+        |      / NULLIF(q.nrm * a.nrm, 0.0), 6) AS cosine
+        |  FROM p JOIN a USING (cell_id) JOIN en q ON q.vec_id = p.query_id
+        |  WHERE a.neighbor_id <> p.query_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+        |FROM ranked WHERE rank <= 10""".stripMargin,
+    // same probe plan against the TRAINED quantizer kmeans() landed;
+    // nprobe=3
+    "ann_ivf_kmeans_topk" ->
+      s"""WITH c AS (SELECT cluster AS cell_id, cv AS c_vd
+        |  FROM '${kmeansCentDir("__SFDIR__")}/*.parquet'),
+        |cn AS (SELECT cell_id, c_vd,
+        |    sqrt(list_dot_product(c_vd, c_vd)) AS c_nrm FROM c),
+        |en AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd,
+        |    sqrt(list_dot_product(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE)), list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |a AS (
+        |  SELECT vec_id AS neighbor_id, vd, nrm, cell_id FROM (
+        |    SELECT en.vec_id, en.vd, en.nrm, cn.cell_id,
+        |      list_dot_product(vd, c_vd) / NULLIF(nrm * c_nrm, 0.0) AS sim
+        |    FROM en CROSS JOIN cn)
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY sim DESC, cell_id) = 1),
+        |p AS (
+        |  SELECT query_id, cell_id FROM (
+        |    SELECT en.vec_id AS query_id, cn.cell_id,
+        |      list_dot_product(vd, c_vd) / NULLIF(nrm * c_nrm, 0.0) AS sim
+        |    FROM en CROSS JOIN cn WHERE en.vec_id < 5)
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, cell_id) <= 3),
+        |scored AS (
+        |  SELECT p.query_id, a.neighbor_id,
+        |    ROUND(list_dot_product(q.vd, a.vd)
+        |      / NULLIF(q.nrm * a.nrm, 0.0), 6) AS cosine
+        |  FROM p JOIN a USING (cell_id) JOIN en q ON q.vec_id = p.query_id
+        |  WHERE a.neighbor_id <> p.query_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+        |FROM ranked WHERE rank <= 10""".stripMargin,
     "ann_bruteforce_topk" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id,

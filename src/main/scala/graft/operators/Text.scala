@@ -176,9 +176,13 @@ object Text {
       transform(sequence(lit(1), size(w) - 1),
         i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
       .otherwise(array().cast("array<string>"))
+    // materialize-once (the ccnet discipline): `exploded` feeds BOTH the
+    // bigram-count aggregate and the per-doc join-back — without the
+    // checkpoint the corpus-sized tokenize + explode runs twice
     val exploded = Tables.documents(s, dir)
       .withColumn("toks", tokens(col("text")))
       .select(col("doc_id"), explode(bigrams).as("bigram"))
+      .localCheckpoint()
     val b = exploded.groupBy(col("bigram")).agg(count(lit(1)).as("n"))
     val p = b.groupBy(split(col("bigram"), " ").getItem(0).as("w1"))
       .agg(sum(col("n")).as("np"))

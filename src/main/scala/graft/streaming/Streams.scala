@@ -31,20 +31,27 @@ case class FunnelState(rev: Long, tView: Option[Long],
 
 object Streams {
 
-  /** events schema as landed (ts is raw TIMESTAMP(NANOS) read as long —
-    * see Tables.events). */
-  private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  /** events schema as landed: ts is TIMESTAMP(MICROS) (TimestampType)
+    * or TIMESTAMP(NANOS) read as raw long under the legacy conf — probe
+    * the batch footer once so the stream schema matches either layout
+    * (see Tables.events). */
+  private def eventsSchema(tsType: org.apache.spark.sql.types.DataType) =
+    StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", tsType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
 
   private def eventStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.readStream
-      .schema(eventsSchema)
+    val tsType = s.read.parquet(s"$dir/events.parquet")
+      .schema("ts").dataType
+    val raw = s.readStream
+      .schema(eventsSchema(tsType))
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    if (tsType == LongType)
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw
   }
 
   /** Tumbling-window counts with a watermark — the streaming twin of

@@ -39,6 +39,21 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("GraftSession sizes shuffle partitions from the caller's " +
+      "parallelism, never the 200 default (SURVEY §4)") {
+    // the shared test session is GraftSession.local(4): the factory must
+    // thread that parallelism into the shuffle conf — on a cluster the
+    // caller passes ~2-3x total executor cores the same way
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == "4",
+      "shuffle partitions must track the parallelism GraftSession.local " +
+        "was given")
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true",
+      "AQE must be on to re-plan partition counts at runtime")
+    assert(spark.conf.get(
+      "spark.sql.adaptive.coalescePartitions.enabled") == "true")
+    assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true")
+  }
+
   test("every library operator passes under the failing guard") {
     // the engine's own inventory must never trip its own scale guard —
     // run the batch ops (streaming/write ops have their own harnesses)
@@ -53,7 +68,17 @@ class ExtensionsSpec extends SparkSpec {
           try fn(spark, sfTiny).collect()
           catch { case e: Throwable =>
             fail(s"$name tripped the guard: ${e.getMessage.take(200)}")
-          } finally spark.catalog.clearCache()
+          } finally {
+            // the cache contract across a full-inventory sweep: after
+            // release, NO persisted dataset or localCheckpoint RDD may
+            // linger — a leak here grows unboundedly over a 190-op
+            // Verify session (the r7 hygiene finding)
+            Caches.release(spark)
+            assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+              s"$name leaked persistent RDDs past Caches.release: " +
+                spark.sparkContext.getPersistentRDDs.values
+                  .map(_.toString).mkString("; "))
+          }
         }
       }
     }

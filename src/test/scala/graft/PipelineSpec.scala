@@ -92,6 +92,89 @@ class PipelineSpec extends SparkSpec {
     assert(rows("api://single") == Seq(7L), "single object wraps to one row")
   }
 
+  test("authed source sends its bearer token; a missing credential is a " +
+      "recorded error; the secret never reaches the summary") {
+    val secret = "sekrit-token-9f2c"
+    val seenAuth = new java.util.concurrent.atomic.AtomicReference[String]("")
+    val ex = new Pipeline.JsonResponseExtractor(
+      fetch = (url, headers) => {
+        if (url.contains("authed")) {
+          seenAuth.set(headers.getOrElse("Authorization", ""))
+          assert(headers("Content-Type") == "application/json")
+        }
+        """{"results": [{"k": 1}, {"k": 2}]}"""
+      },
+      tokenFor = name => if (name == "authed") Some(secret) else None)
+    val landing = java.nio.file.Files
+      .createTempDirectory("graft_pipeline_auth").toString
+    val config = Pipeline.Config(
+      sources = Seq(
+        Pipeline.Source("authed", "", url = Some("api://authed"),
+          authRequired = true),
+        Pipeline.Source("no_cred", "", url = Some("api://no_cred"),
+          authRequired = true),
+        Pipeline.Source("open", "", url = Some("api://open"))),
+      landingDir = landing, runDate = "2026-08-12")
+    val rows = Pipeline.run(spark, config, ex).collect()
+    val summary = rows
+      .map(r => r.getString(0) -> (r.getString(1), r.getString(3))).toMap
+    assert(summary("authed")._1 == "ok")
+    assert(seenAuth.get() == s"Bearer $secret",
+      "the authed request must carry the bearer header")
+    assert(summary("no_cred")._1 == "error")
+    assert(summary("no_cred")._2.contains("requires auth"),
+      "the auth failure must name itself")
+    assert(summary("open")._1 == "ok")
+    // the credential must never appear in any summary field
+    assert(!rows.mkString("|").contains(secret),
+      "secret leaked into the execution summary")
+  }
+
+  test("per-source rate limit is honored across retries") {
+    val stamps = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val extractor = new Pipeline.Extractor {
+      def extract(s: org.apache.spark.sql.SparkSession,
+          src: Pipeline.Source): org.apache.spark.sql.DataFrame = {
+        stamps.add(System.nanoTime())
+        // fail twice so the throttle must gate retries, not just sources
+        if (stamps.size <= 2) throw new RuntimeException("transient")
+        Tables.load(s, sfTiny, src.table)
+      }
+    }
+    val landing = java.nio.file.Files
+      .createTempDirectory("graft_pipeline_rl").toString
+    val config = Pipeline.Config(
+      sources = Seq(Pipeline.Source("limited", "region", maxRetries = 2,
+        rateLimitPerSec = Some(5.0))), // >= 200ms between attempts
+      landingDir = landing, runDate = "2026-08-12")
+    val summary = Pipeline.run(spark, config, extractor).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(summary("limited") == "ok")
+    val ts = stamps.toArray(Array.empty[java.lang.Long]).map(_.longValue)
+    assert(ts.length == 3, "1 initial + 2 retries")
+    val gaps = ts.sorted.sliding(2).map(p => p(1) - p(0)).toSeq
+    assert(gaps.forall(_ >= 190L * 1000000L),
+      s"attempt gaps must respect the 200ms min interval: $gaps")
+  }
+
+  test("config file parses auth_required and rate_limit (reference " +
+      "registry fields)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cfg_auth")
+    val cfgPath = dir.resolve("config.json")
+    java.nio.file.Files.writeString(cfgPath,
+      """{ "data_sources": {
+        |    "crm": {"url": "api://crm", "auth_required": true,
+        |            "rate_limit": 2.5},
+        |    "open": {"table": "region"}
+        |  } }""".stripMargin)
+    val config = Pipeline.loadConfig(cfgPath.toString,
+      dir.resolve("landing").toString, "2026-08-12")
+    val crm = config.sources.find(_.name == "crm").get
+    assert(crm.authRequired && crm.rateLimitPerSec.contains(2.5))
+    val open = config.sources.find(_.name == "open").get
+    assert(!open.authRequired && open.rateLimitPerSec.isEmpty)
+  }
+
   test("a source exceeding its timeout is cancelled and recorded; the " +
       "run continues") {
     val extractor = new Pipeline.Extractor {

@@ -162,7 +162,21 @@ class StressSpec extends SparkSpec {
       "txt_novelty" -> (d => operators.Text.novelty(spark, d)),
       "txt_bigram_logprob" -> (d => operators.Text.bigramLogprob(spark, d)),
       "mm_shard_pack" -> (d => operators.Multimodal.shardPack(spark, d)),
-      "dedup_source_overlap" -> (d => operators.Dedup.sourceOverlap(spark, d)))
+      "dedup_source_overlap" -> (d => operators.Dedup.sourceOverlap(spark, d)),
+      // r7's heavy additions: the tuning suite (memo cleared so each
+      // timed run pays the FULL shingle→candidate landing, not the memo
+      // hit) and the trained-quantizer family
+      "dedup_threshold_sweep" -> (d => {
+        operators.Dedup.clearTuningMemo()
+        operators.Dedup.thresholdSweep(spark, d) }),
+      "dedup_band_tuning" -> (d => {
+        operators.Dedup.clearTuningMemo()
+        operators.Dedup.bandTuning(spark, d) }),
+      "dedup_minhash_calibration" -> (d => {
+        operators.Dedup.clearTuningMemo()
+        operators.Dedup.minhashCalibration(spark, d) }),
+      "emb_pq" -> (d => operators.Similarity.pq(spark, d)),
+      "emb_pca_project" -> (d => operators.Similarity.pcaProject(spark, d)))
     def run(f: String => org.apache.spark.sql.DataFrame,
         d: String): Double = {
       val t0 = System.nanoTime()
