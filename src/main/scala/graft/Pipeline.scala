@@ -101,11 +101,23 @@ object Pipeline {
     }
   }
 
+  /** Reference `monitoring` stanza (config/config.json:58-62:
+    * cloudwatch_logs / metrics_enabled / alarm_email). The engine's
+    * twin is landing-based: when metrics are enabled the run lands a
+    * per-source metrics dataset beside the execution summary, and an
+    * alarm dataset (erroring sources + the configured recipient) that a
+    * deployment's forwarder tails — deterministic, rerun-safe, no
+    * wall-clock fields. */
+  final case class Monitoring(
+      metricsEnabled: Boolean = false,
+      alarmEmail: Option[String] = None)
+
   final case class Config(
       sources: Seq[Source],
       landingDir: String,
       runDate: String,
-      errorHandling: String = "continue")
+      errorHandling: String = "continue",
+      monitoring: Monitoring = Monitoring())
 
   /** Load a Config from a JSON config file mirroring the reference's
     * config/config.json registry shape (reference config/config.json:
@@ -148,7 +160,11 @@ object Pipeline {
     }
     Config(sources, landingDir, runDate,
       (json \ "processing" \ "error_handling").extractOpt[String]
-        .getOrElse("continue"))
+        .getOrElse("continue"),
+      Monitoring(
+        (json \ "monitoring" \ "metrics_enabled").extractOpt[Boolean]
+          .getOrElse(false),
+        (json \ "monitoring" \ "alarm_email").extractOpt[String]))
   }
 
   final case class SourceResult(
@@ -217,11 +233,14 @@ object Pipeline {
       }
       lastAttemptNs(src.name) = System.nanoTime()
     }
+    val attemptsOf = scala.collection.mutable.Map.empty[String, Int]
     val results = config.sources.map { src =>
       def attempt(remaining: Int): SourceResult =
         // throttle outside the timeout: queueing for the rate limit is
         // not part of the attempt's own budget
-        try { throttled(src); timed(src) {
+        try {
+          attemptsOf(src.name) = attemptsOf.getOrElse(src.name, 0) + 1
+          throttled(src); timed(src) {
           val raw = extractor.extract(spark, src)
           val limited = src.limit.map(raw.limit).getOrElse(raw)
           val shaped = standardize(limited, src.name, config.runDate)
@@ -250,6 +269,27 @@ object Pipeline {
     summary.write.mode("overwrite")
       .parquet(s"${config.landingDir}/metadata/executions/" +
         s"date=${config.runDate}")
+    // monitoring emission (reference config `monitoring` stanza): a
+    // per-source metrics dataset (records landed, attempts spent,
+    // failure flag) and, when an alarm recipient is configured, an
+    // alarm dataset of erroring sources — both deterministic landed
+    // artifacts a deployment's metrics forwarder tails
+    if (config.monitoring.metricsEnabled) {
+      results.map(r => (r.source, r.status, r.nRecords,
+          attemptsOf.getOrElse(r.source, 1).toLong))
+        .toDF("source", "status", "n_records", "n_attempts")
+        .write.mode("overwrite")
+        .parquet(s"${config.landingDir}/metadata/metrics/" +
+          s"date=${config.runDate}")
+      config.monitoring.alarmEmail.foreach { email =>
+        results.filter(_.status == "error")
+          .map(r => (r.source, r.error, email))
+          .toDF("source", "error", "recipient")
+          .write.mode("overwrite")
+          .parquet(s"${config.landingDir}/metadata/alarms/" +
+            s"date=${config.runDate}")
+      }
+    }
     summary
   }
 }

@@ -151,19 +151,24 @@ object Relational {
   /** TPC-H Q2 shape: correlated min-per-group — for every part, the
     * supplier offering its lowest observed price, deterministic tie-break
     * on suppkey. The min is pre-aggregated per (part, supplier) with
-    * map-side combine, then one window rank over the part partitioning
-    * picks the winner — never a correlated re-aggregation per outer row. */
+    * map-side combine, then a second map-side-combinable `min(struct)`
+    * argmax per part picks the winner — struct ordering is
+    * lexicographic (cost, then suppkey), exactly the tie-break, with no
+    * per-partition sort: the q24 discipline. (The previous window-rank
+    * form paid a full shuffle+sort over the (part, supplier) table;
+    * never a correlated re-aggregation per outer row either way.) */
   def q2MinCostSupplier(s: SparkSession, dir: String): DataFrame = {
     val costs = Tables.lineitem(s, dir)
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(min(dec2(col("l_extendedprice"))).as("cost"))
-    val w = Window.partitionBy(col("l_partkey"))
-      .orderBy(col("cost"), col("l_suppkey"))
+    val best = costs.groupBy(col("l_partkey"))
+      .agg(min(struct(col("cost"), col("l_suppkey"))).as("best"))
+      .select(col("l_partkey"), col("best.cost").as("cost"),
+        col("best.l_suppkey").as("l_suppkey"))
     // part/supplier grow ~linearly with SF (SURVEY §4): no forced
     // broadcast — AQE picks BHJ from size stats while they fit and a
     // shuffle join once they don't
-    costs.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    best
       .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
       .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
       .select(col("p_partkey"), col("p_name"), col("s_name"),

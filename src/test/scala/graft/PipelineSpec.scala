@@ -157,6 +157,40 @@ class PipelineSpec extends SparkSpec {
       s"attempt gaps must respect the 200ms min interval: $gaps")
   }
 
+  test("monitoring emission lands per-source metrics and alarms for " +
+      "erroring sources (reference monitoring stanza)") {
+    val landing = java.nio.file.Files
+      .createTempDirectory("graft_pipeline_mon").toString
+    val config = Pipeline.Config(
+      sources = Seq(
+        Pipeline.Source("healthy", "region"),
+        Pipeline.Source("flappy", "no_such_table", maxRetries = 2)),
+      landingDir = landing, runDate = "2026-08-12",
+      monitoring = Pipeline.Monitoring(
+        metricsEnabled = true, alarmEmail = Some("oncall@example.com")))
+    Pipeline.run(spark, sfTiny, config).collect()
+    val metrics = spark.read
+      .parquet(s"$landing/metadata/metrics/date=2026-08-12")
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(metrics("healthy")._1 == "ok" && metrics("healthy")._2 > 0)
+    assert(metrics("healthy")._3 == 1L, "healthy source: one attempt")
+    assert(metrics("flappy") == (("error", 0L, 3L)),
+      "flappy source: 1 initial + 2 retries, all failed")
+    val alarms = spark.read
+      .parquet(s"$landing/metadata/alarms/date=2026-08-12").collect()
+    assert(alarms.map(_.getString(0)).toSeq == Seq("flappy"),
+      "only the erroring source alarms")
+    assert(alarms.head.getString(2) == "oncall@example.com")
+    // metrics are opt-in: a run without the stanza lands none
+    val landing2 = java.nio.file.Files
+      .createTempDirectory("graft_pipeline_mon2").toString
+    Pipeline.run(spark, sfTiny,
+      config.copy(landingDir = landing2,
+        monitoring = Pipeline.Monitoring())).collect()
+    assert(!new java.io.File(s"$landing2/metadata/metrics").exists())
+  }
+
   test("config file parses auth_required and rate_limit (reference " +
       "registry fields)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cfg_auth")
@@ -166,13 +200,18 @@ class PipelineSpec extends SparkSpec {
         |    "crm": {"url": "api://crm", "auth_required": true,
         |            "rate_limit": 2.5},
         |    "open": {"table": "region"}
-        |  } }""".stripMargin)
+        |  },
+        |  "monitoring": { "metrics_enabled": true,
+        |                  "alarm_email": "oncall@example.com" } }"""
+        .stripMargin)
     val config = Pipeline.loadConfig(cfgPath.toString,
       dir.resolve("landing").toString, "2026-08-12")
     val crm = config.sources.find(_.name == "crm").get
     assert(crm.authRequired && crm.rateLimitPerSec.contains(2.5))
     val open = config.sources.find(_.name == "open").get
     assert(!open.authRequired && open.rateLimitPerSec.isEmpty)
+    assert(config.monitoring.metricsEnabled)
+    assert(config.monitoring.alarmEmail.contains("oncall@example.com"))
   }
 
   test("a source exceeding its timeout is cancelled and recorded; the " +
