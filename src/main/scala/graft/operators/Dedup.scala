@@ -58,16 +58,28 @@ object Dedup {
     * fraction of two source signatures estimates the Jaccard similarity
     * of the sources' full shingle-set UNIONS without ever materializing
     * them (estimate ±1/√k) — how a 100 TB pipeline compares crawls or
-    * snapshots. Estimates → rows-only; the spec bounds error vs the
-    * exact union Jaccard. */
+    * snapshots. The per-doc signature table LANDS to parquet, so the
+    * oracle re-derives the per-source minima, the pairwise agreement
+    * counts and the estimates in DuckDB — only the multiply-shift
+    * minhash stays Spark-side; the spec additionally bounds the
+    * estimate's error vs the exact union Jaccard. */
+  /** Landing dir for the per-doc source-sketch table — the simhashFpDir
+    * contract: computable from `dir` alone. */
+  private[graft] def srcSimDir(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_srcsim_" +
+      dir.replaceAll("[^0-9a-zA-Z]", "_")
+
   def sourceSimilarity(s: SparkSession, dir: String): DataFrame = {
     val k = 32
-    val sigs = Tables.documents(s, dir)
+    Tables.documents(s, dir)
       .withColumn("toks", tokens(col("text")))
       .select(col("source"),
         graft.functions.ShingleHash64.shingleHash64(col("toks"), 3).as("hs"))
       .filter(size(col("hs")) > 0)
       .withColumn("sig", graft.functions.SketchExprs.minhashSig(col("hs"), k))
+      .select(col("source"), col("sig"))
+      .write.mode("overwrite").parquet(srcSimDir(dir))
+    val sigs = s.read.parquet(srcSimDir(dir))
       .groupBy(col("source"))
       .agg(min(element_at(col("sig"), 1)).as("m0"),
         (1 until k).map(i =>
@@ -441,18 +453,32 @@ object Dedup {
       .distinct()
   }
 
+  /** Landing dir for the LSH band table — the simhashFpDir contract:
+    * computable from `dir` alone so the static oracle SQL can read the
+    * run's (doc_id, hs, bands) table. */
+  private[graft] def mhLshDir(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_mhlsh_" +
+      dir.replaceAll("[^0-9a-zA-Z]", "_")
+
   /** MinHash+LSH near-dup detection — the full scale path: one string-
     * hash pass, k=32 multiply-shift minima → 8 bands of 4 → salted
     * band-bucket join on ids only → exact-Jaccard verification of
-    * survivors. */
+    * survivors. The (doc_id, hs, bands) table LANDS to parquet and the
+    * emitted pairs recompute from the landed table, so the oracle
+    * re-derives band-bucket candidate generation, the size-ratio
+    * prefilter and the exact-Jaccard verification brute-force in
+    * DuckDB — only the multiply-shift minhash + band hashing stay
+    * Spark-side (the simhash contract). */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     val bands = 8
     val r = 4
-    val base = hashShingled(s, dir)
+    hashShingled(s, dir)
       .withColumn("sig",
         graft.functions.SketchExprs.minhashSig(col("hs"), bands * r))
       .select(col("doc_id"), col("hs"),
         bandHashes(col("sig"), bands, r).as("bands"))
+      .write.mode("overwrite").parquet(mhLshDir(dir))
+    val base = s.read.parquet(mhLshDir(dir))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val banded = base.select(col("doc_id"),
       posexplode(col("bands")).as(Seq("band_id", "band_hash")))
@@ -801,6 +827,59 @@ object Dedup {
     "dedup_semantic" -> (semantic _))
 
   val oracles: Map[String, String] = Map(
+    // band-bucket candidates, size-ratio prefilter and exact-Jaccard
+    // verification re-derived from the landed (doc_id, hs, bands)
+    // table; only minhash + band hashing stay Spark-side. The raw
+    // inter/uni double compare vs 0.5 is IEEE-identical in both
+    // engines (the op's own threshold discipline).
+    "dedup_minhash_lsh" ->
+      s"""WITH b AS (SELECT doc_id, hs, bands
+        |  FROM '${mhLshDir("__SFDIR__")}/*.parquet'),
+        |banded AS (
+        |  SELECT doc_id, generate_subscripts(bands, 1) AS band_id,
+        |    unnest(bands) AS band_hash
+        |  FROM b),
+        |p AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM banded x JOIN banded y
+        |    ON x.band_id = y.band_id AND x.band_hash = y.band_hash
+        |    AND x.doc_id < y.doc_id),
+        |j AS (
+        |  SELECT p.doc_a, p.doc_b, a.hs AS hs_a, c.hs AS hs_b
+        |  FROM p JOIN b a ON a.doc_id = p.doc_a
+        |         JOIN b c ON c.doc_id = p.doc_b)
+        |SELECT doc_a, doc_b,
+        |  ROUND(CAST(len(list_intersect(hs_a, hs_b)) AS DOUBLE)
+        |    / CAST(len(list_distinct(list_concat(hs_a, hs_b))) AS DOUBLE),
+        |    6) AS jaccard
+        |FROM j
+        |WHERE len(hs_a) <= 2 * len(hs_b) AND len(hs_b) <= 2 * len(hs_a)
+        |  AND CAST(len(list_intersect(hs_a, hs_b)) AS DOUBLE)
+        |    / CAST(len(list_distinct(list_concat(hs_a, hs_b))) AS DOUBLE)
+        |    >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // per-source minima over the landed per-doc signatures, pairwise
+    // agreement fraction; est = n_agree/32 is a power-of-two divide —
+    // IEEE-exact in both engines
+    "dedup_source_similarity" ->
+      s"""WITH s AS (SELECT source, sig
+        |  FROM '${srcSimDir("__SFDIR__")}/*.parquet'),
+        |flat AS (
+        |  SELECT source, generate_subscripts(sig, 1) AS i,
+        |    unnest(sig) AS v
+        |  FROM s),
+        |m AS (SELECT source, i, MIN(v) AS mv
+        |  FROM flat GROUP BY source, i),
+        |sv AS (SELECT source, array_agg(mv ORDER BY i) AS sig
+        |  FROM m GROUP BY source),
+        |p AS (SELECT a.source AS source_a, b.source AS source_b,
+        |    a.sig AS sa, b.sig AS sb
+        |  FROM sv a JOIN sv b ON a.source < b.source)
+        |SELECT source_a, source_b,
+        |  ROUND(CAST(list_sum(list_transform(range(1, 33),
+        |      i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) AS DOUBLE)
+        |    / 32.0, 6) AS est_jaccard
+        |FROM p ORDER BY source_a, source_b""".stripMargin,
     "dedup_stats" ->
       """SELECT source, COUNT(*) AS n_docs,
         |  COUNT(DISTINCT md5(text)) AS n_distinct_texts,

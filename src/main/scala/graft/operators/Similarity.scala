@@ -782,7 +782,7 @@ object Similarity {
     "emb_dim_stats" -> (dimStats _),
     "emb_centroid_audit" -> (centroidAudit _))
 
-  val oracles: Map[String, String] = Map(
+  private val oraclesBase: Map[String, String] = Map(
     // assignment re-derived from the landed centroids; rank-striped
     // shards over the bounded cluster table
     "emb_index_shards" ->
@@ -1166,4 +1166,37 @@ object Similarity {
         |  FROM scored)
         |SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
         |FROM ranked WHERE rank <= 10""".stripMargin)
+
+  /** `ann_recall_eval` oracled by COMPOSITION: the brute-force, LSH and
+    * IVF oracle queries above (all re-derived from landed artifacts)
+    * run as subqueries, and DuckDB recomputes the per-method overlap
+    * counts and recall — the whole index-quality report is now
+    * hash-checked, not just spec-floored. */
+  val oracles: Map[String, String] = oraclesBase + ("ann_recall_eval" ->
+    s"""WITH bf AS (SELECT query_id, neighbor_id
+      |  FROM (${oraclesBase("ann_bruteforce_topk")})),
+      |lshq AS (SELECT query_id, neighbor_id
+      |  FROM (${oraclesBase("ann_lsh_topk")})),
+      |ivfq AS (SELECT query_id, neighbor_id
+      |  FROM (${oraclesBase("ann_ivf_topk")})),
+      |k AS (SELECT query_id, COUNT(*) AS k_eff FROM bf GROUP BY query_id),
+      |hl AS (SELECT bf.query_id AS query_id, COUNT(*) AS n_hits
+      |  FROM bf JOIN lshq ON bf.query_id = lshq.query_id
+      |    AND bf.neighbor_id = lshq.neighbor_id
+      |  GROUP BY bf.query_id),
+      |hi AS (SELECT bf.query_id AS query_id, COUNT(*) AS n_hits
+      |  FROM bf JOIN ivfq ON bf.query_id = ivfq.query_id
+      |    AND bf.neighbor_id = ivfq.neighbor_id
+      |  GROUP BY bf.query_id),
+      |r AS (
+      |  SELECT 'lsh' AS method, k.query_id, k.k_eff,
+      |    COALESCE(hl.n_hits, 0) AS n_hits
+      |  FROM k LEFT JOIN hl ON hl.query_id = k.query_id
+      |  UNION ALL
+      |  SELECT 'ivf' AS method, k.query_id, k.k_eff,
+      |    COALESCE(hi.n_hits, 0) AS n_hits
+      |  FROM k LEFT JOIN hi ON hi.query_id = k.query_id)
+      |SELECT method, query_id, k_eff, n_hits,
+      |  ROUND(CAST(n_hits AS DOUBLE) / CAST(k_eff AS DOUBLE), 6) AS recall
+      |FROM r ORDER BY method, query_id""".stripMargin)
 }
