@@ -112,12 +112,69 @@ object Pipeline {
       metricsEnabled: Boolean = false,
       alarmEmail: Option[String] = None)
 
+  /** Schedule cadence — the reference's EventBridge trigger
+    * (scripts/setup_schedule.py:13: `cron(0 2 * * ? *)` daily at 2 AM,
+    * put_rule ScheduleExpression + State): the per-pipeline stanza a
+    * scheduler reads to drive the batch. Both EventBridge forms parse:
+    * `rate(N minutes|hours|days)` and the 6-field
+    * `cron(min hr dom mon dow year)`. The engine-side executor of one
+    * firing is `etl_incremental` / `stream_incremental_landing`;
+    * `windowFor` hands them the [start, end) date window one run
+    * covers. */
+  final case class Schedule(expression: String, enabled: Boolean = true) {
+    private val rateRe =
+      """rate\(\s*(\d+)\s+(minutes?|hours?|days?)\s*\)""".r
+    private val cronRe = """cron\(([^)]*)\)""".r
+
+    /** Cadence period in seconds. Rate forms convert directly; a cron
+      * with fixed minute + hour and wildcard day fields (the
+      * reference's own `cron(0 2 * * ? *)` shape) is one-per-day.
+      * Other crons are valid but aperiodic → None. */
+    val periodSeconds: Option[Long] = expression.trim match {
+      case rateRe(n, unit) =>
+        val mult = unit.stripSuffix("s") match {
+          case "minute" => 60L
+          case "hour" => 3600L
+          case _ => 86400L
+        }
+        Some(n.toLong * mult)
+      case cronRe(fields) =>
+        def wild(f: String) = f == "*" || f == "?"
+        fields.trim.split("\\s+") match {
+          // fixed minute+hour, wildcard day-of-month AND day-of-week:
+          // fires exactly once per day
+          case Array(m, h, dom, _, dow, _)
+              if m.nonEmpty && m.forall(_.isDigit) &&
+                h.nonEmpty && h.forall(_.isDigit) &&
+                wild(dom) && wild(dow) => Some(86400L)
+          case _ => None
+        }
+      case _ => None
+    }
+    require(periodSeconds.isDefined ||
+        cronRe.findFirstMatchIn(expression.trim).isDefined,
+      s"unsupported schedule expression: $expression " +
+        "(expected rate(N unit) or cron(6 fields))")
+
+    /** The [start, end) processing window (yyyy-MM-dd, end exclusive)
+      * for the run stamped `runDate`: the cadence period rounded up to
+      * whole days — a daily schedule processes exactly runDate, a
+      * rate(3 days) schedule the 3-day window starting there. */
+    def windowFor(runDate: String): (String, String) = {
+      val days = math.max(1L,
+        (periodSeconds.getOrElse(86400L) + 86399L) / 86400L)
+      val start = java.time.LocalDate.parse(runDate)
+      (start.toString, start.plusDays(days).toString)
+    }
+  }
+
   final case class Config(
       sources: Seq[Source],
       landingDir: String,
       runDate: String,
       errorHandling: String = "continue",
-      monitoring: Monitoring = Monitoring())
+      monitoring: Monitoring = Monitoring(),
+      schedule: Option[Schedule] = None)
 
   /** Load a Config from a JSON config file mirroring the reference's
     * config/config.json registry shape (reference config/config.json:
@@ -135,13 +192,27 @@ object Pipeline {
     * `landingDir`/`runDate` stay caller-supplied: they are per-run
     * environment (the reference takes them from the Lambda event), not
     * source registry.
-    */
+    *
+    * A missing or unparseable config file degrades to the built-in
+    * `defaultConfig` registry — the reference's `get_configuration`
+    * fallback (lambda_function.py:166-185): a broken config store must
+    * not kill the scheduled batch; the run proceeds on known defaults
+    * and the degradation is logged. A config that PARSES but violates
+    * the registry contract (duplicate source names) still fails fast:
+    * that is a bad registry, not a broken store. */
   def loadConfig(path: String, landingDir: String, runDate: String): Config = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     implicit val fmts: Formats = DefaultFormats
-    val json = JsonMethods.parse(
-      java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+    val json =
+      try JsonMethods.parse(
+        java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[pipeline] config at $path unavailable " +
+            s"(${e.getClass.getSimpleName}); using default source registry")
+          return defaultConfig(landingDir, runDate)
+      }
     val defaultRetries =
       (json \ "processing" \ "retry_attempts").extractOpt[Int].getOrElse(0)
     val sources = json \ "data_sources" match {
@@ -158,14 +229,40 @@ object Pipeline {
       }
       case _ => Nil
     }
+    // duplicate names would share a landing path, a throttle window and
+    // a metrics row — reject at registry load, where the mistake is
+    val dups = sources.groupBy(_.name).collect {
+      case (n, ss) if ss.size > 1 => n }
+    require(dups.isEmpty,
+      s"duplicate source names in config: ${dups.toSeq.sorted.mkString(", ")}")
     Config(sources, landingDir, runDate,
       (json \ "processing" \ "error_handling").extractOpt[String]
         .getOrElse("continue"),
       Monitoring(
         (json \ "monitoring" \ "metrics_enabled").extractOpt[Boolean]
           .getOrElse(false),
-        (json \ "monitoring" \ "alarm_email").extractOpt[String]))
+        (json \ "monitoring" \ "alarm_email").extractOpt[String]),
+      (json \ "schedule" \ "expression").extractOpt[String].map(expr =>
+        Schedule(expr,
+          (json \ "schedule" \ "enabled").extractOpt[Boolean]
+            .getOrElse(true))))
   }
+
+  /** The reference's built-in fallback source registry
+    * (lambda_function.py:166-185 — FakeStore / JSONPlaceholder /
+    * RandomUser, limit 10 each), re-pointed at the lake tables the
+    * TableExtractor serves; the public demo urls ride along for
+    * HTTP-shaped extractors. Used when the config store is
+    * unreachable so the scheduled batch still lands its defaults. */
+  def defaultConfig(landingDir: String, runDate: String): Config = Config(
+    Seq(
+      Source("marketing", table = "part", limit = Some(10),
+        url = Some("https://fakestoreapi.com/products?limit=10")),
+      Source("sales", table = "orders", limit = Some(10),
+        url = Some("https://jsonplaceholder.typicode.com/posts?_limit=10")),
+      Source("crm", table = "customer", limit = Some(10),
+        url = Some("https://randomuser.me/api/?results=10"))),
+    landingDir, runDate)
 
   final case class SourceResult(
       source: String, status: String, nRecords: Long, error: String)
@@ -223,24 +320,28 @@ object Pipeline {
     // per-source min-interval throttle (reference registry `rate_limit`):
     // rate_limit = N → at most N extract attempts per second per source,
     // enforced across retries too — a flapping endpoint must not be
-    // hammered at retry speed
-    val lastAttemptNs = scala.collection.mutable.Map.empty[String, Long]
-    def throttled(src: Source): Unit = src.rateLimitPerSec.foreach { rl =>
-      val minIntervalNs = (1e9 / rl).toLong
-      lastAttemptNs.get(src.name).foreach { last =>
-        val waitNs = last + minIntervalNs - System.nanoTime()
-        if (waitNs > 0) Thread.sleep(waitNs / 1000000L + 1L)
+    // hammered at retry speed. Throttle state and attempt counters are
+    // scoped per config ENTRY (not keyed by name), so two entries that
+    // happen to share a name cannot cross-throttle or merge their
+    // metrics (loadConfig rejects duplicates; hand-built configs stay
+    // well-behaved too).
+    val srcResults: Seq[(SourceResult, Long)] = config.sources.map { src =>
+      var lastAttemptNs = Option.empty[Long]
+      def throttled(): Unit = src.rateLimitPerSec.foreach { rl =>
+        val minIntervalNs = (1e9 / rl).toLong
+        lastAttemptNs.foreach { last =>
+          val waitNs = last + minIntervalNs - System.nanoTime()
+          if (waitNs > 0) Thread.sleep(waitNs / 1000000L + 1L)
+        }
+        lastAttemptNs = Some(System.nanoTime())
       }
-      lastAttemptNs(src.name) = System.nanoTime()
-    }
-    val attemptsOf = scala.collection.mutable.Map.empty[String, Int]
-    val results = config.sources.map { src =>
+      var attempts = 0L
       def attempt(remaining: Int): SourceResult =
         // throttle outside the timeout: queueing for the rate limit is
         // not part of the attempt's own budget
         try {
-          attemptsOf(src.name) = attemptsOf.getOrElse(src.name, 0) + 1
-          throttled(src); timed(src) {
+          attempts += 1
+          throttled(); timed(src) {
           val raw = extractor.extract(spark, src)
           val limited = src.limit.map(raw.limit).getOrElse(raw)
           val shaped = standardize(limited, src.name, config.runDate)
@@ -259,8 +360,9 @@ object Pipeline {
             SourceResult(src.name, "error", 0L,
               Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
         }
-      attempt(src.maxRetries)
+      (attempt(src.maxRetries), attempts)
     }
+    val results = srcResults.map(_._1)
     val summary = results.toDF()
       .select(col("source"), col("status"), col("nRecords").as("n_records"),
         col("error"))
@@ -275,8 +377,8 @@ object Pipeline {
     // alarm dataset of erroring sources — both deterministic landed
     // artifacts a deployment's metrics forwarder tails
     if (config.monitoring.metricsEnabled) {
-      results.map(r => (r.source, r.status, r.nRecords,
-          attemptsOf.getOrElse(r.source, 1).toLong))
+      srcResults.map { case (r, attempts) =>
+          (r.source, r.status, r.nRecords, attempts) }
         .toDF("source", "status", "n_records", "n_attempts")
         .write.mode("overwrite")
         .parquet(s"${config.landingDir}/metadata/metrics/" +

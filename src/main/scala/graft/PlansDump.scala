@@ -68,8 +68,8 @@ object PlansDump {
       "etl_cdc_merge" ->
         "CDC latest-wins: single map-side-combinable max(struct) argmax",
       "emb_covariance" ->
-        ("d² pair products generated expression-side (no self-join); " +
-          "shuffle only carries d² partial aggregates"),
+        ("per-partition partial outer product (one integer-unit row per " +
+          "partition crosses the exchange — no n·d² row explode)"),
       "ev_attribution_multi" ->
         ("U-shaped credit split: position window satisfied by the " +
           "join's user_id clustering — no second shuffle"),
@@ -83,8 +83,8 @@ object PlansDump {
         ("corpus-order novelty: first-seen min + join-back share ONE " +
           "shingle-keyed exchange; linear in corpus tokens"),
       "dedup_containment" ->
-        ("asymmetric containment on the salted min-shingle candidates: " +
-          "same storm-safe bucket join, integer-exact keep test"),
+        ("asymmetric containment read straight off the LANDED tuning " +
+          "candidates (sz/inter columns) — no shingle pipeline re-run"),
       "txt_bigram_logprob" ->
         ("bigram LM score: corpus-sized count table joins back via a " +
           "SHUFFLE equi-join (only vocab-sized prefix totals broadcast)"),
@@ -124,7 +124,24 @@ object PlansDump {
           "month×segment grid, never the fact table"),
       "ev_cooccurrence_lift" ->
         ("lift matrix: per-user indicator aggregate → one-row " +
-          "16-scalar pass → 10-row explode — never a pairwise join"))
+          "16-scalar pass → 10-row explode — never a pairwise join"),
+      "emb_pca_project" ->
+        ("PCA projection: driver eigensolve on the d×d collect " +
+          "(schema-bounded), corpus projection against BROADCAST " +
+          "landed components — the scan side never shuffles"),
+      "ann_ivf_kmeans_topk" ->
+        ("trained IVF probe: broadcast landed Lloyd centroids, " +
+          "nprobe-bucket equi-join, bucket-local top-k — no all-pairs"),
+      "ann_recall_eval" ->
+        ("recall eval: three top-k legs joined on (query, neighbor) " +
+          "id pairs only — payload vectors never re-join"),
+      "etl_compact" ->
+        ("small-file compaction: date-keyed repartition write; audit " +
+          "counts from footer-level input_file_name groupBy"),
+      "stream_join_attribution" ->
+        ("stream-stream interval join converged snapshot (the plan " +
+          "below is the memory-sink read; the streaming plan carries " +
+          "the watermark-bounded join state)"))
     val sb = new StringBuilder
     sb.append("# PLANS — executed physical plans (sf0.001, regenerate " +
       "via `sbt \"runMain graft.PlansDump\"`)\n")

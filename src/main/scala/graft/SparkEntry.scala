@@ -38,6 +38,8 @@ object SparkEntry {
     * the artifacts the run being checked actually produced. */
   def oracleSqlFor(sfDir: String): Map[String, String] = {
     val slug = sfDir.replaceAll("[^0-9a-zA-Z]", "_")
-    oracleSql.map { case (k, v) => k -> v.replace("__SFDIR__", slug) }
+    val h = f"${scala.util.hashing.MurmurHash3.stringHash(sfDir)}%08x"
+    oracleSql.map { case (k, v) =>
+      k -> v.replace("__SFDIR__", slug).replace("__SFHASH__", h) }
   }
 }

@@ -82,4 +82,53 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+
+  /** Landing-dir contract for derived artifacts that static oracle SQL
+    * must be able to name: computable from `dir` alone (no session or
+    * timestamp component — the oracle SQL and the landing write resolve
+    * the same path), namespaced by OS user so concurrent users on one
+    * host cannot clobber each other's artifacts, with a stable 8-hex
+    * MurmurHash3 of the RAW dir string appended so two dirs that
+    * sanitize to the same token (the `[^0-9a-zA-Z]` collapse) cannot
+    * share a path. */
+  def landingDir(tag: String, dir: String): String = {
+    val user = Option(System.getProperty("user.name")).getOrElse("anon")
+      .replaceAll("[^0-9a-zA-Z]", "_")
+    // oracle TEMPLATES are built with the literal `__SFDIR__` token and
+    // resolved later (SparkEntry.oracleSqlFor): the hash must resolve
+    // with them, so the token case emits a hash placeholder instead of
+    // hashing the token string itself
+    val h =
+      if (dir == "__SFDIR__") "__SFHASH__"
+      else f"${scala.util.hashing.MurmurHash3.stringHash(dir)}%08x"
+    s"${System.getProperty("java.io.tmpdir")}/graft_${user}_${tag}_" +
+      dir.replaceAll("[^0-9a-zA-Z]", "_") + "_" + h
+  }
+
+  /** Cheap content fingerprint of one landed table under `dir` — file
+    * count, total bytes, and max modification time from the filesystem
+    * listing (footer-free, no data scan). Keys the landed-artifact
+    * memos (`ensureTuningLanded`, `ensureKmeansLanded`) so a
+    * regenerated or mutated source table re-lands instead of silently
+    * serving artifacts derived from the old bytes. Goes through the
+    * Hadoop FileSystem API, so every supported scheme (file://,
+    * hdfs://, s3a://) fingerprints the same way. */
+  def fingerprint(s: SparkSession, dir: String, name: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) "absent"
+    else {
+      val it = fs.listFiles(p, true)
+      var n = 0L
+      var bytes = 0L
+      var mtime = 0L
+      while (it.hasNext) {
+        val st = it.next()
+        n += 1
+        bytes += st.getLen
+        mtime = math.max(mtime, st.getModificationTime)
+      }
+      s"$n:$bytes:$mtime"
+    }
+  }
 }

@@ -225,7 +225,16 @@ object Etl {
     * aggregate), not reconstructed from landed files. `etl_manifest` is
     * the after-the-fact audit of the same landing; a spec reconciles the
     * two, which is exactly the bookkeeping contract a 100 TB lake
-    * recovers with. Run timestamps are run-dependent → rows-only. */
+    * recovers with.
+    *
+    * The landed metadata keeps the run timestamp (the reference's
+    * extracted_timestamp contract) but the RETURNED projection is fully
+    * deterministic (r8 verdict item 5): it re-reads the landed metadata
+    * and reports the writer-declared counts plus n_stamps — the count
+    * of distinct run timestamps, invariantly 1 because
+    * current_timestamp is fixed at query start — so the
+    * one-stamp-per-run contract and the per-partition counts both get a
+    * real DuckDB hash check instead of a rows-only pass. */
   def landingMetadata(s: SparkSession, dir: String): DataFrame = {
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_meta_" +
       s"${dir.replaceAll("[^0-9a-zA-Z]", "_")}_" +
@@ -243,7 +252,11 @@ object Etl {
         current_timestamp().as("extracted_timestamp"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$out/metadata")
-    s.read.parquet(s"$out/metadata").orderBy(col("event_date"))
+    s.read.parquet(s"$out/metadata")
+      .groupBy(col("source"), col("event_date"))
+      .agg(max(col("record_count")).as("record_count"),
+        countDistinct(col("extracted_timestamp")).as("n_stamps"))
+      .orderBy(col("event_date"))
   }
 
   /** Daily-cadence incremental batch: select one date window, dedupe on
@@ -1020,6 +1033,14 @@ object Etl {
     "etl_manifest" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS event_date, COUNT(*) AS n_rows
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // writer-declared counts re-derived from events; n_stamps = 1 is
+    // the one-run-timestamp contract (current_timestamp is fixed at
+    // query start, so the landed metadata carries exactly one stamp)
+    "etl_landing_metadata" ->
+      """SELECT 'events' AS source,
+        |  strftime(ts, '%Y-%m-%d') AS event_date,
+        |  COUNT(*) AS record_count, CAST(1 AS BIGINT) AS n_stamps
+        |FROM events GROUP BY 2 ORDER BY 2""".stripMargin,
     "etl_compact" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS event_date,
         |  COUNT(*) AS n_rows_before, COUNT(*) AS n_rows_after

@@ -796,8 +796,7 @@ object Events {
     * contract (simhashFpDir): computable from `dir` alone so the static
     * oracle SQL can read the run's vector. */
   private[graft] def markovDir(dir: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_markov_" +
-      dir.replaceAll("[^0-9a-zA-Z]", "_")
+    graft.Tables.landingDir("markov", dir)
 
   /** Markov steady state vs today's mix — the long-run behavior report
     * behind `ev_transition_matrix`: the stationary distribution of the

@@ -69,8 +69,7 @@ object Similarity {
     * contract: computable from `dir` alone so the static oracle SQL can
     * read the run's bucket assignments. */
   private[graft] def lshBucketsDir(dir: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_lsh_buckets_" +
-      dir.replaceAll("[^0-9a-zA-Z]", "_")
+    graft.Tables.landingDir("lsh_buckets", dir)
 
   /** Sign-LSH approximate top-k: L=2 independent hash tables of
     * `planesFor(n)` hyperplane sign bits each (OR-amplification — a
@@ -128,8 +127,7 @@ object Similarity {
   /** Landing dir for the sampled IVF coarse-centroid table — the
     * kmeansCentDir contract: computable from `dir` alone. */
   private[graft] def ivfCentDir(dir: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_ivf_cent_" +
-      dir.replaceAll("[^0-9a-zA-Z]", "_")
+    graft.Tables.landingDir("ivf_cent", dir)
 
   /** IVF-style approximate top-k: every vector joins its nearest of k
     * fixed centroids, queries probe `nprobe` nearest cells. Two
@@ -265,8 +263,7 @@ object Similarity {
     * Dedup.simhashFpDir: computable from `dir` alone so the static
     * oracle SQL can locate the run's centroids. */
   private[graft] def kmeansCentDir(dir: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_kmeans_cent_" +
-      dir.replaceAll("[^0-9a-zA-Z]", "_")
+    graft.Tables.landingDir("kmeans_cent", dir)
 
   /** Train-once memo for the landed quantizer: the downstream consumers
     * (dedup_semantic, emb_knn_graph, emb_index_shards) only need the
@@ -275,10 +272,13 @@ object Similarity {
     * by (SparkContext identity, data dir) so a fresh session (or a
     * different scale factor) always retrains. */
   private val kmeansLanded =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), Boolean]
+    scala.collection.concurrent.TrieMap.empty[(Int, String, String), Boolean]
   private[graft] def ensureKmeansLanded(s: SparkSession, dir: String): Unit = {
     kmeansLanded.getOrElseUpdate(
-      (System.identityHashCode(s.sparkContext), dir),
+      (System.identityHashCode(s.sparkContext), dir,
+        // content-keyed (count:bytes:mtime): a regenerated embeddings
+        // table retrains instead of serving a stale quantizer
+        graft.Tables.fingerprint(s, dir, "embeddings")),
       { kmeans(s, dir); true })
     ()
   }
@@ -358,8 +358,7 @@ object Similarity {
     * computable from `dir` alone so the static oracle SQL can read the
     * run's codebook. */
   private[graft] def pqCodebookDir(dir: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_pq_" +
-      dir.replaceAll("[^0-9a-zA-Z]", "_")
+    graft.Tables.landingDir("pq", dir)
 
   /** Product quantization — the compression step between `emb_kmeans`'s
     * coarse quantizer and a shippable ANN index (the IVF-PQ shape): the
@@ -468,35 +467,120 @@ object Similarity {
       .orderBy(col("dim"))
   }
 
+  /** Replicates Spark's `round(x, 9).cast(DecimalType(_, 9))` exactly —
+    * toString-based BigDecimal conversion at both steps, HALF_UP — and
+    * returns the 10⁻⁹-unit unscaled integer, so per-partition integer
+    * accumulation reproduces the decimal-sum discipline bit-for-bit
+    * (exact addition is associative + commutative; order is free). */
+  private[graft] def scaled9Slow(x: Double): Long = {
+    val r = java.math.BigDecimal.valueOf(x)
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+    java.math.BigDecimal.valueOf(r)
+      .setScale(9, java.math.RoundingMode.HALF_UP)
+      .unscaledValue().longValueExact()
+  }
+
+  /** Fast path for `scaled9Slow`, exact by construction: away from a
+    * 9dp rounding boundary, nearest-integer(x·10⁹) computed in doubles
+    * equals the BigDecimal result — the FP error of the ×10⁹ multiply
+    * (≤ ~0.03 units for |x| ≤ 0.5, i.e. a few ulps of x·10⁹) plus the
+    * shortest-repr delta (< 10⁻⁷ units) cannot move the result across a
+    * boundary that is ≥ 0.1 units away. Inside the 0.1-unit guard band
+    * (or for |x·10⁹| ≥ 2⁵⁰, where the +0.5 trick loses exactness) the
+    * slow toString path decides — rare, so the per-product cost is a
+    * multiply and a floor instead of two BigDecimal constructions. */
+  private[graft] def scaled9(x: Double): Long = {
+    val a = x * 1e9
+    if (Math.abs(a) < (1L << 50).toDouble) {
+      val f = Math.floor(a + 0.5)
+      val db = a + 0.5 - f // in [0,1): near 0 or 1 = near a boundary
+      if (db > 0.1 && db < 0.9) return f.toLong
+    }
+    scaled9Slow(x)
+  }
+
   /** Upper-triangle covariance / correlation audit over the embedding
     * dimensions — the whitening / redundant-dimension check run before an
-    * index or a projection ships. The d·(d+1)/2 pair products are
-    * generated EXPRESSION-side (nested transform over the vector — no
-    * self-join, no n·d shuffle), rounded to 9dp and summed as exact
-    * decimals (dimStats discipline: order-independent, map-side
-    * combinable), so the only shuffle is n·d²→ d² partial aggregates
-    * onto the bounded d² key space at any corpus size. First moments and
+    * index or a projection ships. Each partition folds its vectors into
+    * ONE d·(d+1)/2-long integer accumulator of 9dp product units (plus a
+    * d-long first-moment accumulator) — a per-partition partial outer
+    * product, so what crosses the exchange is ONE row per partition, not
+    * the former n·d²-row explode (r8's one throughput gap: 2,080 rows
+    * per vector at d = 64). The partials convert to exact decimals and
+    * merge on the bounded d² key space; the sums equal the dimStats
+    * discipline's (round → exact DECIMAL → associative SUM) bit-for-bit
+    * because integer addition of 9dp units IS exact decimal addition.
+    * Overflow headroom: with |x| ≤ B a partition of n rows needs
+    * n·B²·10⁹ < 2⁶³ — n ≲ 2.3e9 rows at B = 2, far beyond what a
+    * size-bounded parquet split can hold (`Math.addExact` fails loudly
+    * rather than wrapping if that ever breaks). First moments and
     * diagonal second moments re-attach via two broadcast joins of the
     * d-row tables; cov/corr arithmetic is written term-for-term as the
     * oracle's, so the doubles are bit-identical. */
   def covariance(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
-    val emb = Tables.embeddings(s, dir)
-      .select(asDouble(col("embedding")).as("vd"))
-    val pairs = emb.select(explode(flatten(transform(col("vd"),
-        (xi, i) => transform(
-          slice(col("vd"), i + lit(1), size(col("vd")) - i),
-          (xj, jo) => struct(i.as("i"), (i + jo).as("j"),
-            round(xi * xj, 9).cast(DecimalType(28, 9)).as("xy"))))))
-        .as("p"))
-      .select(col("p.i").as("i"), col("p.j").as("j"), col("p.xy").as("xy"))
-    val mom = pairs.groupBy(col("i"), col("j"))
-      .agg(count(lit(1)).as("n_vecs"),
-        sum(col("xy")).cast("double").as("sum_xy"))
-    val firsts = emb.select(posexplode(col("vd")).as(Seq("d", "x")))
+    import s.implicits._
+    val partials = Tables.embeddings(s, dir)
+      .select(col("embedding")).as[Array[Float]]
+      .mapPartitions { it =>
+        var d = -1
+        var n = 0L
+        var xy: Array[Long] = null
+        var xs: Array[Long] = null
+        while (it.hasNext) {
+          val vf = it.next()
+          if (d < 0) {
+            d = vf.length
+            xy = new Array[Long](d * (d + 1) / 2)
+            xs = new Array[Long](d)
+          }
+          require(vf.length == d,
+            s"ragged embedding width: ${vf.length} vs $d")
+          val v = new Array[Double](d)
+          var i = 0
+          while (i < d) { v(i) = vf(i).toDouble; i += 1 }
+          n += 1
+          var idx = 0
+          i = 0
+          while (i < d) {
+            xs(i) = Math.addExact(xs(i), scaled9(v(i)))
+            var j = i
+            while (j < d) {
+              xy(idx) = Math.addExact(xy(idx), scaled9(v(i) * v(j)))
+              idx += 1; j += 1
+            }
+            i += 1
+          }
+        }
+        if (d < 0) Iterator.empty
+        else {
+          val pairs = Array.newBuilder[(Int, Int, BigDecimal)]
+          var idx = 0
+          var i = 0
+          while (i < d) {
+            var j = i
+            while (j < d) {
+              pairs += ((i, j, BigDecimal(
+                java.math.BigDecimal.valueOf(xy(idx), 9))))
+              idx += 1; j += 1
+            }
+            i += 1
+          }
+          val firsts = xs.toSeq.map(u =>
+            BigDecimal(java.math.BigDecimal.valueOf(u, 9)))
+          Iterator((n, pairs.result().toSeq, firsts))
+        }
+      }
+      .toDF("n", "pairs", "xs")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mom = partials
+      .select(col("n"), explode(col("pairs")).as("p"))
+      .groupBy(col("p._1").as("i"), col("p._2").as("j"))
+      .agg(sum(col("n")).as("n_vecs"),
+        sum(col("p._3")).cast("double").as("sum_xy"))
+    val firsts = partials
+      .select(posexplode(col("xs")).as(Seq("d", "xdec")))
       .groupBy(col("d"))
-      .agg(sum(round(col("x"), 9).cast(DecimalType(18, 9)))
-        .cast("double").as("sum_x"))
+      .agg(sum(col("xdec")).cast("double").as("sum_x"))
     val diag = mom.filter(col("i") === col("j"))
       .select(col("i").as("d"), col("sum_xy").as("sum_xx"))
     val dTab = firsts.join(diag, "d")
@@ -524,8 +608,7 @@ object Similarity {
     * contract: computable from `dir` alone so the static oracle SQL can
     * read the run's components. */
   private[graft] def pcaCompDir(dir: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_pca_" +
-      dir.replaceAll("[^0-9a-zA-Z]", "_")
+    graft.Tables.landingDir("pca", dir)
 
   /** PCA projection — the dimensionality-reduction leg of embedding
     * curation (whitening, 2-D corpus maps, variance audits): the top

@@ -227,9 +227,9 @@ class OperatorsSpec extends SparkSpec {
   test("write-time metadata reconciles with the after-the-fact manifest") {
     val meta = operators.Etl.landingMetadata(spark, sfTiny)
     // one run stamp for the whole landing (the reference's
-    // extracted_timestamp contract), never null
-    assert(meta.select(col("extracted_timestamp")).distinct().count() == 1)
-    assert(meta.filter(col("extracted_timestamp").isNull).count() == 0)
+    // extracted_timestamp contract) — surfaced as the deterministic
+    // n_stamps column so the DuckDB oracle checks it too
+    assert(meta.filter(col("n_stamps") =!= 1).count() == 0)
     // writer-declared counts == counts audited from the landed files
     val audit = operators.Etl.manifestDetail(spark, sfTiny)
       .select(col("event_date"), col("n_rows"))
@@ -2348,5 +2348,22 @@ class OperatorsSpec extends SparkSpec {
     val joined = at.join(ev, at("attributed_click_id") === ev("event_id"))
     assert(joined.filter(col("event_type") =!= "click").count() == 0)
     assert(joined.filter(col("ts") > col("purchase_ts")).count() == 0)
+  }
+
+  test("scaled9 fast path agrees with the toString BigDecimal path") {
+    import operators.Similarity
+    // the float-product domain emb_covariance actually feeds it, plus
+    // adversarial points parked ON and NEAR 9dp rounding boundaries
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 200000) {
+      val x = (rnd.nextFloat() - 0.5f).toDouble *
+        (rnd.nextFloat() - 0.5f).toDouble
+      assert(Similarity.scaled9(x) == Similarity.scaled9Slow(x), s"x=$x")
+    }
+    for (k <- -1000 to 1000; d <- Seq(0.0, 0.5, 0.4999999, 0.5000001)) {
+      val x = (k + d) * 1e-9
+      assert(Similarity.scaled9(x) == Similarity.scaled9Slow(x), s"x=$x")
+      assert(Similarity.scaled9(-x) == Similarity.scaled9Slow(-x), s"x=-$x")
+    }
   }
 }

@@ -274,4 +274,78 @@ class PipelineSpec extends SparkSpec {
       dir.resolve("landing/marketing/date=2026-08-12").toString)
     assert(landedJson.listFiles().exists(_.getName.endsWith(".json")))
   }
+
+  test("schedule stanza parses the reference EventBridge shapes and " +
+      "drives an incremental window") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cfg_sched")
+    val cfgPath = dir.resolve("config.json")
+    // the reference's own expression (scripts/setup_schedule.py:13)
+    java.nio.file.Files.writeString(cfgPath,
+      """{ "data_sources": { "ads": {"table": "events"} },
+        |  "schedule": { "expression": "cron(0 2 * * ? *)",
+        |                "enabled": true } }""".stripMargin)
+    val config = Pipeline.loadConfig(cfgPath.toString,
+      dir.resolve("landing").toString, "2024-01-10")
+    val sched = config.schedule.get
+    assert(sched.enabled)
+    assert(sched.periodSeconds.contains(86400L), "daily cron is 1/day")
+    assert(sched.windowFor("2024-01-10") == (("2024-01-10", "2024-01-11")))
+    // rate forms
+    assert(Pipeline.Schedule("rate(12 hours)").periodSeconds
+      .contains(43200L))
+    assert(Pipeline.Schedule("rate(3 days)").windowFor("2024-01-10") ==
+      (("2024-01-10", "2024-01-13")))
+    // an aperiodic cron parses (scheduler-side concern), garbage fails
+    assert(Pipeline.Schedule("cron(0 2 ? * MON *)").periodSeconds.isEmpty)
+    intercept[IllegalArgumentException] {
+      Pipeline.Schedule("every tuesday")
+    }
+    // the window drives the daily-cadence incremental batch: every
+    // event the batch keeps falls inside the schedule's window
+    val (startD, endD) = sched.windowFor("2024-01-10")
+    val win = Tables.events(spark, sfTiny)
+      .filter(col("ts") >= lit(startD).cast("timestamp") &&
+        col("ts") < lit(endD).cast("timestamp"))
+    val inc = operators.Etl.incremental(spark, sfTiny)
+      .filter(col("ts") >= lit(startD).cast("timestamp") &&
+        col("ts") < lit(endD).cast("timestamp"))
+    assert(win.count() > 0)
+    assert(inc.agg(org.apache.spark.sql.functions.sum(col("n_dups")))
+      .first().getLong(0) == win.count(),
+      "window-filtered incremental accounts for every event in window")
+  }
+
+  test("missing or broken config degrades to the default registry " +
+      "(reference get_configuration fallback)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cfg_fb")
+    // missing file
+    val missing = Pipeline.loadConfig(
+      dir.resolve("nope.json").toString,
+      dir.resolve("landing").toString, "2026-08-14")
+    assert(missing.sources.map(_.name) == Seq("marketing", "sales", "crm"))
+    assert(missing.sources.forall(_.limit.contains(10)))
+    // unparseable file
+    val broken = dir.resolve("broken.json")
+    java.nio.file.Files.writeString(broken, "{ not json !!!")
+    val fb = Pipeline.loadConfig(broken.toString,
+      dir.resolve("landing").toString, "2026-08-14")
+    assert(fb.sources.map(_.name) == Seq("marketing", "sales", "crm"))
+    // the fallback registry actually RUNS against the lake tables
+    val summary = Pipeline.run(spark, sfTiny, fb).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(summary("marketing") == (("ok", 10L)))
+    assert(summary("sales") == (("ok", 10L)))
+    assert(summary("crm") == (("ok", 10L)))
+    // a PARSEABLE config that violates the registry contract
+    // (duplicate source names — json4s preserves duplicate JSON keys)
+    // still fails fast: bad registry, not broken store
+    val dup = dir.resolve("dup.json")
+    java.nio.file.Files.writeString(dup,
+      """{ "data_sources": { "a": {"table": "region"},
+        |                    "a": {"table": "nation"} } }""".stripMargin)
+    intercept[IllegalArgumentException] {
+      Pipeline.loadConfig(dup.toString,
+        dir.resolve("landing").toString, "2026-08-14")
+    }
+  }
 }

@@ -187,30 +187,21 @@ class StreamingSpec extends SparkSpec {
       "every event lands in exactly one cohort")
   }
 
-  test("stream sessionize: finalized sessions are a per-user prefix of batch") {
-    def key(r: org.apache.spark.sql.Row) =
-      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
-    val batch = operators.Events.sessionize(spark, sfTiny)
-      .select(col("user_id"),
+  test("stream sessionize: sentinel-converged snapshot equals batch") {
+    // the sentinel pushes the final watermark past every session's
+    // end + gap, so the stream flushes ALL state — full row equality
+    // with the batch form (the basis of its DuckDB hash oracle)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("user_id"), col("session_id"),
         unix_micros(col("session_start")).as("s"),
         unix_micros(col("session_end")).as("e"),
-        col("n_events"))
-      .collect().map(key).toSet
-    val streamed = streaming.Streams.sessionize(spark, sfTiny)
-      .select(col("user_id"), col("session_start_us"),
-        col("session_end_us"), col("n_events"))
-      .collect().map(key)
+        col("duration_us"), col("n_events"), col("sum_value"))
+      .collect().map(_.toSeq).toSet
+    val batch = rows(operators.Events.sessionize(spark, sfTiny))
+    val streamed = rows(streaming.Streams.sessionize(spark, sfTiny))
     assert(streamed.nonEmpty)
-    assert(streamed.toSet.subsetOf(batch),
-      s"streaming-only sessions: ${(streamed.toSet -- batch).take(3)}")
-    // watermark-final semantics: per user, the streamed sessions are a
-    // prefix (by start time) of the batch sessions — never a gap
-    val batchByUser = batch.groupBy(_._1)
-      .view.mapValues(_.toSeq.sortBy(_._2)).toMap
-    streamed.groupBy(_._1).foreach { case (u, ss) =>
-      val prefix = batchByUser(u).take(ss.length).toSet
-      assert(ss.toSet == prefix,
-        s"user $u: streamed ${ss.toSet -- prefix} not a batch prefix")
-    }
+    assert(streamed == batch,
+      s"stream-only: ${(streamed -- batch).take(3)}; " +
+        s"batch-only: ${(batch -- streamed).take(3)}")
   }
 }
