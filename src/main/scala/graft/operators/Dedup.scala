@@ -834,11 +834,14 @@ object Dedup {
         |  SELECT doc_id, generate_subscripts(bands, 1) AS band_id,
         |    unnest(bands) AS band_hash
         |  FROM b),
-        |p AS (
+        |-- MATERIALIZED: without the barrier DuckDB pushes the jaccard
+        |-- filter below the DISTINCT onto the raw band join (millions of
+        |-- pre-dedup pairs; measured 414s -> 0.1s at sf0.1)
+        |p AS MATERIALIZED (
         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
         |  FROM banded x JOIN banded y
         |    ON x.band_id = y.band_id AND x.band_hash = y.band_hash
-        |    AND x.doc_id < y.doc_id),
+        |  WHERE x.doc_id < y.doc_id),
         |j AS (
         |  SELECT p.doc_a, p.doc_b, a.hs AS hs_a, c.hs AS hs_b
         |  FROM p JOIN b a ON a.doc_id = p.doc_a
