@@ -86,30 +86,74 @@ object Scale {
           .as("sum_price"))
   }
 
-  /** Sketch distinct for unbounded-cardinality keys: HLL++ instead of the
-    * exact distinct that would shuffle every distinct value. Values are
-    * approximate → rows-only; the spec bounds the relative error. */
+  /** θ-exponent for the deterministic hash sketches: sample the lowest
+    * 2⁻ᵗ fraction of the 52-bit md5 space, with t sized from the
+    * table's own row count so ~2¹³ rows survive at any scale (the
+    * planesFor discipline: the sketch tightens as the table grows; a
+    * small table is sampled at θ = 1, i.e. exactly). Bit-length-based —
+    * length(bin(n)) − 1 — so BOTH engines derive the identical t with
+    * no logarithm. */
+  private def thetaExp(nRows: org.apache.spark.sql.Column) =
+    greatest(lit(0), length(bin(nRows)) - lit(1) - lit(13)).cast("int")
+
+  /** Sketch distinct for unbounded-cardinality keys — a fixed-threshold
+    * THETA sketch (the DataSketches theta idea with θ = 2⁻ᵗ pinned by
+    * table size): a value is sampled iff the top 52 bits of
+    * md5(value) fall below θ·2⁵², and the distinct count ≈ 2ᵗ × the
+    * exact distinct count of the sampled values. Deterministic
+    * (content-hash thresholding — no RNG, no merge-order dependence)
+    * and INTEGER-exact (the estimate is a left shift), so unlike the
+    * opaque HLL++ register blob this replaces, both engines re-derive
+    * the estimate bit for bit → full hash oracle (formerly rows-only).
+    * Scale: only ~θ of the DISTINCT values cross the exchange — the
+    * sketch property the exact distinct lacks. */
   def approxDistinct(s: SparkSession, dir: String): DataFrame = {
-    Tables.orders(s, dir)
+    val ord = Tables.orders(s, dir)
+    val n = ord.agg(count(lit(1)).as("__n"))
+    val u52 = conv(substring(md5(col("o_custkey").cast("string")), 1, 13),
+      16, 10).cast("long")
+    ord.crossJoin(broadcast(n))
+      .withColumn("__t", thetaExp(col("__n")))
+      .withColumn("__keep",
+        u52 < expr("shiftright(cast(4503599627370496 as bigint), __t)"))
       .groupBy(col("o_orderstatus"))
-      .agg(approx_count_distinct(col("o_custkey"), 0.02)
-        .as("approx_customers"),
+      .agg(
+        countDistinct(when(col("__keep"), col("o_custkey"))).as("__d"),
+        max(col("__t")).as("__mt"),
         count(lit(1)).as("n_orders"))
+      .select(col("o_orderstatus"),
+        expr("shiftleft(__d, __mt)").as("approx_customers"),
+        col("n_orders"))
   }
 
-  /** Sketch quantiles for unbounded value streams: percentile_approx
-    * (KLL-style) instead of q13's exact interpolated percentile, whose
-    * full sort-per-group doesn't survive unbounded groups. Values are
-    * approximate → rows-only; the spec brackets them between generous
-    * exact-percentile bounds. */
+  /** Sketch quantiles for unbounded value streams — deterministic
+    * hash-threshold sampling (θ = 2⁻ᵗ of the row-key md5 space, t from
+    * table size as in `approxDistinct`) followed by the EXACT
+    * interpolated percentile of the sample: quantile error is
+    * O(1/√(nθ)) while the per-group percentile state holds only the
+    * sampled slice — the property q13's exact form lacks on unbounded
+    * groups. The sample membership and the interpolation arithmetic
+    * are both engine-portable (q13 proves percentile ↔ quantile_cont
+    * bit-parity), so the formerly rows-only KLL sketch becomes a full
+    * hash check. The row key hashes the integer join keys only —
+    * doubles never stringify, so both engines see identical keys. */
   def approxPercentiles(s: SparkSession, dir: String): DataFrame = {
-    Tables.lineitem(s, dir)
+    val li = Tables.lineitem(s, dir)
+    val n = li.agg(count(lit(1)).as("__n"))
+    val key = concat_ws(":", col("l_orderkey"), col("l_partkey"),
+      col("l_suppkey"))
+    val u52 = conv(substring(md5(key), 1, 13), 16, 10).cast("long")
+    li.crossJoin(broadcast(n))
+      .withColumn("__t", thetaExp(col("__n")))
+      .withColumn("__keep",
+        u52 < expr("shiftright(cast(4503599627370496 as bigint), __t)"))
       .groupBy(col("l_returnflag"))
       .agg(
-        percentile_approx(col("l_quantity"), lit(0.5), lit(1000))
-          .as("approx_median_qty"),
-        percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000))
-          .as("approx_p95_price"),
+        round(percentile(when(col("__keep"), col("l_quantity")),
+          lit(0.5)), 6).as("approx_median_qty"),
+        round(percentile(when(col("__keep"), col("l_extendedprice")),
+          lit(0.95)), 6).as("approx_p95_price"),
+        count(when(col("__keep"), 1)).as("n_sampled"),
         count(lit(1)).as("n_rows"))
   }
 
@@ -130,5 +174,39 @@ object Scale {
         |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem, orders
         |WHERE l_orderkey = o_orderkey AND o_orderpriority = '1-URGENT'
-        |GROUP BY o_orderstatus""".stripMargin)
+        |GROUP BY o_orderstatus""".stripMargin,
+    // the theta sketch re-derived exactly: identical md5 threshold,
+    // identical bit-length t, integer-shift estimate
+    "q19_approx_distinct" ->
+      """WITH n AS (
+        |  SELECT GREATEST(0, length(bin(COUNT(*))) - 1 - 13) AS t
+        |  FROM orders)
+        |SELECT o_orderstatus,
+        |  (COUNT(DISTINCT CASE WHEN
+        |      CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 13)
+        |        AS BIGINT) < (4503599627370496 >> t)
+        |      THEN o_custkey END) << MAX(t)) AS approx_customers,
+        |  COUNT(*) AS n_orders
+        |FROM orders, n GROUP BY o_orderstatus""".stripMargin,
+    // identical hash-threshold sample, exact interpolated percentile
+    // (quantile_cont ↔ percentile bit-parity per q13)
+    "q20_approx_percentiles" ->
+      """WITH n AS (
+        |  SELECT GREATEST(0, length(bin(COUNT(*))) - 1 - 13) AS t
+        |  FROM lineitem),
+        |k AS (
+        |  SELECT l_returnflag, l_quantity, l_extendedprice,
+        |    CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ':' ||
+        |        CAST(l_partkey AS VARCHAR) || ':' ||
+        |        CAST(l_suppkey AS VARCHAR)), 1, 13) AS BIGINT)
+        |      < (4503599627370496 >> t) AS keep
+        |  FROM lineitem, n)
+        |SELECT l_returnflag,
+        |  ROUND(quantile_cont(CASE WHEN keep THEN l_quantity END, 0.5), 6)
+        |    AS approx_median_qty,
+        |  ROUND(quantile_cont(CASE WHEN keep THEN l_extendedprice END,
+        |    0.95), 6) AS approx_p95_price,
+        |  COUNT(CASE WHEN keep THEN 1 END) AS n_sampled,
+        |  COUNT(*) AS n_rows
+        |FROM k GROUP BY l_returnflag""".stripMargin)
 }

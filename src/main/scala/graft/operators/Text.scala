@@ -125,7 +125,13 @@ object Text {
       .orderBy(col("label_lang"), col("pred_lang"))
   }
 
-  /** Document fingerprint via the native RollingHash codegen expression. */
+  /** Document fingerprint via the native RollingHash codegen expression.
+    * Oracle-checked (formerly rows-only): the hash is plain wrapping
+    * 64-bit polynomial math over the bytes (h ← h·1000003 + byte), so
+    * DuckDB re-derives it with a HUGEINT list_reduce mod 2⁶⁴ over the
+    * codepoints — valid byte-for-byte because the corpus is ASCII (the
+    * oracle re-deriving per-codepoint would hash-mismatch loudly, never
+    * silently, if a multi-byte char ever appeared). */
   def fingerprint(s: SparkSession, dir: String): DataFrame = {
     Tables.documents(s, dir).select(
       col("doc_id"),
@@ -735,6 +741,32 @@ object Text {
     "txt_tfidf_topk" -> (tfidfTopk _))
 
   val oracles: Map[String, String] = Map(
+    // the 64-bit wrapping polynomial hash re-derived per codepoint in
+    // HUGEINT arithmetic mod 2^64 (ASCII corpus: codepoint == UTF-8
+    // byte), then mapped to the signed BIGINT Spark emits
+    "txt_fingerprint" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS HUGEINT),
+        |      list_transform(range(1, length(text) + 1),
+        |        i -> CAST(unicode(substr(text, i, 1)) AS HUGEINT))),
+        |      (acc, c) -> (acc * 1000003 + c) %
+        |        CAST('18446744073709551616' AS HUGEINT)) AS hf,
+        |    list_reduce(list_prepend(CAST(0 AS HUGEINT),
+        |      list_transform(range(1, length(substr(text, 1, 64)) + 1),
+        |        i -> CAST(unicode(substr(substr(text, 1, 64), i, 1))
+        |          AS HUGEINT))),
+        |      (acc, c) -> (acc * 1000003 + c) %
+        |        CAST('18446744073709551616' AS HUGEINT)) AS hp
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN hf >= CAST('9223372036854775808' AS HUGEINT)
+        |    THEN hf - CAST('18446744073709551616' AS HUGEINT)
+        |    ELSE hf END AS BIGINT) AS fingerprint,
+        |  CAST(CASE WHEN hp >= CAST('9223372036854775808' AS HUGEINT)
+        |    THEN hp - CAST('18446744073709551616' AS HUGEINT)
+        |    ELSE hp END AS BIGINT) AS prefix_fingerprint
+        |FROM h""".stripMargin,
     // vocab-weighted within-word pair counts; integer-exact, ties on
     // the pair string
     "txt_bpe_merge_candidates" ->

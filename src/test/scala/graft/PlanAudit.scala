@@ -70,6 +70,9 @@ class PlanAudit extends SparkSpec {
       "ev_markov_stationary",
       // corpus_batch_drift cross-joins its one-row share totals
       "corpus_batch_drift",
+      // q19/q20 theta sketches cross-join the one-row table count that
+      // pins the θ exponent (the partition_audit shape)
+      "q19_approx_distinct", "q20_approx_percentiles",
       // smp_class_balance cross-joins the one-row min-label-count
       "smp_class_balance",
       // dedup_semantic runs emb_kmeans then assigns the corpus against
