@@ -58,8 +58,8 @@ object PlansDump {
         ("nearest as-of: both directional frames on ONE union + sort " +
           "(single user_id exchange)"),
       "dedup_ngram_jaccard" ->
-        ("1-band min-shingle candidates through saltedBandPairs: width " +
-          "table co-partitioned with the band key, storm-safe"),
+        ("near-dup pairs read off the LANDED tuning candidates " +
+          "(integer-exact 2·inter ≥ uni keep test, no re-shingling)"),
       "dedup_minhash_incremental" ->
         ("batch probes the landed band index: two-sided salted linear " +
           "equi-join, never corpus×corpus"),

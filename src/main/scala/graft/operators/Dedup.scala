@@ -28,11 +28,6 @@ import graft.functions.VectorFns
 object Dedup {
 
   /** (doc_id, shingles) with the tokenize/shingle work done exactly once. */
-  private def shingled(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .withColumn("toks", tokens(col("text")))
-      .select(col("doc_id"), wordShingles(col("toks"), 3).as("shingles"))
-
   /** Attach each side's shingle(-hash) array to an id-pair table. */
   private def attach(pairs: DataFrame, base: DataFrame, c: String): DataFrame =
     pairs
@@ -164,31 +159,21 @@ object Dedup {
   /** Word-3-gram Jaccard near-dup pairs, candidates restricted to docs
     * sharing their minimum shingle hash (1-band MinHash): the bucket join
     * replaces the quadratic cross product; each surviving pair gets the
-    * exact Jaccard verification. Candidate generation rides
-    * `saltedBandPairs` (band_id = 0, band_hash = the min-shingle bucket),
-    * so a duplicate-storm bucket of width w splits into ceil(w/64) salt
-    * groups instead of putting all w² comparisons in ONE join task —
-    * same pair set (StressSpec), storm-safe plan. `cluster` inherits. */
+    * exact Jaccard verification. Reads the LANDED tuning-candidate table
+    * (`ensureTuningLanded`) — the identical storm-safe `saltedBandPairs`
+    * pair set with exact |A∩B| / |A∪B| already landed for the tuning
+    * trio and `containment`, so the shingle → pair pipeline never
+    * re-runs here. The keep test is integer-exact (2·inter ≥ uni ⇔ raw
+    * J ≥ 0.5 — equivalent to the former raw-double threshold, with no
+    * float at the boundary at all); the rounded score is output-only.
+    * `cluster` / `cluster_stats` inherit the reuse. */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val base = shingled(s, dir)
-      .withColumn("bucket",
-        array_min(transform(col("shingles"), x => md5(x))))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val banded = base.select(col("doc_id"), lit(0).as("band_id"),
-      col("bucket").as("band_hash"))
-    val pairs = saltedBandPairs(banded, target = 64)
-    // threshold on the RAW ratio (int/int division, bit-identical in both
-    // engines); the rounded value is output-only — thresholding on the
-    // rounded score would keep boundary pairs the size-ratio prefilter
-    // (valid only for raw J >= 0.5) already pruned
-    attach(pairs, base, "shingles")
-      // size-ratio prefilter: J(A,B) <= min/max, so J >= 0.5 forces
-      // max(|A|,|B|) <= 2*min(|A|,|B|) — prunes before the intersect
-      .filter(size(col("sh_a")) <= size(col("sh_b")) * 2 &&
-        size(col("sh_b")) <= size(col("sh_a")) * 2)
-      .filter(rawJaccard(col("sh_a"), col("sh_b")) >= 0.5)
+    ensureTuningLanded(s, dir)
+    s.read.parquet(tuningCandDir(dir))
+      .filter(col("inter") * 2 >= col("uni"))
       .select(col("doc_a"), col("doc_b"),
-        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+        round(col("inter").cast("double") / col("uni").cast("double"), 6)
+          .as("jaccard"))
   }
 
   /** Containment near-dup pairs — the asymmetric overlap score

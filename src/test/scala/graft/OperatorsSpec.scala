@@ -2350,6 +2350,36 @@ class OperatorsSpec extends SparkSpec {
     assert(joined.filter(col("ts") > col("purchase_ts")).count() == 0)
   }
 
+  test("landed-artifact memo invalidates when the source table changes") {
+    // the r8-advice fix: the tuning memo is keyed by a content
+    // fingerprint of documents.parquet, so rewriting the table mid-
+    // session re-lands instead of serving candidates from the old data
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_fp_inval").toString
+    def seed(n: Int): Unit = {
+      val base = Tables.documents(spark, sfTiny).limit(n)
+        .select(col("doc_id"), col("text"), col("lang"),
+          col("source"), col("n_chars"))
+      // give every doc an exact twin so near-dup pairs exist
+      base.union(base.withColumn("doc_id", col("doc_id") + lit(100000L)))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+    }
+    seed(30)
+    val fp1 = Tables.fingerprint(spark, dir, "documents")
+    def pairsAt90(): Long = operators.Dedup.thresholdSweep(spark, dir)
+      .filter(col("threshold_pct") === 90)
+      .select(col("n_pairs")).first().getLong(0)
+    val p1 = pairsAt90()
+    assert(p1 >= 30, s"every doc has an exact twin: $p1")
+    seed(45)
+    assert(Tables.fingerprint(spark, dir, "documents") != fp1,
+      "rewritten table must fingerprint differently")
+    val p2 = pairsAt90()
+    assert(p2 > p1,
+      s"memo must re-land from the rewritten table ($p1 -> $p2)")
+  }
+
   test("theta sketches actually sample at sf0.1 and stay within bounds") {
     val dir = "/root/testdata/sf0.1"
     // q19: the sketch samples a strict subset there (t > 0) yet the
