@@ -83,6 +83,18 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 
+  /** Spread a scan for expensive PER-ROW expression work (tokenize /
+    * shingle / minhash / rolling sketches): a small landing arrives as
+    * ONE parquet split, which would serialize all of it onto one core —
+    * measured 9.9s of the 10.5s tuning landing at sf0.1. Repartitions
+    * ONLY when the scan has fewer splits than the cluster has slots; a
+    * corpus-scale scan already has them and skips the shuffle, so the
+    * guard keeps this a local-small fix, never a 100 TB re-exchange. */
+  def spread(s: SparkSession, df: DataFrame): DataFrame = {
+    val slots = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < slots) df.repartition(slots) else df
+  }
+
   /** Landing-dir contract for derived artifacts that static oracle SQL
     * must be able to name: computable from `dir` alone (no session or
     * timestamp component — the oracle SQL and the landing write resolve

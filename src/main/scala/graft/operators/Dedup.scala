@@ -39,7 +39,7 @@ object Dedup {
     * hash sets equals string Jaccard (the hash is injective in practice),
     * so sketch verification stays exact. */
   private def hashShingled(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Tables.spread(s, Tables.documents(s, dir))
       .withColumn("toks", tokens(col("text")))
       .select(col("doc_id"),
         graft.functions.ShingleHash64.shingleHash64(col("toks"), 3).as("hs"))
@@ -65,7 +65,7 @@ object Dedup {
 
   def sourceSimilarity(s: SparkSession, dir: String): DataFrame = {
     val k = 32
-    Tables.documents(s, dir)
+    Tables.spread(s, Tables.documents(s, dir))
       .withColumn("toks", tokens(col("text")))
       .select(col("source"),
         graft.functions.ShingleHash64.shingleHash64(col("toks"), 3).as("hs"))
@@ -239,12 +239,23 @@ object Dedup {
         // table re-lands instead of serving stale artifacts
         graft.Tables.fingerprint(s, dir, "documents")), {
         val k = 32
-        val base = Tables.documents(s, dir)
+        // spread: the shingle/sig/bucket work below is per-doc CPU and
+        // a small landing is one parquet split (Tables.spread scaladoc).
+        // The localCheckpoint after the shingle projection is a
+        // COLLAPSE BARRIER, not just reuse: without it CollapseProject
+        // inlines the tokenize+shingle expression into every downstream
+        // reference (the filter, the bucket transform, both attach
+        // sides) and the landing re-derives it per reference — measured
+        // 9.1s → 1.1s for this stage at sf0.1 (the corpus_contamination
+        // discipline).
+        val shingledDocs = Tables.spread(s, Tables.documents(s, dir))
           .withColumn("toks", tokens(col("text")))
           .select(col("doc_id"),
             wordShingles(col("toks"), 3).as("shingles"),
             graft.functions.ShingleHash64.shingleHash64(col("toks"), 3)
               .as("hs"))
+          .localCheckpoint()
+        val base = shingledDocs
           .filter(size(col("shingles")) > 0)
           .withColumn("sig",
             graft.functions.SketchExprs.minhashSig(col("hs"), k))
