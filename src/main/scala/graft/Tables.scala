@@ -83,13 +83,20 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 
-  /** Spread a scan for expensive PER-ROW expression work (tokenize /
-    * shingle / minhash / rolling sketches): a small landing arrives as
-    * ONE parquet split, which would serialize all of it onto one core —
-    * measured 9.9s of the 10.5s tuning landing at sf0.1. Repartitions
-    * ONLY when the scan has fewer splits than the cluster has slots; a
-    * corpus-scale scan already has them and skips the shuffle, so the
-    * guard keeps this a local-small fix, never a 100 TB re-exchange. */
+  /** Spread a scan for expensive PER-ROW expression work: a small
+    * landing arrives as ONE parquet split, which serializes the per-doc
+    * work onto one core. Repartitions ONLY when the scan has fewer
+    * splits than the cluster has slots; a corpus-scale scan already has
+    * them and skips the shuffle, so the guard keeps this a local-small
+    * fix, never a 100 TB re-exchange.
+    *
+    * Use SPARINGLY: the partition probe (`df.rdd`) plus the shuffle
+    * cost ~0.3-0.5s per call locally, which LOSES on light scans — a
+    * broad application across the tokenizing text ops measured a net
+    * +10.6s at sf0.1 and was reverted. It pays only where a one-shot
+    * pipeline does heavy per-row string work behind a single action
+    * (the tuning landing: string 3-gram shingles + per-shingle md5 +
+    * signatures for every doc, amortized across four consumers). */
   def spread(s: SparkSession, df: DataFrame): DataFrame = {
     val slots = s.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < slots) df.repartition(slots) else df

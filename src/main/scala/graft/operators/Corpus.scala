@@ -146,7 +146,7 @@ object Corpus {
     // without it the optimizer pushes the explode's size(shingles)>0
     // predicate into the scan — duplicating the whole (interpreted)
     // shingle expression per row per branch (measured 13s → ~1s here)
-    val base = Tables.spread(s, Tables.documents(s, dir))
+    val base = Tables.documents(s, dir)
       .withColumn("split", split)
       .withColumn("toks", tokens(col("text")))
       .select(col("doc_id"), col("split"),
@@ -231,7 +231,7 @@ object Corpus {
     * sorted source list (bit-deterministic under any partitioning —
     * same convention as `temperature`). */
   def epochPlan(s: SparkSession, dir: String): DataFrame = {
-    val c = Tables.spread(s, Tables.documents(s, dir))
+    val c = Tables.documents(s, dir)
       .groupBy(col("source"))
       .agg(sum(size(tokens(col("text"))).cast("long")).as("n_tokens"))
     val tot = c.agg(sum(col("n_tokens")).as("total"))
@@ -278,7 +278,7 @@ object Corpus {
     * probes still emit their zero row — silence must be provable, not
     * inferred from a missing row. */
   def canaryScan(s: SparkSession, dir: String): DataFrame = {
-    Tables.spread(s, Tables.documents(s, dir))
+    Tables.documents(s, dir)
       .select(col("doc_id"), col("text"),
         explode(array(canaryProbes.map(lit): _*)).as("probe"))
       .groupBy(col("probe"))
@@ -295,7 +295,7 @@ object Corpus {
     * map-side combinable onto the bounded (sources × languages) key
     * space, so the card costs the same shuffle at 100 TB as at 100 MB. */
   def datacard(s: SparkSession, dir: String): DataFrame = {
-    Tables.spread(s, Tables.documents(s, dir))
+    Tables.documents(s, dir)
       .withColumn("n_toks", size(tokens(col("text"))).cast("long"))
       .groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("n_docs"),
@@ -323,7 +323,7 @@ object Corpus {
     * equi-join — linear in corpus tokens, like txt_unigram_logprob. */
   def dsirWeights(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val exploded = Tables.spread(s, Tables.documents(s, dir))
+    val exploded = Tables.documents(s, dir)
       .withColumn("toks", tokens(col("text")))
       .select(col("doc_id"), col("source"), explode(col("toks")).as("tok"))
     val corpusCounts = exploded.groupBy(col("tok"))
@@ -355,7 +355,7 @@ object Corpus {
     * 100 MB. Totals ride a broadcast one-row aggregate. */
   def filterSweep(s: SparkSession, dir: String): DataFrame = {
     val thresholds = Seq(8, 16, 32, 64, 128)
-    val perDoc = Tables.spread(s, Tables.documents(s, dir))
+    val perDoc = Tables.documents(s, dir)
       .select(size(tokens(col("text"))).as("n_toks"))
     val total = perDoc.agg(count(lit(1)).as("total_docs"),
       sum(col("n_toks")).as("total_tokens"))
@@ -424,7 +424,7 @@ object Corpus {
     * the same pass and broadcast back. */
   def tokenBudgetTrim(s: SparkSession, dir: String): DataFrame = {
     val stop = array(Seq("the", "a", "of", "and", "to", "in").map(lit): _*)
-    val d = Tables.spread(s, Tables.documents(s, dir))
+    val d = Tables.documents(s, dir)
       .withColumn("toks", tokens(col("text")))
       .select(col("source"), col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),

@@ -39,7 +39,7 @@ object Dedup {
     * hash sets equals string Jaccard (the hash is injective in practice),
     * so sketch verification stays exact. */
   private def hashShingled(s: SparkSession, dir: String): DataFrame =
-    Tables.spread(s, Tables.documents(s, dir))
+    Tables.documents(s, dir)
       .withColumn("toks", tokens(col("text")))
       .select(col("doc_id"),
         graft.functions.ShingleHash64.shingleHash64(col("toks"), 3).as("hs"))
@@ -65,7 +65,7 @@ object Dedup {
 
   def sourceSimilarity(s: SparkSession, dir: String): DataFrame = {
     val k = 32
-    Tables.spread(s, Tables.documents(s, dir))
+    Tables.documents(s, dir)
       .withColumn("toks", tokens(col("text")))
       .select(col("source"),
         graft.functions.ShingleHash64.shingleHash64(col("toks"), 3).as("hs"))

@@ -78,7 +78,7 @@ object Text {
     val best = scores.map { case (lang, sc) =>
       struct((-sc).as("neg"), lit(lang).as("lang"))
     }
-    Tables.spread(s, Tables.documents(s, dir))
+    Tables.documents(s, dir)
       .withColumn("toks", tokens(col("text")))
       .withColumn("scores", graft.functions.ProfileScores.profileScores(
         col("toks"), LangProfiles.map(_._2)))
@@ -107,7 +107,7 @@ object Text {
     val best = scores.map { case (lang, sc) =>
       struct((-sc).as("neg"), lit(lang).as("lang"))
     }
-    val cells = Tables.spread(s, Tables.documents(s, dir))
+    val cells = Tables.documents(s, dir)
       .withColumn("toks", tokens(col("text")))
       .withColumn("scores", graft.functions.ProfileScores.profileScores(
         col("toks"), LangProfiles.map(_._2)))
@@ -146,7 +146,7 @@ object Text {
     * order and across engines (a raw double sum would be
     * shuffle-order-nondeterministic). Corpus stats side is a broadcast. */
   def unigramLogprob(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.spread(s, Tables.documents(s, dir))
+    val docs = Tables.documents(s, dir)
       .withColumn("toks", tokens(col("text")))
     val exploded = docs.select(col("doc_id"), explode(col("toks")).as("tok"))
     val freqs = exploded.groupBy(col("tok"))
@@ -185,7 +185,7 @@ object Text {
     // materialize-once (the ccnet discipline): `exploded` feeds BOTH the
     // bigram-count aggregate and the per-doc join-back — without the
     // checkpoint the corpus-sized tokenize + explode runs twice
-    val exploded = Tables.spread(s, Tables.documents(s, dir))
+    val exploded = Tables.documents(s, dir)
       .withColumn("toks", tokens(col("text")))
       .select(col("doc_id"), explode(bigrams).as("bigram"))
       .localCheckpoint()
@@ -216,7 +216,7 @@ object Text {
     val starts = when(size(toks) >= 1,
       sequence(lit(1), size(toks), lit(stride)))
       .otherwise(array().cast("array<int>"))
-    Tables.spread(s, Tables.documents(s, dir))
+    Tables.documents(s, dir)
       .withColumn("toks", tokens(col("text")))
       .select(col("doc_id"),
         posexplode(transform(starts, st =>
@@ -235,7 +235,7 @@ object Text {
     * so ordering is reproducible across engines. */
   def tfidfTopk(s: SparkSession, dir: String): DataFrame = {
     val k = 3
-    val words = Tables.spread(s, Tables.documents(s, dir))
+    val words = Tables.documents(s, dir)
       .withColumn("toks", tokens(col("text")))
       .select(col("doc_id"), explode(col("toks")).as("term"))
     val tf = words.groupBy(col("doc_id"), col("term"))
@@ -261,7 +261,7 @@ object Text {
       transform(sequence(lit(1), size(w) - 1),
         i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
       .otherwise(array().cast("array<string>"))
-    Tables.spread(s, Tables.documents(s, dir))
+    Tables.documents(s, dir)
       .withColumn("toks", tokens(col("text")))
       .select(explode(bigrams).as("bigram"))
       .groupBy(col("bigram"))
@@ -284,7 +284,7 @@ object Text {
       .otherwise(array().cast("array<string>"))
     val nTok = nullif(size(w).cast("double"), lit(0.0))
     val nBg = nullif(size(col("bgs")).cast("double"), lit(0.0))
-    Tables.spread(s, Tables.documents(s, dir))
+    Tables.documents(s, dir)
       .withColumn("toks", tokens(col("text")))
       .withColumn("bgs", bigrams)
       .select(col("doc_id"),
@@ -306,7 +306,7 @@ object Text {
     * groupBy key space is bounded (sources × ~20 buckets) and the agg
     * is fully map-side combinable. */
   def lengthHistogram(s: SparkSession, dir: String): DataFrame = {
-    Tables.spread(s, Tables.documents(s, dir))
+    Tables.documents(s, dir)
       .select(col("source"), size(tokens(col("text"))).as("n_toks"))
       .withColumn("bucket", length(bin(col("n_toks").cast("long"))))
       .groupBy(col("source"), col("bucket"))
@@ -336,7 +336,7 @@ object Text {
     val window = 32
     val stride = 24
     val budget = 256 // tokens per training sequence; 2^8 → shiftright(8)
-    val chunks = Tables.spread(s, Tables.documents(s, dir))
+    val chunks = Tables.documents(s, dir)
       .select(col("doc_id"), size(tokens(col("text"))).as("n_toks"))
       .filter(col("n_toks") >= 1)
       .select(col("doc_id"), col("n_toks"),
@@ -426,7 +426,7 @@ object Text {
     * never doc×doc. The ≥3 floor keeps the output the curated
     * boilerplate list, not the n-gram table. */
   def boilerplateNgrams(s: SparkSession, dir: String): DataFrame = {
-    Tables.spread(s, Tables.documents(s, dir))
+    Tables.documents(s, dir)
       .withColumn("toks", tokens(col("text")))
       .select(col("doc_id"),
         explode(wordShingles(col("toks"), 8)).as("span"))
@@ -453,7 +453,7 @@ object Text {
     * cross-engine exact. */
   def zipfFit(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val top = Tables.spread(s, Tables.documents(s, dir))
+    val top = Tables.documents(s, dir)
       .withColumn("toks", tokens(col("text")))
       .select(explode(col("toks")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("n"))
@@ -482,7 +482,7 @@ object Text {
     * levels: (source, type) counts, then per-source rollup — key space
     * is sources × vocabulary, never corpus rows; no window, no join. */
   def hapaxRatio(s: SparkSession, dir: String): DataFrame =
-    Tables.spread(s, Tables.documents(s, dir))
+    Tables.documents(s, dir)
       .select(col("source"), explode(tokens(col("text"))).as("tok"))
       .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("n"))
       .groupBy(col("source"))
@@ -511,7 +511,7 @@ object Text {
     * and fold back into one bounded-by-doc-length array per doc — no
     * step is ever pairwise in documents. */
   def boilerplateScrub(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.spread(s, Tables.documents(s, dir))
+    val docs = Tables.documents(s, dir)
       .withColumn("toks", tokens(col("text")))
       .select(col("doc_id"), col("toks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -558,7 +558,7 @@ object Text {
     * window anywhere. Linear in corpus tokens. */
   def entropy(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val tf = Tables.spread(s, Tables.documents(s, dir))
+    val tf = Tables.documents(s, dir)
       .withColumn("toks", tokens(col("text")))
       .select(col("doc_id"), explode(col("toks")).as("tok"))
       .groupBy(col("doc_id"), col("tok"))
@@ -585,7 +585,7 @@ object Text {
     * reused; per-shingle state is one min — linear in corpus tokens,
     * never doc×doc. */
   def novelty(s: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.spread(s, Tables.documents(s, dir))
+    val sh = Tables.documents(s, dir)
       .withColumn("toks", tokens(col("text")))
       .select(col("doc_id"),
         explode(wordShingles(col("toks"), 3)).as("shingle"))
@@ -611,7 +611,7 @@ object Text {
     * a one-row broadcast. */
   def vocabCoverage(s: SparkSession, dir: String): DataFrame = {
     val ks = Seq(10, 25, 50, 100)
-    val counts = Tables.spread(s, Tables.documents(s, dir))
+    val counts = Tables.documents(s, dir)
       .select(explode(tokens(col("text"))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("n"))
     val bucketed = graft.operators.Ranking.withValueBucket(
@@ -700,7 +700,7 @@ object Text {
     * explode (pairs ride the vocab, ≪ corpus tokens), then one bounded
     * top-k. All counts integer-exact. */
   def bpeMergeCandidates(s: SparkSession, dir: String): DataFrame = {
-    val vocab = Tables.spread(s, Tables.documents(s, dir))
+    val vocab = Tables.documents(s, dir)
       .select(explode(tokens(col("text"))).as("tok"))
       .filter(length(col("tok")) >= 2)
       .groupBy(col("tok")).agg(count(lit(1)).as("n"))
