@@ -47,8 +47,9 @@ object Streams {
 
   private def eventStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tsType = s.read.parquet(s"$dir/events.parquet")
-      .schema("ts").dataType
+    // footer probe rides the Tables plan memo — a fresh read would
+    // re-infer the schema on every stream op (~55ms each)
+    val tsType = graft.Tables(s, dir, "events").schema("ts").dataType
     val raw = s.readStream
       .schema(eventsSchema(tsType))
       .option("pathGlobFilter", "events.parquet")
