@@ -29,7 +29,7 @@ object Corpus {
     * don't re-clean the corpus per consumer at 100 TB. */
   private val cleanLanded =
     scala.collection.concurrent.TrieMap.empty[(Int, String, String), Boolean]
-  private def ensureCleanLanded(s: SparkSession, dir: String): Unit = {
+  private[graft] def ensureCleanLanded(s: SparkSession, dir: String): Unit = {
     cleanLanded.getOrElseUpdate(
       (System.identityHashCode(s.sparkContext), dir,
         graft.Tables.fingerprint(s, dir, "documents")), {
@@ -421,29 +421,21 @@ object Corpus {
     * plan (`Ranking.bucketedPrefixSum` with a group key) over 256
     * value-buckets of the combined (−quality, md5-prefix) sort integer —
     * a dominant source spreads across 256 tasks, never one; totals ride
-    * the same pass and broadcast back. */
+    * the same pass and broadcast back. Reads the LANDED per-doc stats
+    * (DocArtifacts: n_tokens / stopword q_hits / md5 / quality-order
+    * bucket computed once for all stat consumers) — the op itself is
+    * one prefix-sum pass plus the per-source rollup. */
   def tokenBudgetTrim(s: SparkSession, dir: String): DataFrame = {
-    val stop = array(Seq("the", "a", "of", "and", "to", "in").map(lit): _*)
-    val d = Tables.documents(s, dir)
-      .withColumn("toks", tokens(col("text")))
-      .select(col("source"), col("doc_id"),
-        size(col("toks")).cast("long").as("n_tokens"),
-        size(filter(col("toks"), x => array_contains(stop, x)))
-          .cast("long").as("q_hits"),
-        md5(col("text")).as("h"))
-      // one integer carrying (quality DESC, md5-prefix ASC): monotone
-      // along the trim order, so value buckets stay contiguous per
-      // source even when one quality level dominates
-      .withColumn("sv", -col("q_hits") * lit(16777216L) +
-        conv(substring(col("h"), 1, 6), 16, 10).cast("long"))
-    val bucketed = Ranking.withValueBucket(d, col("sv"), "__bkt", 256)
-    val cum = Ranking.bucketedPrefixSum(bucketed, "__bkt", 256,
-      Seq(col("sv"), col("h"), col("doc_id")), col("n_tokens"),
-      "cum_excl", group = Seq("source"))
-    val totals = d.groupBy(col("source"))
-      .agg(sum(col("n_tokens")).as("tokens_total"))
+    val d = DocArtifacts.stats(s, dir)
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        col("h"), col("q_sort"), col("q_bucket"))
+    // per-source token totals ride the prefix-sum pass (totalName) —
+    // no second scan/shuffle/broadcast for the budget
+    val cum = Ranking.bucketedPrefixSum(d, "q_bucket", 256,
+      Seq(col("q_sort"), col("h"), col("doc_id")), col("n_tokens"),
+      "cum_excl", group = Seq("source"), totalName = Some("tokens_total"))
       .withColumn("budget_tokens", expr("tokens_total div 2"))
-    cum.join(broadcast(totals), Seq("source"))
+    cum
       .withColumn("keep",
         col("cum_excl") + col("n_tokens") <= col("budget_tokens"))
       .groupBy(col("source"))

@@ -104,12 +104,12 @@ object Dedup {
     * shingle contributes its ≤C(|sources|,2) pairs via a bounded
     * in-row explode, and the pair counts are one fully combinable
     * aggregate onto the bounded pair space — linear in corpus tokens
-    * at any scale. Vocabulary totals ride a broadcast. */
+    * at any scale. Vocabulary totals ride a broadcast. Reads the LANDED
+    * exploded shingle table (DocArtifacts) — the op itself is the
+    * source-vocabulary distinct plus the bounded pair aggregate. */
   def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.documents(s, dir)
-      .withColumn("toks", tokens(col("text")))
-      .select(col("source"), explode(wordShingles(col("toks"), 3))
-        .as("shingle"))
+    val sh = DocArtifacts.shingles3(s, dir)
+      .select(col("source"), col("shingle"))
       .distinct()
     val tot = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
     val sets = sh.groupBy(col("shingle"))
@@ -239,17 +239,18 @@ object Dedup {
         // table re-lands instead of serving stale artifacts
         graft.Tables.fingerprint(s, dir, "documents")), {
         val k = 32
-        // spread: the shingle/sig/bucket work below is per-doc CPU and
-        // a small landing is one parquet split (Tables.spread scaladoc).
+        // token arrays come from the landed doc-artifact table (ONE
+        // corpus tokenize for all consumers); spread: the shingle/sig/
+        // bucket work below is per-doc CPU and a small landing is one
+        // parquet split (Tables.spread scaladoc).
         // The localCheckpoint after the shingle projection is a
         // COLLAPSE BARRIER, not just reuse: without it CollapseProject
-        // inlines the tokenize+shingle expression into every downstream
+        // inlines the shingle expression into every downstream
         // reference (the filter, the bucket transform, both attach
         // sides) and the landing re-derives it per reference — measured
         // 9.1s → 1.1s for this stage at sf0.1 (the corpus_contamination
         // discipline).
-        val shingledDocs = Tables.spread(s, Tables.documents(s, dir))
-          .withColumn("toks", tokens(col("text")))
+        val shingledDocs = Tables.spread(s, DocArtifacts.toks(s, dir))
           .select(col("doc_id"),
             wordShingles(col("toks"), 3).as("shingles"),
             graft.functions.ShingleHash64.shingleHash64(col("toks"), 3)

@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFns._
+
+/** Shared per-document derived artifacts (SURVEY §5 landed-artifact
+  * discipline): ONE tokenize pass over the corpus lands the four tables
+  * every token/shingle consumer re-derived for itself before r10 —
+  *
+  *   - `toks`  (doc_id, toks):               the whitespace token array
+  *   - `stats` (doc_id, source, n_chars, n_tokens, q_hits, h,
+  *              q_sort, q_bucket):           per-doc scalars (token
+  *              count, stopword hits, md5) plus the corpus quality-rank
+  *              position: `q_sort` is the one integer carrying
+  *              (quality DESC, md5-prefix ASC) and `q_bucket` its
+  *              256-quantile bucket — contiguous w.r.t. the quality
+  *              order, so any quality-ordered scan (budget trims,
+  *              quality-pruned exports) rides the two-pass bucket plan
+  *              without re-deriving boundaries
+  *   - `sh3`   (doc_id, source, shingle):    distinct word-3-grams
+  *   - `sh8`   (doc_id, span):               distinct word-8-grams
+  *
+  * Consumers (txt_novelty, txt_boilerplate_ngrams, txt_boilerplate_scrub,
+  * dedup_source_overlap, corpus_token_budget_trim, and the tuning
+  * landing's token stage) each previously re-tokenized the corpus and
+  * re-exploded their shingles — five corpus-sized string passes where one
+  * suffices. At 100 TB this is the difference between one tokenize job
+  * feeding N consumers off columnar storage and N tokenize jobs; locally
+  * it was every remaining >2×-of-baseline throughput op in the r9 bench.
+  *
+  * The landing follows the `ensureTuningLanded` discipline
+  * (Dedup.scala): memoized per (session, dir, content-fingerprint) so a
+  * regenerated documents table re-lands instead of serving stale
+  * artifacts; LANDED (not cached) because Verify/Bench clearCache()
+  * between ops; `localCheckpoint` as the collapse barrier so Catalyst
+  * cannot inline the tokenize into each of the four writes.
+  *
+  * Every value is the byte-identical expression the consumers inlined
+  * before (same `tokens`/`wordShingles` builders), so downstream results
+  * — and therefore the unchanged DuckDB oracles — hash-match exactly.
+  */
+object DocArtifacts {
+
+  /** Landing dirs — the `Tables.landingDir` contract: computable from
+    * `dir` alone so static oracle SQL can name them. */
+  private[graft] def toksDir(dir: String): String =
+    Tables.landingDir("doctoks", dir)
+  private[graft] def statsDir(dir: String): String =
+    Tables.landingDir("docstats", dir)
+  private[graft] def sh3Dir(dir: String): String =
+    Tables.landingDir("docsh3", dir)
+  private[graft] def sh8Dir(dir: String): String =
+    Tables.landingDir("docsh8", dir)
+
+  /** The stopword registry behind `q_hits` — the quality proxy
+    * corpus_token_budget_trim ranks on (kept here so the landed stat and
+    * the op's oracle share one definition). */
+  private[graft] val stopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  private val artifactsLanded =
+    scala.collection.concurrent.TrieMap.empty[(Int, String, String), Boolean]
+  /** Test hook: force the next consumer to re-run the landing pipeline
+    * (StressSpec times the full tokenize→land stage, not the memo hit). */
+  private[graft] def clearMemo(): Unit = artifactsLanded.clear()
+
+  private[graft] def ensureLanded(s: SparkSession, dir: String): Unit = {
+    artifactsLanded.getOrElseUpdate(
+      (System.identityHashCode(s.sparkContext), dir,
+        Tables.fingerprint(s, dir, "documents")), {
+        val stop = array(stopwords.map(lit): _*)
+        // spread: per-doc tokenize/shingle CPU behind one parquet split
+        // (Tables.spread scaladoc); checkpoint: collapse barrier — four
+        // writes reference `toks`, and without the barrier each one
+        // would re-run the tokenize (the corpus_contamination lesson)
+        val base = Tables.spread(s, Tables.documents(s, dir))
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            tokens(col("text")).as("toks"), md5(col("text")).as("h"))
+          .localCheckpoint()
+        base.select(col("doc_id"), col("toks"))
+          .write.mode("overwrite").parquet(toksDir(dir))
+        val scalar = base.select(col("doc_id"), col("source"),
+            col("n_chars"),
+            size(col("toks")).cast("long").as("n_tokens"),
+            size(filter(col("toks"), x => array_contains(stop, x)))
+              .cast("long").as("q_hits"),
+            col("h"))
+          // quality-order position: one integer carrying (quality DESC,
+          // md5-prefix ASC) — monotone along the curation trim order
+          .withColumn("q_sort", -col("q_hits") * lit(16777216L) +
+            conv(substring(col("h"), 1, 6), 16, 10).cast("long"))
+        Ranking.withValueBucket(scalar, col("q_sort"), "q_bucket", 256)
+          .write.mode("overwrite").parquet(statsDir(dir))
+        base.select(col("doc_id"), col("source"),
+            explode(wordShingles(col("toks"), 3)).as("shingle"))
+          .write.mode("overwrite").parquet(sh3Dir(dir))
+        base.select(col("doc_id"),
+            explode(wordShingles(col("toks"), 8)).as("span"))
+          .write.mode("overwrite").parquet(sh8Dir(dir))
+        true
+      })
+    ()
+  }
+
+  /** Landed (doc_id, toks) token arrays. */
+  private[graft] def toks(s: SparkSession, dir: String): DataFrame = {
+    ensureLanded(s, dir)
+    s.read.parquet(toksDir(dir))
+  }
+
+  /** Landed per-doc scalar stats. */
+  private[graft] def stats(s: SparkSession, dir: String): DataFrame = {
+    ensureLanded(s, dir)
+    s.read.parquet(statsDir(dir))
+  }
+
+  /** Landed exploded distinct word-3-gram shingles. */
+  private[graft] def shingles3(s: SparkSession, dir: String): DataFrame = {
+    ensureLanded(s, dir)
+    s.read.parquet(sh3Dir(dir))
+  }
+
+  /** Landed exploded distinct word-8-gram spans. */
+  private[graft] def shingles8(s: SparkSession, dir: String): DataFrame = {
+    ensureLanded(s, dir)
+    s.read.parquet(sh8Dir(dir))
+  }
+}

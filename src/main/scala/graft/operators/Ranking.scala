@@ -17,9 +17,11 @@ import org.apache.spark.sql.expressions.Window
   *     of bucket b+1) — a hash-hex prefix for uniform digest keys, or
   *     approx-percentile range buckets for arbitrary orderable values;
   *  2. per-bucket counts (map-side partial agg, tiny result) become
-  *     per-bucket rank offsets WITHOUT any global window: each bucket's
-  *     count is exploded onto every later bucket id and re-aggregated —
-  *     ≤ nBuckets² feather-weight rows, all equi-joins;
+  *     per-bucket rank offsets WITHOUT any data-sized global window: the
+  *     running sum over the COUNT table is a window over ≤ |groups| ×
+  *     nBuckets rows — bounded by configuration, not data (the
+  *     bounded-global-window allowance), and the group total rides the
+  *     same pass as a second window column;
   *  3. offsets broadcast-join back on the bucket id and the final rank
   *     is offset + within-bucket `row_number` (a window partitioned by
   *     bucket — parallel across nBuckets tasks).
@@ -45,50 +47,49 @@ object Ranking {
     val gCols = group.map(col)
     val cnt = df.groupBy(gCols :+ col(bkt): _*)
       .agg(count(lit(1)).as("__bc"))
-    // bucket b's count flows down-range onto every later bucket's offset;
-    // sequence() runs BACKWARDS when start > stop, so guard the last bucket
-    val off = cnt.filter(col(bkt) < lit(nBuckets - 1))
-      .select(gCols :+
-        explode(sequence(col(bkt) + lit(1), lit(nBuckets - 1))).as(bkt) :+
-        col("__bc"): _*)
-      .groupBy(gCols :+ col(bkt): _*)
-      .agg(sum(col("__bc")).as("__off"))
+    // offsets AND group totals from windows over the count table itself:
+    // ≤ |groups|·nBuckets rows, bounded by configuration at any data
+    // size, so the single-task window is safe — and both ride ONE
+    // broadcast join instead of an explode re-shuffle plus a second
+    // totals join (measured ~0.5s of per-op constants locally)
+    val wOff = Window.partitionBy(gCols: _*).orderBy(col(bkt))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val aux0 = cnt.withColumn("__off", sum(col("__bc")).over(wOff))
+    val aux = totalName.fold(aux0)(tn => aux0.withColumn(tn,
+      sum(col("__bc")).over(Window.partitionBy(gCols: _*))))
     val localW = Window.partitionBy(gCols :+ col(bkt): _*).orderBy(order: _*)
-    val ranked = df.join(broadcast(off), group :+ bkt, "left")
+    df.join(broadcast(aux.drop("__bc")), group :+ bkt, "left")
       .withColumn(rnName,
         coalesce(col("__off"), lit(0L)) + row_number().over(localW))
       .drop("__off")
-    totalName match {
-      case None => ranked
-      case Some(tn) =>
-        val tot = cnt.groupBy(gCols: _*).agg(sum(col("__bc")).as(tn))
-        if (group.isEmpty) ranked.crossJoin(broadcast(tot))
-        else ranked.join(broadcast(tot), group)
-    }
   }
 
   /** Exact global EXCLUSIVE prefix sum of `value` over `order`, given a
     * contiguous bucket column `bkt` in [0, nBuckets) — the running-total
     * primitive behind sequence packing. Same two-pass shape as
     * `bucketedRowNumber`: per-bucket value sums (map-side partial agg)
-    * become down-range offsets without a global window; the final cum =
-    * offset + within-bucket running sum over a window partitioned by
-    * bucket (parallel across nBuckets tasks). Result column is LONG and
-    * excludes the current row (first row of the total order gets 0). */
+    * become down-range offsets via a window over the bounded sum table;
+    * the final cum = offset + within-bucket running sum over a window
+    * partitioned by bucket (parallel across nBuckets tasks). Result
+    * column is LONG and excludes the current row (first row of the
+    * total order gets 0). When `totalName` is set, the per-group value
+    * total is joined in from the same pass (no extra scan or join). */
   def bucketedPrefixSum(df: DataFrame, bkt: String, nBuckets: Int,
       order: Seq[Column], value: Column, cumName: String,
-      group: Seq[String] = Seq.empty): DataFrame = {
+      group: Seq[String] = Seq.empty,
+      totalName: Option[String] = None): DataFrame = {
     val gCols = group.map(col)
     val sums = df.groupBy(gCols :+ col(bkt): _*)
       .agg(sum(value.cast("long")).as("__bs"))
-    val off = sums.filter(col(bkt) < lit(nBuckets - 1))
-      .select(gCols :+
-        explode(sequence(col(bkt) + lit(1), lit(nBuckets - 1))).as(bkt) :+
-        col("__bs"): _*)
-      .groupBy(gCols :+ col(bkt): _*).agg(sum(col("__bs")).as("__off"))
+    // bounded-table windows, as in bucketedRowNumber
+    val wOff = Window.partitionBy(gCols: _*).orderBy(col(bkt))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val aux0 = sums.withColumn("__off", sum(col("__bs")).over(wOff))
+    val aux = totalName.fold(aux0)(tn => aux0.withColumn(tn,
+      sum(col("__bs")).over(Window.partitionBy(gCols: _*))))
     val localW = Window.partitionBy(gCols :+ col(bkt): _*).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    df.join(broadcast(off), group :+ bkt, "left")
+    df.join(broadcast(aux.drop("__bs")), group :+ bkt, "left")
       .withColumn(cumName, coalesce(col("__off"), lit(0L)) +
         coalesce(sum(value.cast("long")).over(localW), lit(0L)))
       .drop("__off")

@@ -424,12 +424,11 @@ object Text {
     * explode + count is the distinct-doc count — a single fully
     * map-side-combinable shuffle keyed by span; linear in corpus tokens,
     * never doc×doc. The ≥3 floor keeps the output the curated
-    * boilerplate list, not the n-gram table. */
+    * boilerplate list, not the n-gram table. Reads the LANDED exploded
+    * span table (DocArtifacts), so the op itself is one combinable
+    * aggregate over columnar storage. */
   def boilerplateNgrams(s: SparkSession, dir: String): DataFrame = {
-    Tables.documents(s, dir)
-      .withColumn("toks", tokens(col("text")))
-      .select(col("doc_id"),
-        explode(wordShingles(col("toks"), 8)).as("span"))
+    DocArtifacts.shingles8(s, dir)
       .groupBy(col("span"))
       .agg(count(lit(1)).as("n_docs"),
         min(col("doc_id")).as("first_doc_id"))
@@ -509,21 +508,32 @@ object Text {
     * smaller than the corpus; AQE broadcasts it when it fits). Covered
     * positions explode ×8 off the hits only, dedupe on (doc, position),
     * and fold back into one bounded-by-doc-length array per doc — no
-    * step is ever pairwise in documents. */
+    * step is ever pairwise in documents.
+    *
+    * Reads the LANDED artifacts (DocArtifacts): token arrays from the
+    * toks table, the span list as one aggregate over the landed sh8
+    * table. The positional explode — the expensive stage — runs only on
+    * docs that carry ≥1 curated span (semi-join of landed sh8 against
+    * the span list): a doc with no boilerplate 8-gram cannot have a
+    * covered position, so the prefilter is exact, and at 100 TB it cuts
+    * the explode to the contaminated slice of the corpus. */
   def boilerplateScrub(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-      .withColumn("toks", tokens(col("text")))
-      .select(col("doc_id"), col("toks"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val spans = docs
-      .select(explode(wordShingles(col("toks"), 8)).as("span"))
+    val docs = DocArtifacts.toks(s, dir)
+    val sh8 = DocArtifacts.shingles8(s, dir)
+    // ≥3-doc span list: small (the curated boilerplate list), consumed
+    // by two branches — checkpoint so it aggregates once
+    val spans = sh8
       .groupBy(col("span")).agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= 3)
       .select(col("span"))
+      .localCheckpoint()
+    val hitDocs = sh8.join(spans, Seq("span"), "left_semi")
+      .select(col("doc_id")).distinct()
     val gramAt = (i: org.apache.spark.sql.Column) =>
       concat_ws(" ", (0 until 8).map(o =>
         element_at(col("toks"), i + lit(o))): _*)
-    val posGrams = docs.filter(size(col("toks")) >= 8)
+    val posGrams = docs.join(hitDocs, Seq("doc_id"), "left_semi")
+      .filter(size(col("toks")) >= 8)
       .select(col("doc_id"),
         explode(transform(sequence(lit(1), size(col("toks")) - lit(7)),
           i => struct(i.as("i"), gramAt(i).as("g")))).as("x"))
@@ -583,12 +593,12 @@ object Text {
     * text scores ~0, the first copy ~1). Both the first-seen aggregate
     * and the join back shuffle on the shingle key, so the exchange is
     * reused; per-shingle state is one min — linear in corpus tokens,
-    * never doc×doc. */
+    * never doc×doc. Reads the LANDED exploded shingle table
+    * (DocArtifacts — one corpus tokenize amortized across all shingle
+    * consumers) instead of re-deriving it. */
   def novelty(s: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.documents(s, dir)
-      .withColumn("toks", tokens(col("text")))
-      .select(col("doc_id"),
-        explode(wordShingles(col("toks"), 3)).as("shingle"))
+    val sh = DocArtifacts.shingles3(s, dir)
+      .select(col("doc_id"), col("shingle"))
     val first = sh.groupBy(col("shingle"))
       .agg(min(col("doc_id")).as("first_doc"))
     sh.join(first, Seq("shingle"))
