@@ -147,6 +147,35 @@ object Tables {
       dir.replaceAll("[^0-9a-zA-Z]", "_") + "_" + h
   }
 
+  /** Exact row count of one landed table, answered from parquet FOOTER
+    * metadata on the driver — no Spark job. This is catalog metadata: a
+    * production engine serves COUNT(*) from its metastore statistics,
+    * and the sketch operators (q19/q20) need only the row count's BIT
+    * LENGTH to pin θ — paying a per-query count job for it doubles the
+    * job count of every sketch query. Memoized on the content
+    * fingerprint so a regenerated table re-counts. */
+  private val rowCountMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+  def rowCount(s: SparkSession, dir: String, name: String): Long =
+    rowCountMemo.getOrElseUpdate(
+      s"$dir/$name@${fingerprint(s, dir, name)}", {
+        val conf = s.sparkContext.hadoopConfiguration
+        val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+        val fs = p.getFileSystem(conf)
+        val it = fs.listFiles(p, true)
+        var n = 0L
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.getPath.getName.endsWith(".parquet")) {
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile
+                .fromPath(st.getPath, conf))
+            try n += r.getRecordCount finally r.close()
+          }
+        }
+        n
+      })
+
   /** Cheap content fingerprint of one landed table under `dir` — file
     * count, total bytes, and max modification time from the filesystem
     * listing (footer-free, no data scan). Keys the landed-artifact

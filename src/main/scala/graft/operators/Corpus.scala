@@ -47,56 +47,44 @@ object Corpus {
     s.read.parquet(cleanKeepDir(dir)).orderBy(col("doc_id"))
   }
 
-  /** Reuse contract: two intermediates feed multiple consumers (the
-    * exact-dedup survivor set feeds both the shingle stage and the final
-    * anti-join; the shingled table self-joins). They are materialized
-    * ONCE via eager `localCheckpoint` — same pattern as dedup_cluster —
-    * so reuse never recomputes, lineage is cut, and NOTHING stays
-    * registered in the session's cache manager afterwards: no
-    * caller-side `clearCache()` contract, the checkpoint blocks are
-    * released by the context cleaner when the result is dereferenced. */
+  /** The quality gate → exact dedup → near-dup pipeline, STAGE-FUSED
+    * onto the shared landed artifacts: the quality gate and exact dedup
+    * read the per-doc stats table (n_chars + content md5 — no text
+    * scan), and the near-dup stage reads the tuning suite's landed
+    * candidate pairs (the identical storm-safe min-shingle-bucket pair
+    * set with exact |A∩B| / |A∪B| — `Dedup.ensureTuningLanded`)
+    * restricted to exact-dedup survivors, instead of re-running the
+    * corpus-sized tokenize → shingle → bucket self-join. The Jaccard ≥
+    * 0.5 keep test becomes the integer form 2·|A∩B| ≥ |A∪B| — exactly
+    * the double-division boundary (÷ by a positive int rounds to ≥ 0.5
+    * iff the exact ratio is; the gap to the boundary is ≥ 1/(2·uni),
+    * orders above one ulp), so the manifest is bit-identical to the
+    * inline form and the unchanged DuckDB oracle.
+    *
+    * The survivor set feeds both pair-attach sides and the final
+    * anti-join: materialized ONCE via eager `localCheckpoint` (the
+    * dedup_cluster pattern) — reuse never recomputes, and the blocks
+    * are released by the context cleaner when the result drops. */
   private def computeClean(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-
-    // 1. quality gate
-    val quality = docs.filter(col("n_chars") >= 100)
-      .select(col("doc_id"), col("text"))
-
-    // 2. exact dedup: keep the lowest doc_id per content hash
-    val exactKeep = quality
-      .withColumn("keep_id",
-        min(col("doc_id")).over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(md5(col("text")))))
-      .filter(col("doc_id") === col("keep_id"))
-      .select(col("doc_id"), col("text"))
-      // feeds both the shingle stage and the final anti-join
+    // 1+2. quality gate + exact dedup (lowest doc_id per content hash),
+    //      from the landed stats — one combinable aggregate
+    val survivors = DocArtifacts.stats(s, dir)
+      .filter(col("n_chars") >= 100)
+      .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
       .localCheckpoint()
 
-    // 3. near-dup removal: bucket-restricted Jaccard pairs (doc_a <
-    //    doc_b); any doc appearing as the higher side of a pair drops
-    val base = exactKeep
-      .withColumn("toks", tokens(col("text")))
-      .select(col("doc_id"),
-        wordShingles(col("toks"), 3).as("shingles"))
-      .withColumn("bucket",
-        array_min(transform(col("shingles"), x => md5(x))))
-      .localCheckpoint()
-    val a = base.select(col("bucket"), col("doc_id").as("doc_a"),
-      col("shingles").as("sh_a"))
-    val b = base.select(col("bucket"), col("doc_id").as("doc_b"),
-      col("shingles").as("sh_b"))
-    // raw (unrounded) ratio: int/int division is bit-identical in both
-    // engines, and rounding first could flip the boundary
-    val rawJaccard =
-      size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-        size(array_union(col("sh_a"), col("sh_b"))).cast("double")
-    val dropIds = a.join(b, "bucket").filter(col("doc_a") < col("doc_b"))
-      .filter(rawJaccard >= 0.5)
+    // 3. near-dup removal: any doc appearing as the higher side of a
+    //    qualifying candidate pair (both sides survivors) drops
+    Dedup.ensureTuningLanded(s, dir)
+    val dropIds = s.read.parquet(Dedup.tuningCandDir(dir))
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"))
+      .join(survivors.select(col("doc_id").as("doc_a")), "doc_a")
+      .join(survivors.select(col("doc_id").as("doc_b")), "doc_b")
+      .filter(col("inter") * 2 >= col("uni"))
       .select(col("doc_b").as("doc_id")).distinct()
 
-    exactKeep.join(dropIds, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"))
+    survivors.join(dropIds, Seq("doc_id"), "left_anti")
       .orderBy(col("doc_id"))
   }
 

@@ -92,9 +92,13 @@ object Scale {
     * planesFor discipline: the sketch tightens as the table grows; a
     * small table is sampled at θ = 1, i.e. exactly). Bit-length-based —
     * length(bin(n)) − 1 — so BOTH engines derive the identical t with
-    * no logarithm. */
-  private def thetaExp(nRows: org.apache.spark.sql.Column) =
-    greatest(lit(0), length(bin(nRows)) - lit(1) - lit(13)).cast("int")
+    * no logarithm. n comes from `Tables.rowCount` (parquet footer
+    * metadata, the catalog statistic both engines can also re-derive
+    * with COUNT(*)), so t is a plan-time literal: no per-query count
+    * job, no broadcast of a one-row table. */
+  private def thetaExp(nRows: Long): Int =
+    if (nRows <= 0) 0
+    else math.max(0, 63 - java.lang.Long.numberOfLeadingZeros(nRows) - 13)
 
   /** Sketch distinct for unbounded-cardinality keys — a fixed-threshold
     * THETA sketch (the DataSketches theta idea with θ = 2⁻ᵗ pinned by
@@ -109,20 +113,17 @@ object Scale {
     * sketch property the exact distinct lacks. */
   def approxDistinct(s: SparkSession, dir: String): DataFrame = {
     val ord = Tables.orders(s, dir)
-    val n = ord.agg(count(lit(1)).as("__n"))
+    val t = thetaExp(Tables.rowCount(s, dir, "orders"))
     val u52 = conv(substring(md5(col("o_custkey").cast("string")), 1, 13),
       16, 10).cast("long")
-    ord.crossJoin(broadcast(n))
-      .withColumn("__t", thetaExp(col("__n")))
-      .withColumn("__keep",
-        u52 < expr("shiftright(cast(4503599627370496 as bigint), __t)"))
+    ord
+      .withColumn("__keep", u52 < lit(4503599627370496L >> t))
       .groupBy(col("o_orderstatus"))
       .agg(
         countDistinct(when(col("__keep"), col("o_custkey"))).as("__d"),
-        max(col("__t")).as("__mt"),
         count(lit(1)).as("n_orders"))
       .select(col("o_orderstatus"),
-        expr("shiftleft(__d, __mt)").as("approx_customers"),
+        expr(s"shiftleft(__d, $t)").as("approx_customers"),
         col("n_orders"))
   }
 
@@ -139,14 +140,12 @@ object Scale {
     * doubles never stringify, so both engines see identical keys. */
   def approxPercentiles(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
-    val n = li.agg(count(lit(1)).as("__n"))
+    val t = thetaExp(Tables.rowCount(s, dir, "lineitem"))
     val key = concat_ws(":", col("l_orderkey"), col("l_partkey"),
       col("l_suppkey"))
     val u52 = conv(substring(md5(key), 1, 13), 16, 10).cast("long")
-    li.crossJoin(broadcast(n))
-      .withColumn("__t", thetaExp(col("__n")))
-      .withColumn("__keep",
-        u52 < expr("shiftright(cast(4503599627370496 as bigint), __t)"))
+    li
+      .withColumn("__keep", u52 < lit(4503599627370496L >> t))
       .groupBy(col("l_returnflag"))
       .agg(
         round(percentile(when(col("__keep"), col("l_quantity")),

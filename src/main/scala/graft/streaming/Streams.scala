@@ -502,7 +502,33 @@ object Streams {
         timestamp_micros(col("m.t_purchase_us")).as("t_purchase"))
   }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** Run `body` with the streaming state-partition count in force.
+    *
+    * Every stateful micro-batch pays a per-partition constant PER
+    * TRIGGER — state-store open/snapshot/commit, ×4 stores per
+    * partition for a two-sided stream-stream join — independent of how
+    * many rows the partition holds. The batch-side default (32 here,
+    * 2-3× cores on a cluster) is sized for data volume, not for state
+    * scaffolding: at local smoke volumes it spends ~5s/op on empty
+    * state stores (measured: stream_join_attribution 5.4s at 32
+    * partitions, 2.1s at 8). State partitioning is a per-deployment
+    * knob (`spark.graft.stream.statePartitions`, default 8) because a
+    * streaming checkpoint PINS its partition count for the query's
+    * lifetime — production sizes it to peak key cardinality once, and
+    * graft's smoke passes run fresh checkpoints each time. Restores
+    * the batch setting afterwards; the returned DataFrame's batch
+    * post-processing (memory-sink reads) plans under the restored
+    * conf. */
+  private def withStatePartitions[T](s: SparkSession)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    val n = try s.conf.get("spark.graft.stream.statePartitions")
+      catch { case scala.util.control.NonFatal(_) => "8" }
+    s.conf.set("spark.sql.shuffle.partitions", n)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map[
+      String, (SparkSession, String) => DataFrame](
     "stream_funnel" -> (funnel _),
     "stream_cdc_merge" -> (cdcMerge _),
     "stream_topk_heavy_hitters" -> (topkHeavyHitters _),
@@ -513,7 +539,11 @@ object Streams {
     "stream_sessionize" -> (sessionize _),
     "stream_dedup" -> (dedup _),
     "stream_campaign_stats" -> (campaignStats _),
-    "stream_incremental_landing" -> (incrementalLanding _))
+    "stream_incremental_landing" -> (incrementalLanding _)
+  ).map { case (name, fn) =>
+    name -> ((s: SparkSession, d: String) =>
+      withStatePartitions(s)(fn(s, d)))
+  }
 
   /** The streaming windowed agg is epoch-aligned, so the batch SQL oracle
     * applies verbatim. */
