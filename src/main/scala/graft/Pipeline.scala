@@ -147,22 +147,36 @@ object Pipeline {
               if m.nonEmpty && m.forall(_.isDigit) &&
                 h.nonEmpty && h.forall(_.isDigit) &&
                 wild(dom) && wild(dow) => Some(86400L)
+          // any other 6-field cron is valid but aperiodic (when it
+          // fires is the scheduler's concern); wrong field counts are
+          // rejected below, where the error can name the field count
           case _ => None
         }
       case _ => None
     }
-    require(periodSeconds.isDefined ||
-        cronRe.findFirstMatchIn(expression.trim).isDefined,
-      s"unsupported schedule expression: $expression " +
-        "(expected rate(N unit) or cron(6 fields))")
+    // a cron payload must actually carry the 6 EventBridge fields —
+    // accepting cron(anything) here would let a 5-field Unix cron parse
+    // as "valid but aperiodic" and then silently mis-window its runs
+    require(expression.trim match {
+      case cronRe(fields) => fields.trim.split("\\s+").length == 6
+      case _ => periodSeconds.isDefined
+    }, s"unsupported schedule expression: $expression " +
+      "(expected rate(N unit) or cron(6 fields))")
 
     /** The [start, end) processing window (yyyy-MM-dd, end exclusive)
       * for the run stamped `runDate`: the cadence period rounded up to
       * whole days — a daily schedule processes exactly runDate, a
-      * rate(3 days) schedule the 3-day window starting there. */
+      * rate(3 days) schedule the 3-day window starting there. An
+      * APERIODIC cron (weekly, monthly…) has no derivable window — a
+      * silent 1-day default would process one day and silently skip
+      * the rest of the cadence gap, so it must fail loudly and demand
+      * the caller supply the window some other way. */
     def windowFor(runDate: String): (String, String) = {
-      val days = math.max(1L,
-        (periodSeconds.getOrElse(86400L) + 86399L) / 86400L)
+      require(periodSeconds.isDefined,
+        s"schedule '$expression' is aperiodic: its processing window " +
+          "cannot be derived from the cadence — supply the window " +
+          "explicitly instead of windowFor")
+      val days = math.max(1L, (periodSeconds.get + 86399L) / 86400L)
       val start = java.time.LocalDate.parse(runDate)
       (start.toString, start.plusDays(days).toString)
     }
@@ -208,7 +222,10 @@ object Pipeline {
       try JsonMethods.parse(
         java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
       catch {
-        case e: Throwable =>
+        // NonFatal only: an OutOfMemoryError during a config read is a
+        // dying JVM, not a broken config store — masking it as
+        // "config unavailable" would misdirect the operator
+        case scala.util.control.NonFatal(e) =>
           System.err.println(s"[pipeline] config at $path unavailable " +
             s"(${e.getClass.getSimpleName}); using default source registry")
           return defaultConfig(landingDir, runDate)

@@ -42,33 +42,42 @@ object Tables {
     * schema on every call (~55ms locally) — ~15s of a 190-op sweep over
     * the same ten immutable tables is pure re-inference. A production
     * engine caches exactly this in its catalog (that is what a
-    * metastore holds); this memo is that cache, keyed by the same
-    * content fingerprint as the landed-artifact memos so a regenerated
-    * table re-infers instead of serving a stale plan. Weak session
-    * keys: a stopped test session's plans stay collectable. */
+    * metastore holds); this memo is that cache, keyed per (session,
+    * dir, table) with the content fingerprint stored IN the entry so a
+    * regenerated table replaces (not accumulates beside) its stale
+    * plan. A weak-key map cannot express this cache — the DataFrame
+    * value strongly references its SparkSession, which would pin the
+    * weak key forever — so entries are keyed by context identity and
+    * purged explicitly: every lookup drops entries whose context has
+    * stopped (checked through a WeakReference so the memo itself never
+    * pins a context that has otherwise been dropped). */
+  private final case class PlanEntry(fp: String, df: DataFrame,
+      sc: java.lang.ref.WeakReference[org.apache.spark.SparkContext])
   private val planMemo =
-    new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+    scala.collection.concurrent.TrieMap.empty[(Int, String, String),
+      PlanEntry]
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val perSession = planMemo.synchronized {
-      var m = planMemo.get(spark)
-      if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-        planMemo.put(spark, m)
-      }
-      m
+    planMemo.foreach { case (k, e) =>
+      val live = Option(e.sc.get()).exists(!_.isStopped)
+      if (!live) planMemo.remove(k)
     }
-    val key = s"$dir/$name.parquet@${fingerprint(spark, dir, name)}"
-    perSession.computeIfAbsent(key, _ => {
-      val df = spark.read.parquet(s"$dir/$name.parquet")
-      val missing = requiredColumns.getOrElse(name, Set.empty) --
-        df.columns.toSet
-      require(missing.isEmpty,
-        s"table '$name' at $dir is missing required columns: " +
-          missing.toSeq.sorted.mkString(", "))
-      df
-    })
+    val sc = spark.sparkContext
+    val key = (System.identityHashCode(sc), dir, name)
+    val fp = fingerprint(spark, dir, name)
+    planMemo.get(key) match {
+      case Some(e) if e.fp == fp => e.df
+      case _ =>
+        val df = spark.read.parquet(s"$dir/$name.parquet")
+        val missing = requiredColumns.getOrElse(name, Set.empty) --
+          df.columns.toSet
+        require(missing.isEmpty,
+          s"table '$name' at $dir is missing required columns: " +
+            missing.toSeq.sorted.mkString(", "))
+        planMemo.put(key,
+          PlanEntry(fp, df, new java.lang.ref.WeakReference(sc)))
+        df
+    }
   }
 
   /** Name-dispatched loader applying per-table quirks (events' NANOS

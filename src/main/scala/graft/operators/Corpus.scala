@@ -29,6 +29,9 @@ object Corpus {
     * don't re-clean the corpus per consumer at 100 TB. */
   private val cleanLanded =
     scala.collection.concurrent.TrieMap.empty[(Int, String, String), Boolean]
+  /** Test hook: force the next consumer to re-run the clean pipeline
+    * (StressSpec times the full landing, not the memo hit). */
+  private[graft] def clearCleanMemo(): Unit = cleanLanded.clear()
   private[graft] def ensureCleanLanded(s: SparkSession, dir: String): Unit = {
     cleanLanded.getOrElseUpdate(
       (System.identityHashCode(s.sparkContext), dir,

@@ -300,6 +300,16 @@ class PipelineSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Pipeline.Schedule("every tuesday")
     }
+    // a 5-field Unix cron is NOT the EventBridge form: reject at parse,
+    // don't let it pass as "valid but aperiodic"
+    intercept[IllegalArgumentException] {
+      Pipeline.Schedule("cron(0 2 * * 1)")
+    }
+    // an aperiodic cron has no derivable processing window — a silent
+    // 1-day default would skip 6/7 of a weekly cadence
+    intercept[IllegalArgumentException] {
+      Pipeline.Schedule("cron(0 2 ? * MON *)").windowFor("2024-01-10")
+    }
     // the window drives the daily-cadence incremental batch: every
     // event the batch keeps falls inside the schedule's window
     val (startD, endD) = sched.windowFor("2024-01-10")

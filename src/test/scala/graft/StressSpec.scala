@@ -159,20 +159,43 @@ class StressSpec extends SparkSpec {
       "txt_ccnet_bucket" -> (d => operators.Text.ccnetBucket(spark, d)),
       "smp_interleave" -> (d => operators.Sampling.interleave(spark, d)),
       "dedup_containment" -> (d => operators.Dedup.containment(spark, d)),
-      "txt_novelty" -> (d => operators.Text.novelty(spark, d)),
+      // doc-artifact consumers clear the shared landing memo so each
+      // timed run pays the FULL tokenize→land→consume pipeline
+      "txt_novelty" -> (d => {
+        operators.DocArtifacts.clearMemo()
+        operators.Text.novelty(spark, d) }),
+      "txt_boilerplate_ngrams" -> (d => {
+        operators.DocArtifacts.clearMemo()
+        operators.Text.boilerplateNgrams(spark, d) }),
+      "txt_boilerplate_scrub" -> (d => {
+        operators.DocArtifacts.clearMemo()
+        operators.Text.boilerplateScrub(spark, d) }),
+      "corpus_token_budget_trim" -> (d => {
+        operators.DocArtifacts.clearMemo()
+        operators.Corpus.tokenBudgetTrim(spark, d) }),
+      "corpus_clean" -> (d => {
+        operators.DocArtifacts.clearMemo()
+        operators.Dedup.clearTuningMemo()
+        operators.Corpus.clearCleanMemo()
+        operators.Corpus.clean(spark, d) }),
       "txt_bigram_logprob" -> (d => operators.Text.bigramLogprob(spark, d)),
       "mm_shard_pack" -> (d => operators.Multimodal.shardPack(spark, d)),
-      "dedup_source_overlap" -> (d => operators.Dedup.sourceOverlap(spark, d)),
+      "dedup_source_overlap" -> (d => {
+        operators.DocArtifacts.clearMemo()
+        operators.Dedup.sourceOverlap(spark, d) }),
       // r7's heavy additions: the tuning suite (memo cleared so each
       // timed run pays the FULL shingle→candidate landing, not the memo
       // hit) and the trained-quantizer family
       "dedup_threshold_sweep" -> (d => {
+        operators.DocArtifacts.clearMemo()
         operators.Dedup.clearTuningMemo()
         operators.Dedup.thresholdSweep(spark, d) }),
       "dedup_band_tuning" -> (d => {
+        operators.DocArtifacts.clearMemo()
         operators.Dedup.clearTuningMemo()
         operators.Dedup.bandTuning(spark, d) }),
       "dedup_minhash_calibration" -> (d => {
+        operators.DocArtifacts.clearMemo()
         operators.Dedup.clearTuningMemo()
         operators.Dedup.minhashCalibration(spark, d) }),
       "emb_pq" -> (d => operators.Similarity.pq(spark, d)),
@@ -203,6 +226,72 @@ class StressSpec extends SparkSpec {
       assert(t10 <= bound,
         f"$name scaled superlinearly: 1x=$t1%.2fs -> 10x=$t10%.2fs")
     }
+  }
+
+  test("grouped prefix-sum family survives a dominant source: 90% of the " +
+      "corpus in one source costs no more than a balanced corpus") {
+    // the 256-bucket claim for the grouped two-pass plan, proven the way
+    // the duplicate storm is: a plan that put each SOURCE in one task
+    // (plain partitionBy(source) window) would serialize 90% of the
+    // corpus through one task on the dominant corpus while the balanced
+    // corpus parallelizes — a wall-clock gap the ≤2x bound catches.
+    // Both corpora are the same 10x replica set; only `source` differs.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_skew")
+    def gen(tag: String, sourceOf: Int => org.apache.spark.sql.Column)
+        : String = {
+      val dir = s"$tmp/$tag"
+      val docs = (0 until 10).map(i =>
+        Tables.documents(spark, "/root/testdata/sf0.01").select(
+          (col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+          regexp_replace(col("text"), " ", s" r$i ").as("text"),
+          col("lang"), sourceOf(i).as("source"), col("n_chars")))
+        .reduce(_ unionAll _)
+      docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    // balanced: ten equal sources; dominant: replicas 0-8 share one
+    val balanced = gen("balanced", i => lit(s"s$i"))
+    val dominant = gen("dominant",
+      i => if (i < 9) lit("s_dom") else lit("s9"))
+    val ops: Seq[(String, String => org.apache.spark.sql.DataFrame)] = Seq(
+      "corpus_token_budget_trim" -> (d => {
+        operators.DocArtifacts.clearMemo()
+        operators.Corpus.tokenBudgetTrim(spark, d) }),
+      "smp_interleave" -> (d => operators.Sampling.interleave(spark, d)))
+    def run(f: String => org.apache.spark.sql.DataFrame,
+        d: String): Double = {
+      val t0 = System.nanoTime()
+      f(d).write.format("noop").mode("overwrite").save()
+      spark.catalog.clearCache()
+      (System.nanoTime() - t0) / 1e9
+    }
+    ops.foreach { case (_, f) => run(f, balanced) } // warm-up
+    ops.foreach { case (name, f) =>
+      var tBal = run(f, balanced)
+      var tDom = run(f, dominant)
+      // 2x slack + 1s constant absorber, one re-measure of both points
+      // against ambient load (the near-linear test's discipline)
+      def bound = 2.0 * math.max(tBal, 0.5) + 1.0
+      if (tDom > bound) {
+        val rb = run(f, balanced)
+        val rd = run(f, dominant)
+        tBal = math.min(tBal, rb); tDom = math.min(tDom, rd)
+      }
+      info(f"$name: balanced=$tBal%.2fs dominant=$tDom%.2fs")
+      assert(tDom <= bound,
+        f"$name pays a dominant-source penalty: balanced=$tBal%.2fs " +
+          f"dominant=$tDom%.2fs")
+    }
+    // and the structural claim behind the wall-clock one: the dominant
+    // source's rows really do spread across the bucket space, so no
+    // single (source, bucket) task ever holds the whole source
+    operators.DocArtifacts.clearMemo()
+    val spreadBuckets = operators.DocArtifacts
+      .stats(spark, dominant)
+      .filter(col("source") === "s_dom")
+      .select(col("q_bucket")).distinct().count()
+    assert(spreadBuckets >= 64,
+      s"dominant source occupies only $spreadBuckets of 256 buckets")
   }
 
   test("salted join equals plain join under extreme single-key skew") {
