@@ -103,15 +103,14 @@ object Corpus {
     val docs = Tables.documents(s, dir)
     val kept = clean(s, dir).join(docs, Seq("doc_id"))
     val w = least(lit(1.0), col("n_chars").cast("double") / lit(400.0))
-    val u = conv(substring(md5(concat(col("doc_id").cast("string"),
-      lit(":"), col("text"))), 1, 6), 16, 10)
-      .cast("long").cast("double") / lit(16777216.0)
-    val nibble = substring(md5(col("text")), 32, 1)
+    val u = graft.functions.HashExprs.md5SliceLong(
+      concat(col("doc_id").cast("string"), lit(":"), col("text")), 1, 6)
+      .cast("double") / lit(16777216.0)
+    val nibble = graft.functions.HashExprs.md5SliceLong(col("text"), 32, 1)
     kept.filter(u < w)
       .select(col("doc_id"),
-        when(nibble.isin("0", "1", "2", "3", "4", "5", "6", "7", "8",
-          "9", "a", "b"), "train")
-          .when(nibble.isin("c", "d"), "val")
+        when(nibble <= 11, "train")
+          .when(nibble <= 13, "val")
           .otherwise(lit("test")).as("split"),
         round(w, 6).as("weight"))
       .orderBy(col("doc_id"))
@@ -127,11 +126,10 @@ object Corpus {
     * is a plain hash shuffle on the shingle string — no pair
     * enumeration, no skew beyond shingle frequency. */
   def contamination(s: SparkSession, dir: String): DataFrame = {
-    val nibble = substring(md5(col("text")), 32, 1)
+    val nibble = graft.functions.HashExprs.md5SliceLong(col("text"), 32, 1)
     val split =
-      when(nibble.isin("0", "1", "2", "3", "4", "5", "6", "7", "8",
-        "9", "a", "b"), "train")
-        .when(nibble.isin("c", "d"), "val")
+      when(nibble <= 11, "train")
+        .when(nibble <= 13, "val")
         .otherwise(lit("test"))
     // checkpoint barrier: two branches consume the shingled table, and
     // without it the optimizer pushes the explode's size(shingles)>0
@@ -193,9 +191,9 @@ object Corpus {
     val rates = r.crossJoin(broadcast(rmax))
       .withColumn("rate", col("r_raw") / col("r_max"))
       .select(col("lang"), col("n_docs"), col("p"), col("w"), col("rate"))
-    val u = conv(substring(md5(concat(col("doc_id").cast("string"),
-      lit(":"), col("text"))), 1, 6), 16, 10)
-      .cast("long").cast("double") / lit(16777216.0)
+    val u = graft.functions.HashExprs.md5SliceLong(
+      concat(col("doc_id").cast("string"), lit(":"), col("text")), 1, 6)
+      .cast("double") / lit(16777216.0)
     docs.join(broadcast(rates), "lang")
       .withColumn("kept", when(u < col("rate"), col("doc_id")))
       .groupBy(col("lang"))

@@ -261,7 +261,9 @@ object Dedup {
           .withColumn("sig",
             graft.functions.SketchExprs.minhashSig(col("hs"), k))
           .withColumn("bucket",
-            array_min(transform(col("shingles"), x => md5(x))))
+            // digest-direct min-md5 (HashExprs): one hex encode per doc
+            // instead of one 32-char string per shingle
+            graft.functions.HashExprs.minMd5Hex(col("shingles")))
           .persist(StorageLevel.MEMORY_AND_DISK)
         base.select(col("doc_id"), col("sig"))
           .write.mode("overwrite").parquet(mhCalibDir(dir))

@@ -16,12 +16,12 @@ object Sampling {
   /** Deterministic train/val/test assignment from the last hex nibble of
     * the content hash: 16 buckets → 12/2/2 split. Pure projection. */
   def hashSplit(s: SparkSession, dir: String): DataFrame = {
-    val nibble = substring(md5(col("text")), 32, 1)
+    // digest-direct nibble (HashExprs): 0-11 train, 12-13 val, rest test
+    val nibble = graft.functions.HashExprs.md5SliceLong(col("text"), 32, 1)
     Tables.documents(s, dir)
       .select(col("doc_id"),
-        when(nibble.isin("0", "1", "2", "3", "4", "5", "6", "7", "8",
-          "9", "a", "b"), "train")
-          .when(nibble.isin("c", "d"), "val")
+        when(nibble <= 11, "train")
+          .when(nibble <= 13, "val")
           .otherwise(lit("test")).as("split"))
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc_id"),
@@ -81,9 +81,9 @@ object Sampling {
     * any engine; reruns and engine swaps keep the same docs. */
   def weightedSample(s: SparkSession, dir: String): DataFrame = {
     val w = least(lit(1.0), col("n_chars").cast("double") / lit(400.0))
-    val u = conv(substring(md5(concat(col("doc_id").cast("string"),
-      lit(":"), col("text"))), 1, 6), 16, 10)
-      .cast("long").cast("double") / lit(16777216.0)
+    val u = graft.functions.HashExprs.md5SliceLong(
+      concat(col("doc_id").cast("string"), lit(":"), col("text")), 1, 6)
+      .cast("double") / lit(16777216.0)
     Tables.documents(s, dir)
       .filter(u < w)
       .select(col("doc_id"), round(w, 6).as("weight"),
@@ -146,9 +146,9 @@ object Sampling {
     * the assignment itself is the artifact. */
   def kfold(s: SparkSession, dir: String): DataFrame = {
     val k = 5
-    val fold = pmod(conv(substring(md5(concat(lit("fold:"),
-      col("doc_id").cast("string"), lit(":"), col("text"))), 1, 6), 16, 10)
-      .cast("long"), lit(k.toLong)).cast("int")
+    val fold = pmod(graft.functions.HashExprs.md5SliceLong(
+      concat(lit("fold:"), col("doc_id").cast("string"), lit(":"),
+        col("text")), 1, 6), lit(k.toLong)).cast("int")
     Tables.documents(s, dir)
       .select(col("doc_id"), fold.as("fold"))
       .orderBy(col("doc_id"))
@@ -201,8 +201,9 @@ object Sampling {
     * stats one combinable aggregate onto the two-row split space. */
   def groupHoldout(s: SparkSession, dir: String): DataFrame = {
     val split = when(
-      substring(md5(concat(lit("grp:"), col("user_id").cast("string"))),
-        32, 1).isin("e", "f"), "holdout").otherwise(lit("train"))
+      graft.functions.HashExprs.md5SliceLong(
+        concat(lit("grp:"), col("user_id").cast("string")), 32, 1) >= 14,
+      "holdout").otherwise(lit("train"))
     Tables.events(s, dir)
       .withColumn("split", split)
       .groupBy(col("split"))
@@ -230,8 +231,8 @@ object Sampling {
   def negativeDownsample(s: SparkSession, dir: String): DataFrame = {
     val campaign =
       get_json_object(col("props"), "$.k").cast("int") % lit(10)
-    val keepNeg = substring(md5(concat(lit("neg:"),
-      col("event_id").cast("string"))), 32, 1).isin("0", "1")
+    val keepNeg = graft.functions.HashExprs.md5SliceLong(
+      concat(lit("neg:"), col("event_id").cast("string")), 32, 1) <= 1
     Tables.events(s, dir)
       .filter(col("event_type").isin("view", "click"))
       .withColumn("campaign", campaign)

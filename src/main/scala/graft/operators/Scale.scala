@@ -114,8 +114,8 @@ object Scale {
   def approxDistinct(s: SparkSession, dir: String): DataFrame = {
     val ord = Tables.orders(s, dir)
     val t = thetaExp(Tables.rowCount(s, dir, "orders"))
-    val u52 = conv(substring(md5(col("o_custkey").cast("string")), 1, 13),
-      16, 10).cast("long")
+    val u52 = graft.functions.HashExprs.md5SliceLong(
+      col("o_custkey").cast("string"), 1, 13)
     ord
       .withColumn("__keep", u52 < lit(4503599627370496L >> t))
       .groupBy(col("o_orderstatus"))
@@ -143,7 +143,7 @@ object Scale {
     val t = thetaExp(Tables.rowCount(s, dir, "lineitem"))
     val key = concat_ws(":", col("l_orderkey"), col("l_partkey"),
       col("l_suppkey"))
-    val u52 = conv(substring(md5(key), 1, 13), 16, 10).cast("long")
+    val u52 = graft.functions.HashExprs.md5SliceLong(key, 1, 13)
     li
       .withColumn("__keep", u52 < lit(4503599627370496L >> t))
       .groupBy(col("l_returnflag"))
