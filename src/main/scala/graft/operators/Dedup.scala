@@ -250,7 +250,8 @@ object Dedup {
         // sides) and the landing re-derives it per reference — measured
         // 9.1s → 1.1s for this stage at sf0.1 (the corpus_contamination
         // discipline).
-        val shingledDocs = Tables.spread(s, DocArtifacts.toks(s, dir))
+        val shingledDocs = Tables.spreadScan(s,
+            DocArtifacts.toksDir(dir), DocArtifacts.toks(s, dir))
           .select(col("doc_id"),
             wordShingles(col("toks"), 3).as("shingles"),
             graft.functions.ShingleHash64.shingleHash64(col("toks"), 3)
@@ -265,11 +266,9 @@ object Dedup {
             // instead of one 32-char string per shingle
             graft.functions.HashExprs.minMd5Hex(col("shingles")))
           .persist(StorageLevel.MEMORY_AND_DISK)
-        base.select(col("doc_id"), col("sig"))
-          .write.mode("overwrite").parquet(mhCalibDir(dir))
         val banded = base.select(col("doc_id"), lit(0).as("band_id"),
           col("bucket").as("band_hash"))
-        saltedBandPairs(banded, target = 64)
+        val cands = saltedBandPairs(banded, target = 64)
           .join(base.select(col("doc_id").as("doc_a"),
             col("shingles").as("sh_a"), col("sig").as("sig_a")), "doc_a")
           .join(base.select(col("doc_id").as("doc_b"),
@@ -282,7 +281,17 @@ object Dedup {
             aggregate(zip_with(col("sig_a"), col("sig_b"),
               (x, y) => when(x === y, 1).otherwise(0)),
               lit(0), (acc, v) => acc + v).cast("long").as("n_agree"))
-          .write.mode("overwrite").parquet(tuningCandDir(dir))
+        // both writes hang off the persisted base (block-level locking
+        // dedupes its first materialization): concurrent actions, the
+        // DocArtifacts discipline
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        Await.result(Future.sequence(Seq(
+          Future(base.select(col("doc_id"), col("sig"))
+            .write.mode("overwrite").parquet(mhCalibDir(dir))),
+          Future(cands
+            .write.mode("overwrite").parquet(tuningCandDir(dir))))),
+          scala.concurrent.duration.Duration.Inf)
         base.unpersist()
         true
       })

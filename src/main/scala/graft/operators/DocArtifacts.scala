@@ -75,12 +75,11 @@ object DocArtifacts {
         // (Tables.spread scaladoc); checkpoint: collapse barrier — four
         // writes reference `toks`, and without the barrier each one
         // would re-run the tokenize (the corpus_contamination lesson)
-        val base = Tables.spread(s, Tables.documents(s, dir))
+        val base = Tables.spreadScan(s, s"$dir/documents.parquet",
+            Tables.documents(s, dir))
           .select(col("doc_id"), col("source"), col("n_chars"),
             tokens(col("text")).as("toks"), md5(col("text")).as("h"))
           .localCheckpoint()
-        base.select(col("doc_id"), col("toks"))
-          .write.mode("overwrite").parquet(toksDir(dir))
         val scalar = base.select(col("doc_id"), col("source"),
             col("n_chars"),
             size(col("toks")).cast("long").as("n_tokens"),
@@ -91,14 +90,26 @@ object DocArtifacts {
           // md5-prefix ASC) — monotone along the curation trim order
           .withColumn("q_sort", -col("q_hits") * lit(16777216L) +
             conv(substring(col("h"), 1, 6), 16, 10).cast("long"))
-        Ranking.withValueBucket(scalar, col("q_sort"), "q_bucket", 256)
-          .write.mode("overwrite").parquet(statsDir(dir))
-        base.select(col("doc_id"), col("source"),
-            explode(wordShingles(col("toks"), 3)).as("shingle"))
-          .write.mode("overwrite").parquet(sh3Dir(dir))
-        base.select(col("doc_id"),
-            explode(wordShingles(col("toks"), 8)).as("span"))
-          .write.mode("overwrite").parquet(sh8Dir(dir))
+        // the four writes share the checkpointed base and distinct
+        // output dirs: run them as CONCURRENT actions (cluster form: one
+        // fair-scheduler pool) — wall time is the widest write, not the
+        // sum of four job submissions
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val writes = Seq(
+          Future(base.select(col("doc_id"), col("toks"))
+            .write.mode("overwrite").parquet(toksDir(dir))),
+          Future(Ranking.withValueBucket(scalar, col("q_sort"),
+              "q_bucket", 256)
+            .write.mode("overwrite").parquet(statsDir(dir))),
+          Future(base.select(col("doc_id"), col("source"),
+              explode(wordShingles(col("toks"), 3)).as("shingle"))
+            .write.mode("overwrite").parquet(sh3Dir(dir))),
+          Future(base.select(col("doc_id"),
+              explode(wordShingles(col("toks"), 8)).as("span"))
+            .write.mode("overwrite").parquet(sh8Dir(dir))))
+        Await.result(Future.sequence(writes),
+          scala.concurrent.duration.Duration.Inf)
         true
       })
     ()

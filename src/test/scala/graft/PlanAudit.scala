@@ -110,7 +110,16 @@ class PlanAudit extends SparkSpec {
         // q27's cumulative-total window rides the month×segment grid
         "q27_running_share",
         // emb_index_shards' size rank rides the fixed-k cluster table
-        "emb_index_shards")
+        "emb_index_shards",
+        // r10 Ranking offset pass: ungrouped bucketedRowNumber/PrefixSum
+        // callers carry ONE global window — the down-range offset
+        // running sum over the per-bucket COUNT/SUM aggregate, ≤
+        // nBuckets (256) rows by construction at any corpus size
+        // (bucket ∈ [0, nBuckets)). The data-sized ranking window stays
+        // partitioned by bucket; the Aggregate-child check below holds
+        // the bounded claim to the plan shape.
+        "mm_shard_pack", "q23_revenue_deciles", "smp_interleave",
+        "smp_shuffle", "txt_pack", "txt_vocab_coverage")
     val violations = scala.collection.mutable.ListBuffer.empty[String]
     println("=====AUDIT START=====")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
