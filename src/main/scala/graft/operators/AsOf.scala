@@ -105,7 +105,6 @@ object AsOf {
         col("ts").as("purchase_ts"),
         when(fresh, col("asof_event_id")).as("recent_event_id"),
         when(fresh, staleUs).as("staleness_us"))
-      .orderBy(col("user_id"), col("purchase_id"))
   }
 
   /** Nearest-event as-of join — the `direction='nearest'` variant of the
@@ -176,7 +175,6 @@ object AsOf {
       .select(col("user_id"), col("purchase_id"),
         col("ts").as("purchase_ts"), col("nearest_event_id"),
         col("nearest_direction"), col("nearest_delta_us"))
-      .orderBy(col("user_id"), col("purchase_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -221,7 +219,7 @@ object AsOf {
         |    AS nearest_direction,
         |  CASE WHEN pickf THEN epoch_us(f_ts) - epoch_us(ts)
         |       ELSE epoch_us(ts) - epoch_us(b_ts) END AS nearest_delta_us
-        |FROM chosen ORDER BY user_id, purchase_id""".stripMargin,
+        |FROM chosen""".stripMargin,
     "ev_asof_tolerance" ->
       """WITH tagged AS (
         |  SELECT user_id, ts, event_id,
@@ -245,8 +243,7 @@ object AsOf {
         |  CASE WHEN asof_ts IS NOT NULL
         |      AND epoch_us(ts) - epoch_us(asof_ts) <= 3600000000
         |    THEN epoch_us(ts) - epoch_us(asof_ts) END AS staleness_us
-        |FROM joined WHERE side = 1
-        |ORDER BY user_id, purchase_id""".stripMargin,
+        |FROM joined WHERE side = 1""".stripMargin,
     "ev_asof_join" ->
       """WITH tagged AS (
         |  SELECT user_id, ts, event_id,

@@ -47,7 +47,7 @@ object Corpus {
     * per session+data by `ensureCleanLanded`). */
   def clean(s: SparkSession, dir: String): DataFrame = {
     ensureCleanLanded(s, dir)
-    s.read.parquet(cleanKeepDir(dir)).orderBy(col("doc_id"))
+    s.read.parquet(cleanKeepDir(dir))
   }
 
   /** The quality gate → exact dedup → near-dup pipeline, STAGE-FUSED
@@ -88,7 +88,6 @@ object Corpus {
       .select(col("doc_b").as("doc_id")).distinct()
 
     survivors.join(dropIds, Seq("doc_id"), "left_anti")
-      .orderBy(col("doc_id"))
   }
 
   /** The full training-data manifest — what actually ships to a training
@@ -113,7 +112,6 @@ object Corpus {
           .when(nibble <= 13, "val")
           .otherwise(lit("test")).as("split"),
         round(w, 6).as("weight"))
-      .orderBy(col("doc_id"))
   }
 
   /** Train→test contamination audit — the decontamination metric every
@@ -153,7 +151,6 @@ object Corpus {
       .withColumn("contamination_rate",
         round(col("n_contaminated").cast("double") /
           col("n_shingles").cast("double"), 6))
-      .orderBy(col("doc_id"))
   }
 
   /** Temperature-rebalanced language mixture (α = 0.5) — the
@@ -331,7 +328,6 @@ object Corpus {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_toks"),
         sum(term).cast("double").as("dsir_logweight"))
-      .orderBy(col("doc_id"))
   }
 
   /** Quality-threshold sweep — the filter-tuning artifact every corpus
@@ -581,7 +577,7 @@ object Corpus {
         |    / (CAST(n_c + 1 AS DOUBLE) / CAST(big_n_c + vocab AS DOUBLE))
         |    ), 6) AS DECIMAL(18,6))) AS DOUBLE) AS dsir_logweight
         |FROM toks JOIN cnt USING (tok), tot
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        |GROUP BY doc_id""".stripMargin,
     // DuckDB SUM(INTEGER) widens to HUGEINT — cast back to BIGINT
     "corpus_datacard" ->
       """SELECT source, lang, COUNT(*) AS n_docs,
@@ -664,7 +660,7 @@ object Corpus {
         |  ROUND(CAST(COUNT(v.sh) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
         |    AS contamination_rate
         |FROM test_sh t LEFT JOIN train_vocab v ON t.sh = v.sh
-        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+        |GROUP BY t.doc_id""".stripMargin,
     "corpus_clean" ->
       """WITH quality AS (
         |  SELECT doc_id, text FROM documents WHERE n_chars >= 100),
@@ -690,8 +686,7 @@ object Corpus {
         |    / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE)
         |    >= 0.5)
         |SELECT doc_id FROM exact_keep
-        |WHERE doc_id NOT IN (SELECT doc_id FROM drop_ids)
-        |ORDER BY doc_id""".stripMargin,
+        |WHERE doc_id NOT IN (SELECT doc_id FROM drop_ids)""".stripMargin,
     "corpus_mix" ->
       """WITH quality AS (
         |  SELECT doc_id, text FROM documents WHERE n_chars >= 100),
@@ -733,5 +728,5 @@ object Corpus {
         |    WHEN substr(md5(text), 32, 1) IN ('c','d') THEN 'val'
         |    ELSE 'test' END AS split,
         |  ROUND(w, 6) AS weight
-        |FROM weighted WHERE u < w ORDER BY doc_id""".stripMargin)
+        |FROM weighted WHERE u < w""".stripMargin)
 }

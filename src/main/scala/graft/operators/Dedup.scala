@@ -418,7 +418,6 @@ object Dedup {
         round(col("est"), 6).as("est_jaccard"),
         round(col("j"), 6).as("jaccard"),
         round(abs(col("est") - col("j")), 6).as("abs_err"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Unrounded Jaccard — threshold form. */
@@ -494,7 +493,6 @@ object Dedup {
       .filter(rawJaccard(col("sh_a"), col("sh_b")) >= 0.5)
       .select(col("doc_a"), col("doc_b"),
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Deterministic landing dir for the SimHash fingerprint table: the
@@ -536,7 +534,6 @@ object Dedup {
         bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= 3)
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Near-dup cluster assignment: connected components over the verified
@@ -602,7 +599,6 @@ object Dedup {
       s"hash-min did not converge within $maxRounds rounds — component " +
         "diameter exceeds the cap; raise it or pre-contract the graph")
     labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
-      .orderBy(col("doc_id"))
   }
 
   /** Embedding-space near-dup pairs, block-local: vectors are compared
@@ -624,7 +620,6 @@ object Dedup {
         round(VectorFns.cosineWithNorms(col("vd_a"), col("vd_b"),
           col("nrm_a"), col("nrm_b")), 6).as("cosine"))
       .filter(col("cosine") >= 0.3)
-      .orderBy(col("vec_a"), col("vec_b"))
   }
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
@@ -675,7 +670,6 @@ object Dedup {
         min(col("vec_a")).as("dup_of"),
         max(col("cosine")).as("max_cosine"),
         count(lit(1)).as("n_partners"))
-      .orderBy(col("vec_id"))
   }
 
   /** Batch-vs-corpus incremental dedup — the production shape: a new
@@ -707,7 +701,6 @@ object Dedup {
           .otherwise("new").as("status"),
         coalesce(col("raw_match"), col("norm_match"))
           .as("matched_corpus_id"))
-      .orderBy(col("doc_id"))
   }
 
   /** The operator entry: landed corpus = doc_id % 5 != 0 (the prior
@@ -786,7 +779,6 @@ object Dedup {
       .filter(rawJaccard(col("sh_a"), col("sh_b")) >= 0.5)
       .select(col("doc_batch"), col("doc_corpus"),
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-      .orderBy(col("doc_batch"), col("doc_corpus"))
   }
 
   /** Per-source duplication telemetry — the dashboard row a corpus
@@ -862,8 +854,7 @@ object Dedup {
         |      AS raw_j
         |  FROM j)
         |SELECT doc_a, doc_b, ROUND(raw_j, 6) AS jaccard
-        |FROM sc WHERE raw_j >= 0.5
-        |ORDER BY doc_a, doc_b""".stripMargin,
+        |FROM sc WHERE raw_j >= 0.5""".stripMargin,
     // per-source minima over the landed per-doc signatures, pairwise
     // agreement fraction; est = n_agree/32 is a power-of-two divide —
     // IEEE-exact in both engines
@@ -1019,7 +1010,7 @@ object Dedup {
         |  ROUND(CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE), 6) AS jaccard,
         |  ROUND(ABS(CAST(n_agree AS DOUBLE) / 32.0
         |    - CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE)), 6) AS abs_err
-        |FROM e ORDER BY doc_a, doc_b""".stripMargin,
+        |FROM e""".stripMargin,
     // the oracle may pair via the self-join DuckDB is happy with at
     // sf0.01 — the Spark side must NOT (bounded per-shingle explode)
     "dedup_source_overlap" ->
@@ -1105,8 +1096,7 @@ object Dedup {
         |  COALESCE(raw_match, norm_match) AS matched_corpus_id
         |FROM batch b
         |LEFT JOIN raw_idx USING (raw_hash)
-        |LEFT JOIN norm_idx USING (norm_hash)
-        |ORDER BY doc_id""".stripMargin,
+        |LEFT JOIN norm_idx USING (norm_hash)""".stripMargin,
     // candidate AND verification legs re-derived from the landed band
     // index + hash-shingle table (mhIncDir): batch bands probe corpus
     // bands, exact hash-set Jaccard verifies — the size-ratio prefilter
@@ -1129,8 +1119,7 @@ object Dedup {
         |  JOIN hs hb ON hb.doc_id = doc_batch
         |  JOIN hs hc ON hc.doc_id = doc_corpus)
         |SELECT doc_batch, doc_corpus, ROUND(rawj, 6) AS jaccard
-        |FROM v WHERE rawj >= 0.5
-        |ORDER BY doc_batch, doc_corpus""".stripMargin,
+        |FROM v WHERE rawj >= 0.5""".stripMargin,
     // brute-force re-derivation of the SimHash pair list from the
     // fingerprints the op lands (simhashFpDir): at Hamming ≤ 3 the
     // pigeonhole candidate generation is provably complete, so the
@@ -1144,8 +1133,7 @@ object Dedup {
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  bit_count(xor(a.fp, b.fp)) AS hamming
         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.fp, b.fp)) <= 3
-        |ORDER BY doc_a, doc_b""".stripMargin,
+        |WHERE bit_count(xor(a.fp, b.fp)) <= 3""".stripMargin,
     // connected components via recursive reachability: every node's
     // cluster is the MIN id it can reach over the (bidirectional) verified
     // near-dup pair graph — same fixpoint hash-min converges to
@@ -1175,7 +1163,7 @@ object Dedup {
         |  SELECT e.dst AS node, r.lbl FROM reach r
         |  JOIN edges e ON e.src = r.node)
         |SELECT node AS doc_id, MIN(lbl) AS cluster_id
-        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+        |FROM reach GROUP BY node""".stripMargin,
     // same recursive-CC CTE, then the size histogram
     "dedup_cluster_stats" ->
       """WITH RECURSIVE t AS (
@@ -1222,8 +1210,7 @@ object Dedup {
         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE ROUND(list_dot_product(a.emb, b.emb)
         |    / (sqrt(list_dot_product(a.emb, a.emb))
-        |       * sqrt(list_dot_product(b.emb, b.emb))), 6) >= 0.3
-        |ORDER BY vec_a, vec_b""".stripMargin,
+        |       * sqrt(list_dot_product(b.emb, b.emb))), 6) >= 0.3""".stripMargin,
     // the emb_kmeans assignment CTE (landed centroids, identical distance
     // term order, ties to the lower cluster), then within-cluster pairs
     // and the keep-lowest-id drop rule
@@ -1252,5 +1239,5 @@ object Dedup {
         |  MIN(vec_a) AS dup_of, MAX(cosine) AS max_cosine,
         |  CAST(COUNT(*) AS BIGINT) AS n_partners
         |FROM p WHERE cosine >= 0.35
-        |GROUP BY vec_b ORDER BY vec_id""".stripMargin)
+        |GROUP BY vec_b""".stripMargin)
 }

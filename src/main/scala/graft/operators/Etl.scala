@@ -308,7 +308,7 @@ object Etl {
   }
 
   def quarantine(s: SparkSession, dir: String): DataFrame =
-    quarantineFlags(Tables.events(s, dir)).orderBy(col("event_id"))
+    quarantineFlags(Tables.events(s, dir))
 
   /** Landing dirs for the schema-drift audit's two batches — computable
     * from `dir` alone (the simhashFpDir contract) so the static oracle
@@ -408,7 +408,6 @@ object Etl {
         col("ts").as("effective_from"), col("effective_to"),
         col("effective_to").isNull.as("is_current"),
         col("n_events").cast("long").as("n_events"))
-      .orderBy(col("user_id"), col("version"))
   }
 
   /** CDC latest-wins merge (upsert compaction) — the change feed folded
@@ -434,7 +433,6 @@ object Etl {
         col("last.value").as("last_value"),
         col("n_changes"),
         (col("last.event_type") === "error").as("is_tombstone"))
-      .orderBy(col("user_id"))
   }
 
   /** Partition-layout skew audit — the pre-write planning tool for the
@@ -912,8 +910,7 @@ object Etl {
         |  CAST(COALESCE(lead(rn) OVER w2, n_user + 1) - rn AS BIGINT)
         |    AS n_events
         |FROM s
-        |WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
-        |ORDER BY user_id, version""".stripMargin,
+        |WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
     "etl_cdc_merge" ->
       """SELECT user_id, ts AS last_ts, event_id AS last_event_id,
         |  event_type AS last_event_type, value AS last_value,
@@ -924,7 +921,7 @@ object Etl {
         |      ORDER BY ts DESC, event_id DESC) AS rn,
         |    COUNT(*) OVER (PARTITION BY user_id) AS n_changes
         |  FROM events WHERE user_id IS NOT NULL)
-        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+        |WHERE rn = 1""".stripMargin,
     // DESCRIBE over the SAME landed files the op diffed (__SFDIR__
     // resolves at dump time) — DuckDB's logical type names ARE the
     // neutral vocabulary the op emits
@@ -971,7 +968,7 @@ object Etl {
         |  FROM events)
         |SELECT event_id, event_date, event_type, reasons,
         |  CAST(n_reasons AS INT) AS n_reasons
-        |FROM scored WHERE n_reasons >= 1 ORDER BY event_id""".stripMargin,
+        |FROM scored WHERE n_reasons >= 1""".stripMargin,
     "etl_json_envelope" ->
       """WITH enveloped AS (
         |  SELECT event_id,

@@ -195,7 +195,6 @@ object Events {
         round(share, 6).as("share"),
         round(share * outd(col("val_dec")), 6).as("credit"))
       .withColumn("position", col("position").cast("long"))
-      .orderBy(col("purchase_id"), col("position"))
   }
 
   /** Time-decay multi-touch attribution — the third standard model after
@@ -235,7 +234,6 @@ object Events {
           .as("share"),
         round(col("w_int").cast("double") / col("sw").cast("double")
           * outd(col("val_dec")), 6).as("credit"))
-      .orderBy(col("purchase_id"), col("position"))
   }
 
   /** Point-in-time-correct training-feature snapshot — the feature-store
@@ -268,7 +266,6 @@ object Events {
       .withColumn("label", lit(1))
     feats.join(labels, Seq("user_id"), "left")
       .withColumn("label", coalesce(col("label"), lit(0)))
-      .orderBy(col("user_id"))
   }
 
   /** Seasonal-naive forecast baseline with error report — the
@@ -360,7 +357,6 @@ object Events {
         lag(col("event_type"), 1).over(w).as("prev_type"),
         gap.as("gap_us"),
         (gap.isNull || gap >= lit(1800000000L)).as("is_session_start"))
-      .orderBy(col("event_id"))
   }
 
   /** Cohort retention: first-seen day × day offset → distinct actives. */
@@ -652,7 +648,6 @@ object Events {
       .groupBy(concat(col("r_q"), col("f_q"), col("m_q")).as("rfm_segment"))
       .agg(count(lit(1)).as("n_users"),
         outd(sum(col("monetary_dec"))).as("segment_revenue"))
-      .orderBy(col("rfm_segment"))
   }
 
   /** Top-k users by spend, explicit tie-break. */
@@ -726,7 +721,6 @@ object Events {
         col("n_events") >= 20 &&
           (col("n_subsec_gaps") * lit(5L) >= col("n_events") * lit(2L) ||
             col("n_types") === 1))
-      .orderBy(col("user_id"))
   }
 
   /** Inactivity-gap histogram — the churn-risk signal feeding retention
@@ -752,7 +746,6 @@ object Events {
       .groupBy(col("gap_days"))
       .agg(count(lit(1)).as("n_gaps"),
         countDistinct(col("user_id")).as("n_users"))
-      .orderBy(col("gap_days"))
   }
 
   /** Sample-ratio-mismatch check — the experimentation-platform DQ gate
@@ -1525,7 +1518,7 @@ object Events {
         |SELECT CAST(gap_days AS BIGINT) AS gap_days, COUNT(*) AS n_gaps,
         |  COUNT(DISTINCT user_id) AS n_users
         |FROM g WHERE gap_days IS NOT NULL
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+        |GROUP BY 1""".stripMargin,
     "ev_cohort_ltv" ->
       """WITH cohort AS (
         |  SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day
@@ -1564,7 +1557,7 @@ object Events {
         |  n_subsec_gaps,
         |  (n_events >= 20 AND (n_subsec_gaps * 5 >= n_events * 2
         |    OR n_types = 1)) AS is_bot
-        |FROM agg ORDER BY user_id""".stripMargin,
+        |FROM agg""".stripMargin,
     "ev_tumbling_window" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |COUNT(*) AS n_events,
@@ -1690,8 +1683,7 @@ object Events {
         |SELECT f.user_id, n_events, n_views, n_clicks, n_purchases,
         |  spend, recency_us, n_active_days,
         |  COALESCE(label, 0) AS label
-        |FROM feats f LEFT JOIN lbl USING (user_id)
-        |ORDER BY user_id""".stripMargin,
+        |FROM feats f LEFT JOIN lbl USING (user_id)""".stripMargin,
     "ev_type_pivot" ->
       """SELECT CAST(ts AS DATE) AS day,
         |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
@@ -1758,7 +1750,7 @@ object Events {
         |  ROUND(CAST(w_int AS DOUBLE) / CAST(sw AS DOUBLE), 6) AS share,
         |  ROUND(CAST(w_int AS DOUBLE) / CAST(sw AS DOUBLE)
         |    * CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE), 6) AS credit
-        |FROM s ORDER BY purchase_id, position""".stripMargin,
+        |FROM s""".stripMargin,
     "ev_lag_features" ->
       """SELECT event_id, user_id, event_type,
         |  lag(event_type) OVER w AS prev_type,
@@ -1766,8 +1758,7 @@ object Events {
         |  COALESCE(epoch_us(ts) - lag(epoch_us(ts)) OVER w
         |    >= 1800000000, TRUE) AS is_session_start
         |FROM events
-        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-        |ORDER BY event_id""".stripMargin,
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
     "ev_attribution_multi" ->
       """WITH t AS (
         |  SELECT p.event_id AS purchase_id, p.user_id,
@@ -1791,7 +1782,7 @@ object Events {
         |  FROM t)
         |SELECT purchase_id, user_id, click_id, position, n_touches,
         |  ROUND(s, 6) AS share, ROUND(s * v, 6) AS credit
-        |FROM sh ORDER BY purchase_id, position""".stripMargin,
+        |FROM sh""".stripMargin,
     "ev_attribution" ->
       """WITH touch AS (
         |  SELECT *, CASE WHEN event_type = 'click' THEN event_id END
@@ -1929,7 +1920,7 @@ object Events {
         |    || CAST(m_q AS VARCHAR) AS rfm_segment,
         |  COUNT(*) AS n_users,
         |  CAST(SUM(monetary_dec) AS DOUBLE) AS segment_revenue
-        |FROM tiled GROUP BY 1 ORDER BY rfm_segment""".stripMargin,
+        |FROM tiled GROUP BY 1""".stripMargin,
     "ev_ab_significance" ->
       """WITH per AS (
         |  SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS campaign,

@@ -199,7 +199,6 @@ object Multimodal {
         }
       }
     }(enc)
-      .orderBy(col("doc_id"), col("frame_idx"))
   }
 
   private val PhashBits = 32
@@ -260,7 +259,6 @@ object Multimodal {
     fps.join(buckets, "phash")
       .select(col("doc_id"), col("phash"), col("n_bucket"),
         col("canonical_id"))
-      .orderBy(col("doc_id"))
   }
 
   /** Shard-packing plan over the binary payloads — the WebDataset-style
@@ -295,7 +293,6 @@ object Multimodal {
         (col("start_off") + col("n_bytes") >
           (shiftright(col("start_off"), budgetBits) + 1) * lit(budget))
           .as("spans_next"))
-      .orderBy(col("shard_id"), col("offset_in_shard"), col("doc_id"))
   }
 
   /** Byte-distribution stats over the binary payload — the cheap
@@ -390,7 +387,7 @@ object Multimodal {
         |SELECT CAST(so // 8192 AS BIGINT) AS shard_id, doc_id, n_bytes,
         |  CAST(so - (so // 8192) * 8192 AS BIGINT) AS offset_in_shard,
         |  so + n_bytes > ((so // 8192) + 1) * 8192 AS spans_next
-        |FROM o ORDER BY shard_id, offset_in_shard, doc_id""".stripMargin,
+        |FROM o""".stripMargin,
     // every phash bit recomputed from code points: bit d set iff the
     // stride class's byte sum cross-multiplied beats the global sum
     // (exact integers, strict >, matching stubPhash)
@@ -417,7 +414,7 @@ object Multimodal {
         |  SELECT phash, COUNT(*) AS n_bucket, MIN(doc_id) AS canonical_id
         |  FROM fp GROUP BY phash)
         |SELECT doc_id, phash, n_bucket, canonical_id
-        |FROM fp JOIN bk USING (phash) ORDER BY doc_id""".stripMargin,
+        |FROM fp JOIN bk USING (phash)""".stripMargin,
     // ASCII corpus: unicode(char) == byte value; // is integer division
     "mm_audio_window" ->
       """WITH frames AS (
@@ -431,8 +428,7 @@ object Multimodal {
         |        FROM frames))
         |SELECT doc_id, CAST(k AS INT) AS frame_idx,
         |  CAST(SUM(b) AS BIGINT) AS energy, CAST(MAX(b) AS INT) AS peak
-        |FROM bytes GROUP BY doc_id, k
-        |ORDER BY doc_id, frame_idx""".stripMargin,
+        |FROM bytes GROUP BY doc_id, k""".stripMargin,
     "mm_binary_pipeline" -> {
       // per-dim byte sums over stride classes i % 8 == d; text is ASCII so
       // unicode(single char) == byte value and char length == byte length

@@ -69,7 +69,6 @@ object Sampling {
       .filter(col("rn") <= col("m"))
       .select(col("label"), col("vec_id"), col("rn").cast("int").as("rn"),
         col("n_label").as("n_label_total"), col("m").as("kept_per_label"))
-      .orderBy(col("label"), col("rn"))
   }
 
   /** Quality-weighted deterministic sampling — the "temperature"
@@ -88,7 +87,6 @@ object Sampling {
       .filter(u < w)
       .select(col("doc_id"), round(w, 6).as("weight"),
         round(u, 6).as("sample_key"))
-      .orderBy(col("doc_id"))
   }
 
   /** Deterministic corpus shuffle — the reproducible training ORDER:
@@ -108,7 +106,6 @@ object Sampling {
     Ranking.bucketedRowNumber(base, Nil, "__bkt", 256,
         Seq(col("shuffle_key"), col("doc_id")), "shuffle_pos")
       .select(col("doc_id"), col("shuffle_key"), col("shuffle_pos"))
-      .orderBy(col("shuffle_pos"))
   }
 
   /** Deterministic mixture interleave — stride scheduling over sources:
@@ -136,7 +133,6 @@ object Sampling {
         Seq(col("vt"), col("source"), col("doc_id")), "pos")
       .select(col("doc_id"), col("source"), col("weight"),
         col("src_rank"), round(col("vt"), 6).as("vt"), col("pos"))
-      .orderBy(col("pos"))
   }
 
   /** Deterministic k-fold cross-validation assignment: fold = a 24-bit
@@ -151,7 +147,6 @@ object Sampling {
         col("text")), 1, 6), lit(k.toLong)).cast("int")
     Tables.documents(s, dir)
       .select(col("doc_id"), fold.as("fold"))
-      .orderBy(col("doc_id"))
   }
 
   /** Time-based train/test split over the event stream — the
@@ -336,13 +331,12 @@ object Sampling {
         |  (SELECT COUNT(*) AS n FROM embeddings GROUP BY label))
         |SELECT label, vec_id, CAST(rn AS INT) AS rn,
         |  n_label AS n_label_total, m AS kept_per_label
-        |FROM r CROSS JOIN m WHERE rn <= m
-        |ORDER BY label, rn""".stripMargin,
+        |FROM r CROSS JOIN m WHERE rn <= m""".stripMargin,
     "smp_kfold" ->
       """SELECT doc_id,
         |  CAST(CAST('0x' || substr(md5('fold:' || CAST(doc_id AS VARCHAR)
         |    || ':' || text), 1, 6) AS BIGINT) % 5 AS INT) AS fold
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |FROM documents""".stripMargin,
     "smp_hash_split" ->
       """WITH assigned AS (
         |  SELECT doc_id,
@@ -362,7 +356,7 @@ object Sampling {
         |  row_number() OVER (ORDER BY
         |    md5('shuffle:' || CAST(doc_id AS VARCHAR) || ':' || text),
         |    doc_id) AS shuffle_pos
-        |FROM documents ORDER BY shuffle_pos""".stripMargin,
+        |FROM documents""".stripMargin,
     "smp_weighted" ->
       """WITH weighted AS (
         |  SELECT doc_id,
@@ -371,7 +365,7 @@ object Sampling {
         |      AS BIGINT) AS DOUBLE) / 16777216.0 AS u
         |  FROM documents)
         |SELECT doc_id, ROUND(w, 6) AS weight, ROUND(u, 6) AS sample_key
-        |FROM weighted WHERE u < w ORDER BY doc_id""".stripMargin,
+        |FROM weighted WHERE u < w""".stripMargin,
     "smp_interleave" ->
       """WITH w AS (
         |  SELECT doc_id, source,
@@ -386,7 +380,7 @@ object Sampling {
         |SELECT doc_id, source, weight, CAST(src_rank AS BIGINT) AS src_rank,
         |  ROUND(vt, 6) AS vt,
         |  row_number() OVER (ORDER BY vt, source, doc_id) AS pos
-        |FROM v ORDER BY pos""".stripMargin,
+        |FROM v""".stripMargin,
     "smp_stratified" ->
       """WITH ranked AS (
         |  SELECT lang, doc_id,

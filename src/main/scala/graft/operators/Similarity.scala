@@ -219,7 +219,6 @@ object Similarity {
       .select(col("vec_id"), round(col("nrm"), 6).as("norm"),
         col("err_sum").cast("double").as("sum_q_err"),
         size(col("vd")).cast("bigint").as("n_dims"))
-      .orderBy(col("vec_id"))
   }
 
   /** Per-label centroid drift audit — the embedding-quality dashboard of
@@ -256,7 +255,6 @@ object Similarity {
           nullif(sqrt(dotD(vd, vd)) *
             sqrt(dotD(col("cv"), col("cv"))), lit(0.0)), 6)
           .as("cos_centroid"))
-      .orderBy(col("label"), col("vec_id"))
   }
 
   /** Landing dir for the k-means centroid table — same contract as
@@ -351,7 +349,6 @@ object Similarity {
         struct(col("dist"), col("cluster"))).as("best"))
       .select(col("vec_id"), col("best").getField("cluster").as("cluster"),
         round(col("best").getField("dist"), 6).as("dist"))
-      .orderBy(col("vec_id"))
   }
 
   /** Landing dir for the PQ codebook — the kmeansCentDir contract:
@@ -437,7 +434,6 @@ object Similarity {
       .select(col("vec_id"), col("sub").cast("int").as("subspace"),
         col("best").getField("cluster").as("code"),
         round(col("best").getField("dist"), 6).as("recon_se"))
-      .orderBy(col("vec_id"), col("subspace"))
   }
 
   /** Per-dimension corpus statistics — the anisotropy / dead-dimension
@@ -680,7 +676,6 @@ object Similarity {
         (round(dotD(col("vd"), col("cv")) - col("mu_dot"), 6) + lit(0.0))
           .as("proj"),
         round(col("eigval"), 6).as("eigval"))
-      .orderBy(col("vec_id"), col("comp"))
   }
 
   /** ANN recall report — the index-quality eval every vector store
@@ -805,7 +800,6 @@ object Similarity {
       .filter(col("rank") <= 5)
       .select(col("vec_id"), col("rank"), col("nbr_id"),
         col("cluster"), col("cosine"))
-      .orderBy(col("vec_id"), col("rank"))
   }
 
   /** ANN index shard plan — the layout step between training the
@@ -954,7 +948,7 @@ object Similarity {
         |    ORDER BY cosine DESC, nbr_id) AS BIGINT) AS rank
         |  FROM p)
         |SELECT vec_id, rank, nbr_id, cluster, cosine
-        |FROM k WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin,
+        |FROM k WHERE rank <= 5""".stripMargin,
     "emb_doc_coverage" ->
       """SELECT
         |  CAST(SUM(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END)
@@ -1029,8 +1023,7 @@ object Similarity {
         |  FROM e, c)
         |SELECT vec_id, cluster, ROUND(dist, 6) AS dist FROM d
         |QUALIFY row_number() OVER (PARTITION BY vec_id
-        |  ORDER BY dist, cluster) = 1
-        |ORDER BY vec_id""".stripMargin,
+        |  ORDER BY dist, cluster) = 1""".stripMargin,
     // components from the landed parquet; proj = dot(v,c) − mu_dot with
     // identical float steps in both engines; +0.0 collapses -0.0
     "emb_pca_project" ->
@@ -1042,8 +1035,7 @@ object Similarity {
         |SELECT vec_id, CAST(comp AS INT) AS comp,
         |  ROUND(list_dot_product(vd, cv) - mu_dot, 6) + 0.0 AS proj,
         |  ROUND(eigval, 6) AS eigval
-        |FROM e CROSS JOIN c
-        |ORDER BY vec_id, comp""".stripMargin,
+        |FROM e CROSS JOIN c""".stripMargin,
     // the kmeans oracle's shape per subspace: codebook from the landed
     // parquet, distance term-for-term identical, ties to lower cluster
     "emb_pq" ->
@@ -1064,8 +1056,7 @@ object Similarity {
         |  ROUND(dist, 6) AS recon_se
         |FROM d
         |QUALIFY row_number() OVER (PARTITION BY vec_id, sub
-        |  ORDER BY dist, cluster) = 1
-        |ORDER BY vec_id, subspace""".stripMargin,
+        |  ORDER BY dist, cluster) = 1""".stripMargin,
     "emb_dim_stats" ->
       """WITH idx AS (
         |  SELECT vec_id, embedding,
@@ -1102,8 +1093,7 @@ object Similarity {
         |    / NULLIF(sqrt(list_dot_product(e.emb, e.emb))
         |        * sqrt(list_dot_product(c.cv, c.cv)), 0.0), 6)
         |    AS cos_centroid
-        |FROM ed e JOIN carr c USING (label)
-        |ORDER BY e.label, e.vec_id""".stripMargin,
+        |FROM ed e JOIN carr c USING (label)""".stripMargin,
     "emb_normalize" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
@@ -1122,7 +1112,7 @@ object Similarity {
         |SELECT vec_id, ROUND(nrm, 6) AS norm,
         |  CAST(err_sum AS DOUBLE) AS sum_q_err,
         |  CAST(dims AS BIGINT) AS n_dims
-        |FROM err ORDER BY vec_id""".stripMargin,
+        |FROM err""".stripMargin,
     // candidate generation re-derived from the landed bucket table
     // (collide in ANY of the L tables), scoring + ranking brute-force;
     // only the seeded hyperplane hash stays Spark-side

@@ -202,7 +202,6 @@ object Text {
       .agg(count(lit(1)).as("n_bigrams"),
         round(sum(col("lp")).cast("double") / count(lit(1)).cast("double"),
           4).as("mean_logprob"))
-      .orderBy(col("doc_id"))
   }
 
   /** Document chunking: fixed 32-token windows with 8-token overlap
@@ -366,7 +365,6 @@ object Text {
           - greatest(col("cb"), col("seq_id") * budget)).cast("int")
           .as("seg_tokens"),
         col("is_split"))
-      .orderBy(col("seq_id"), col("offset_in_seq"))
   }
 
   /** PII-style redaction over the semi-structured event payloads: mask
@@ -413,7 +411,6 @@ object Text {
       .select(col("doc_id"), col("lang"), col("mean_logprob"),
         when(tile === 1, "head").when(tile === 2, "middle")
           .otherwise(lit("tail")).as("bucket"))
-      .orderBy(col("doc_id"))
   }
 
   /** Cross-doc duplicated-span (boilerplate) detection — the
@@ -433,7 +430,6 @@ object Text {
       .agg(count(lit(1)).as("n_docs"),
         min(col("doc_id")).as("first_doc_id"))
       .filter(col("n_docs") >= 3)
-      .orderBy(col("span"))
   }
 
   /** Zipf fit — the power-law audit of the token distribution: a
@@ -554,7 +550,6 @@ object Text {
           filter(sequence(lit(1), size(col("toks"))),
             i => !array_contains(col("cps"), i)),
           i => element_at(col("toks"), i)), " ").as("scrubbed_text"))
-      .orderBy(col("doc_id"))
   }
 
   /** Per-doc token Shannon entropy — the diversity/degenerate-text
@@ -583,7 +578,6 @@ object Text {
         round(log(col("n_toks").cast("double"))
           - col("s_tlnt") / col("n_toks").cast("double"), 6)
           .as("entropy_nats"))
-      .orderBy(col("doc_id"))
   }
 
   /** Per-doc novelty in corpus order — the fraction of a document's
@@ -608,7 +602,6 @@ object Text {
       .select(col("doc_id"), col("n_shingles"), col("n_novel"),
         round(col("n_novel").cast("double")
           / col("n_shingles").cast("double"), 6).as("novelty"))
-      .orderBy(col("doc_id"))
   }
 
   /** Vocabulary coverage curve — tokens covered by the top-k most
@@ -862,7 +855,7 @@ object Text {
         |  ROUND(CAST(COUNT(CASE WHEN first_doc = doc_id THEN 1 END)
         |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
         |FROM t JOIN f USING (shingle)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        |GROUP BY doc_id""".stripMargin,
     // same conditional-prob ratio term-for-term: c(w1 w2)/c(w1 ·),
     // 6dp-rounded log terms, exact decimal sum, 4dp mean
     "txt_bigram_logprob" ->
@@ -883,7 +876,7 @@ object Text {
         |  ROUND(CAST(SUM(lp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4)
         |    AS mean_logprob
         |FROM t JOIN term USING (bigram)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        |GROUP BY doc_id""".stripMargin,
     // H = ln(n) - (sum tf*ln(tf))/n, 9dp-rounded decimal-summed terms
     "txt_entropy" ->
       """WITH tf AS (
@@ -902,7 +895,7 @@ object Text {
         |SELECT doc_id, n_toks, n_distinct,
         |  ROUND(ln(CAST(n_toks AS DOUBLE))
         |    - s_tlnt / CAST(n_toks AS DOUBLE), 6) AS entropy_nats
-        |FROM agg ORDER BY doc_id""".stripMargin,
+        |FROM agg""".stripMargin,
     "txt_boilerplate_ngrams" ->
       """WITH t AS (
         |  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 8
@@ -915,7 +908,7 @@ object Text {
         |        FROM documents))
         |SELECT span, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc_id
         |FROM (SELECT doc_id, unnest(spans) AS span FROM t)
-        |GROUP BY span HAVING COUNT(*) >= 3 ORDER BY span""".stripMargin,
+        |GROUP BY span HAVING COUNT(*) >= 3""".stripMargin,
     // identical TopK tie-break, 9dp-rounded ln terms summed as exact
     // decimals, fit arithmetic term for term
     "txt_zipf_fit" ->
@@ -1001,7 +994,7 @@ object Text {
         |    list_filter(range(1, n_tokens + 1),
         |      i -> NOT list_contains(cps, i)),
         |    i -> w[i]), ' '), '') AS scrubbed_text
-        |FROM o ORDER BY doc_id""".stripMargin,
+        |FROM o""".stripMargin,
     // same scored CTE as txt_unigram_logprob (decimal-summed, exact);
     // DuckDB's ntile is the ANSI tiling ntileFromRank reproduces
     "txt_ccnet_bucket" ->
@@ -1025,7 +1018,7 @@ object Text {
         |SELECT doc_id, lang, mean_logprob,
         |  CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
         |    AS bucket
-        |FROM lbl ORDER BY doc_id""".stripMargin,
+        |FROM lbl""".stripMargin,
     "txt_redact" ->
       """SELECT event_id,
         |  regexp_replace(props, '[0-9]+', '#', 'g') AS props_redacted,
@@ -1185,7 +1178,7 @@ object Text {
         |  CAST(least(cb + tok, (seq_id + 1) * 256)
         |    - greatest(cb, seq_id * 256) AS INT) AS seg_tokens,
         |  (cb // 256) <> ((cb + tok - 1) // 256) AS is_split
-        |FROM seg ORDER BY seq_id, offset_in_seq""".stripMargin,
+        |FROM seg""".stripMargin,
     "txt_unigram_logprob" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
