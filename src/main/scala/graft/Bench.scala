@@ -122,6 +122,23 @@ object Bench {
       }
     } catch { case scala.util.control.NonFatal(_) => (None, Map.empty) }
 
+  /** Per-op cross-check vs the prior committed detail (the r9 gap: a
+    * start-of-run load spike inflated ~10 early ops 2-7× while
+    * duckdb_total stayed under the 2× gate and the run still shipped
+    * `contaminated:false`). Median over ops with a ≥0.2s prior —
+    * sub-constant ops are noise, and the median is robust to the
+    * handful of ops a round legitimately changes; requires ≥8
+    * comparable ops so a narrow SPARK_GRAFT_ONLY run never triggers.
+    * The caller flags the run contaminated above 1.5×. */
+  private[graft] def medianOpInflation(current: Seq[(String, Double)],
+      prior: Map[String, Double]): Option[Double] = {
+    val inflations = current.collect {
+      case (k, v) if v >= 0 && prior.get(k).exists(_ >= 0.2) =>
+        v / prior(k) }.sorted
+    if (inflations.size >= 8) Some(inflations(inflations.size / 2))
+    else None
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -228,18 +245,7 @@ object Bench {
     // CPU burst, so a run that merely saturated its own session would
     // self-flag (loadAfter stays as raw telemetry below)
     val highLoad = loadBefore > cpus.toInt / 4.0
-    // per-op cross-check vs the prior committed detail (the r9 gap: a
-    // start-of-run load spike inflated ~10 early ops 2-7x while
-    // duckdb_total stayed under the 2x gate). Median over ops with a
-    // >=0.2s prior — sub-constant ops are noise, and the median is
-    // robust to the handful of ops a round legitimately changes; >=8
-    // comparable ops so a narrow SPARK_GRAFT_ONLY run never triggers.
-    val inflations = results.collect {
-      case (k, v) if v >= 0 && priorOps.get(k).exists(_ >= 0.2) =>
-        v / priorOps(k) }.sorted
-    val medianInflation =
-      if (inflations.size >= 8) Some(inflations(inflations.size / 2))
-      else None
+    val medianInflation = medianOpInflation(results, priorOps)
     val perOpInflated = medianInflation.exists(_ > 1.5)
     val contaminated = duckInflated || highLoad || perOpInflated
     val loadField =

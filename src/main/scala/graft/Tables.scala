@@ -196,18 +196,21 @@ object Tables {
         val conf = s.sparkContext.hadoopConfiguration
         val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
         val fs = p.getFileSystem(conf)
-        val it = fs.listFiles(p, true)
-        var n = 0L
-        while (it.hasNext) {
-          val st = it.next()
-          if (st.getPath.getName.endsWith(".parquet")) {
-            val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-              org.apache.parquet.hadoop.util.HadoopInputFile
-                .fromPath(st.getPath, conf))
-            try n += r.getRecordCount finally r.close()
+        if (!fs.exists(p)) 0L // absent table: 0 rows
+        else {
+          val it = fs.listFiles(p, true)
+          var n = 0L
+          while (it.hasNext) {
+            val st = it.next()
+            if (st.getPath.getName.endsWith(".parquet")) {
+              val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+                org.apache.parquet.hadoop.util.HadoopInputFile
+                  .fromPath(st.getPath, conf))
+              try n += r.getRecordCount finally r.close()
+            }
           }
+          n
         }
-        n
       })
 
   /** Cheap content fingerprint of one landed table under `dir` — file

@@ -40,6 +40,44 @@ class TablesSpec extends SparkSpec {
       "post-rewrite plan must read the new file set")
   }
 
+  test("rowCount answers from parquet footers and matches count(), " +
+      "re-counting on rewrite") {
+    for (t <- Seq("orders", "lineitem", "documents"))
+      assert(Tables.rowCount(spark, sfTiny, t) ==
+        Tables(spark, sfTiny, t).count(),
+        s"footer row count for $t must equal a full count")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rowcnt")
+    val dir = tmp.toString
+    import spark.implicits._
+    def land(n: Int): Unit =
+      (1 to n).map(i => (i.toLong, s"r$i")).toDF("r_regionkey", "r_name")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/region.parquet")
+    land(4)
+    assert(Tables.rowCount(spark, dir, "region") == 4L)
+    Thread.sleep(5)
+    land(7)
+    assert(Tables.rowCount(spark, dir, "region") == 7L,
+      "rewritten table must re-count (fingerprint-keyed memo)")
+    assert(Tables.rowCount(spark, dir, "absent_table") == 0L)
+  }
+
+  test("spreadScan widens a one-split scan and leaves a wide scan " +
+      "alone, without materializing df.rdd") {
+    val slots = spark.sparkContext.defaultParallelism
+    val docs = Tables.documents(spark, sfTiny) // single small file
+    val spread = Tables.spreadScan(spark,
+      s"$sfTiny/documents.parquet", docs)
+    assert(spread.rdd.getNumPartitions == slots,
+      "a sub-split-count scan must spread to the slot count")
+    // a path whose listing already exceeds the slot count: no-op
+    val tmp = java.nio.file.Files.createTempDirectory("graft_spread")
+    val wide = s"$tmp/wide.parquet"
+    docs.repartition(slots * 2).write.mode("overwrite").parquet(wide)
+    val df = spark.read.parquet(wide)
+    assert(Tables.spreadScan(spark, wide, df) eq df,
+      "a scan with enough splits must pass through untouched")
+  }
+
   test("missing required columns still fail fast through the memo") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_tblspec2")
     val dir = tmp.toString
