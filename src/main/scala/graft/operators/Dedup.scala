@@ -108,10 +108,13 @@ object Dedup {
     * exploded shingle table (DocArtifacts) — the op itself is the
     * source-vocabulary distinct plus the bounded pair aggregate. */
   def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    // no pre-distinct pass: collect_set dedups sources per shingle and
+    // the vocabulary totals are a direct count-distinct — one shuffle
+    // fewer than materializing the (source, shingle) distinct table
     val sh = DocArtifacts.shingles3(s, dir)
       .select(col("source"), col("shingle"))
-      .distinct()
-    val tot = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val tot = sh.groupBy(col("source"))
+      .agg(countDistinct(col("shingle")).as("n"))
     val sets = sh.groupBy(col("shingle"))
       .agg(array_sort(collect_set(col("source"))).as("srcs"))
       .filter(size(col("srcs")) >= 2)

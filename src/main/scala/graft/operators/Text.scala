@@ -146,12 +146,15 @@ object Text {
     * order and across engines (a raw double sum would be
     * shuffle-order-nondeterministic). Corpus stats side is a broadcast. */
   def unigramLogprob(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-      .withColumn("toks", tokens(col("text")))
-    val exploded = docs.select(col("doc_id"), explode(col("toks")).as("tok"))
+    // landed token arrays (DocArtifacts) + materialize-once: `exploded`
+    // feeds the vocabulary counts AND the per-doc join-back; the corpus
+    // total folds out of the vocabulary counts instead of a third pass
+    val exploded = DocArtifacts.toks(s, dir)
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .localCheckpoint()
     val freqs = exploded.groupBy(col("tok"))
       .agg(count(lit(1)).as("tok_n"))
-    val totals = exploded.agg(count(lit(1)).as("corpus_n"))
+    val totals = freqs.agg(sum(col("tok_n")).as("corpus_n"))
     val term = round(log(col("tok_n").cast("double")
       / col("corpus_n").cast("double")), 6).cast(DecimalType(18, 6))
     exploded.join(broadcast(freqs.crossJoin(totals)), "tok")
@@ -185,8 +188,7 @@ object Text {
     // materialize-once (the ccnet discipline): `exploded` feeds BOTH the
     // bigram-count aggregate and the per-doc join-back — without the
     // checkpoint the corpus-sized tokenize + explode runs twice
-    val exploded = Tables.documents(s, dir)
-      .withColumn("toks", tokens(col("text")))
+    val exploded = DocArtifacts.toks(s, dir)
       .select(col("doc_id"), explode(bigrams).as("bigram"))
       .localCheckpoint()
     val b = exploded.groupBy(col("bigram")).agg(count(lit(1)).as("n"))
@@ -234,16 +236,17 @@ object Text {
     * so ordering is reproducible across engines. */
   def tfidfTopk(s: SparkSession, dir: String): DataFrame = {
     val k = 3
-    val words = Tables.documents(s, dir)
-      .withColumn("toks", tokens(col("text")))
+    val words = DocArtifacts.toks(s, dir)
       .select(col("doc_id"), explode(col("toks")).as("term"))
+    // doc count from footer metadata (Tables.rowCount) — the catalog
+    // statistic, not a count job
+    val nDocs = Tables.rowCount(s, dir, "documents").toDouble
     val tf = words.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
-    val scored = tf.join(broadcast(df.crossJoin(nDocs)), "term")
+    val scored = tf.join(broadcast(df), "term")
       .withColumn("tfidf", round(col("tf").cast("double") *
-        log(col("n_docs").cast("double") / col("df").cast("double")), 6))
+        log(lit(nDocs) / col("df").cast("double")), 6))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
     scored.withColumn("rank", row_number().over(w))
@@ -563,8 +566,7 @@ object Text {
     * window anywhere. Linear in corpus tokens. */
   def entropy(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val tf = Tables.documents(s, dir)
-      .withColumn("toks", tokens(col("text")))
+    val tf = DocArtifacts.toks(s, dir)
       .select(col("doc_id"), explode(col("toks")).as("tok"))
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("tf"))
@@ -614,8 +616,8 @@ object Text {
     * a one-row broadcast. */
   def vocabCoverage(s: SparkSession, dir: String): DataFrame = {
     val ks = Seq(10, 25, 50, 100)
-    val counts = Tables.documents(s, dir)
-      .select(explode(tokens(col("text"))).as("tok"))
+    val counts = DocArtifacts.toks(s, dir)
+      .select(explode(col("toks")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("n"))
     val bucketed = graft.operators.Ranking.withValueBucket(
       counts, -col("n"), "bkt", 32)
