@@ -95,8 +95,18 @@ object Streams {
     * → full hash check). */
   def sessionize(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val maxUs = graft.Tables.events(s, dir)
-      .agg(max(unix_micros(col("ts")))).first().getLong(0)
+    // sentinel position probe on the RAW ts column: a bare max(ts) is
+    // answered from parquet footer statistics (aggregatePushdown — no
+    // data scan); wrapping ts in unix_micros first would force a full
+    // decode. The one-row conversion happens after the aggregate.
+    val rawEv = graft.Tables(s, dir, "events")
+    val maxRow = rawEv.agg(max(col("ts")).as("m"))
+    val maxUs = rawEv.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS)
+        maxRow.first().getLong(0) / 1000L
+      case _ =>
+        maxRow.select(unix_micros(col("m"))).first().getLong(0)
+    }
     val tag = dir.replaceAll("[^0-9a-zA-Z]", "_") + "_" +
       s.sparkContext.applicationId.replaceAll("[^0-9a-zA-Z]", "_")
     val sentDir = s"${System.getProperty("java.io.tmpdir")}/" +
