@@ -70,4 +70,25 @@ class EdgeCaseSpec extends SparkSpec {
     assert(operators.Sampling.hashSplit(spark, edgeDir)
       .agg(sum("n_docs")).first().getLong(0) == 2)
   }
+
+  test("a ZERO-ROW documents table lands artifacts and flows through " +
+      "the artifact consumers without aborting") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_edge0")
+      .toString
+    Tables.documents(spark, edgeDir).limit(0)
+      .write.parquet(s"$dir/documents.parquet")
+    operators.DocArtifacts.clearMemo()
+    assert(Tables.rowCount(spark, dir, "documents") == 0L)
+    // landing an empty corpus must produce empty (schema-carrying)
+    // artifacts, and every consumer must return empty, not crash —
+    // percentile bounds over zero rows, prefix sums over zero buckets,
+    // span aggregates over zero shingles all degenerate here
+    assert(operators.DocArtifacts.stats(spark, dir).count() == 0)
+    assert(operators.Corpus.tokenBudgetTrim(spark, dir).count() == 0)
+    assert(operators.Text.novelty(spark, dir).count() == 0)
+    assert(operators.Text.boilerplateScrub(spark, dir).count() == 0)
+    assert(operators.Text.boilerplateNgrams(spark, dir).count() == 0)
+    assert(operators.Dedup.sourceOverlap(spark, dir).count() == 0)
+    assert(operators.Corpus.clean(spark, dir).count() == 0)
+  }
 }
