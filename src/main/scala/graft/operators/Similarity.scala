@@ -308,8 +308,22 @@ object Similarity {
       .withColumn("nx2", dotD(col("vd"), col("vd")))
       .select(col("vec_id"), col("vd"), col("nx2"))
       .localCheckpoint()
-    var cent: DataFrame = emb.orderBy(col("vec_id")).limit(k)
-      .select(col("vec_id").as("cluster"), col("vd").as("cv"))
+    // Iteration state rides the DRIVER: the centroid table is bounded
+    // by SCHEMA (k × d = 8 × 64 doubles), never by data — the same
+    // driver-bounded-trained-step allowance as the PCA eigensolve — so
+    // each sweep collects ≤ k rows and re-broadcasts them as a literal
+    // local relation. This replaces a per-sweep localCheckpoint +
+    // prev-join chain (lineage control for an iterating DataFrame) with
+    // one tiny action per sweep; the per-sweep MEANS math runs in Spark
+    // unchanged (ordered folds), and collect→literal round-trips
+    // doubles binarily, so the landed centroids are bit-identical.
+    import s.implicits._
+    def centDf(rows: Seq[(Long, Seq[Double])]): DataFrame =
+      rows.toDF("cluster", "cv")
+    var centRows: Seq[(Long, Seq[Double])] =
+      emb.orderBy(col("vec_id")).limit(k)
+        .select(col("vec_id"), col("vd")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1)).toSeq
     // squared L2 distance as (‖x‖² + ‖c‖²) − 2·x·c — the exact operand
     // order the oracle mirrors term by term
     def assigned(c: DataFrame): DataFrame =
@@ -318,7 +332,7 @@ object Similarity {
         .withColumn("dist",
           (col("nx2") + col("nc2")) - lit(2.0) * dotD(col("vd"), col("cv")))
     for (_ <- 1 to sweeps) {
-      val assign = assigned(cent)
+      val assign = assigned(centDf(centRows))
         .groupBy(col("vec_id"))
         .agg(min_by(col("cluster"), struct(col("dist"), col("cluster")))
             .as("cluster"),
@@ -335,13 +349,12 @@ object Similarity {
         .agg(collect_list(struct(col("i"), col("c"))).as("cs"))
         .select(col("cluster"),
           transform(array_sort(col("cs")), e => e.getField("c")).as("cv"))
-      cent = cent.select(col("cluster"), col("cv").as("cv_prev"))
-        .join(means, Seq("cluster"), "left")
-        .select(col("cluster"),
-          coalesce(col("cv"), col("cv_prev")).as("cv"))
-        .localCheckpoint()
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      // empty clusters keep their previous centroid
+      centRows = centRows.map { case (c, prev) =>
+        c -> means.getOrElse(c, prev) }
     }
-    cent.write.mode("overwrite").parquet(kmeansCentDir(dir))
+    centDf(centRows).write.mode("overwrite").parquet(kmeansCentDir(dir))
     val landed = s.read.parquet(kmeansCentDir(dir))
     assigned(landed)
       .groupBy(col("vec_id"))
@@ -389,20 +402,32 @@ object Similarity {
       .withColumn("nx2", dotD(col("sv"), col("sv")))
       .localCheckpoint()
     // seeds: the k lowest vec_ids' subvectors; cluster id = seed vec_id
-    // (the kmeans convention — deterministic, no driver collect)
-    var cent: DataFrame = emb.orderBy(col("vec_id")).limit(k)
-      .select(col("vec_id").as("cluster"),
-        explode(array((0 until m).map(i =>
-          struct(lit(i).as("sub"),
-            slice(col("vd"), i * subDim + 1, subDim).as("cv"))): _*)).as("x"))
-      .select(col("x.sub").as("sub"), col("cluster"), col("x.cv").as("cv"))
+    // (the kmeans convention). Iteration state rides the driver — the
+    // codebook is bounded by SCHEMA (m × k × subdim = 4 × 16 × 16
+    // doubles), the kmeans driver-bounded discipline: one ≤ m·k-row
+    // collect per sweep instead of a checkpoint + prev-join chain;
+    // collect→literal round-trips doubles binarily.
+    import s.implicits._
+    def centDf(rows: Seq[(Int, Long, Seq[Double])]): DataFrame =
+      rows.toDF("sub", "cluster", "cv")
+    var centRows: Seq[(Int, Long, Seq[Double])] =
+      emb.orderBy(col("vec_id")).limit(k)
+        .select(col("vec_id").as("cluster"),
+          explode(array((0 until m).map(i =>
+            struct(lit(i).as("sub"),
+              slice(col("vd"), i * subDim + 1, subDim).as("cv"))): _*))
+            .as("x"))
+        .select(col("x.sub").as("sub"), col("cluster"),
+          col("x.cv").as("cv"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2))).toSeq
     def assigned(c: DataFrame): DataFrame =
       subs.join(broadcast(
           c.withColumn("nc2", dotD(col("cv"), col("cv")))), Seq("sub"))
         .withColumn("dist",
           (col("nx2") + col("nc2")) - lit(2.0) * dotD(col("sv"), col("cv")))
     for (_ <- 1 to sweeps) {
-      val assign = assigned(cent)
+      val assign = assigned(centDf(centRows))
         .groupBy(col("vec_id"), col("sub"))
         .agg(min_by(col("cluster"), struct(col("dist"), col("cluster")))
             .as("cluster"),
@@ -419,13 +444,13 @@ object Similarity {
         .agg(collect_list(struct(col("i"), col("c"))).as("cs"))
         .select(col("sub"), col("cluster"),
           transform(array_sort(col("cs")), e => e.getField("c")).as("cv"))
-      cent = cent.select(col("sub"), col("cluster"), col("cv").as("cv_prev"))
-        .join(means, Seq("sub", "cluster"), "left")
-        .select(col("sub"), col("cluster"),
-          coalesce(col("cv"), col("cv_prev")).as("cv"))
-        .localCheckpoint()
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Double](2)).toMap
+      // empty clusters keep their previous centroid
+      centRows = centRows.map { case (sub, c, prev) =>
+        (sub, c, means.getOrElse((sub, c), prev)) }
     }
-    cent.write.mode("overwrite").parquet(pqCodebookDir(dir))
+    centDf(centRows).write.mode("overwrite").parquet(pqCodebookDir(dir))
     val landed = s.read.parquet(pqCodebookDir(dir))
     assigned(landed)
       .groupBy(col("vec_id"), col("sub"))
