@@ -230,13 +230,49 @@ object Tables {
       var n = 0L
       var bytes = 0L
       var mtime = 0L
+      // name:length listing hash: parquet writers emit fresh UUID part
+      // names on every rewrite, so this catches a table rewritten within
+      // mtime granularity with identical total bytes and file count —
+      // the one blind spot of the (n, bytes, mtime) triple
+      val entries = scala.collection.mutable.ArrayBuffer.empty[String]
       while (it.hasNext) {
         val st = it.next()
         n += 1
         bytes += st.getLen
         mtime = math.max(mtime, st.getModificationTime)
+        entries += s"${st.getPath.getName}=${st.getLen}"
       }
-      s"$n:$bytes:$mtime"
+      val nh = scala.util.hashing.MurmurHash3
+        .orderedHash(entries.sorted)
+      f"$n:$bytes:$mtime:$nh%08x"
+    }
+  }
+
+  /** Run a landing `body` exactly once per key ACROSS THREADS. The
+    * landing memos (DocArtifacts / Dedup tuning / kmeans / clean
+    * manifest) were `getOrElseUpdate`, which does NOT mutually exclude
+    * concurrent evaluators: two threads arriving with the same
+    * (session, dir, fingerprint) key would both run the overwrite
+    * parquet writes into the same dirs, and a reader could observe a
+    * half-overwritten artifact. Concurrent consumers are real — the
+    * landings themselves fan out writes on the global ExecutionContext,
+    * and a user embedding the library drives ops from multiple threads.
+    * Here the memo holds a Future per key installed atomically with
+    * `putIfAbsent`: exactly one thread executes the landing; later
+    * arrivals block on its completion. A FAILED landing removes its
+    * entry before completing the promise, so a subsequent call retries
+    * instead of caching the failure forever. */
+  def landOnce[K](memo: scala.collection.concurrent.TrieMap[K,
+      scala.concurrent.Future[Unit]], key: K)(body: => Unit): Unit = {
+    val p = scala.concurrent.Promise[Unit]()
+    memo.putIfAbsent(key, p.future) match {
+      case Some(f) =>
+        scala.concurrent.Await.result(
+          f, scala.concurrent.duration.Duration.Inf)
+      case None =>
+        try { body; p.success(()) }
+        catch { case e: Throwable =>
+          memo.remove(key); p.failure(e); throw e }
     }
   }
 }

@@ -27,20 +27,18 @@ object Corpus {
     * the quality → exact-dedup → near-dup pipeline runs ONCE per
     * (session, data) and consumers read the landed manifest — you
     * don't re-clean the corpus per consumer at 100 TB. */
-  private val cleanLanded =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, String), Boolean]
+  private val cleanLanded = scala.collection.concurrent.TrieMap
+    .empty[(Int, String, String), scala.concurrent.Future[Unit]]
   /** Test hook: force the next consumer to re-run the clean pipeline
     * (StressSpec times the full landing, not the memo hit). */
   private[graft] def clearCleanMemo(): Unit = cleanLanded.clear()
   private[graft] def ensureCleanLanded(s: SparkSession, dir: String): Unit = {
-    cleanLanded.getOrElseUpdate(
+    graft.Tables.landOnce(cleanLanded,
       (System.identityHashCode(s.sparkContext), dir,
-        graft.Tables.fingerprint(s, dir, "documents")), {
-        computeClean(s, dir)
-          .write.mode("overwrite").parquet(cleanKeepDir(dir))
-        true
-      })
-    ()
+        graft.Tables.fingerprint(s, dir, "documents"))) {
+      computeClean(s, dir)
+        .write.mode("overwrite").parquet(cleanKeepDir(dir))
+    }
   }
 
   /** The clean-survivor manifest, from the landed parquet (landed once

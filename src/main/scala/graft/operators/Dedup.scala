@@ -230,17 +230,17 @@ object Dedup {
     * calibration oracle can re-derive agreement counts in DuckDB.
     * Landing (not caching) is deliberate: Verify/Bench clearCache()
     * between ops, which would void a cached memo. */
-  private val tuningLanded =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, String), Boolean]
+  private val tuningLanded = scala.collection.concurrent.TrieMap
+    .empty[(Int, String, String), scala.concurrent.Future[Unit]]
   /** Test hook: force the next tuning op to re-run the landing pipeline
     * (StressSpec times the full shingle→pair stage, not the memo hit). */
   private[graft] def clearTuningMemo(): Unit = tuningLanded.clear()
   private[graft] def ensureTuningLanded(s: SparkSession, dir: String): Unit = {
-    tuningLanded.getOrElseUpdate(
+    graft.Tables.landOnce(tuningLanded,
       (System.identityHashCode(s.sparkContext), dir,
-        // content-keyed (count:bytes:mtime): a regenerated documents
-        // table re-lands instead of serving stale artifacts
-        graft.Tables.fingerprint(s, dir, "documents")), {
+        // content-keyed (count:bytes:mtime:listing-hash): a regenerated
+        // documents table re-lands instead of serving stale artifacts
+        graft.Tables.fingerprint(s, dir, "documents"))) {
         val k = 32
         // token arrays come from the landed doc-artifact table (ONE
         // corpus tokenize for all consumers); spread: the shingle/sig/
@@ -296,9 +296,8 @@ object Dedup {
             .write.mode("overwrite").parquet(tuningCandDir(dir))))),
           scala.concurrent.duration.Duration.Inf)
         base.unpersist()
-        true
-      })
-    ()
+        ()
+      }
   }
 
   /** Shared candidate stage for the tuning suite: the storm-safe
@@ -523,19 +522,24 @@ object Dedup {
         graft.functions.SketchExprs.simhash64(col("hs")).as("fp"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     base.write.mode("overwrite").parquet(simhashFpDir(dir))
-    val chunked = base.select(col("doc_id"), col("fp"),
+    // the chunk pigeonhole is a band join like any other: route it
+    // through the SAME salted candidate machinery as the MinHash bands
+    // (chunk_id ≡ band_id, 16-bit chunk value ≡ band_hash) — a near-dup
+    // storm sharing one chunk value would otherwise put w² comparisons
+    // in a single join task. Salting preserves the pair set exactly
+    // (every a<b pair appears once — saltedBandPairs' contract), so
+    // recall and the landed-fingerprint oracle are untouched.
+    val chunked = base.select(col("doc_id"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("fp"), i * 16).bitwiseAND(lit(0xffffL))): _*))
-        .as(Seq("chunk_id", "chunk_val")))
-    val a = chunked.select(col("chunk_id"), col("chunk_val"),
-      col("doc_id").as("doc_a"), col("fp").as("fp_a"))
-    val b = chunked.select(col("chunk_id"), col("chunk_val"),
-      col("doc_id").as("doc_b"), col("fp").as("fp_b"))
-    a.join(b, Seq("chunk_id", "chunk_val"))
-      .filter(col("doc_a") < col("doc_b"))
+        .as(Seq("band_id", "band_hash")))
+    saltedBandPairs(chunked, target = 64)
+      .join(base.select(col("doc_id").as("doc_a"), col("fp").as("fp_a")),
+        "doc_a")
+      .join(base.select(col("doc_id").as("doc_b"), col("fp").as("fp_b")),
+        "doc_b")
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= 3)
   }
 
@@ -722,6 +726,35 @@ object Dedup {
   private[graft] def mhIncDir(dir: String): String =
     graft.Tables.landingDir("mhinc", dir)
 
+  /** Two-sided salted index probe: `batch` rows joined against a landed
+    * `corpus` band index (both as (band_id, band_hash, doc_id)) without
+    * ever letting one storm bucket collapse into a single join group. A
+    * corpus bucket of width w splits into g = ceil(w/target) salt
+    * groups — the corpus side takes ONE salt by doc-id hash, the batch
+    * side replicates across all g — so each (band, hash, salt) group
+    * holds ~target corpus rows and every (batch, corpus) candidate
+    * appears exactly once. The inner join on the width table also DROPS
+    * batch bands absent from the index: exactly the no-candidate case.
+    * Returns distinct (doc_batch, doc_corpus). */
+  private[graft] def saltedProbePairs(corpus: DataFrame, batch: DataFrame,
+      target: Int): DataFrame = {
+    val widths = corpus.groupBy(col("band_id"), col("band_hash"))
+      .agg(count(lit(1)).as("__w"))
+    val g = ceil(col("__w") / lit(target)).cast("int")
+    val cs = corpus.join(widths, Seq("band_id", "band_hash"))
+      .select(col("band_id"), col("band_hash"),
+        pmod(xxhash64(col("doc_id")), g.cast("long")).cast("int")
+          .as("__salt"),
+        col("doc_id").as("doc_corpus"))
+    val bs = batch.join(widths, Seq("band_id", "band_hash"))
+      .select(col("band_id"), col("band_hash"),
+        explode(sequence(lit(0), g - 1)).as("__salt"),
+        col("doc_id").as("doc_batch"))
+    bs.join(cs, Seq("band_id", "band_hash", "__salt"))
+      .select(col("doc_batch"), col("doc_corpus"))
+      .distinct()
+  }
+
   /** Batch-vs-corpus incremental NEAR-dup — the fuzzy twin of
     * `incremental`, and the production shape of MinHash dedup: the
     * corpus's LSH band index is a landed table (what a 100 TB pipeline
@@ -755,23 +788,7 @@ object Dedup {
     // the `incremental` convention)
     val corpus = banded.filter(pmod(col("doc_id"), lit(5)) =!= 0)
     val batch = banded.filter(pmod(col("doc_id"), lit(5)) === 0)
-    val widths = corpus.groupBy(col("band_id"), col("band_hash"))
-      .agg(count(lit(1)).as("__w"))
-    val g = ceil(col("__w") / lit(target)).cast("int")
-    val cs = corpus.join(widths, Seq("band_id", "band_hash"))
-      .select(col("band_id"), col("band_hash"),
-        pmod(xxhash64(col("doc_id")), g.cast("long")).cast("int")
-          .as("__salt"),
-        col("doc_id").as("doc_corpus"))
-    // inner join on widths also DROPS batch bands absent from the index —
-    // exactly the no-candidate case
-    val bs = batch.join(widths, Seq("band_id", "band_hash"))
-      .select(col("band_id"), col("band_hash"),
-        explode(sequence(lit(0), g - 1)).as("__salt"),
-        col("doc_id").as("doc_batch"))
-    val pairs = bs.join(cs, Seq("band_id", "band_hash", "__salt"))
-      .select(col("doc_batch"), col("doc_corpus"))
-      .distinct()
+    val pairs = saltedProbePairs(corpus, batch, target)
     pairs
       .join(base.select(col("doc_id").as("doc_batch"), col("hs").as("sh_a")),
         "doc_batch")

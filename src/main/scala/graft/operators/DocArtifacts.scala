@@ -60,16 +60,16 @@ object DocArtifacts {
     * the op's oracle share one definition). */
   private[graft] val stopwords = Seq("the", "a", "of", "and", "to", "in")
 
-  private val artifactsLanded =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, String), Boolean]
+  private val artifactsLanded = scala.collection.concurrent.TrieMap
+    .empty[(Int, String, String), scala.concurrent.Future[Unit]]
   /** Test hook: force the next consumer to re-run the landing pipeline
     * (StressSpec times the full tokenize→land stage, not the memo hit). */
   private[graft] def clearMemo(): Unit = artifactsLanded.clear()
 
   private[graft] def ensureLanded(s: SparkSession, dir: String): Unit = {
-    artifactsLanded.getOrElseUpdate(
+    Tables.landOnce(artifactsLanded,
       (System.identityHashCode(s.sparkContext), dir,
-        Tables.fingerprint(s, dir, "documents")), {
+        Tables.fingerprint(s, dir, "documents"))) {
         val stop = array(stopwords.map(lit): _*)
         // spread: per-doc tokenize/shingle CPU behind one parquet split
         // (Tables.spread scaladoc); checkpoint: collapse barrier — four
@@ -110,9 +110,8 @@ object DocArtifacts {
             .write.mode("overwrite").parquet(sh8Dir(dir))))
         Await.result(Future.sequence(writes),
           scala.concurrent.duration.Duration.Inf)
-        true
-      })
-    ()
+        ()
+      }
   }
 
   /** Landed (doc_id, toks) token arrays. */

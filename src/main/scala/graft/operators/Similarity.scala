@@ -269,16 +269,16 @@ object Similarity {
     * input — re-running it per consumer re-lands identical bytes. Keyed
     * by (SparkContext identity, data dir) so a fresh session (or a
     * different scale factor) always retrains. */
-  private val kmeansLanded =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, String), Boolean]
+  private val kmeansLanded = scala.collection.concurrent.TrieMap
+    .empty[(Int, String, String), scala.concurrent.Future[Unit]]
   private[graft] def ensureKmeansLanded(s: SparkSession, dir: String): Unit = {
-    kmeansLanded.getOrElseUpdate(
+    graft.Tables.landOnce(kmeansLanded,
       (System.identityHashCode(s.sparkContext), dir,
-        // content-keyed (count:bytes:mtime): a regenerated embeddings
-        // table retrains instead of serving a stale quantizer
-        graft.Tables.fingerprint(s, dir, "embeddings")),
-      { kmeans(s, dir); true })
-    ()
+        // content-keyed (count:bytes:mtime:listing-hash): a regenerated
+        // embeddings table retrains instead of serving a stale quantizer
+        graft.Tables.fingerprint(s, dir, "embeddings"))) {
+      kmeans(s, dir); ()
+    }
   }
 
   /** Distributed Lloyd's k-means (k = 8, 5 sweeps) over the embedding
@@ -710,9 +710,11 @@ object Similarity {
     * approximate results and the exact baseline are the operators
     * above; the overlap is a left-semi equi-join on (query, neighbor),
     * so the eval costs the two index probes plus a per-query count —
-    * nothing pairwise. Recall depends on the probabilistic index
-    * geometry → rows-only; specs bound it against the same floors the
-    * index ops already carry. */
+    * nothing pairwise. Fully composition-oracled since r8: the index
+    * ops' landed artifacts (LSH planes, IVF centroids) let DuckDB
+    * re-derive both approximate top-k sets and the exact baseline, so
+    * the recall numbers hash-check end to end; specs additionally bound
+    * recall against the same floors the index ops already carry. */
   def recallEval(s: SparkSession, dir: String): DataFrame = {
     val bf = bruteForceTopk(s, dir)
       .select(col("query_id"), col("neighbor_id"))

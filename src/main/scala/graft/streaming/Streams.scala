@@ -101,11 +101,17 @@ object Streams {
     // decode. The one-row conversion happens after the aggregate.
     val rawEv = graft.Tables(s, dir, "events")
     val maxRow = rawEv.agg(max(col("ts")).as("m"))
+    // max over ZERO rows is NULL: short-circuit to sentinel-at-epoch —
+    // the stream then carries only the (filtered-out) sentinel and the
+    // query converges to the correct empty result instead of an NPE
+    // (the zero-row-corpus edge, events flavor; EdgeCaseSpec covers it)
     val maxUs = rawEv.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS)
-        maxRow.first().getLong(0) / 1000L
+        val r = maxRow.first()
+        if (r.isNullAt(0)) 0L else r.getLong(0) / 1000L
       case _ =>
-        maxRow.select(unix_micros(col("m"))).first().getLong(0)
+        val r = maxRow.select(unix_micros(col("m"))).first()
+        if (r.isNullAt(0)) 0L else r.getLong(0)
     }
     val tag = dir.replaceAll("[^0-9a-zA-Z]", "_") + "_" +
       s.sparkContext.applicationId.replaceAll("[^0-9a-zA-Z]", "_")
@@ -529,13 +535,21 @@ object Streams {
     * the batch setting afterwards; the returned DataFrame's batch
     * post-processing (memory-sink reads) plans under the restored
     * conf. */
-  private def withStatePartitions[T](s: SparkSession)(body: => T): T = {
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    val n = try s.conf.get("spark.graft.stream.statePartitions")
-      catch { case scala.util.control.NonFatal(_) => "8" }
-    s.conf.set("spark.sql.shuffle.partitions", n)
-    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
-  }
+  private def withStatePartitions[T](s: SparkSession)(body: => T): T =
+    // the set/run/restore mutates SESSION-global conf: serialize all
+    // streaming-op construction behind one lock so two concurrent
+    // streaming ops cannot interleave set and restore (second setter
+    // wins, first restore re-exposes the override). Batch work on OTHER
+    // threads still sees the override while `body` runs — callers that
+    // need full isolation should use `SparkSession.newSession`, which
+    // clones the conf; documented here as the serial-only contract.
+    Streams.synchronized {
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      val n = try s.conf.get("spark.graft.stream.statePartitions")
+        catch { case scala.util.control.NonFatal(_) => "8" }
+      s.conf.set("spark.sql.shuffle.partitions", n)
+      try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map[
       String, (SparkSession, String) => DataFrame](

@@ -107,6 +107,100 @@ class StressSpec extends SparkSpec {
     assert(salted.nonEmpty)
   }
 
+  test("simhash survives a near-dup storm: salted chunk pairs equal the " +
+      "plain pigeonhole self-join and keep every exact-copy pair") {
+    // 3x exact copies → identical 64-bit fingerprints → every 16-bit
+    // chunk bucket becomes a width-3k storm; the salted pigeonhole must
+    // emit exactly the plain self-join's Hamming ≤ 3 pair set
+    val docs = Tables.documents(spark, sfTiny).select("doc_id", "text")
+    val copies = (0 until 3).map(i =>
+      docs.select((col("doc_id") + lit(i * 1000000)).as("doc_id"),
+        col("text"))).reduce(_ unionAll _)
+    import graft.functions.TextFns._
+    import graft.functions.{ShingleHash64, SketchExprs}
+    val base = copies
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"),
+        ShingleHash64.shingleHash64(col("toks"), 3).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id"), SketchExprs.simhash64(col("hs")).as("fp"))
+    val chunked = base.select(col("doc_id"), col("fp"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("fp"), i * 16).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("band_id", "band_hash")))
+    // reference: the UNSALTED pigeonhole join (the pre-r11 plan)
+    val a = chunked.select(col("band_id"), col("band_hash"),
+      col("doc_id").as("doc_a"), col("fp").as("fp_a"))
+    val b = chunked.select(col("band_id"), col("band_hash"),
+      col("doc_id").as("doc_b"), col("fp").as("fp_b"))
+    val plain = a.join(b, Seq("band_id", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+      .distinct().filter(col("hamming") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // production: the salted candidate generator + fp re-attach
+    val salted = operators.Dedup
+      .saltedBandPairs(chunked.select(col("doc_id"), col("band_id"),
+        col("band_hash")), target = 64)
+      .join(base.select(col("doc_id").as("doc_a"), col("fp").as("fp_a")),
+        "doc_a")
+      .join(base.select(col("doc_id").as("doc_b"), col("fp").as("fp_b")),
+        "doc_b")
+      .filter(bit_count(col("fp_a").bitwiseXOR(col("fp_b"))) <= 3)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(salted == plain,
+      "salted simhash pairs must equal the plain pigeonhole self-join")
+    // every doc's 3 identical copies (hamming 0) must all pair up
+    val nDocs = docs.count()
+    val copyPairs = (0L until nDocs).flatMap { d =>
+      val ids = Seq(d, d + 1000000, d + 2000000)
+      for (x <- ids; y <- ids if x < y) yield (x, y)
+    }.toSet
+    val missed = copyPairs -- salted
+    assert(missed.isEmpty, s"missed exact-copy pairs: ${missed.take(5)}")
+  }
+
+  test("salted candidate machinery at adversarial widths: buckets at the " +
+      "salt boundary (63/64/65/128/129) lose and invent no pair") {
+    // the salt group count flips at exact multiples of target — the
+    // off-by-one surface items 2 and 3 of the r10 verdict lean on
+    val target = 64
+    for (w <- Seq(1, 2, 63, 64, 65, 128, 129)) {
+      val bucket = (0 until w)
+        .map(i => (i.toLong, 0, "storm")).toDF("doc_id", "band_id",
+          "band_hash")
+      val pairs = operators.Dedup.saltedBandPairs(bucket, target)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expected = (for (x <- 0 until w; y <- 0 until w if x < y)
+        yield (x.toLong, y.toLong)).toSet
+      assert(pairs == expected,
+        s"w=$w: salted self-pairs diverge from the exact a<b set " +
+          s"(missing ${(expected -- pairs).size}, " +
+          s"extra ${(pairs -- expected).size})")
+    }
+    // the two-sided incremental probe at the same widths: corpus bucket
+    // of width w probed by a 5-doc batch sharing the band — every
+    // (batch, corpus) combination exactly once; a batch band ABSENT
+    // from the index yields nothing
+    for (w <- Seq(1, 63, 64, 65, 128, 129)) {
+      val corpus = (0 until w)
+        .map(i => (i.toLong, 0, "storm")).toDF("doc_id", "band_id",
+          "band_hash")
+      val batch = ((0 until 5).map(i => (1000L + i, 0, "storm")) :+
+        ((2000L, 0, "absent_band")))
+        .toDF("doc_id", "band_id", "band_hash")
+      val probed = operators.Dedup.saltedProbePairs(corpus, batch, target)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expected = (for (bd <- 0 until 5; c <- 0 until w)
+        yield (1000L + bd, c.toLong)).toSet
+      assert(probed == expected,
+        s"w=$w: probe pairs diverge (missing ${(expected -- probed).size}, " +
+          s"extra ${(probed -- expected).size})")
+    }
+  }
+
   test("hash-min CC converges on a worst-case 60-long chain") {
     import spark.implicits._
     // a path graph maximizes diameter: label 1 must walk 59 hops
