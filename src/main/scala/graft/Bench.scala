@@ -90,8 +90,8 @@ object Bench {
     * gate: median per-op inflation catches a load spike that hits only
     * the start of the sweep (driver r9: ~10 early ops 2-7× under a 5.2
     * loadavg while duckdb_total stayed under 2×). */
-  private def priorDetail(detailPath: String,
-      sfDir: String): (Option[Double], Map[String, Double]) =
+  private def priorDetail(detailPath: String, sfDir: String)
+      : (Option[Double], Map[String, Double], Map[String, Double]) =
     try {
       import org.json4s._
       import org.json4s.jackson.JsonMethods
@@ -106,21 +106,23 @@ object Bench {
           val m = fs.toMap
           val sameSf = m.get("sf").collect {
             case JString(v) => v }.contains(sfDir)
-          if (!sameSf) (None, Map.empty)
+          if (!sameSf) (None, Map.empty, Map.empty)
           else {
             val duck = m.get("duckdb_total").collect(num)
-            val ops = m.get("ops") match {
-              case Some(JObject(opFs)) => opFs.collect {
-                case (name, JObject(kv)) =>
-                  kv.toMap.get("spark_s").collect(num).map(name -> _)
-              }.flatten.toMap
-              case _ => Map.empty[String, Double]
-            }
-            (duck, ops)
+            def opField(field: String): Map[String, Double] =
+              m.get("ops") match {
+                case Some(JObject(opFs)) => opFs.collect {
+                  case (name, JObject(kv)) =>
+                    kv.toMap.get(field).collect(num).map(name -> _)
+                }.flatten.toMap
+                case _ => Map.empty[String, Double]
+              }
+            (duck, opField("spark_s"), opField("duckdb_s"))
           }
-        case _ => (None, Map.empty)
+        case _ => (None, Map.empty, Map.empty)
       }
-    } catch { case scala.util.control.NonFatal(_) => (None, Map.empty) }
+    } catch {
+      case scala.util.control.NonFatal(_) => (None, Map.empty, Map.empty) }
 
   /** Per-op cross-check vs the prior committed detail (the r9 gap: a
     * start-of-run load spike inflated ~10 early ops 2-7× while
@@ -139,13 +141,50 @@ object Bench {
     else None
   }
 
+  /** 95th-percentile per-op inflation over the same comparable set as
+    * the median — the tail telemetry the median gate is structurally
+    * blind to (the r10 gap: a 44.8s single-op IO stall under
+    * median 1.05). Reported alongside, not itself a gate. */
+  private[graft] def p95OpInflation(current: Seq[(String, Double)],
+      prior: Map[String, Double]): Option[Double] = {
+    val inflations = current.collect {
+      case (k, v) if v >= 0 && prior.get(k).exists(_ >= 0.2) =>
+        v / prior(k) }.sorted
+    if (inflations.size >= 8)
+      Some(inflations(math.min(inflations.size - 1,
+        (inflations.size * 95) / 100)))
+    else None
+  }
+
+  /** Tail-outlier gate (the r10 gap closed): the r10 driver run shipped
+    * `contaminated:false` around a 44.8s etl_compact IO stall because
+    * the median gate cannot see a single extreme outlier. An op is an
+    * offender when its prior committed time is a stable denominator
+    * (≥ 0.5s), this run took > 4× that, and its OWN DuckDB time stayed
+    * within ±30% of the prior round's — the machine was fine for that
+    * op's data, so the Spark-side blowup is a stall (or a real
+    * regression; either way the run must name it, not ship silently).
+    * When either duck number is missing the duck-stability condition is
+    * vacuously true: better a named false positive than an invisible
+    * stall. Any offender ⇒ contaminated, offenders listed. */
+  private[graft] def tailOffenders(current: Seq[(String, Double)],
+      priorSpark: Map[String, Double], curDuck: Map[String, Double],
+      priorDuck: Map[String, Double]): Seq[String] =
+    current.collect {
+      case (k, v) if v >= 0 &&
+          priorSpark.get(k).exists(p => p >= 0.5 && v > 4.0 * p) &&
+          (for (pd <- priorDuck.get(k); cd <- curDuck.get(k))
+            yield cd >= 0.7 * pd && cd <= 1.3 * pd).getOrElse(true) =>
+        k
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       "/root/repo/BENCH_DETAIL.json")
     // read the prior round's totals BEFORE this run overwrites the file
-    val (priorDuck, priorOps) = priorDetail(detailPath, sfDir)
+    val (priorDuck, priorOps, priorOpsDuck) = priorDetail(detailPath, sfDir)
     val loadBefore = loadavg()
     val spark = GraftSession.local(cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
@@ -247,12 +286,19 @@ object Bench {
     val highLoad = loadBefore > cpus.toInt / 4.0
     val medianInflation = medianOpInflation(results, priorOps)
     val perOpInflated = medianInflation.exists(_ > 1.5)
-    val contaminated = duckInflated || highLoad || perOpInflated
+    val p95Inflation = p95OpInflation(results, priorOps)
+    val offenders = tailOffenders(results, priorOps, duck, priorOpsDuck)
+    val contaminated =
+      duckInflated || highLoad || perOpInflated || offenders.nonEmpty
     val loadField =
       s""","load_before":$loadBefore,"load_after":$loadAfter""" +
         priorDuck.map(p => s""","duckdb_total_prior":$p""").getOrElse("") +
         medianInflation.map(m => s""","median_op_inflation":${
           math.round(m * 100.0) / 100.0}""").getOrElse("") +
+        p95Inflation.map(m => s""","p95_op_inflation":${
+          math.round(m * 100.0) / 100.0}""").getOrElse("") +
+        (if (offenders.isEmpty) "" else s""","tail_offenders":${
+          offenders.take(8).map(jstr).mkString("[", ",", "]")}""") +
         s""","contaminated":$contaminated"""
     val landingsField =
       if (landingTimes.isEmpty) ""
