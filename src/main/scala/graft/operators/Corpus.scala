@@ -400,25 +400,18 @@ object Corpus {
     * the quality order. The report is the per-source trim ledger:
     * docs/tokens before and after, the budget, and the fill ratio.
     *
-    * Scale shape: the per-source prefix sum runs on the two-pass bucket
-    * plan (`Ranking.bucketedPrefixSum` with a group key) over 256
-    * value-buckets of the combined (−quality, md5-prefix) sort integer —
-    * a dominant source spreads across 256 tasks, never one; totals ride
-    * the same pass and broadcast back. Reads the LANDED per-doc stats
-    * (DocArtifacts: n_tokens / stopword q_hits / md5 / quality-order
-    * bucket computed once for all stat consumers) — the op itself is
-    * one prefix-sum pass plus the per-source rollup. */
+    * Scale shape: the per-source quality-order prefix sum (the two-pass
+    * bucket plan — a dominant source spreads across 256 tasks, never
+    * one) is LANDED with the per-doc stats (DocArtifacts: the
+    * `cum_excl` / `tokens_total` columns ride the same bucket pass the
+    * landing already runs), so the op itself is ONE scan of the stats
+    * table plus the per-source rollup — and any other budget consumer
+    * shares the same landed cumulative. */
   def tokenBudgetTrim(s: SparkSession, dir: String): DataFrame = {
-    val d = DocArtifacts.stats(s, dir)
-      .select(col("source"), col("doc_id"), col("n_tokens"),
-        col("h"), col("q_sort"), col("q_bucket"))
-    // per-source token totals ride the prefix-sum pass (totalName) —
-    // no second scan/shuffle/broadcast for the budget
-    val cum = Ranking.bucketedPrefixSum(d, "q_bucket", 256,
-      Seq(col("q_sort"), col("h"), col("doc_id")), col("n_tokens"),
-      "cum_excl", group = Seq("source"), totalName = Some("tokens_total"))
+    DocArtifacts.stats(s, dir)
+      .select(col("source"), col("n_tokens"), col("cum_excl"),
+        col("tokens_total"))
       .withColumn("budget_tokens", expr("tokens_total div 2"))
-    cum
       .withColumn("keep",
         col("cum_excl") + col("n_tokens") <= col("budget_tokens"))
       .groupBy(col("source"))

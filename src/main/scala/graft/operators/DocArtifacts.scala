@@ -99,8 +99,22 @@ object DocArtifacts {
         val writes = Seq(
           Future(base.select(col("doc_id"), col("toks"))
             .write.mode("overwrite").parquet(toksDir(dir))),
-          Future(Ranking.withValueBucket(scalar, col("q_sort"),
-              "q_bucket", 256)
+          // the stats landing ALSO carries the per-source quality-order
+          // cumulative token mass (`cum_excl`, exclusive) and the
+          // per-source token total — the quality-ordered manifest a
+          // curation pipeline cuts token budgets against. Landing it
+          // here rides the same two-pass bucket plan the bucket column
+          // already needs, so every budget consumer
+          // (corpus_token_budget_trim today; any budget sweep tomorrow)
+          // is one scan + rollup instead of re-running the 4-stage
+          // prefix sum per query.
+          Future(Ranking.bucketedPrefixSum(
+              Ranking.withValueBucket(scalar, col("q_sort"),
+                "q_bucket", 256),
+              "q_bucket", 256,
+              Seq(col("q_sort"), col("h"), col("doc_id")),
+              col("n_tokens"), "cum_excl", group = Seq("source"),
+              totalName = Some("tokens_total"))
             .write.mode("overwrite").parquet(statsDir(dir))),
           Future(base.select(col("doc_id"), col("source"),
               explode(wordShingles(col("toks"), 3)).as("shingle"))

@@ -146,13 +146,20 @@ object Text {
     * order and across engines (a raw double sum would be
     * shuffle-order-nondeterministic). Corpus stats side is a broadcast. */
   def unigramLogprob(s: SparkSession, dir: String): DataFrame = {
-    // landed token arrays (DocArtifacts) + materialize-once: `exploded`
-    // feeds the vocabulary counts AND the per-doc join-back; the corpus
-    // total folds out of the vocabulary counts instead of a third pass
-    val exploded = DocArtifacts.toks(s, dir)
-      .select(col("doc_id"), explode(col("toks")).as("tok"))
-      .localCheckpoint()
-    val freqs = exploded.groupBy(col("tok"))
+    // INLINE tokenize, deliberately not the landed token arrays: this
+    // op reduces each side to token COUNTS immediately, so each
+    // consumer costs one text scan + the codegen split — cheaper than
+    // decoding the landed array<string> column (nested-column parquet
+    // assembly beats a flat string read + split; measured r10→r11:
+    // landed 1.2s vs inline 0.9s at sf0.1, and a localCheckpoint of
+    // the token-level exploded stream was slower still). The landed
+    // artifact wins where consumers need the SHINGLE/array structure
+    // repeatedly (novelty, boilerplate, overlap) — not here. The
+    // corpus total folds out of the vocabulary counts, so the op is
+    // two scans: vocabulary side and per-doc join-back side.
+    val exploded = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val freqs = exploded.select(col("tok")).groupBy(col("tok"))
       .agg(count(lit(1)).as("tok_n"))
     val totals = freqs.agg(sum(col("tok_n")).as("corpus_n"))
     val term = round(log(col("tok_n").cast("double")
