@@ -91,4 +91,16 @@ class EdgeCaseSpec extends SparkSpec {
     assert(operators.Dedup.sourceOverlap(spark, dir).count() == 0)
     assert(operators.Corpus.clean(spark, dir).count() == 0)
   }
+
+  test("a ZERO-ROW events table: the sessionize sentinel probe " +
+      "short-circuits to empty instead of an NPE") {
+    // max(ts) over zero rows is NULL — the streaming sessionizer's
+    // sentinel-position probe must not .getLong it (the events flavor
+    // of the zero-row edge; the documents flavor is covered above)
+    val dir = java.nio.file.Files.createTempDirectory("graft_edge_ev")
+      .toString
+    graft.Tables(spark, sfTiny, "events").limit(0)
+      .write.parquet(s"$dir/events.parquet")
+    assert(streaming.Streams.sessionize(spark, dir).count() == 0)
+  }
 }
