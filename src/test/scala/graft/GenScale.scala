@@ -44,8 +44,21 @@ object GenScale {
 
     def read(name: String): DataFrame =
       spark.read.parquet(s"$src/$name.parquet")
+    // the driver's layout is one parquet FILE per table (TESTDATA.md),
+    // and the streaming ops' pathGlobFilter depends on it — write via a
+    // temp dir and move the single part file into place
     def write(name: String, df: DataFrame): Unit = {
-      df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      val tmp = s"$dst/__tmp_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file for $name"))
+      val target = new java.io.File(s"$dst/$name.parquet")
+      if (target.exists()) target.delete()
+      java.nio.file.Files.move(part.toPath, target.toPath)
+      new java.io.File(tmp).listFiles().foreach(_.delete())
+      new java.io.File(tmp).delete()
       println(s"[genscale] $name: ${spark.read
         .parquet(s"$dst/$name.parquet").count()} rows")
     }
