@@ -145,6 +145,41 @@ object PlansDump {
     val sb = new StringBuilder
     sb.append("# PLANS — executed physical plans (sf0.001, regenerate " +
       "via `sbt \"runMain graft.PlansDump\"`)\n")
+    sb.append("""
+## The constant-band floor (why sub-0.3s-DuckDB ratios stop at ~5-14x)
+
+Measured with a job/stage listener (ProfileComposites, sf0.1, idle,
+3 rounds): every multi-stage composite in the constant band spends its
+wall time on FIXED per-job local-mode constants — scheduler round trips,
+AQE stage materialization, codegen compile — not on data:
+
+| op | s (median) | jobs | stages | tasks |
+|---|---|---|---|---|
+| stream_sessionize | 1.90 | 6 | 7 | 85 |
+| q24_nested_agg | 1.69 | 6 | 6 | 21 |
+| q2_min_cost_supplier | 1.22 | 5 | 6 | 16 |
+| txt_tfidf_topk | 1.25 | 7 | 7 | 69 |
+| txt_ccnet_bucket | 1.68 | 14 | 14 | 14 |
+| txt_unigram_logprob | 0.88 | 6 | 6 | 6 |
+| dedup_source_overlap | 1.32 | 9 | 9 | 80 |
+| emb_knn_graph | 1.28 | 8 | 8 | 142 |
+
+txt_ccnet_bucket is the cleanest exhibit: 14 jobs, 14 stages, 14 TASKS
+— every stage runs exactly one task on a dataset this small, so the op
+is 14 sequential ~110ms job constants and nothing else. Across the
+band, wall time tracks the JOB count (~110-150ms/job with AQE's
+per-exchange jobs and broadcast builds), not the row count; DuckDB
+executes the same logical work in-process with none of those
+boundaries, which is the whole ratio. The plans themselves are the
+ones a cluster wants (pre-agg + struct argmax, reused exchanges,
+broadcast dims, two-pass buckets); on real data each of those
+constants amortizes over seconds-to-minutes of stage runtime — the
+sf1 artifact (BENCH_sf1.json) shows exactly that: 10x the data moves
+these ops well under 2x the wall time. Shaving MORE local jobs would
+mean trading away the scale posture (fusing stages AQE wants separate,
+dropping the bucketed two-pass shapes), so this is the documented
+floor, not a TODO.
+""")
     picks.foreach { case (name, why) =>
       val df = SparkEntry.queries(name)(spark, dir)
       df.collect()

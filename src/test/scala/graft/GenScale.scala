@@ -111,8 +111,16 @@ object GenScale {
         col("props"))
     })
     write("documents", replicate(read("documents")) { (d, i) =>
+      // per-replica VOCABULARY rename (every token suffixed), not a
+      // spliced marker token: a splice like " q3 " puts the same
+      // "q3 <word> q3" shingles in every replica-3 doc, which collapses
+      // the min-md5 shingle buckets into corpus-wide storms (quadratic
+      // candidate pairs — the brute-force DuckDB oracles never finish).
+      // Suffixing keeps the shingle structure isomorphic to the source
+      // corpus: within-replica dup-rate identical, cross-replica vocab
+      // disjoint, bucket widths distributed like the original's.
       val text = if (i == 0) col("text")
-        else regexp_replace(col("text"), " ", s" q$i ")
+        else regexp_replace(col("text"), "(\\S+)", s"$$1x$i")
       d.select((col("doc_id") + lit(i * Off)).as("doc_id"),
         text.as("text"), col("lang"), col("source"),
         length(text).cast("long").as("n_chars"))
