@@ -167,8 +167,34 @@ object Text {
     exploded.join(broadcast(freqs.crossJoin(totals)), "tok")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_toks"),
-        round((sum(term).cast("double") / count(lit(1)).cast("double")), 4)
-          .as("mean_logprob"))
+        (sum(term) * lit(1000000L)).cast("long").as("__s6"))
+      .select(col("doc_id"), col("n_toks"),
+        mean4FromMicros(col("__s6"), col("n_toks")).as("mean_logprob"))
+  }
+
+  /** Half-up 4dp mean of an exact 6dp-decimal sum, in INTEGER
+    * arithmetic: `s6` is the sum scaled to micros (exact long), `n` the
+    * term count; the result is round_half_up(s6 / (100·n)) / 10⁴ — the
+    * true rational mean rounded at 4dp, then the canonical double.
+    *
+    * Why not `round(sumDouble / n, 4)`: when the exact mean lands ON a
+    * 4dp half-boundary (sum −115.8159 over 34 terms IS exactly
+    * −3.40635), the double quotient falls one ulp below the boundary,
+    * and the engines then disagree — Spark rounds the binary expansion
+    * (→ −3.4063) while DuckDB rounds the shortest decimal repr
+    * (→ −3.4064). Exposed by the sf1 sweep; integer half-up is
+    * boundary-exact and engine-independent. The inner quotient is
+    * computed as (t − t mod d)/d on longs — both operands of the final
+    * `/` are exact in double (< 2⁵³), so no double-division rounding
+    * can cross an integer. */
+  private def mean4FromMicros(s6: org.apache.spark.sql.Column,
+      n: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val d = n * lit(100L)
+    def floorDiv(t: org.apache.spark.sql.Column) =
+      (t - pmod(t, d)) / d
+    (when(s6 >= 0, floorDiv(s6 + n * lit(50L)))
+      .otherwise(-floorDiv(-s6 + n * lit(50L)))
+      .cast("double") / lit(10000.0))
   }
 
   /** Bigram-LM quality score — the next step up from `unigramLogprob`
@@ -209,8 +235,9 @@ object Text {
     exploded.join(term, "bigram")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
-        round(sum(col("lp")).cast("double") / count(lit(1)).cast("double"),
-          4).as("mean_logprob"))
+        (sum(col("lp")) * lit(1000000L)).cast("long").as("__s6"))
+      .select(col("doc_id"), col("n_bigrams"),
+        mean4FromMicros(col("__s6"), col("n_bigrams")).as("mean_logprob"))
   }
 
   /** Document chunking: fixed 32-token windows with 8-token overlap
@@ -880,12 +907,18 @@ object Text {
         |term AS (SELECT bigram,
         |    CAST(ROUND(ln(CAST(n AS DOUBLE) / CAST(np AS DOUBLE)), 6)
         |      AS DECIMAL(18,6)) AS lp
-        |  FROM b JOIN p ON split_part(b.bigram, ' ', 1) = p.w1)
-        |SELECT doc_id, COUNT(*) AS n_bigrams,
-        |  ROUND(CAST(SUM(lp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4)
-        |    AS mean_logprob
-        |FROM t JOIN term USING (bigram)
-        |GROUP BY doc_id""".stripMargin,
+        |  FROM b JOIN p ON split_part(b.bigram, ' ', 1) = p.w1),
+        |agg AS (
+        |  SELECT doc_id, COUNT(*) AS n_bigrams,
+        |    CAST(SUM(lp) * 1000000 AS BIGINT) AS s6
+        |  FROM t JOIN term USING (bigram)
+        |  GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams,
+        |  CAST(CASE WHEN s6 >= 0
+        |    THEN (s6 + n_bigrams*50) // (n_bigrams*100)
+        |    ELSE -((-s6 + n_bigrams*50) // (n_bigrams*100)) END AS DOUBLE)
+        |    / 10000.0 AS mean_logprob
+        |FROM agg""".stripMargin,
     // H = ln(n) - (sum tf*ln(tf))/n, 9dp-rounded decimal-summed terms
     "txt_entropy" ->
       """WITH tf AS (
@@ -1188,18 +1221,28 @@ object Text {
         |    - greatest(cb, seq_id * 256) AS INT) AS seg_tokens,
         |  (cb // 256) <> ((cb + tok - 1) // 256) AS is_split
         |FROM seg""".stripMargin,
+    // integer half-up mean (the mean4FromMicros contract): s6 is the
+    // exact micro-scaled decimal sum; the 4dp mean is rounded in BIGINT
+    // arithmetic, never on a double quotient (boundary-exact — see
+    // mean4FromMicros scaladoc)
     "txt_unigram_logprob" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
         |  FROM documents),
         |freqs AS (SELECT tok, COUNT(*) AS tok_n FROM toks GROUP BY tok),
-        |tot AS (SELECT COUNT(*) AS corpus_n FROM toks)
-        |SELECT doc_id, COUNT(*) AS n_toks,
-        |  ROUND(CAST(SUM(CAST(ROUND(ln(CAST(tok_n AS DOUBLE)
-        |      / CAST(corpus_n AS DOUBLE)), 6) AS DECIMAL(18,6))) AS DOUBLE)
-        |    / CAST(COUNT(*) AS DOUBLE), 4) AS mean_logprob
-        |FROM toks JOIN freqs USING (tok), tot
-        |GROUP BY doc_id""".stripMargin,
+        |tot AS (SELECT COUNT(*) AS corpus_n FROM toks),
+        |agg AS (
+        |  SELECT doc_id, COUNT(*) AS n_toks,
+        |    CAST(SUM(CAST(ROUND(ln(CAST(tok_n AS DOUBLE)
+        |        / CAST(corpus_n AS DOUBLE)), 6) AS DECIMAL(18,6)))
+        |      * 1000000 AS BIGINT) AS s6
+        |  FROM toks JOIN freqs USING (tok), tot
+        |  GROUP BY doc_id)
+        |SELECT doc_id, n_toks,
+        |  CAST(CASE WHEN s6 >= 0 THEN (s6 + n_toks*50) // (n_toks*100)
+        |    ELSE -((-s6 + n_toks*50) // (n_toks*100)) END AS DOUBLE)
+        |    / 10000.0 AS mean_logprob
+        |FROM agg""".stripMargin,
     "txt_tfidf_topk" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term

@@ -15,12 +15,14 @@ import org.apache.spark.sql.functions._
   * to every table):
   *  - all keys offset by replica·10⁷ — FK edges (orders→customer,
   *    lineitem→orders/part/supplier, events→user) follow their replica;
-  *  - money-ish doubles get +replica·0.01 so replicas don't create
-  *    exact cross-replica ties that a tie-sensitive top-k could order
-  *    differently from the oracle;
-  *  - document text gets a replica marker token spliced between words
-  *    (replica 0 = identity), so the 10× corpus keeps the 1× shingle
-  *    dup-rate rather than becoming one giant dup storm; n_chars is
+  *  - money-ish doubles get +replica·0.01, ROUNDED back to 2dp so the
+  *    stored doubles stay canonical 2dp values (a raw double add emits
+  *    84197.12999999999, whose double→decimal cast rounds differently
+  *    across engines), and replicas don't create exact cross-replica
+  *    ties that a tie-sensitive top-k could order differently;
+  *  - document text gets a per-replica VOCABULARY rename (every token
+  *    suffixed; replica 0 = identity), so the 10× corpus keeps the 1×
+  *    shingle dup-rate and bucket-width distribution; n_chars is
   *    recomputed to stay consistent with the perturbed text;
   *  - embeddings get a per-dimension nudge so replicas don't stack into
   *    single cosine-identical LSH buckets;
@@ -73,24 +75,24 @@ object GenScale {
     write("customer", replicate(read("customer")) { (d, i) =>
       d.select((col("c_custkey") + lit(i * Off)).as("c_custkey"),
         col("c_name"), col("c_nationkey"),
-        (col("c_acctbal") + lit(i * 0.01)).as("c_acctbal"),
+        round(col("c_acctbal") + lit(i * 0.01), 2).as("c_acctbal"),
         col("c_mktsegment"))
     })
     write("supplier", replicate(read("supplier")) { (d, i) =>
       d.select((col("s_suppkey") + lit(i * Off)).as("s_suppkey"),
         col("s_name"), col("s_nationkey"),
-        (col("s_acctbal") + lit(i * 0.01)).as("s_acctbal"))
+        round(col("s_acctbal") + lit(i * 0.01), 2).as("s_acctbal"))
     })
     write("part", replicate(read("part")) { (d, i) =>
       d.select((col("p_partkey") + lit(i * Off)).as("p_partkey"),
         col("p_name"), col("p_brand"), col("p_type"), col("p_size"),
-        (col("p_retailprice") + lit(i * 0.01)).as("p_retailprice"))
+        round(col("p_retailprice") + lit(i * 0.01), 2).as("p_retailprice"))
     })
     write("orders", replicate(read("orders")) { (d, i) =>
       d.select((col("o_orderkey") + lit(i * Off)).as("o_orderkey"),
         (col("o_custkey") + lit(i * Off)).as("o_custkey"),
         col("o_orderstatus"),
-        (col("o_totalprice") + lit(i * 0.01)).as("o_totalprice"),
+        round(col("o_totalprice") + lit(i * 0.01), 2).as("o_totalprice"),
         col("o_orderdate"), col("o_orderpriority"))
     })
     write("lineitem", replicate(read("lineitem")) { (d, i) =>
@@ -98,7 +100,7 @@ object GenScale {
         (col("l_partkey") + lit(i * Off)).as("l_partkey"),
         (col("l_suppkey") + lit(i * Off)).as("l_suppkey"),
         col("l_linenumber"), col("l_quantity"),
-        (col("l_extendedprice") + lit(i * 0.01)).as("l_extendedprice"),
+        round(col("l_extendedprice") + lit(i * 0.01), 2).as("l_extendedprice"),
         col("l_discount"), col("l_tax"), col("l_returnflag"),
         col("l_linestatus"), col("l_shipdate"))
     })
@@ -107,7 +109,7 @@ object GenScale {
         col("ts"),
         (col("user_id") + lit(i * Off)).as("user_id"),
         col("event_type"),
-        (col("value") + lit(i * 0.01)).as("value"),
+        round(col("value") + lit(i * 0.01), 2).as("value"),
         col("props"))
     })
     write("documents", replicate(read("documents")) { (d, i) =>
