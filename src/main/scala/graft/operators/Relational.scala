@@ -32,8 +32,22 @@ object Relational {
     * decimal→double cast on the output column. Engines render decimals
     * differently downstream (exact trailing-zero strings vs float64), so a
     * decimal must never appear in a query's final schema; the single cast
-    * of an exact decimal is identical in both engines. */
+    * of an exact decimal is identical in both engines — UP TO 16
+    * significant digits. Beyond that the conversion itself can diverge:
+    * DuckDB converts the scaled int128 to double and then divides by
+    * 10^scale (two roundings), while Spark/BigDecimal round once — at
+    * sf1, q1's scale-6 sum_charge (17 digits) differed in the last ulp.
+    * Corpus-scale money sums must therefore round the exact decimal
+    * back to 2dp BEFORE the cast (`outd2`), which keeps the scaled
+    * integer under 2^53 for any plausible total and makes the
+    * conversion exact in both engines. */
   private def outd(c: Column): Column = c.cast("double")
+
+  /** outd for UNBOUNDED money sums (see above): exact-decimal half-up
+    * round to 2dp (ROUND(x, 2) in the oracle — same rule on the same
+    * exact decimal), then the cast — conversion-exact at any total
+    * below ~2^53/100 ≈ 90 trillion. */
+  private def outd2(c: Column): Column = round(c, 2).cast("double")
 
   /** ep·(1−disc) as an exact scale-4 decimal. */
   private def discPrice(ep: Column, disc: Column): Column =
@@ -49,9 +63,9 @@ object Relational {
       .agg(
         outd(sum(dec2(col("l_quantity")))).as("sum_qty"),
         outd(sum(dec2(col("l_extendedprice")))).as("sum_base_price"),
-        outd(sum(discPrice(col("l_extendedprice"), col("l_discount"))))
+        outd2(sum(discPrice(col("l_extendedprice"), col("l_discount"))))
           .as("sum_disc_price"),
-        outd(sum(discPrice(col("l_extendedprice"), col("l_discount"))
+        outd2(sum(discPrice(col("l_extendedprice"), col("l_discount"))
           * (lit(1) + col("l_tax").cast(DecimalType(4, 2))))).as("sum_charge"),
         count(lit(1)).as("count_order"))
   }
@@ -555,8 +569,8 @@ object Relational {
       """SELECT l_returnflag, l_linestatus,
         |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
-        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+        |CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_disc_price,
+        |CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_charge,
         |COUNT(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
