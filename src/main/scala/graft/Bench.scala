@@ -49,8 +49,11 @@ object Bench {
       |print(json.dumps(out))
       |""".stripMargin
 
-  /** Time every oracle query in DuckDB; empty map when the host can't. */
-  private def duckTimings(sfDir: String): Map[String, Double] =
+  /** Time every oracle query in DuckDB; empty map when the host can't.
+    * `only` mirrors the Spark-side SPARK_GRAFT_ONLY filter — a focused
+    * run must not pay (or report) the other 180+ oracles' DuckDB time. */
+  private def duckTimings(sfDir: String,
+      only: Option[Set[String]]): Map[String, Double] =
     try {
       import scala.sys.process._
       val tmp = java.nio.file.Files.createTempDirectory("graft_bench")
@@ -58,6 +61,7 @@ object Bench {
       val scriptPath = tmp.resolve("duck_bench.py")
       java.nio.file.Files.writeString(oraclePath,
         SparkEntry.oracleSqlFor(sfDir)
+          .filter { case (k, _) => only.forall(_.contains(k)) }
           .map { case (k, v) => s"${jstr(k)}: ${jstr(v)}" }
           .mkString("{", ",", "}"))
       java.nio.file.Files.writeString(scriptPath, duckScript)
@@ -240,7 +244,7 @@ object Bench {
         math.round((System.nanoTime() - t0) / 1e9 * 1000.0) / 1000.0
       else -1.0)
     }
-    val duck = duckTimings(sfDir)
+    val duck = duckTimings(sfDir, only)
     def obj(m: Seq[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qs = obj(results)

@@ -641,9 +641,10 @@ object Dedup {
     * Scale shape: assignment is the IVF discipline — one corpus scan
     * against the broadcast k-centroid table, map-side-partial min_by —
     * and pair generation shuffles on the cluster key, so cost is
-    * O(Σ cluster²). k is fixed (=8) here to match the landed quantizer;
-    * at 100 TB k scales with the corpus (SemDeDup uses n/k ≈ constant
-    * cluster sizes) and the shape is unchanged. The oracle re-derives
+    * O(Σ cluster²). k comes from the landed quantizer, which derives it
+    * from the corpus (Similarity.quantizerK: n/256, SemDeDup's n/k ≈
+    * constant cluster-size discipline) — so the expected cluster width,
+    * and with it the per-cluster pair cost, is scale-invariant. The oracle re-derives
     * assignment AND pairs brute-force in DuckDB from the landed centroid
     * parquet (`__SFDIR__` contract), so the whole decision is
     * hash-checked, not merely spec-checked. */

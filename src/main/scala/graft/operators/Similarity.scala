@@ -277,11 +277,31 @@ object Similarity {
         // content-keyed (count:bytes:mtime:listing-hash): a regenerated
         // embeddings table retrains instead of serving a stale quantizer
         graft.Tables.fingerprint(s, dir, "embeddings"))) {
-      kmeans(s, dir); ()
+      trainKmeans(s, dir)
     }
   }
 
-  /** Distributed Lloyd's k-means (k = 8, 5 sweeps) over the embedding
+  /** k for the corpus quantizer, derived from the corpus so the
+    * EXPECTED cell width stays ~256 vectors at any scale — the SemDeDup
+    * discipline (n/k ≈ constant, Abbas et al. 2023). This is what keeps
+    * every cell-local consumer linear: dedup_semantic, emb_knn_graph
+    * and the IVF probes all pay O(Σ cell²) or O(cell·k') work, so a
+    * FIXED k turns them quadratic as the corpus grows (measured: the
+    * r11 sf1 sweep, where k=8 over 10× vectors scaled emb_knn_graph
+    * 23.7× for 10× data). Floor 8 keeps the small-sf spec surface and
+    * the committed sf0.1 artifacts bit-identical (2000/256 < 8); cap
+    * 4096 bounds the driver-held Lloyd state (4096 × 64 doubles ≈ 2 MB
+    * broadcast) — past the cap (≫1 B vectors) the sweep state moves to
+    * a landed table + shuffle join, same plan shape. Reads the row
+    * count from parquet footers (no job), and the landing memo already
+    * keys on the embeddings fingerprint, so k tracks the data. */
+  private[graft] def quantizerK(s: SparkSession, dir: String): Int = {
+    val n = graft.Tables.rowCount(s, dir, "embeddings")
+    math.max(8L, math.min(4096L, n / 256L)).toInt
+  }
+
+  /** Distributed Lloyd's k-means (corpus-derived k via [[quantizerK]],
+    * 5 sweeps) over the embedding
     * corpus — the clustering leg of embedding curation (IVF coarse
     * quantizers, topic balancing, outlier mining). Deterministic end to
     * end: seeds are the k lowest vec_ids, per-(cluster, dim) means are
@@ -300,16 +320,42 @@ object Similarity {
     * the iterative plan doesn't accrete lineage (the dedup_cluster
     * discipline). The final centroid table lands to parquet and the
     * emitted assignment is recomputed against the LANDED table, so the
-    * oracle re-derives the exact assignment brute-force in DuckDB. */
+    * oracle re-derives the exact assignment brute-force in DuckDB.
+    *
+    * Training rides [[ensureKmeansLanded]]'s memoized landing (the
+    * bench times it as its own landing line), so the query-facing
+    * [[kmeans]] pays only the single assignment scan — the sweep loop
+    * lives in [[trainKmeans]] and runs once per (session, data). */
   def kmeans(s: SparkSession, dir: String): DataFrame = {
-    val k = 8
+    ensureKmeansLanded(s, dir) // lands the centroid table (memoized)
+    val emb = prepared(s, dir, "vec_id")
+      .withColumn("nx2", dotD(col("vd"), col("vd")))
+      .select(col("vec_id"), col("vd"), col("nx2"))
+    val landed = s.read.parquet(kmeansCentDir(dir))
+    // squared L2 distance as (‖x‖² + ‖c‖²) − 2·x·c — the exact operand
+    // order trainKmeans uses and the oracle mirrors term by term
+    emb.crossJoin(broadcast(
+        landed.withColumn("nc2", dotD(col("cv"), col("cv")))))
+      .withColumn("dist",
+        (col("nx2") + col("nc2")) - lit(2.0) * dotD(col("vd"), col("cv")))
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("cluster"), col("dist")),
+        struct(col("dist"), col("cluster"))).as("best"))
+      .select(col("vec_id"), col("best").getField("cluster").as("cluster"),
+        round(col("best").getField("dist"), 6).as("dist"))
+  }
+
+  /** The Lloyd sweep loop behind [[kmeans]] — lands the centroid table. */
+  private def trainKmeans(s: SparkSession, dir: String): Unit = {
+    val k = quantizerK(s, dir)
     val sweeps = 5
     val emb = prepared(s, dir, "vec_id")
       .withColumn("nx2", dotD(col("vd"), col("vd")))
       .select(col("vec_id"), col("vd"), col("nx2"))
       .localCheckpoint()
     // Iteration state rides the DRIVER: the centroid table is bounded
-    // by SCHEMA (k × d = 8 × 64 doubles), never by data — the same
+    // by quantizerK's cap (k × d ≤ 4096 × 64 doubles), never raw data
+    // volume — the same
     // driver-bounded-trained-step allowance as the PCA eigensolve — so
     // each sweep collects ≤ k rows and re-broadcasts them as a literal
     // local relation. This replaces a per-sweep localCheckpoint +
@@ -355,13 +401,6 @@ object Similarity {
         c -> means.getOrElse(c, prev) }
     }
     centDf(centRows).write.mode("overwrite").parquet(kmeansCentDir(dir))
-    val landed = s.read.parquet(kmeansCentDir(dir))
-    assigned(landed)
-      .groupBy(col("vec_id"))
-      .agg(min_by(struct(col("cluster"), col("dist")),
-        struct(col("dist"), col("cluster"))).as("best"))
-      .select(col("vec_id"), col("best").getField("cluster").as("cluster"),
-        round(col("best").getField("dist"), 6).as("dist"))
   }
 
   /** Landing dir for the PQ codebook — the kmeansCentDir contract:
