@@ -295,10 +295,11 @@ object Similarity {
     * a landed table + shuffle join, same plan shape. Reads the row
     * count from parquet footers (no job), and the landing memo already
     * keys on the embeddings fingerprint, so k tracks the data. */
-  private[graft] def quantizerK(s: SparkSession, dir: String): Int = {
-    val n = graft.Tables.rowCount(s, dir, "embeddings")
+  private[graft] def quantizerK(s: SparkSession, dir: String): Int =
+    quantizerKFor(graft.Tables.rowCount(s, dir, "embeddings"))
+
+  private[graft] def quantizerKFor(n: Long): Int =
     math.max(8L, math.min(4096L, n / 256L)).toInt
-  }
 
   /** Distributed Lloyd's k-means (corpus-derived k via [[quantizerK]],
     * 5 sweeps) over the embedding

@@ -1106,6 +1106,20 @@ class OperatorsSpec extends SparkSpec {
     a.unpersist()
   }
 
+  test("quantizerK: n/256 cell-width rule with floor 8 and cap 4096") {
+    import operators.Similarity.{quantizerK, quantizerKFor}
+    // floor: every bundled test sf sits under 2048 vectors
+    assert(quantizerK(spark, sfTiny) == 8)
+    assert(Seq(0L, 1L, 2047L).map(quantizerKFor) == Seq(8, 8, 8))
+    // linear region: expected cell width stays 256 — the invariant that
+    // keeps dedup_semantic / emb_knn_graph / IVF probing linear in n
+    assert(quantizerKFor(2560) == 10)
+    assert(quantizerKFor(20000) == 78)
+    assert(quantizerKFor(1 << 20) == 4096)
+    // cap: driver-held Lloyd state stays schema-bounded past ~1M vectors
+    assert(quantizerKFor(100L * 1000 * 1000) == 4096)
+  }
+
   test("emb_dim_stats: one row per dimension, full coverage, coherent " +
       "bounds") {
     val d = operators.Similarity.dimStats(spark, sfTiny)
