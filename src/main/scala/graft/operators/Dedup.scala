@@ -610,9 +610,17 @@ object Dedup {
 
   /** Embedding-space near-dup pairs, block-local: vectors are compared
     * only within their block (here the label column; in a 100 TB corpus,
-    * the shard/source key), so cost is O(Σ block²) not O(n²). The
-    * LSH-bucketed alternative for unsharded corpora is
-    * Similarity.lshTopk's bucketing with a threshold filter. */
+    * the shard/source key), so cost is O(Σ block²) not O(n²).
+    *
+    * Scale posture: this is the EXACT pair listing — the correctness
+    * baseline of the family, deliberately enumerating every qualifying
+    * pair (its output is itself near-quadratic in block width: 327k
+    * pairs from 20k vectors at sf1, where DuckDB pays the same
+    * enumeration — 2.5× ratio). The loose 0.3 threshold is why no
+    * sub-bucketing can be exact here (cos ≥ 0.3 spans ~72° — wider
+    * than any useful LSH cell). The production paths at corpus scale
+    * are [[semantic]] (SemDeDup against the derived-k quantizer,
+    * high-threshold, linear) and Similarity.lshTopk's bucketing. */
   def embeddingCosine(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.embeddings(s, dir)
       .select(col("label"), col("vec_id"),
