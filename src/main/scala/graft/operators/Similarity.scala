@@ -87,7 +87,13 @@ object Similarity {
     val corpusPrep = prepared(s, dir, "neighbor_id")
     val planes = planesFor(corpusPrep.count())
     val tables = 2
-    corpusPrep
+    // the bucket landing does planes×d hash-derived projection work per
+    // row — heavy per-row expression work behind a ONE-split scan (the
+    // embeddings table lands as a single file), which is exactly the
+    // Tables.spread case: profiled 7.8s in one task at sf1, spread
+    // across the cores it is sub-second. The probe joins below stay on
+    // the unspread scan — they are broadcast-side light.
+    Tables.spreadScan(s, s"$dir/embeddings.parquet", corpusPrep)
       .withColumn("table_id",
         explode(array((0 until tables).map(lit(_)): _*)))
       .withColumn("bucket",

@@ -25,9 +25,11 @@ object ProfileComposites {
         tasks.addAndGet(s.stageInfo.numTasks)
       }
     })
-    val ops = Seq("stream_sessionize", "q24_nested_agg",
-      "q2_min_cost_supplier", "txt_tfidf_topk", "txt_ccnet_bucket",
-      "txt_unigram_logprob", "dedup_source_overlap", "emb_knn_graph")
+    val ops = sys.env.get("SPARK_GRAFT_PROFILE_OPS")
+      .map(_.split(",").toSeq)
+      .getOrElse(Seq("stream_sessionize", "q24_nested_agg",
+        "q2_min_cost_supplier", "txt_tfidf_topk", "txt_ccnet_bucket",
+        "txt_unigram_logprob", "dedup_source_overlap", "emb_knn_graph"))
     // pre-land shared artifacts so op lines are the op alone
     operators.DocArtifacts.ensureLanded(spark, dir)
     operators.Dedup.ensureTuningLanded(spark, dir)
