@@ -626,11 +626,38 @@ object Dedup {
       .select(col("label"), col("vec_id"),
         VectorFns.asDouble(col("embedding")).as("vd"))
       .withColumn("nrm", sqrt(VectorFns.dotD(col("vd"), col("vd"))))
+    // Tile the block-local pair join: a bare join on `label` caps
+    // parallelism at the number of DISTINCT labels (profiled: 4 tasks,
+    // 12.5s at sf1 over 10 labels) and, worse, puts one whole block's
+    // pair enumeration in ONE task — the same single-bucket storm
+    // ceiling the salted band joins solve for MinHash. Side A fans out
+    // over T sub-tiles, side B hashes to one; the join key becomes
+    // (label, tile), so each block's w² pair work spreads over T tasks
+    // with each unordered pair met exactly once (A carries every tile,
+    // B exactly one, and the vec_a < vec_b filter is tile-independent).
+    // T derives from the corpus like the quantizer k (constant expected
+    // per-tile width; T=1 at the bundled small sfs), so no block can
+    // outgrow its task; the pair SET is T-independent either way.
+    val tiles = math.max(1L, math.min(64L,
+      Tables.rowCount(s, dir, "embeddings") / 4096L)).toInt
+    val np = s.sparkContext.defaultParallelism
     val a = base.select(col("label"), col("vec_id").as("vec_a"),
-      col("vd").as("vd_a"), col("nrm").as("nrm_a"))
+        col("vd").as("vd_a"), col("nrm").as("nrm_a"))
+      .withColumn("tile",
+        explode(array((0 until tiles).map(lit(_)): _*)))
+      // EXPLICIT exchange: AQE sizes partitions from MAP-side bytes and
+      // cannot see the join's pair expansion, so it would coalesce the
+      // small shuffled input right back onto a handful of tasks
+      // (measured: 4 tasks with or without the tile key). A
+      // user-specified repartition is exempt from AQE coalescing and
+      // pins the pair work across the cores.
+      .repartition(np, col("label"), col("tile"))
     val b = base.select(col("label"), col("vec_id").as("vec_b"),
-      col("vd").as("vd_b"), col("nrm").as("nrm_b"))
-    a.join(b, Seq("label")).filter(col("vec_a") < col("vec_b"))
+        col("vd").as("vd_b"), col("nrm").as("nrm_b"))
+      .withColumn("tile",
+        pmod(xxhash64(col("vec_b")), lit(tiles.toLong)).cast("int"))
+      .repartition(np, col("label"), col("tile"))
+    a.join(b, Seq("label", "tile")).filter(col("vec_a") < col("vec_b"))
       .select(col("label"), col("vec_a"), col("vec_b"),
         round(VectorFns.cosineWithNorms(col("vd_a"), col("vd_b"),
           col("nrm_a"), col("nrm_b")), 6).as("cosine"))
