@@ -43,6 +43,15 @@ object GraftSession {
       // filter-less COUNT/MIN/MAX answered from parquet footers instead
       // of data pages (off by default; exact same results, skips decode)
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // split size sized to the harness SF (the §4 discipline: partition
+      // knobs follow the data actually in front of the engine, never the
+      // defaults): the bench tables land as ONE file per table, so the
+      // 128MB default puts a whole 100MB+ fact scan in a single task.
+      // 4MB keeps single-digit-MB tables at one split while a 100MB
+      // fact file fans out across the cores (row-group permitting). A
+      // cluster deployment against real multi-file data keeps its own
+      // value via the builder it passes to `tuned`.
+      .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // timezone-naive parquet timestamps (timestamp[us] with no tz)
       // must read as TimestampType, not TIMESTAMP_NTZ: the session is

@@ -307,8 +307,16 @@ object Corpus {
     * equi-join — linear in corpus tokens, like txt_unigram_logprob. */
   def dsirWeights(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val exploded = Tables.documents(s, dir)
-      .withColumn("toks", tokens(col("text")))
+    // the exploded token stream feeds TWO branches (vocabulary counts
+    // and the per-doc weight join), so an inline tokens(text) would
+    // regex-tokenize the corpus twice — this op is exactly the
+    // multi-pass case the shared DocArtifacts toks landing exists for
+    // (the one-pass ops inline instead; see txt_unigram_logprob).
+    // `source` rides a broadcast 2-column documents projection.
+    val exploded = DocArtifacts.toks(s, dir)
+      .join(broadcast(
+        Tables.documents(s, dir).select(col("doc_id"), col("source"))),
+        "doc_id")
       .select(col("doc_id"), col("source"), explode(col("toks")).as("tok"))
     val corpusCounts = exploded.groupBy(col("tok"))
       .agg(count(lit(1)).as("n_c"),

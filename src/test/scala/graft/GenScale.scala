@@ -51,7 +51,15 @@ object GenScale {
     // temp dir and move the single part file into place
     def write(name: String, df: DataFrame): Unit = {
       val tmp = s"$dst/__tmp_$name"
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      // one FILE per table (driver layout), but MANY row groups: a
+      // single 128MB-default row group makes the whole table one
+      // unsplittable scan task in every engine — a layout no real
+      // deployment produces and one that serializes the scan stage of
+      // every op (profiled: q1 at sf1 spent ~8s in its one scan task).
+      // 2MB groups give the scan planner real split points.
+      df.coalesce(1).write.mode("overwrite")
+        .option("parquet.block.size", (2 * 1024 * 1024).toString)
+        .parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
         .find(f => f.getName.startsWith("part-") &&
           f.getName.endsWith(".parquet"))
