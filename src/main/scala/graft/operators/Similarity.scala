@@ -518,7 +518,11 @@ object Similarity {
     * round rationale); consumers divide by n_vecs themselves. */
   def dimStats(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    Tables.embeddings(s, dir)
+    // n·d explode + two 9dp-decimal quantizations per element behind a
+    // near-one-split scan — heavy per-row; decimal sums are
+    // order-independent, so spreading cannot move the result
+    graft.Tables.spreadScan(s, s"$dir/embeddings.parquet",
+        Tables.embeddings(s, dir).select(col("embedding")))
       .select(posexplode(col("embedding")).as(Seq("i", "xf")))
       .select(col("i"), col("xf").cast("double").as("x"))
       .groupBy(col("i"))
@@ -586,8 +590,12 @@ object Similarity {
     * oracle's, so the doubles are bit-identical. */
   def covariance(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val partials = Tables.embeddings(s, dir)
-      .select(col("embedding")).as[Array[Float]]
+    // d²/2 scaled-integer products per ROW behind a near-one-split scan
+    // (the heavy-per-row spread case; the partials are exact integer
+    // units, so the row→partition assignment cannot change the fold)
+    val partials = graft.Tables.spreadScan(s, s"$dir/embeddings.parquet",
+        Tables.embeddings(s, dir).select(col("embedding")))
+      .as[Array[Float]]
       .mapPartitions { it =>
         var d = -1
         var n = 0L
