@@ -131,7 +131,10 @@ object Corpus {
     // without it the optimizer pushes the explode's size(shingles)>0
     // predicate into the scan — duplicating the whole (interpreted)
     // shingle expression per row per branch (measured 13s → ~1s here)
-    val base = Tables.documents(s, dir)
+    // spread the near-one-split docs scan before the per-row tokenize +
+    // shingle work so the checkpoint materializes across the cores
+    val base = graft.Tables.spreadScan(s, s"$dir/documents.parquet",
+        Tables.documents(s, dir).select(col("doc_id"), col("text")))
       .withColumn("split", split)
       .withColumn("toks", tokens(col("text")))
       .select(col("doc_id"), col("split"),

@@ -157,7 +157,10 @@ object Text {
     // repeatedly (novelty, boilerplate, overlap) — not here. The
     // corpus total folds out of the vocabulary counts, so the op is
     // two scans: vocabulary side and per-doc join-back side.
-    val exploded = Tables.documents(s, dir)
+    // regex tokenize is heavy per row and the docs table is a near-one-
+    // split file — spread each scan so the split work rides all cores
+    val exploded = graft.Tables.spreadScan(s, s"$dir/documents.parquet",
+        Tables.documents(s, dir).select(col("doc_id"), col("text")))
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
     val freqs = exploded.select(col("tok")).groupBy(col("tok"))
       .agg(count(lit(1)).as("tok_n"))
