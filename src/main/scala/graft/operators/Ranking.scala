@@ -122,6 +122,98 @@ object Ranking {
       .drop("__bounds")
   }
 
+  /** EXACT per-group continuous percentiles as a two-pass bucket plan —
+    * the distributed replacement for Spark's `percentile` aggregate,
+    * whose merge buffer is a per-group value→count map: one reduce task
+    * holds a whole group's distinct values (an OOM at corpus scale) and
+    * parallelism caps at the group count. Here the value column is
+    * range-bucketed (approx boundaries, exactness never depends on
+    * balance), ranked by `bucketedRowNumber`, and each requested
+    * percentile reads the two ranks around position p·(n−1); the
+    * interpolation replicates Spark's `Percentile.getPercentile`
+    * operand-for-operand ((hi−pos)·loV + (pos−lo)·hiV, lower value
+    * alone on an integer position), so the result is bit-identical to
+    * the aggregate it replaces. Returns one row per (group, name):
+    * (group…, name, pv). Null sort values must be pre-filtered (the
+    * aggregate ignores them; a caller with nullable measures filters). */
+  /** Input: rows of (group…, measure, v); `pcts` maps each measure name
+    * to its requested (output name, p) list. One raw scan collapses to
+    * per-(group, measure, value) counts (map-side combinable); bucket
+    * boundaries, prefix counts and the rank probe all ride that
+    * aggregated table, whose trailing exchange ReuseExchange computes
+    * once — so the whole thing costs one fact-table pass plus
+    * bounded-table work, and no task ever holds more than one bucket of
+    * one measure's distinct values. */
+  def groupedPercentiles(df: DataFrame, group: Seq[String],
+      pcts: Map[String, Seq[(String, Double)]],
+      nBuckets: Int = 64): DataFrame = {
+    val gCols = group.map(col)
+    val cnt = df
+      .groupBy(gCols ++ Seq(col("m"), col("v").cast("double").as("__v")): _*)
+      .agg(count(lit(1)).as("__c"))
+    // per-measure contiguous buckets: boundaries from approx
+    // percentiles of each measure's DISTINCT values (weighting is
+    // irrelevant — exactness needs contiguity, balance only shapes
+    // parallelism), one grouped agg, broadcast back on the measure key
+    val qs = (1 until nBuckets).map(i => lit(i.toDouble / nBuckets))
+    val bounds = cnt.groupBy(col("m"))
+      .agg(percentile_approx(col("__v"), array(qs: _*), lit(1000))
+        .as("__bounds"))
+    val bucketed = cnt.join(broadcast(bounds), "m")
+      .withColumn("__bkt", aggregate(col("__bounds"), lit(0),
+        (acc, b) => acc + when(col("__v") >= b, 1).otherwise(0)))
+      .drop("__bounds")
+    // exclusive prefix count of rows below each distinct value, plus
+    // the (group, measure) row total — both from ONE bounded count
+    // table (≤ |groups|·|measures|·nBuckets rows)
+    val gm = group :+ "m"
+    val gmCols = gm.map(col)
+    val sums = bucketed.groupBy(gmCols :+ col("__bkt"): _*)
+      .agg(sum(col("__c")).as("__bs"))
+    val wOff = Window.partitionBy(gmCols: _*).orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val aux = sums
+      .withColumn("__off", sum(col("__bs")).over(wOff))
+      .withColumn("__n", sum(col("__bs"))
+        .over(Window.partitionBy(gmCols: _*)))
+      .drop("__bs")
+    val localW = Window.partitionBy(gmCols :+ col("__bkt"): _*)
+      .orderBy(col("__v").asc).rowsBetween(Window.unboundedPreceding, -1)
+    val summed = bucketed.join(broadcast(aux), gm :+ "__bkt", "left")
+      .withColumn("__cum", coalesce(col("__off"), lit(0L)) +
+        coalesce(sum(col("__c")).over(localW), lit(0L)))
+    // requested ranks around position p·(n−1), per measure; the target
+    // table derives from `aux` (bounded), never the data-sized table
+    val pctRows = pcts.toSeq.flatMap { case (m, ps) =>
+      ps.map { case (name, p) =>
+        struct(lit(m).as("m"), lit(name).as("name"), lit(p).as("p")) } }
+    // the value at 1-based rank k is the distinct value whose count
+    // interval (__cum, __cum + __c] contains k
+    def at(k: Column): Column =
+      col("__cum") < k && k <= col("__cum") + col("__c")
+    val tgt = aux.select(gmCols :+ col("__n"): _*).distinct()
+      .select(gmCols ++ Seq(col("__n"),
+        explode(array(pctRows: _*)).as("__t")): _*)
+      .filter(col("__t").getField("m") === col("m"))
+      .select(gmCols ++ Seq(col("__t").getField("name").as("name"),
+        (col("__t").getField("p") * (col("__n") - 1).cast("double"))
+          .as("__pos")): _*)
+      .withColumn("__lo", floor(col("__pos")).cast("long"))
+      .withColumn("__hi", ceil(col("__pos")).cast("long"))
+    summed.join(broadcast(tgt), gm)
+      .filter(at(col("__lo") + 1) || at(col("__hi") + 1))
+      .groupBy(gCols ++ Seq(col("name"), col("__pos"), col("__lo"),
+        col("__hi")): _*)
+      .agg(min(when(at(col("__lo") + 1), col("__v"))).as("__loV"),
+        min(when(at(col("__hi") + 1), col("__v"))).as("__hiV"))
+      .select(gCols ++ Seq(col("name"),
+        when(col("__hi") === col("__lo"), col("__loV"))
+          .otherwise(
+            (col("__hi").cast("double") - col("__pos")) * col("__loV") +
+            (col("__pos") - col("__lo").cast("double")) * col("__hiV"))
+          .as("pv")): _*)
+  }
+
   /** ANSI ntile(k) from an exact 1-based rank `rn` and group size `n`:
     * the first n%k tiles hold floor(n/k)+1 rows, the rest floor(n/k) —
     * identical to Spark's and DuckDB's ntile, without the single-task

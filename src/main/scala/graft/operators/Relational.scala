@@ -237,11 +237,30 @@ object Relational {
   /** Exact interpolated quantiles per return flag (median, p95), rounded to
     * 6 dp for cross-engine double parity. */
   def q13Percentiles(s: SparkSession, dir: String): DataFrame = {
-    Tables.lineitem(s, dir)
+    // distributed exact percentiles (Ranking.groupedPercentiles): the
+    // `percentile` AGGREGATE holds a per-group value→count map in one
+    // reduce task — parallelism caps at |groups| and the buffer is
+    // unbounded at corpus scale. Both measures ride ONE counting-sort
+    // pipeline keyed by a measure tag (per-measure bucket bounds).
+    val rows = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"),
+        explode(array(
+          struct(lit("qty").as("m"), col("l_quantity").as("v")),
+          struct(lit("price").as("m"), col("l_extendedprice").as("v"))))
+          .as("x"))
+      .select(col("l_returnflag"), col("x").getField("m").as("m"),
+        col("x").getField("v").as("v"))
+    Ranking.groupedPercentiles(rows, Seq("l_returnflag"), Map(
+        "qty" -> Seq("median_qty" -> 0.5, "p95_qty" -> 0.95),
+        "price" -> Seq("median_price" -> 0.5)))
       .groupBy(col("l_returnflag"))
-      .agg(round(percentile(col("l_quantity"), lit(0.5)), 6).as("median_qty"),
-        round(percentile(col("l_quantity"), lit(0.95)), 6).as("p95_qty"),
-        round(percentile(col("l_extendedprice"), lit(0.5)), 6).as("median_price"))
+      .agg(
+        round(min(when(col("name") === "median_qty", col("pv"))), 6)
+          .as("median_qty"),
+        round(min(when(col("name") === "p95_qty", col("pv"))), 6)
+          .as("p95_qty"),
+        round(min(when(col("name") === "median_price", col("pv"))), 6)
+          .as("median_price"))
   }
 
   /** TPC-H Q14 shape: conditional-aggregation ratio (promo revenue share)

@@ -18,6 +18,34 @@ class RankingSpec extends SparkSpec {
     (if (rnd.nextInt(10) < 8) "big" else "small", rnd.nextInt(12), i)
   }
 
+  test("groupedPercentiles equals the percentile aggregate bit-for-bit") {
+    // two measures with different ranges + heavy ties + a skewed group,
+    // odd and even group sizes (integer and fractional rank positions)
+    val df = rows.toDF("g", "v", "id")
+      .select(col("g"), explode(array(
+        struct(lit("small_vals").as("m"), col("v").cast("double").as("v")),
+        struct(lit("wide_vals").as("m"),
+          (col("id") * 37 % 991).cast("double").as("v")))).as("x"))
+      .select(col("g"), col("x.m").as("m"), col("x.v").as("v"))
+    val got = Ranking.groupedPercentiles(df, Seq("g"), Map(
+        "small_vals" -> Seq("p50s" -> 0.5, "p95s" -> 0.95),
+        "wide_vals" -> Seq("p50w" -> 0.5, "p07w" -> 0.07)))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    val agg = df.groupBy(col("g"), col("m"))
+      .agg(percentile(col("v"), lit(0.5)).as("p50"),
+        percentile(col("v"), lit(0.95)).as("p95"),
+        percentile(col("v"), lit(0.07)).as("p07"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    for (g <- Seq("big", "small")) {
+      assert(got((g, "p50s")) == agg((g, "small_vals"))._1)
+      assert(got((g, "p95s")) == agg((g, "small_vals"))._2)
+      assert(got((g, "p50w")) == agg((g, "wide_vals"))._1)
+      assert(got((g, "p07w")) == agg((g, "wide_vals"))._3)
+    }
+  }
+
   test("value-bucket global row_number equals the global window") {
     val df = rows.toDF("g", "v", "id")
     val got = Ranking.bucketedRowNumber(
