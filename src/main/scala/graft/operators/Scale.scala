@@ -132,8 +132,11 @@ object Scale {
     * table size as in `approxDistinct`) followed by the EXACT
     * interpolated percentile of the sample: quantile error is
     * O(1/√(nθ)) while the per-group percentile state holds only the
-    * sampled slice — the property q13's exact form lacks on unbounded
-    * groups. The sample membership and the interpolation arithmetic
+    * sampled slice (θ scales down with the table, so the slice is
+    * roughly constant-size at any scale; the EXACT path is q13's
+    * counting-sort plan, Ranking.groupedPercentiles — this op is the
+    * one-scan sketch answer). The sample membership and the
+    * interpolation arithmetic
     * are both engine-portable (q13 proves percentile ↔ quantile_cont
     * bit-parity), so the formerly rows-only KLL sketch becomes a full
     * hash check. The row key hashes the integer join keys only —
