@@ -69,8 +69,71 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native upper-bound binary search: count of elements ≤ `left` in the
+  * SORTED-ascending array<double> `right` — the contiguous-bucket
+  * assignment of the histogram-refinement percentile plan
+  * (Ranking.groupedPercentiles). Replaces the interpreted
+  * `aggregate(bounds, 0, acc + (v >= b))` higher-order fold: same
+  * result on sorted boundaries (duplicates included either way), but
+  * O(log n) JIT'd compares instead of n interpreted lambda calls per
+  * row. NaN values are not supported (callers feed decimal/long casts;
+  * Java's `NaN >= x` is false where SQL ranks NaN largest). */
+case class SortedUpperBound(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (DoubleType, ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"sorted_upper_bound expects DOUBLE and ARRAY<DOUBLE>, got " +
+          s"${l.catalogString} and ${r.catalogString}")
+    }
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val v = a.asInstanceOf[Double]
+    val bs = b.asInstanceOf[ArrayData]
+    var lo = 0
+    var hi = bs.numElements()
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (v >= bs.getDouble(mid)) lo = mid + 1 else hi = mid
+    }
+    java.lang.Integer.valueOf(lo)
+  }
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val lo = ctx.freshName("lo")
+      val hi = ctx.freshName("hi")
+      val mid = ctx.freshName("mid")
+      code"""
+        int $lo = 0;
+        int $hi = $b.numElements();
+        while ($lo < $hi) {
+          int $mid = ($lo + $hi) >>> 1;
+          if ($a >= $b.getDouble($mid)) { $lo = $mid + 1; }
+          else { $hi = $mid; }
+        }
+        ${ev.value} = $lo;
+      """.toString
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedUpperBound =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExprs {
   def dotProduct(a: Column, b: Column): Column =
     GraftColumnBridge.toColumn(DotProduct(
       GraftColumnBridge.toExpression(a), GraftColumnBridge.toExpression(b)))
+
+  def sortedUpperBound(v: Column, bounds: Column): Column =
+    GraftColumnBridge.toColumn(SortedUpperBound(
+      GraftColumnBridge.toExpression(v),
+      GraftColumnBridge.toExpression(bounds)))
 }

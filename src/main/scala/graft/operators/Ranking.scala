@@ -117,81 +117,88 @@ object Ranking {
       percentile_approx(sortAsc.cast("double"), array(qs: _*), lit(10000))
         .as("__bounds"))
     df.crossJoin(broadcast(bounds))
-      .withColumn(bkt, aggregate(col("__bounds"), lit(0),
-        (acc, b) => acc + when(sortAsc.cast("double") >= b, 1).otherwise(0)))
+      .withColumn(bkt, coalesce(graft.functions.VectorExprs
+        .sortedUpperBound(sortAsc.cast("double"), col("__bounds")), lit(0)))
       .drop("__bounds")
   }
 
-  /** EXACT per-group continuous percentiles as a two-pass bucket plan —
-    * the distributed replacement for Spark's `percentile` aggregate,
-    * whose merge buffer is a per-group value→count map: one reduce task
-    * holds a whole group's distinct values (an OOM at corpus scale) and
-    * parallelism caps at the group count. Here the value column is
-    * range-bucketed (approx boundaries, exactness never depends on
-    * balance), ranked by `bucketedRowNumber`, and each requested
-    * percentile reads the two ranks around position p·(n−1); the
-    * interpolation replicates Spark's `Percentile.getPercentile`
+  /** EXACT per-group continuous percentiles as a histogram-refinement
+    * plan — the distributed replacement for Spark's `percentile`
+    * aggregate, whose merge buffer is a per-group value→count map: one
+    * reduce task holds a whole group's distinct values (an OOM at
+    * corpus scale) and parallelism caps at the group count.
+    *
+    * Input: rows of (group…, measure `m`, value `v`); `pcts` maps each
+    * measure name to its requested (output name, p) list. Three scans
+    * of the input, and the ONLY data-sized shuffle is the target
+    * buckets (≤ |g|·|m|·|pcts|·2 buckets of ~n/nBuckets rows each,
+    * collapsed map-side to their distinct values):
+    *
+    *  1. approximate per-measure bucket boundaries (percentile_approx
+    *     — exactness never depends on balance: equal values share a
+    *     bucket by construction, so contiguity w.r.t. the true order
+    *     holds whatever the boundaries are);
+    *  2. EXACT per-(group, measure, bucket) row counts — a map-side
+    *     combinable agg with a configuration-bounded result
+    *     (|g|·|m|·nBuckets rows, persisted: three bounded derivations
+    *     ride it). Exclusive prefix sums over that table pin the exact
+    *     rank interval (__off, __off+__c] each bucket covers, so the
+    *     two ranks around position p·(n−1) resolve to (bucket,
+    *     residual-rank) pairs with no data-sized work;
+    *  3. refinement: ONLY rows of the target buckets are shuffled,
+    *     grouped to per-value counts, and rank-probed within their
+    *     bucket (window partitioned by bucket — no task ever holds
+    *     more than one bucket of one measure's distinct values; size
+    *     nBuckets so n/nBuckets fits a task at the deployment's scale).
+    *
+    * The interpolation replicates Spark's `Percentile.getPercentile`
     * operand-for-operand ((hi−pos)·loV + (pos−lo)·hiV, lower value
     * alone on an integer position), so the result is bit-identical to
-    * the aggregate it replaces. Returns one row per (group, name):
-    * (group…, name, pv). Null sort values must be pre-filtered (the
-    * aggregate ignores them; a caller with nullable measures filters). */
-  /** Input: rows of (group…, measure, v); `pcts` maps each measure name
-    * to its requested (output name, p) list. One raw scan collapses to
-    * per-(group, measure, value) counts (map-side combinable); bucket
-    * boundaries, prefix counts and the rank probe all ride that
-    * aggregated table, whose trailing exchange ReuseExchange computes
-    * once — so the whole thing costs one fact-table pass plus
-    * bounded-table work, and no task ever holds more than one bucket of
-    * one measure's distinct values. */
+    * the aggregate it replaces (RankingSpec). Returns one row per
+    * (group, name): (group…, name, pv). Null values must be
+    * pre-filtered (the aggregate ignores them; a caller with nullable
+    * measures filters). */
   def groupedPercentiles(df: DataFrame, group: Seq[String],
       pcts: Map[String, Seq[(String, Double)]],
       nBuckets: Int = 64): DataFrame = {
     val gCols = group.map(col)
-    val cnt = df
-      .groupBy(gCols ++ Seq(col("m"), col("v").cast("double").as("__v")): _*)
-      .agg(count(lit(1)).as("__c"))
-    // per-measure contiguous buckets: boundaries from approx
-    // percentiles of each measure's DISTINCT values (weighting is
-    // irrelevant — exactness needs contiguity, balance only shapes
-    // parallelism), one grouped agg, broadcast back on the measure key
-    val qs = (1 until nBuckets).map(i => lit(i.toDouble / nBuckets))
-    val bounds = cnt.groupBy(col("m"))
-      .agg(percentile_approx(col("__v"), array(qs: _*), lit(1000))
-        .as("__bounds"))
-    val bucketed = cnt.join(broadcast(bounds), "m")
-      .withColumn("__bkt", aggregate(col("__bounds"), lit(0),
-        (acc, b) => acc + when(col("__v") >= b, 1).otherwise(0)))
-      .drop("__bounds")
-    // exclusive prefix count of rows below each distinct value, plus
-    // the (group, measure) row total — both from ONE bounded count
-    // table (≤ |groups|·|measures|·nBuckets rows)
     val gm = group :+ "m"
     val gmCols = gm.map(col)
-    val sums = bucketed.groupBy(gmCols :+ col("__bkt"): _*)
-      .agg(sum(col("__c")).as("__bs"))
+    val rows = df.select(gmCols :+ col("v").cast("double").as("__v"): _*)
+    // pass 1: per-measure approximate boundaries from a 5% SAMPLE —
+    // boundaries only shape balance, never exactness, so sampled
+    // quantiles are plenty (a measure the sample misses entirely falls
+    // back to one bucket via the left join, still exact). Bucket =
+    // count of boundaries ≤ v (monotone in v and a pure function of v,
+    // so ties never straddle a boundary), via the codegen'd binary
+    // search instead of an interpreted 63-lambda fold per row.
+    val qs = (1 until nBuckets).map(i => lit(i.toDouble / nBuckets))
+    val bounds = rows.sample(0.05, 7L).groupBy(col("m"))
+      .agg(percentile_approx(col("__v"), array(qs: _*), lit(1000))
+        .as("__bounds"))
+    def bucketed(r: DataFrame): DataFrame =
+      r.join(broadcast(bounds), Seq("m"), "left")
+        .withColumn("__bkt", coalesce(graft.functions.VectorExprs
+          .sortedUpperBound(col("__v"), col("__bounds")), lit(0)))
+        .drop("__bounds")
+    // pass 2: exact bounded histogram, persisted — the broadcast builds
+    // of `needs` and `tgtBuckets` and nothing else re-derive from it
+    // (Caches.release frees it after the result materializes)
+    val hist = bucketed(rows).groupBy(gmCols :+ col("__bkt"): _*)
+      .agg(count(lit(1)).as("__c")).persist()
     val wOff = Window.partitionBy(gmCols: _*).orderBy(col("__bkt"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val aux = sums
-      .withColumn("__off", sum(col("__bs")).over(wOff))
-      .withColumn("__n", sum(col("__bs"))
+    val cum = hist
+      .withColumn("__off", coalesce(sum(col("__c")).over(wOff), lit(0L)))
+      .withColumn("__n", sum(col("__c"))
         .over(Window.partitionBy(gmCols: _*)))
-      .drop("__bs")
-    val localW = Window.partitionBy(gmCols :+ col("__bkt"): _*)
-      .orderBy(col("__v").asc).rowsBetween(Window.unboundedPreceding, -1)
-    val summed = bucketed.join(broadcast(aux), gm :+ "__bkt", "left")
-      .withColumn("__cum", coalesce(col("__off"), lit(0L)) +
-        coalesce(sum(col("__c")).over(localW), lit(0L)))
-    // requested ranks around position p·(n−1), per measure; the target
-    // table derives from `aux` (bounded), never the data-sized table
+    // requested ranks around position p·(n−1) per (group, measure),
+    // resolved to their owning bucket: bucket b covers 1-based ranks
+    // (__off, __off + __c]. All bounded-table work.
     val pctRows = pcts.toSeq.flatMap { case (m, ps) =>
       ps.map { case (name, p) =>
         struct(lit(m).as("m"), lit(name).as("name"), lit(p).as("p")) } }
-    // the value at 1-based rank k is the distinct value whose count
-    // interval (__cum, __cum + __c] contains k
-    def at(k: Column): Column =
-      col("__cum") < k && k <= col("__cum") + col("__c")
-    val tgt = aux.select(gmCols :+ col("__n"): _*).distinct()
+    val tgt = cum.select(gmCols :+ col("__n"): _*).distinct()
       .select(gmCols ++ Seq(col("__n"),
         explode(array(pctRows: _*)).as("__t")): _*)
       .filter(col("__t").getField("m") === col("m"))
@@ -200,12 +207,40 @@ object Ranking {
           .as("__pos")): _*)
       .withColumn("__lo", floor(col("__pos")).cast("long"))
       .withColumn("__hi", ceil(col("__pos")).cast("long"))
-    summed.join(broadcast(tgt), gm)
-      .filter(at(col("__lo") + 1) || at(col("__hi") + 1))
+    val needs = tgt
+      .select(gmCols ++ Seq(col("name"), col("__pos"), col("__lo"),
+        col("__hi"),
+        explode(array(col("__lo") + 1, col("__hi") + 1)).as("__r")): _*)
+      .distinct()
+      .join(cum.select(gmCols ++ Seq(col("__bkt"), col("__off"),
+        col("__c")): _*), gm)
+      .filter(col("__r") > col("__off") &&
+        col("__r") <= col("__off") + col("__c"))
+      .select(gmCols ++ Seq(col("name"), col("__pos"), col("__lo"),
+        col("__hi"), col("__r"), col("__bkt"), col("__off")): _*)
+    // pass 3: shuffle ONLY the target buckets, collapsed to per-value
+    // counts map-side; rank within the bucket via an exclusive prefix
+    // sum partitioned by bucket, then probe residual rank __r − __off.
+    // The semi join dedups by nature, so `needs` itself is the bucket
+    // filter — and its broadcast exchange (same join keys) is shared
+    // with the rank-probe join below instead of building twice.
+    val ref = bucketed(rows)
+      .join(broadcast(needs), gm :+ "__bkt", "left_semi")
+      .groupBy(gmCols ++ Seq(col("__bkt"), col("__v")): _*)
+      .agg(count(lit(1)).as("__rc"))
+    val localW = Window.partitionBy(gmCols :+ col("__bkt"): _*)
+      .orderBy(col("__v").asc).rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = ref.withColumn("__lcum",
+      coalesce(sum(col("__rc")).over(localW), lit(0L)))
+    ranked.join(broadcast(needs), gm :+ "__bkt")
+      .filter(col("__r") - col("__off") > col("__lcum") &&
+        col("__r") - col("__off") <= col("__lcum") + col("__rc"))
       .groupBy(gCols ++ Seq(col("name"), col("__pos"), col("__lo"),
         col("__hi")): _*)
-      .agg(min(when(at(col("__lo") + 1), col("__v"))).as("__loV"),
-        min(when(at(col("__hi") + 1), col("__v"))).as("__hiV"))
+      .agg(min(when(col("__r") === col("__lo") + 1, col("__v")))
+          .as("__loV"),
+        min(when(col("__r") === col("__hi") + 1, col("__v")))
+          .as("__hiV"))
       .select(gCols ++ Seq(col("name"),
         when(col("__hi") === col("__lo"), col("__loV"))
           .otherwise(
