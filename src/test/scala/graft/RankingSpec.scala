@@ -46,6 +46,29 @@ class RankingSpec extends SparkSpec {
     }
   }
 
+  test("groupedPercentiles stays exact for a measure the boundary " +
+      "sample misses (one-bucket fallback)") {
+    // 3 rows of a rare measure among 2000 of a common one: the 5%
+    // boundary sample almost surely holds no rare rows, so the rare
+    // measure rides the left-join fallback (all rows in bucket 0) —
+    // exactness must not depend on which path it takes
+    val df = ((1 to 2000).map(i => ("g1", "common", (i * 13 % 997).toDouble))
+        ++ Seq(("g1", "rare", 5.0), ("g1", "rare", 1.0), ("g1", "rare", 9.0)))
+      .toDF("g", "m", "v")
+    val got = Ranking.groupedPercentiles(df, Seq("g"), Map(
+        "common" -> Seq("p50c" -> 0.5),
+        "rare" -> Seq("p50r" -> 0.5, "p99r" -> 0.99)))
+      .collect().map(r => r.getString(1) -> r.getDouble(2)).toMap
+    val agg = df.groupBy(col("m"))
+      .agg(percentile(col("v"), lit(0.5)).as("p50"),
+        percentile(col("v"), lit(0.99)).as("p99"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    assert(got("p50c") == agg("common")._1)
+    assert(got("p50r") == agg("rare")._1)
+    assert(got("p99r") == agg("rare")._2)
+  }
+
   test("value-bucket global row_number equals the global window") {
     val df = rows.toDF("g", "v", "id")
     val got = Ranking.bucketedRowNumber(
