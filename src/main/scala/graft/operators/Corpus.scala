@@ -412,7 +412,8 @@ object Corpus {
     * docs/tokens before and after, the budget, and the fill ratio.
     *
     * Scale shape: the per-source quality-order prefix sum (the two-pass
-    * bucket plan — a dominant source spreads across 256 tasks, never
+    * bucket plan — a dominant source spreads across the derived
+    * bucket count, never
     * one) is LANDED with the per-doc stats (DocArtifacts: the
     * `cum_excl` / `tokens_total` columns ride the same bucket pass the
     * landing already runs), so the op itself is ONE scan of the stats

@@ -110,8 +110,10 @@ object DocArtifacts {
           // prefix sum per query.
           Future(Ranking.bucketedPrefixSum(
               Ranking.withValueBucket(scalar, col("q_sort"),
-                "q_bucket", 256),
-              "q_bucket", 256,
+                "q_bucket", Ranking.bucketsFor(
+                  Tables.rowCount(s, dir, "documents"), 256)),
+              "q_bucket", Ranking.bucketsFor(
+                Tables.rowCount(s, dir, "documents"), 256),
               Seq(col("q_sort"), col("h"), col("doc_id")),
               col("n_tokens"), "cum_excl", group = Seq("source"),
               totalName = Some("tokens_total"))

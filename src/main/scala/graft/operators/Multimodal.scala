@@ -272,18 +272,19 @@ object Multimodal {
     *
     * Scale shape: pure arithmetic on payload LENGTHS (no payload bytes
     * move until the write itself); the global running offset is
-    * `Ranking.bucketedPrefixSum` over 256 hex-prefix buckets of the
+    * `Ranking.bucketedPrefixSum` over derived hex-prefix buckets of the
     * hash — never a single-task global cumsum. Budget is a power of two
     * so shard ids are exact bit shifts. */
   def shardPack(s: SparkSession, dir: String): DataFrame = {
     val budgetBits = 13 // 8 KiB per shard
     val budget = 1L << budgetBits
+    val hc = Ranking.hexCharsFor(graft.Tables.rowCount(s, dir, "documents"))
     val items = Tables.documents(s, dir)
       .select(col("doc_id"), length(col("text")).cast("long").as("n_bytes"))
       .withColumn("hk",
         md5(concat(lit("shard:"), col("doc_id").cast("string"))))
-      .withColumn("__bkt", Ranking.hexPrefixBucket(col("hk")))
-    val cum = Ranking.bucketedPrefixSum(items, "__bkt", 256,
+      .withColumn("__bkt", Ranking.hexPrefixBucket(col("hk"), hc))
+    val cum = Ranking.bucketedPrefixSum(items, "__bkt", 1 << (4 * hc),
       Seq(col("hk"), col("doc_id")), col("n_bytes"), "start_off")
     cum.select(
         shiftright(col("start_off"), budgetBits).as("shard_id"),

@@ -95,12 +95,30 @@ object Ranking {
       .drop("__off")
   }
 
-  /** Contiguous bucket for a lowercase-hex digest key: the first two hex
-    * chars, as an int in [0, 256) — hex-string lexicographic order IS
-    * numeric order, and a digest key makes the 256 buckets uniform at
-    * any corpus size. */
-  def hexPrefixBucket(hexKey: Column): Column =
-    conv(substring(hexKey, 1, 2), 16, 10).cast("int")
+  /** Bucket count for the two-pass plans, derived from the driving
+    * table's footer row count (`Tables.rowCount` — no job) so the
+    * EXPECTED per-bucket row count stays ~256k at any scale — the
+    * quantizerK discipline. The floor keeps the small-sf plans (and so
+    * the committed bench/plan artifacts) identical to the legacy fixed
+    * counts; the 65536 cap bounds the broadcast aux table
+    * (|groups|·nBuckets rows) and the boundary array — past the cap
+    * (≫17 B driving rows) per-bucket width grows linearly again and a
+    * deployment raises the floor instead. Exactness never depends on
+    * the count (contiguity argument above); only parallelism does. */
+  def bucketsFor(n: Long, floor: Int): Int =
+    math.max(floor.toLong, math.min(65536L, n / 262144L)).toInt
+
+  /** Hex-prefix width whose 16^chars bucket domain covers
+    * [[bucketsFor]]'s count at the same row count. */
+  def hexCharsFor(n: Long): Int =
+    if (n <= 256L * 262144L) 2 else if (n <= 4096L * 262144L) 3 else 4
+
+  /** Contiguous bucket for a lowercase-hex digest key: the first
+    * `chars` hex chars, as an int in [0, 16^chars) — hex-string
+    * lexicographic order IS numeric order, and a digest key makes the
+    * buckets uniform at any corpus size. Width via [[hexCharsFor]]. */
+  def hexPrefixBucket(hexKey: Column, chars: Int = 2): Column =
+    conv(substring(hexKey, 1, chars), 16, 10).cast("int")
 
   /** Contiguous bucket for an arbitrary orderable sort value (ascending):
     * boundaries = nBuckets-1 approx percentiles of the double-cast value
@@ -113,8 +131,12 @@ object Ranking {
   def withValueBucket(df: DataFrame, sortAsc: Column, bkt: String,
       nBuckets: Int): DataFrame = {
     val qs = (1 until nBuckets).map(i => lit(i.toDouble / nBuckets))
+    // sketch accuracy must out-resolve the boundary grid once a derived
+    // nBuckets exceeds the 10000 default (GK cannot place 65k
+    // boundaries at 1/10000 rank resolution); balance-only either way
+    val acc = math.max(10000, 4 * nBuckets)
     val bounds = df.agg(
-      percentile_approx(sortAsc.cast("double"), array(qs: _*), lit(10000))
+      percentile_approx(sortAsc.cast("double"), array(qs: _*), lit(acc))
         .as("__bounds"))
     df.crossJoin(broadcast(bounds))
       .withColumn(bkt, coalesce(graft.functions.VectorExprs

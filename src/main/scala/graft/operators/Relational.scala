@@ -252,7 +252,9 @@ object Relational {
         col("x").getField("v").as("v"))
     Ranking.groupedPercentiles(rows, Seq("l_returnflag"), Map(
         "qty" -> Seq("median_qty" -> 0.5, "p95_qty" -> 0.95),
-        "price" -> Seq("median_price" -> 0.5)))
+        "price" -> Seq("median_price" -> 0.5)),
+      nBuckets = Ranking.bucketsFor(
+        2L * Tables.rowCount(s, dir, "lineitem"), 64))
       .groupBy(col("l_returnflag"))
       .agg(
         round(min(when(col("name") === "median_qty", col("pv"))), 6)
@@ -418,9 +420,10 @@ object Relational {
       .groupBy(col("o_custkey"))
       .agg(sum(dec2(col("o_totalprice"))).as("revenue_dec"))
     val total = perCust.agg(sum(col("revenue_dec")).as("total_dec"))
+    val nb = Ranking.bucketsFor(Tables.rowCount(s, dir, "customer"), 64)
     val bucketed = Ranking.withValueBucket(perCust,
-      negate(col("revenue_dec")), "__bkt", 64)
-    Ranking.bucketedRowNumber(bucketed, Nil, "__bkt", 64,
+      negate(col("revenue_dec")), "__bkt", nb)
+    Ranking.bucketedRowNumber(bucketed, Nil, "__bkt", nb,
         Seq(col("revenue_dec").desc, col("o_custkey")), "__rn",
         totalName = Some("__n"))
       .withColumn("decile",

@@ -33,14 +33,16 @@ object Sampling {
     * `Window.partitionBy(lang)` would put each whole language on ONE
     * task — and one language dominates any real corpus — so the
     * per-stratum rank is computed with two-pass bucket ranking instead:
-    * 256 hash-prefix sub-buckets per language, counts → offsets →
+    * row-count-derived hash-prefix sub-buckets per language
+    * (Ranking.hexCharsFor), counts → offsets →
     * within-(lang,bucket) row_number. The dominant language spreads
-    * over 256 tasks; n_lang falls out of the same count pass. */
+    * across the buckets; n_lang falls out of the same count pass. */
   def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val hc = Ranking.hexCharsFor(Tables.rowCount(s, dir, "documents"))
     val base = Tables.documents(s, dir)
       .withColumn("__hk", md5(col("text")))
-      .withColumn("__bkt", Ranking.hexPrefixBucket(col("__hk")))
-    Ranking.bucketedRowNumber(base, Seq("lang"), "__bkt", 256,
+      .withColumn("__bkt", Ranking.hexPrefixBucket(col("__hk"), hc))
+    Ranking.bucketedRowNumber(base, Seq("lang"), "__bkt", 1 << (4 * hc),
         Seq(col("__hk"), col("doc_id")), "rn", totalName = Some("n_lang"))
       .filter(col("rn") <= ceil(col("n_lang") / 10))
       .select(col("lang"), col("doc_id"), col("rn").cast("int").as("rn"))
@@ -52,15 +54,17 @@ object Sampling {
     * content-hash order (md5 over the id, the weightedSample
     * discipline — reruns and engine swaps keep the same set). The
     * per-label rank rides the same two-pass bucket ranking as
-    * stratifiedSample (256 hash-prefix sub-buckets per label — a
-    * dominant class spreads over 256 tasks, never one); the global
+    * stratifiedSample (derived hash-prefix sub-buckets per label — a
+    * dominant class spreads across the buckets, never one task); the global
     * min-count is a one-row broadcast. */
   def classBalance(s: SparkSession, dir: String): DataFrame = {
+    val hc = Ranking.hexCharsFor(Tables.rowCount(s, dir, "embeddings"))
     val base = Tables.embeddings(s, dir)
       .withColumn("__hk",
         md5(concat(lit("balance:"), col("vec_id").cast("string"))))
-      .withColumn("__bkt", Ranking.hexPrefixBucket(col("__hk")))
-    val ranked = Ranking.bucketedRowNumber(base, Seq("label"), "__bkt", 256,
+      .withColumn("__bkt", Ranking.hexPrefixBucket(col("__hk"), hc))
+    val ranked = Ranking.bucketedRowNumber(base, Seq("label"), "__bkt",
+      1 << (4 * hc),
       Seq(col("__hk"), col("vec_id")), "rn", totalName = Some("n_label"))
     val minCount = Tables.embeddings(s, dir)
       .groupBy(col("label")).agg(count(lit(1)).as("n"))
@@ -94,16 +98,17 @@ object Sampling {
     * draw (doc_id tie-break). Rerunning, re-partitioning, or switching
     * engines yields the identical epoch order — what rand()-based
     * shuffles can never guarantee. The global position is two-pass
-    * bucket ranking on the hash key's 256 hex-prefix buckets (uniform
+    * bucket ranking on the hash key's derived hex-prefix buckets (uniform
     * by construction), never a single-task global window: one cheap
     * count pass + one bucket-partitioned row_number. */
   def shuffleOrder(s: SparkSession, dir: String): DataFrame = {
     val key = md5(concat(lit("shuffle:"), col("doc_id").cast("string"),
       lit(":"), col("text")))
+    val hc = Ranking.hexCharsFor(Tables.rowCount(s, dir, "documents"))
     val base = Tables.documents(s, dir)
       .withColumn("shuffle_key", key)
-      .withColumn("__bkt", Ranking.hexPrefixBucket(col("shuffle_key")))
-    Ranking.bucketedRowNumber(base, Nil, "__bkt", 256,
+      .withColumn("__bkt", Ranking.hexPrefixBucket(col("shuffle_key"), hc))
+    Ranking.bucketedRowNumber(base, Nil, "__bkt", 1 << (4 * hc),
         Seq(col("shuffle_key"), col("doc_id")), "shuffle_pos")
       .select(col("doc_id"), col("shuffle_key"), col("shuffle_pos"))
   }
@@ -120,16 +125,19 @@ object Sampling {
     * per-source leg, approx-percentile value buckets for the global
     * leg) — no single-task window at any corpus size. */
   def interleave(s: SparkSession, dir: String): DataFrame = {
+    val nDocs = Tables.rowCount(s, dir, "documents")
+    val hc = Ranking.hexCharsFor(nDocs)
+    val vb = Ranking.bucketsFor(nDocs, 256)
     val base = Tables.documents(s, dir)
       .withColumn("weight", lit(1) + length(col("source")) % 3)
       .withColumn("__hk", md5(col("text")))
-      .withColumn("__bkt", Ranking.hexPrefixBucket(col("__hk")))
+      .withColumn("__bkt", Ranking.hexPrefixBucket(col("__hk"), hc))
     val ranked = Ranking.bucketedRowNumber(base, Seq("source"), "__bkt",
-        256, Seq(col("__hk"), col("doc_id")), "src_rank")
+        1 << (4 * hc), Seq(col("__hk"), col("doc_id")), "src_rank")
       .withColumn("vt",
         col("src_rank").cast("double") / col("weight").cast("double"))
-    val bucketed = Ranking.withValueBucket(ranked, col("vt"), "__vbkt", 256)
-    Ranking.bucketedRowNumber(bucketed, Nil, "__vbkt", 256,
+    val bucketed = Ranking.withValueBucket(ranked, col("vt"), "__vbkt", vb)
+    Ranking.bucketedRowNumber(bucketed, Nil, "__vbkt", vb,
         Seq(col("vt"), col("source"), col("doc_id")), "pos")
       .select(col("doc_id"), col("source"), col("weight"),
         col("src_rank"), round(col("vt"), 6).as("vt"), col("pos"))

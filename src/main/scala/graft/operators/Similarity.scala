@@ -478,14 +478,21 @@ object Similarity {
         .agg(min_by(col("cluster"), struct(col("dist"), col("cluster")))
             .as("cluster"),
           first(col("sv")).as("sv"))
+      // per-(sub, cluster, dim) means via round → exact DECIMAL →
+      // associative SUM (the dimStats discipline): order-independent
+      // and map-side combinable, so no task ever materializes a
+      // cluster's member list. That matters HERE and not in
+      // trainKmeans: k is fixed at 16 codes per subspace, so cluster
+      // width grows linearly with the corpus — an ordered fold would
+      // hold n/16 values in one task's list — while the coarse
+      // quantizer's derived k pins its cells at ~256 vectors.
+      import org.apache.spark.sql.types.DecimalType
       val means = assign
-        .select(col("sub"), col("cluster"), col("vec_id"),
+        .select(col("sub"), col("cluster"),
           posexplode(col("sv")).as(Seq("i", "x")))
         .groupBy(col("sub"), col("cluster"), col("i"))
-        .agg(collect_list(struct(col("vec_id"), col("x"))).as("xs"))
-        .select(col("sub"), col("cluster"), col("i"),
-          (aggregate(array_sort(col("xs")), lit(0.0),
-            (acc, e) => acc + e.getField("x")) / size(col("xs"))).as("c"))
+        .agg((sum(round(col("x"), 9).cast(DecimalType(28, 9)))
+            .cast("double") / count(lit(1)).cast("double")).as("c"))
         .groupBy(col("sub"), col("cluster"))
         .agg(collect_list(struct(col("i"), col("c"))).as("cs"))
         .select(col("sub"), col("cluster"),

@@ -367,7 +367,7 @@ object Text {
     * Scale shape: chunk sizes derive arithmetically from per-doc token
     * counts (window 32 / stride 24, same grid as `txt_chunk` — no chunk
     * text is materialized); the global running total over the hash order
-    * is `Ranking.bucketedPrefixSum` on 256 hex-prefix buckets — counts →
+    * is `Ranking.bucketedPrefixSum` on derived hex-prefix buckets — counts →
     * offsets → bucket-partitioned window, never a single-task global
     * cumsum. Budget is a power of two so sequence ids are exact bit
     * shifts, not float division. */
@@ -375,6 +375,10 @@ object Text {
     val window = 32
     val stride = 24
     val budget = 256 // tokens per training sequence; 2^8 → shiftright(8)
+    // chunk rows ≈ ceil(n_toks/stride) per doc — a small multiple of
+    // the doc count; 4× headroom folds it into the derived prefix width
+    val hc = Ranking.hexCharsFor(
+      4L * graft.Tables.rowCount(s, dir, "documents"))
     val chunks = Tables.documents(s, dir)
       .select(col("doc_id"), size(tokens(col("text"))).as("n_toks"))
       .filter(col("n_toks") >= 1)
@@ -388,8 +392,8 @@ object Text {
       .withColumn("hk", md5(concat(lit("pack:"),
         col("doc_id").cast("string"), lit(":"),
         col("chunk_idx").cast("string"))))
-      .withColumn("__bkt", Ranking.hexPrefixBucket(col("hk")))
-    val cum = Ranking.bucketedPrefixSum(chunks, "__bkt", 256,
+      .withColumn("__bkt", Ranking.hexPrefixBucket(col("hk"), hc))
+    val cum = Ranking.bucketedPrefixSum(chunks, "__bkt", 1 << (4 * hc),
       Seq(col("hk"), col("doc_id"), col("chunk_idx")), col("t"), "cb")
     cum
       .withColumn("seq_first", shiftright(col("cb"), 8))
@@ -442,10 +446,12 @@ object Text {
       .join(Tables.documents(s, dir).select(col("doc_id"), col("lang")),
         "doc_id")
       .localCheckpoint()
+    val nb = Ranking.bucketsFor(
+      graft.Tables.rowCount(s, dir, "documents"), 64)
     val bucketed = Ranking.withValueBucket(scored,
-      -col("mean_logprob"), "__bkt", 64)
+      -col("mean_logprob"), "__bkt", nb)
     val tile = Ranking.ntileFromRank(col("rn"), col("n_lang"), 3)
-    Ranking.bucketedRowNumber(bucketed, Seq("lang"), "__bkt", 64,
+    Ranking.bucketedRowNumber(bucketed, Seq("lang"), "__bkt", nb,
         Seq(col("mean_logprob").desc, col("doc_id")), "rn",
         totalName = Some("n_lang"))
       .select(col("doc_id"), col("lang"), col("mean_logprob"),
@@ -656,10 +662,14 @@ object Text {
     val counts = DocArtifacts.toks(s, dir)
       .select(explode(col("toks")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    // vocab grows sublinearly in docs, so the doc count over-provisions
+    // the bucket domain — harmless (empty buckets cost nothing)
+    val nb = graft.operators.Ranking.bucketsFor(
+      graft.Tables.rowCount(s, dir, "documents"), 32)
     val bucketed = graft.operators.Ranking.withValueBucket(
-      counts, -col("n"), "bkt", 32)
+      counts, -col("n"), "bkt", nb)
     val ranked = graft.operators.Ranking.bucketedRowNumber(
-      bucketed, Nil, "bkt", 32, Seq(col("n").desc, col("tok")), "rk")
+      bucketed, Nil, "bkt", nb, Seq(col("n").desc, col("tok")), "rk")
     val tot = counts.agg(sum(col("n")).as("total_tokens"))
     ranked.crossJoin(broadcast(tot))
       .select(explode(array(ks.map(lit): _*)).as("k"),

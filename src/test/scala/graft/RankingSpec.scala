@@ -120,6 +120,25 @@ class RankingSpec extends SparkSpec {
     }
   }
 
+  test("derived bucket counts: floor at small n, linear region, cap") {
+    // floor keeps small-sf plans identical to the legacy fixed counts
+    assert(Ranking.bucketsFor(0L, 256) == 256)
+    assert(Ranking.bucketsFor(50000L, 64) == 64)
+    assert(Ranking.bucketsFor(256L * 262144L, 256) == 256)
+    // linear region: ~256k expected rows per bucket
+    assert(Ranking.bucketsFor(1000L * 262144L, 256) == 1000)
+    // cap bounds the broadcast aux table
+    assert(Ranking.bucketsFor(Long.MaxValue / 4, 256) == 65536)
+    // hex width covers bucketsFor's count at the same n
+    for (n <- Seq(0L, 50000L, 66L * 1000 * 1000, 2L * 1000 * 1000 * 1000,
+        Long.MaxValue / 4)) {
+      val chars = Ranking.hexCharsFor(n)
+      assert((1 << (4 * chars)) >= Ranking.bucketsFor(n, 2),
+        s"hex domain too small at n=$n")
+      assert(chars >= 2 && chars <= 4)
+    }
+  }
+
   test("empty input and null sort values behave") {
     val empty = Seq.empty[(Int, Long)].toDF("v", "id")
     assert(Ranking.bucketedRowNumber(
