@@ -155,8 +155,11 @@ object Bench {
       case (k, v) if v >= 0 && prior.get(k).exists(_ >= 0.2) =>
         v / prior(k) }.sorted
     if (inflations.size >= 8)
-      Some(inflations(math.min(inflations.size - 1,
-        (inflations.size * 95) / 100)))
+      // nearest-rank p95: ceil(0.95·n) as a 1-based rank, −1 to index —
+      // (n·95)/100 unadjusted over-shoots to the (p95+1)th value for
+      // most n (n=100 → the 96th), skewing the telemetry to the worst
+      // outlier rather than the percentile it names
+      Some(inflations(math.max(0, (inflations.size * 95 + 99) / 100 - 1)))
     else None
   }
 
@@ -168,9 +171,14 @@ object Bench {
     * within ±30% of the prior round's — the machine was fine for that
     * op's data, so the Spark-side blowup is a stall (or a real
     * regression; either way the run must name it, not ship silently).
-    * When either duck number is missing the duck-stability condition is
-    * vacuously true: better a named false positive than an invisible
-    * stall. Any offender ⇒ contaminated, offenders listed. */
+    * Ops with millisecond-scale DuckDB denominators get an ABSOLUTE
+    * escape (|cd − pd| < 0.05s counts as stable): ordinary timing noise
+    * on a 0.02s duck run exceeds 30%, and without the escape that noise
+    * would silently disarm the gate for exactly the ops it was built
+    * for (the r10 exhibit's duck time was 0.0164s). When either duck
+    * number is missing the duck-stability condition is vacuously true:
+    * better a named false positive than an invisible stall. Any
+    * offender ⇒ contaminated, offenders listed. */
   private[graft] def tailOffenders(current: Seq[(String, Double)],
       priorSpark: Map[String, Double], curDuck: Map[String, Double],
       priorDuck: Map[String, Double]): Seq[String] =
@@ -178,7 +186,8 @@ object Bench {
       case (k, v) if v >= 0 &&
           priorSpark.get(k).exists(p => p >= 0.5 && v > 4.0 * p) &&
           (for (pd <- priorDuck.get(k); cd <- curDuck.get(k))
-            yield cd >= 0.7 * pd && cd <= 1.3 * pd).getOrElse(true) =>
+            yield (cd >= 0.7 * pd && cd <= 1.3 * pd) ||
+              math.abs(cd - pd) < 0.05).getOrElse(true) =>
         k
     }
 

@@ -315,11 +315,10 @@ object Corpus {
     // regex-tokenize the corpus twice — this op is exactly the
     // multi-pass case the shared DocArtifacts toks landing exists for
     // (the one-pass ops inline instead; see txt_unigram_logprob).
-    // `source` rides a broadcast 2-column documents projection.
+    // `source` is landed WITH the toks (one row per doc — a
+    // data-sized broadcast of it would be a driver-memory hazard at
+    // corpus scale, against the bounded-state rule).
     val exploded = DocArtifacts.toks(s, dir)
-      .join(broadcast(
-        Tables.documents(s, dir).select(col("doc_id"), col("source"))),
-        "doc_id")
       .select(col("doc_id"), col("source"), explode(col("toks")).as("tok"))
     val corpusCounts = exploded.groupBy(col("tok"))
       .agg(count(lit(1)).as("n_c"),

@@ -10,7 +10,7 @@ import graft.functions.TextFns._
   * discipline): ONE tokenize pass over the corpus lands the four tables
   * every token/shingle consumer re-derived for itself before r10 —
   *
-  *   - `toks`  (doc_id, toks):               the whitespace token array
+  *   - `toks`  (doc_id, source, toks):       the whitespace token array
   *   - `stats` (doc_id, source, n_chars, n_tokens, q_hits, h,
   *              q_sort, q_bucket):           per-doc scalars (token
   *              count, stopword hits, md5) plus the corpus quality-rank
@@ -97,7 +97,13 @@ object DocArtifacts {
         import scala.concurrent.{Await, Future}
         import scala.concurrent.ExecutionContext.Implicits.global
         val writes = Seq(
-          Future(base.select(col("doc_id"), col("toks"))
+          // `source` rides along (columnar: readers that don't select
+          // it never touch the pages) so token-level consumers that
+          // group by source (corpus_dsir_weights) need no join back to
+          // the documents table — the alternative was a data-sized
+          // broadcast of a (doc_id, source) projection, a driver-memory
+          // hazard at corpus scale
+          Future(base.select(col("doc_id"), col("source"), col("toks"))
             .write.mode("overwrite").parquet(toksDir(dir))),
           // the stats landing ALSO carries the per-source quality-order
           // cumulative token mass (`cum_excl`, exclusive) and the
@@ -130,7 +136,7 @@ object DocArtifacts {
       }
   }
 
-  /** Landed (doc_id, toks) token arrays. */
+  /** Landed (doc_id, source, toks) token arrays. */
   private[graft] def toks(s: SparkSession, dir: String): DataFrame = {
     ensureLanded(s, dir)
     s.read.parquet(toksDir(dir))

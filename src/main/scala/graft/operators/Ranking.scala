@@ -121,13 +121,20 @@ object Ranking {
     conv(substring(hexKey, 1, chars), 16, 10).cast("int")
 
   /** Contiguous bucket for an arbitrary orderable sort value (ascending):
-    * boundaries = nBuckets-1 approx percentiles of the double-cast value
-    * computed once and broadcast; bucket = count of boundaries ≤ value.
-    * decimal→double is monotone and equal values share a bucket, so
-    * contiguity w.r.t. the true (exact) order holds even where the double
-    * cast collapses ties — the within-bucket sort still uses the exact
-    * columns. NULL sort values compare null → bucket 0, matching the
-    * NULLS FIRST default of an ascending sort. */
+    * boundaries = nBuckets-1 approx percentiles of the double-cast value,
+    * collected to the driver ONCE and re-embedded as a literal array;
+    * bucket = count of boundaries ≤ value. Pinning the boundaries to one
+    * driver-side evaluation (≤65535 doubles — ~512 KB at the bucket cap)
+    * matters for correctness, not just cost: the two-pass consumers
+    * (`bucketedRowNumber`/`bucketedPrefixSum`) re-evaluate the bucketed
+    * plan per pass, and a re-planned percentile_approx could merge its
+    * sketch in a different order — the bucket function must be
+    * IDENTICAL across passes or offsets misalign. decimal→double is
+    * monotone and equal values share a bucket, so contiguity w.r.t. the
+    * true (exact) order holds even where the double cast collapses ties
+    * — the within-bucket sort still uses the exact columns. NULL sort
+    * values compare null → bucket 0, matching the NULLS FIRST default
+    * of an ascending sort. */
   def withValueBucket(df: DataFrame, sortAsc: Column, bkt: String,
       nBuckets: Int): DataFrame = {
     val qs = (1 until nBuckets).map(i => lit(i.toDouble / nBuckets))
@@ -135,13 +142,13 @@ object Ranking {
     // nBuckets exceeds the 10000 default (GK cannot place 65k
     // boundaries at 1/10000 rank resolution); balance-only either way
     val acc = math.max(10000, 4 * nBuckets)
-    val bounds = df.agg(
+    val head = df.agg(
       percentile_approx(sortAsc.cast("double"), array(qs: _*), lit(acc))
-        .as("__bounds"))
-    df.crossJoin(broadcast(bounds))
-      .withColumn(bkt, coalesce(graft.functions.VectorExprs
-        .sortedUpperBound(sortAsc.cast("double"), col("__bounds")), lit(0)))
-      .drop("__bounds")
+        .as("__bounds")).collect().headOption
+    val arr: Seq[Double] = head.filter(!_.isNullAt(0))
+      .map(_.getSeq[Double](0)).getOrElse(Seq.empty)
+    df.withColumn(bkt, coalesce(graft.functions.VectorExprs
+      .sortedUpperBound(sortAsc.cast("double"), typedLit(arr)), lit(0)))
   }
 
   /** EXACT per-group continuous percentiles as a histogram-refinement
@@ -162,8 +169,9 @@ object Ranking {
     *     holds whatever the boundaries are);
     *  2. EXACT per-(group, measure, bucket) row counts — a map-side
     *     combinable agg with a configuration-bounded result
-    *     (|g|·|m|·nBuckets rows, persisted: three bounded derivations
-    *     ride it). Exclusive prefix sums over that table pin the exact
+    *     (|g|·|m|·nBuckets rows, persisted only while the bounded
+    *     rank-probe table derives from it, then unpersisted in-line).
+    *     Exclusive prefix sums over that table pin the exact
     *     rank interval (__off, __off+__c] each bucket covers, so the
     *     two ranks around position p·(n−1) resolve to (bucket,
     *     residual-rank) pairs with no data-sized work;
@@ -189,23 +197,38 @@ object Ranking {
     val rows = df.select(gmCols :+ col("v").cast("double").as("__v"): _*)
     // pass 1: per-measure approximate boundaries from a 5% SAMPLE —
     // boundaries only shape balance, never exactness, so sampled
-    // quantiles are plenty (a measure the sample misses entirely falls
-    // back to one bucket via the left join, still exact). Bucket =
-    // count of boundaries ≤ v (monotone in v and a pure function of v,
-    // so ties never straddle a boundary), via the codegen'd binary
-    // search instead of an interpreted 63-lambda fold per row.
+    // quantiles are plenty (a measure the sample misses entirely gets
+    // no when-branch and falls back to one bucket, still exact).
+    // COLLECTED to the driver and re-embedded as literal arrays: the
+    // bucket function is evaluated again in pass 2 (hist) and pass 3
+    // (refinement), and a seeded sample is only deterministic under
+    // identical input partitioning — a caller downstream of an
+    // AQE-coalesced shuffle could otherwise get DIFFERENT boundaries
+    // per pass, silently misaligning __off with pass-3 buckets. The
+    // collected state is |measures|·(nBuckets−1) doubles — bounded by
+    // configuration, never by data. Bucket = count of boundaries ≤ v
+    // (monotone in v and a pure function of v, so ties never straddle
+    // a boundary), via the codegen'd binary search instead of an
+    // interpreted 63-lambda fold per row.
     val qs = (1 until nBuckets).map(i => lit(i.toDouble / nBuckets))
-    val bounds = rows.sample(0.05, 7L).groupBy(col("m"))
+    val bmap: Seq[(String, Seq[Double])] = rows.sample(0.05, 7L)
+      .groupBy(col("m"))
       .agg(percentile_approx(col("__v"), array(qs: _*), lit(1000))
-        .as("__bounds"))
-    def bucketed(r: DataFrame): DataFrame =
-      r.join(broadcast(bounds), Seq("m"), "left")
-        .withColumn("__bkt", coalesce(graft.functions.VectorExprs
-          .sortedUpperBound(col("__v"), col("__bounds")), lit(0)))
-        .drop("__bounds")
-    // pass 2: exact bounded histogram, persisted — the broadcast builds
-    // of `needs` and `tgtBuckets` and nothing else re-derive from it
-    // (Caches.release frees it after the result materializes)
+        .as("__bounds")).collect().toSeq
+      .filter(!_.isNullAt(1))
+      .map(r => r.getString(0) -> r.getSeq[Double](1))
+    def bucketed(r: DataFrame): DataFrame = {
+      val boundsCol = bmap.foldLeft(lit(null).cast("array<double>")) {
+        case (acc, (m, arr)) =>
+          when(col("m") === lit(m), typedLit(arr)).otherwise(acc)
+      }
+      r.withColumn("__bkt", coalesce(graft.functions.VectorExprs
+        .sortedUpperBound(col("__v"), boundsCol), lit(0)))
+    }
+    // pass 2: exact bounded histogram, persisted for the two bounded
+    // derivations below (`tgt` and `needs` both read `cum`) and
+    // unpersisted as soon as `needs` is materialized — no reliance on
+    // the caller running Caches.release
     val hist = bucketed(rows).groupBy(gmCols :+ col("__bkt"): _*)
       .agg(count(lit(1)).as("__c")).persist()
     val wOff = Window.partitionBy(gmCols: _*).orderBy(col("__bkt"))
@@ -240,6 +263,15 @@ object Ranking {
         col("__r") <= col("__off") + col("__c"))
       .select(gmCols ++ Seq(col("name"), col("__pos"), col("__lo"),
         col("__hi"), col("__r"), col("__bkt"), col("__off")): _*)
+    // `needs` is BOUNDED (≤ 2 rows per (group, measure, percentile) —
+    // the same bound its broadcast already assumed), so materialize it
+    // once on the driver: hist can be unpersisted right here instead
+    // of leaking until a Caches.release, and pass 3 rides a literal
+    // table with no recompute of the histogram lineage.
+    val needsRows = needs.collect()
+    hist.unpersist()
+    val needsLit = broadcast(df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(needsRows: _*), needs.schema))
     // pass 3: shuffle ONLY the target buckets, collapsed to per-value
     // counts map-side; rank within the bucket via an exclusive prefix
     // sum partitioned by bucket, then probe residual rank __r − __off.
@@ -247,14 +279,14 @@ object Ranking {
     // filter — and its broadcast exchange (same join keys) is shared
     // with the rank-probe join below instead of building twice.
     val ref = bucketed(rows)
-      .join(broadcast(needs), gm :+ "__bkt", "left_semi")
+      .join(needsLit, gm :+ "__bkt", "left_semi")
       .groupBy(gmCols ++ Seq(col("__bkt"), col("__v")): _*)
       .agg(count(lit(1)).as("__rc"))
     val localW = Window.partitionBy(gmCols :+ col("__bkt"): _*)
       .orderBy(col("__v").asc).rowsBetween(Window.unboundedPreceding, -1)
     val ranked = ref.withColumn("__lcum",
       coalesce(sum(col("__rc")).over(localW), lit(0L)))
-    ranked.join(broadcast(needs), gm :+ "__bkt")
+    ranked.join(needsLit, gm :+ "__bkt")
       .filter(col("__r") - col("__off") > col("__lcum") &&
         col("__r") - col("__off") <= col("__lcum") + col("__rc"))
       .groupBy(gCols ++ Seq(col("name"), col("__pos"), col("__lo"),

@@ -44,10 +44,13 @@ class BenchGateSpec extends AnyFunSuite {
       ("etl_compact" -> 0.0164)
     val r10Run = (1 to 19).map(i => s"op$i" -> 0.63) :+
       ("etl_compact" -> 48.645)
-    // the median gate alone stays blind (this is the r10 failure)...
+    // the median gate alone stays blind (this is the r10 failure), and
+    // a nearest-rank p95 over 20 ops is too — 1 outlier in 20 sits
+    // BEYOND the 95th percentile (this is why the telemetry alone was
+    // never the gate)...
     assert(Bench.medianOpInflation(r10Run, priorSpark).exists(_ <= 1.5))
-    // ...the p95 telemetry and the tail gate are not
-    assert(Bench.p95OpInflation(r10Run, priorSpark).exists(_ > 4.0))
+    assert(Bench.p95OpInflation(r10Run, priorSpark).exists(_ <= 1.5))
+    // ...the tail gate is what names the stall
     assert(Bench.tailOffenders(r10Run, priorSpark, curDuck, priorDuck)
       == Seq("etl_compact"))
     // a clean rerun names nobody
@@ -72,6 +75,39 @@ class BenchGateSpec extends AnyFunSuite {
     // missing duck numbers: condition is vacuously true — still flagged
     assert(Bench.tailOffenders(Seq("a" -> 15.0), priorSpark,
       Map.empty, Map.empty) == Seq("a"))
+  }
+
+  test("millisecond duck noise cannot disarm the tail gate: the " +
+      "absolute-delta escape treats |cd - pd| < 0.05s as stable") {
+    // the r10 exhibit's own duck time was 0.0164s — at that scale
+    // ordinary timing noise exceeds ±30%, so without the absolute
+    // escape a real Spark-side stall would again ship
+    // contaminated:false because its duck jitter 'destabilized' it
+    val priorSpark = Map("stall_op" -> 3.87)
+    val priorDuck = Map("stall_op" -> 0.0164)
+    // duck jitters 0.0164 -> 0.030: ratio 1.83 (outside ±30%) but the
+    // machine is fine — the 45s Spark time must still be named
+    assert(Bench.tailOffenders(Seq("stall_op" -> 45.0), priorSpark,
+      Map("stall_op" -> 0.030), priorDuck) == Seq("stall_op"))
+    // a real whole-machine blowup (duck 0.5 -> 1.5, delta 1.0s) still
+    // defers to the whole-machine gates
+    assert(Bench.tailOffenders(Seq("stall_op" -> 45.0), priorSpark,
+      Map("stall_op" -> 1.5), Map("stall_op" -> 0.5)).isEmpty)
+  }
+
+  test("p95 is nearest-rank: 100 inflations -> the 95th value, " +
+      "not the 96th") {
+    // 95 ops at 1.0x, 5 ops at 9.0x: nearest-rank p95 of n=100 is the
+    // 95th sorted value = 1.0; the old (n*95)/100 index read the 96th
+    // (= 9.0), reporting the outlier band instead of the percentile
+    val priorSpark = (1 to 100).map(i => s"op$i" -> 1.0).toMap
+    val run = (1 to 95).map(i => s"op$i" -> 1.0) ++
+      (96 to 100).map(i => s"op$i" -> 9.0)
+    assert(Bench.p95OpInflation(run, priorSpark).contains(1.0))
+    // at the size floor (n=8) nearest-rank p95 is the max
+    val p8 = (1 to 8).map(i => s"op$i" -> 1.0).toMap
+    val r8 = (1 to 7).map(i => s"op$i" -> 1.0) :+ ("op8" -> 6.0)
+    assert(Bench.p95OpInflation(r8, p8).contains(6.0))
   }
 
   test("sub-constant priors and failed ops are excluded; narrow runs " +

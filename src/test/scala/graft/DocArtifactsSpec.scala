@@ -15,13 +15,16 @@ class DocArtifactsSpec extends SparkSpec {
     DocArtifacts.clearMemo()
     val docs = Tables.documents(spark, sfTiny)
 
-    // toks
+    // toks (carries source so token-level consumers never join back
+    // to documents — corpus_dsir_weights)
     val gotToks = DocArtifacts.toks(spark, sfTiny)
+      .select(col("doc_id"), col("source"), col("toks"))
       .orderBy(col("doc_id")).collect()
-      .map(r => r.getLong(0) -> r.getSeq[String](1))
-    val wantToks = docs.select(col("doc_id"), tokens(col("text")))
+      .map(r => (r.getLong(0), r.getString(1), r.getSeq[String](2)))
+    val wantToks = docs
+      .select(col("doc_id"), col("source"), tokens(col("text")))
       .orderBy(col("doc_id")).collect()
-      .map(r => r.getLong(0) -> r.getSeq[String](1))
+      .map(r => (r.getLong(0), r.getString(1), r.getSeq[String](2)))
     assert(gotToks.toSeq == wantToks.toSeq)
 
     // stats scalars

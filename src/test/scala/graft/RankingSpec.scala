@@ -69,6 +69,35 @@ class RankingSpec extends SparkSpec {
     assert(got("p99r") == agg("rare")._2)
   }
 
+  test("groupedPercentiles is exact on an input downstream of an " +
+      "AQE-coalesced shuffle (boundary pinning)") {
+    // the latent r11 hazard: a seeded sample is only deterministic for
+    // identical input partitioning, and the bucket function is
+    // re-evaluated in pass 2 and pass 3 — so a shuffle-rooted input
+    // whose partitioning AQE may re-plan between passes could get
+    // DIFFERENT boundaries per pass unless they are pinned to one
+    // driver-side evaluation. The input here sits on a groupBy shuffle
+    // (AQE coalesces its 32 partitions) rather than a scan.
+    val df = rows.toDF("g", "v", "id")
+      .groupBy(col("g"), col("id")).agg(max(col("v")).as("v0"))
+      .select(col("g"), lit("m0").as("m"), col("v0").cast("double").as("v"))
+    val got = Ranking.groupedPercentiles(df, Seq("g"), Map(
+        "m0" -> Seq("p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9)))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    val agg = df.groupBy(col("g"))
+      .agg(percentile(col("v"), lit(0.25)).as("p25"),
+        percentile(col("v"), lit(0.5)).as("p50"),
+        percentile(col("v"), lit(0.9)).as("p90"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    for (g <- Seq("big", "small")) {
+      assert(got((g, "p25")) == agg(g)._1)
+      assert(got((g, "p50")) == agg(g)._2)
+      assert(got((g, "p90")) == agg(g)._3)
+    }
+  }
+
   test("value-bucket global row_number equals the global window") {
     val df = rows.toDF("g", "v", "id")
     val got = Ranking.bucketedRowNumber(
