@@ -121,20 +121,27 @@ object Ranking {
     conv(substring(hexKey, 1, chars), 16, 10).cast("int")
 
   /** Contiguous bucket for an arbitrary orderable sort value (ascending):
-    * boundaries = nBuckets-1 approx percentiles of the double-cast value,
-    * collected to the driver ONCE and re-embedded as a literal array;
-    * bucket = count of boundaries ≤ value. Pinning the boundaries to one
-    * driver-side evaluation (≤65535 doubles — ~512 KB at the bucket cap)
-    * matters for correctness, not just cost: the two-pass consumers
-    * (`bucketedRowNumber`/`bucketedPrefixSum`) re-evaluate the bucketed
-    * plan per pass, and a re-planned percentile_approx could merge its
-    * sketch in a different order — the bucket function must be
-    * IDENTICAL across passes or offsets misalign. decimal→double is
-    * monotone and equal values share a bucket, so contiguity w.r.t. the
-    * true (exact) order holds even where the double cast collapses ties
-    * — the within-bucket sort still uses the exact columns. NULL sort
-    * values compare null → bucket 0, matching the NULLS FIRST default
-    * of an ascending sort. */
+    * boundaries = nBuckets-1 approx percentiles of the double-cast value
+    * computed once and broadcast; bucket = count of boundaries ≤ value.
+    * decimal→double is monotone and equal values share a bucket, so
+    * contiguity w.r.t. the true (exact) order holds even where the double
+    * cast collapses ties — the within-bucket sort still uses the exact
+    * columns. NULL sort values compare null → bucket 0, matching the
+    * NULLS FIRST default of an ascending sort.
+    *
+    * Boundary consistency: unlike `groupedPercentiles` (whose SAMPLED
+    * boundaries are pinned to one driver-side evaluation because its
+    * three passes run as SEPARATE actions), these boundaries stay a
+    * lazy broadcast. They are a full-data deterministic aggregate over
+    * a scan-rooted lineage, and every consumer
+    * (`bucketedRowNumber`/`bucketedPrefixSum`, the one-shot bucket
+    * queries) materializes the bucketed plan in ONE action, where the
+    * identical bounds exchange is built once and reused — there is no
+    * cross-action re-evaluation for a re-planned shuffle to skew, and
+    * the lazy form saves a per-call job (measured ~0.3-0.7s per op
+    * locally when this was briefly an eager collect). A future
+    * multi-action consumer must pin first (collect or localCheckpoint
+    * the bounds), as groupedPercentiles does. */
   def withValueBucket(df: DataFrame, sortAsc: Column, bkt: String,
       nBuckets: Int): DataFrame = {
     val qs = (1 until nBuckets).map(i => lit(i.toDouble / nBuckets))
@@ -142,13 +149,13 @@ object Ranking {
     // nBuckets exceeds the 10000 default (GK cannot place 65k
     // boundaries at 1/10000 rank resolution); balance-only either way
     val acc = math.max(10000, 4 * nBuckets)
-    val head = df.agg(
+    val bounds = df.agg(
       percentile_approx(sortAsc.cast("double"), array(qs: _*), lit(acc))
-        .as("__bounds")).collect().headOption
-    val arr: Seq[Double] = head.filter(!_.isNullAt(0))
-      .map(_.getSeq[Double](0)).getOrElse(Seq.empty)
-    df.withColumn(bkt, coalesce(graft.functions.VectorExprs
-      .sortedUpperBound(sortAsc.cast("double"), typedLit(arr)), lit(0)))
+        .as("__bounds"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn(bkt, coalesce(graft.functions.VectorExprs
+        .sortedUpperBound(sortAsc.cast("double"), col("__bounds")), lit(0)))
+      .drop("__bounds")
   }
 
   /** EXACT per-group continuous percentiles as a histogram-refinement
