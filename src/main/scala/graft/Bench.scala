@@ -222,6 +222,8 @@ object Bench {
         (() => operators.Dedup.ensureTuningLanded(spark, sfDir)),
       "landing_kmeans" ->
         (() => operators.Similarity.ensureKmeansLanded(spark, sfDir)),
+      "landing_moments" ->
+        (() => operators.Similarity.ensureMomentsLanded(spark, sfDir)),
       "landing_clean_manifest" ->
         (() => operators.Corpus.ensureCleanLanded(spark, sfDir)))
     // (skippable for single-op local iteration loops)

@@ -34,6 +34,7 @@ object ProfileComposites {
     operators.DocArtifacts.ensureLanded(spark, dir)
     operators.Dedup.ensureTuningLanded(spark, dir)
     operators.Similarity.ensureKmeansLanded(spark, dir)
+    operators.Similarity.ensureMomentsLanded(spark, dir)
     ops.foreach { name => // warm-up pass
       SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
