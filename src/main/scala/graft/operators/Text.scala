@@ -221,12 +221,16 @@ object Text {
       transform(sequence(lit(1), size(w) - 1),
         i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
       .otherwise(array().cast("array<string>"))
-    // materialize-once (the ccnet discipline): `exploded` feeds BOTH the
-    // bigram-count aggregate and the per-doc join-back — without the
-    // checkpoint the corpus-sized tokenize + explode runs twice
+    // `exploded` feeds BOTH the bigram-count aggregate and the per-doc
+    // join-back. It is NOT checkpointed: since the toks landed (r10),
+    // re-deriving it is a columnar parquet read + concat_ws explode
+    // that pipelines into each consumer — measured cheaper at sf0.1
+    // AND sf1 than materializing ~n·len 16-byte strings to the block
+    // store and reading them back twice (the pre-landing ccnet
+    // discipline no longer applies once the expensive step — the
+    // tokenize — is already a landed artifact)
     val exploded = DocArtifacts.toks(s, dir)
       .select(col("doc_id"), explode(bigrams).as("bigram"))
-      .localCheckpoint()
     val b = exploded.groupBy(col("bigram")).agg(count(lit(1)).as("n"))
     val p = b.groupBy(split(col("bigram"), " ").getItem(0).as("w1"))
       .agg(sum(col("n")).as("np"))
