@@ -68,8 +68,13 @@ object PlansDump {
       "etl_cdc_merge" ->
         "CDC latest-wins: single map-side-combinable max(struct) argmax",
       "emb_covariance" ->
-        ("per-partition partial outer product (one integer-unit row per " +
-          "partition crosses the exchange — no n·d² row explode)"),
+        ("covariance read off the LANDED moment tables (the partial-" +
+          "outer-product fold runs ONCE in the shared landing); only " +
+          "d-row broadcast joins remain in the query plan"),
+      "q13_percentiles" ->
+        ("exact grouped percentiles: driver-pinned literal boundaries " +
+          "(no cross-pass sample re-evaluation), bounded histogram, " +
+          "target-buckets-only refinement shuffle"),
       "ev_attribution_multi" ->
         ("U-shaped credit split: position window satisfied by the " +
           "join's user_id clustering — no second shuffle"),
