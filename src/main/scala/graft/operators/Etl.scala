@@ -501,7 +501,11 @@ object Etl {
     * (column, value) pairs — linear, and the place to swap in
     * approx_count_distinct (q19's path) at extreme cardinalities. */
   def dqProfile(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
+    // 6 string projections per ROW (epoch-µs, 2dp decimal renders)
+    // behind a near-one-split scan — the heavy-per-row spread case;
+    // count/min/max/distinct are partitioning-invariant
+    val ev = Tables.spreadScan(s, s"$dir/events.parquet",
+      Tables.events(s, dir))
     val reps: Seq[(String, org.apache.spark.sql.Column)] = Seq(
       "event_id" -> col("event_id").cast("string"),
       "ts" -> unix_micros(col("ts")).cast("string"),
