@@ -84,4 +84,20 @@ class MomentsLandingSpec extends SparkSpec {
       assert(v > 0.0, s"degenerate variance at dim ${r.getAs[Int]("dim")}")
     }
   }
+
+  test("moments memo re-lands when the embeddings table is rewritten") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mom")
+    val dir = tmp.toString
+    def land(n: Int): Unit =
+      Tables.embeddings(spark, sfTiny).limit(n)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    land(10)
+    assert(Similarity.dimStats(spark, dir)
+      .select(max(col("n_vecs"))).collect()(0).getLong(0) == 10)
+    Thread.sleep(5) // mtime granularity guard
+    land(20)
+    assert(Similarity.dimStats(spark, dir)
+      .select(max(col("n_vecs"))).collect()(0).getLong(0) == 20,
+      "rewritten embeddings must re-land (fingerprint-keyed memo)")
+  }
 }
