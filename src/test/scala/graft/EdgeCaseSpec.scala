@@ -92,6 +92,22 @@ class EdgeCaseSpec extends SparkSpec {
     assert(operators.Corpus.clean(spark, dir).count() == 0)
   }
 
+  test("a ZERO-ROW embeddings table lands empty moment tables and the " +
+      "stats consumers return empty, not crash") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_edge0e")
+      .toString
+    Tables.embeddings(spark, edgeDir).limit(0)
+      .write.parquet(s"$dir/embeddings.parquet")
+    operators.Similarity.clearMomentsMemo()
+    // the fold sees only empty partitions → zero partial rows → the
+    // landed tables must still carry their schemas, and the d-row
+    // broadcast joins degenerate to empty results (pcaProject is NOT
+    // exercised: an eigensolve over an empty covariance is a caller
+    // error by contract — there is no d)
+    assert(operators.Similarity.dimStats(spark, dir).count() == 0)
+    assert(operators.Similarity.covariance(spark, dir).count() == 0)
+  }
+
   test("a ZERO-ROW events table: the sessionize sentinel probe " +
       "short-circuits to empty instead of an NPE") {
     // max(ts) over zero rows is NULL — the streaming sessionizer's
