@@ -621,7 +621,39 @@ object Dedup {
     * than any useful LSH cell). The production paths at corpus scale
     * are [[semantic]] (SemDeDup against the derived-k quantizer,
     * high-threshold, linear) and Similarity.lshTopk's bucketing. */
+  /** Enumerated-pair budget for the exact block-local baseline:
+    * 4096·n — a LINEAR budget, so the near-quadratic Σ w·(w−1)/2
+    * enumeration passes at the bundled SFs (sf1 enumerates ~20M of an
+    * 82M budget, 30× ~180M of 246M) but FAILS LOUDLY roughly one
+    * doubling past 30× instead of quietly dominating a large-scale
+    * sweep (r12 measured 4.9× wall per 3× data here — by design, but a
+    * baseline must not be runnable-by-accident at a scale where its
+    * own output is the cost). Callers past the budget narrow the
+    * blocks, raise the threshold, or move to the production paths
+    * ([[semantic]], Similarity.lshTopk). */
+  private[graft] def cosinePairBudget(n: Long): Long = 4096L * n
+
+  /** The guard check, factored for the spec: total enumerated pairs
+    * (Σ per-block w·(w−1)/2) against [[cosinePairBudget]]. */
+  private[graft] def checkCosinePairBudget(n: Long, enumPairs: Long): Unit =
+    require(enumPairs <= cosinePairBudget(n),
+      s"dedup_embedding_cosine would enumerate $enumPairs block-local " +
+        s"pairs against a ${cosinePairBudget(n)} budget (4096/vector): " +
+        "the exact baseline is past its design scale — narrow the block " +
+        "key, raise the threshold, or use dedup_semantic / ann_lsh_topk")
+
   def embeddingCosine(s: SparkSession, dir: String): DataFrame = {
+    // pair-budget guard (EAGER: one cheap label-column aggregate runs at
+    // construction — the documented exception to lazy-plan construction,
+    // same contract note as Ranking.groupedPercentiles): the enumerated
+    // pair count collapses to ONE driver row whatever the label
+    // cardinality, so the guard is bounded at any scale
+    val enumPairs = Tables.embeddings(s, dir)
+      .groupBy(col("label")).agg(count(lit(1)).as("w"))
+      .agg(coalesce(sum(col("w") * (col("w") - 1L) / lit(2L)), lit(0L))
+        .cast("long").as("p"))
+      .first().getLong(0)
+    checkCosinePairBudget(Tables.rowCount(s, dir, "embeddings"), enumPairs)
     val base = Tables.embeddings(s, dir)
       .select(col("label"), col("vec_id"),
         VectorFns.asDouble(col("embedding")).as("vd"))
@@ -673,8 +705,9 @@ object Dedup {
     * per dropped vector with its canonical keeper (the lowest such
     * partner), the max offending cosine and the partner count.
     *
-    * Scale shape: assignment is the IVF discipline — one corpus scan
-    * against the broadcast k-centroid table, map-side-partial min_by —
+    * Scale shape: assignment reads the landed kmeans_assign table (the
+    * one O(n·k) broadcast scan is paid in the landing, shared with the
+    * whole quantizer family) joined back to the vectors linearly —
     * and pair generation shuffles on the cluster key, so cost is
     * O(Σ cluster²). k comes from the landed quantizer, which derives it
     * from the corpus (Similarity.quantizerK: n/256, SemDeDup's n/k ≈
@@ -684,19 +717,15 @@ object Dedup {
     * parquet (`__SFDIR__` contract), so the whole decision is
     * hash-checked, not merely spec-checked. */
   def semantic(s: SparkSession, dir: String): DataFrame = {
-    Similarity.ensureKmeansLanded(s, dir) // lands the centroid table (memoized)
-    val cents = s.read.parquet(Similarity.kmeansCentDir(dir))
-      .withColumn("nc2", VectorFns.dotD(col("cv"), col("cv")))
+    Similarity.ensureKmeansLanded(s, dir) // lands centroids + assignment
+    // cluster per vector from the LANDED kmeans_assign table (one
+    // linear equi-join of two n-row tables) — the O(n·k) broadcast scan
+    // is paid once in the landing, and the landed min_by values are
+    // exactly what the oracle's brute-force re-derivation produces
     val assigned = Tables.embeddings(s, dir)
       .select(col("vec_id"), VectorFns.asDouble(col("embedding")).as("vd"))
-      .withColumn("nx2", VectorFns.dotD(col("vd"), col("vd")))
-      .crossJoin(broadcast(cents))
-      .withColumn("dist",
-        (col("nx2") + col("nc2")) - lit(2.0) * VectorFns.dotD(col("vd"), col("cv")))
-      .groupBy(col("vec_id"))
-      .agg(min_by(col("cluster"), struct(col("dist"), col("cluster")))
-          .as("cluster"),
-        first(col("vd")).as("vd"))
+      .join(s.read.parquet(Similarity.kmeansAssignDir(dir))
+        .select(col("vec_id"), col("cluster")), "vec_id")
       .withColumn("nrm", sqrt(VectorFns.dotD(col("vd"), col("vd"))))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val a = assigned.select(col("cluster"), col("vec_id").as("vec_a"),

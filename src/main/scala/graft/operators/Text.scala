@@ -211,35 +211,45 @@ object Text {
     * Scale shape: the bigram COUNT table is corpus-sized, so unlike
     * `unigramLogprob`'s vocabulary broadcast it is joined back to the
     * exploded stream with a shuffle equi-join on the bigram key —
-    * linear at any corpus size. Only the PREFIX totals (vocabulary-
-    * sized, one row per distinct first token) ride a broadcast. Log
-    * terms are 6dp-rounded then summed as exact decimals so the
-    * per-doc mean is identical under any accumulation order. */
+    * linear at any corpus size. Both corpus-sized shuffles (count +
+    * join-back) key on xxhash64 of the token PAIR, never the strings:
+    * 8-byte fixed keys shuffle/sort ~2× cheaper than the 16+-byte
+    * bigram strings they replace, and no bigram string is ever
+    * materialized (two element_at lookups feed the hash directly).
+    * Only the PREFIX totals (vocabulary-sized, keyed by the
+    * first-token hash) ride a broadcast. A 64-bit collision would
+    * merge two bigrams' counts — at 2⁻⁶⁴ pair probability that is
+    * ~10⁻⁷ even for a 10⁸-distinct-bigram corpus, and the hash never
+    * leaves the plan (output columns are unchanged), so the DuckDB
+    * oracle still recomputes from the raw strings. Log terms are
+    * 6dp-rounded then summed as exact decimals so the per-doc mean is
+    * identical under any accumulation order. */
   def bigramLogprob(s: SparkSession, dir: String): DataFrame = {
     val w = col("toks")
-    val bigrams = when(size(w) >= 2,
-      transform(sequence(lit(1), size(w) - 1),
-        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
-      .otherwise(array().cast("array<string>"))
+    val idxs = when(size(w) >= 2, sequence(lit(1), size(w) - 1))
+      .otherwise(array().cast("array<int>"))
     // `exploded` feeds BOTH the bigram-count aggregate and the per-doc
     // join-back. It is NOT checkpointed: since the toks landed (r10),
-    // re-deriving it is a columnar parquet read + concat_ws explode
-    // that pipelines into each consumer — measured cheaper at sf0.1
-    // AND sf1 than materializing ~n·len 16-byte strings to the block
-    // store and reading them back twice (the pre-landing ccnet
-    // discipline no longer applies once the expensive step — the
-    // tokenize — is already a landed artifact)
-    val exploded = DocArtifacts.toks(s, dir)
-      .select(col("doc_id"), explode(bigrams).as("bigram"))
-    val b = exploded.groupBy(col("bigram")).agg(count(lit(1)).as("n"))
-    val p = b.groupBy(split(col("bigram"), " ").getItem(0).as("w1"))
-      .agg(sum(col("n")).as("np"))
-    val term = b.join(broadcast(p),
-        split(col("bigram"), " ").getItem(0) === col("w1"))
-      .select(col("bigram"),
+    // re-deriving it is a columnar parquet read + an int explode with
+    // two element_at lookups that pipelines into each consumer —
+    // measured cheaper at sf0.1 AND sf1 than materializing the
+    // exploded rows to the block store and reading them back twice
+    // (the pre-landing ccnet discipline no longer applies once the
+    // expensive step — the tokenize — is already a landed artifact)
+    def exploded: DataFrame = DocArtifacts.toks(s, dir)
+      .select(col("doc_id"), col("toks"), explode(idxs).as("i"))
+      .select(col("doc_id"),
+        xxhash64(element_at(w, col("i")),
+          element_at(w, col("i") + 1)).as("h"),
+        xxhash64(element_at(w, col("i"))).as("h1"))
+    val b = exploded.groupBy(col("h"))
+      .agg(count(lit(1)).as("n"), min(col("h1")).as("h1"))
+    val p = b.groupBy(col("h1")).agg(sum(col("n")).as("np"))
+    val term = b.join(broadcast(p), "h1")
+      .select(col("h"),
         round(log(col("n").cast("double") / col("np").cast("double")), 6)
           .cast(DecimalType(18, 6)).as("lp"))
-    exploded.join(term, "bigram")
+    exploded.select(col("doc_id"), col("h")).join(term, "h")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         (sum(col("lp")) * lit(1000000L)).cast("long").as("__s6"))

@@ -25,7 +25,13 @@ case class Ev(user_id: Long, event_id: Long, ts_us: Long,
 case class SessionRow(user_id: Long, session_id: Long,
     session_start_us: Long, session_end_us: Long, n_events: Long,
     sum_cents: Long)
-case class SessState(pending: List[Ev], emitted: Long)
+/** Slim per-event state record: ts + tie-break id + exact cents. The
+  * watermark column, user_id (the group key) and the raw double ride
+  * only the INPUT rows — state volume is inherently ~event-count for a
+  * sparse stream, so every stored byte is paid twice per flush
+  * (snapshot out, snapshot in). */
+case class PendEv(ts_us: Long, event_id: Long, cents: Long)
+case class SessState(pending: List[PendEv], emitted: Long)
 case class FunnelEv(user_id: Long, event_id: Long, ts_us: Long,
     event_type: String, ts: java.sql.Timestamp)
 case class FunnelSnap(user_id: Long, rev: Long, t_view_us: Option[Long],
@@ -154,9 +160,9 @@ object Streams {
     /** Split a user's full event list into gap-delimited sessions.
       * Sessions accumulate reversed (head prepend + head compare) so the
       * fold is linear — list append/last would be quadratic per user. */
-    def sessionsOf(evs: List[Ev]): List[List[Ev]] =
+    def sessionsOf(evs: List[PendEv]): List[List[PendEv]] =
       evs.sortBy(e => (e.ts_us, e.event_id))
-        .foldLeft(List.empty[List[Ev]]) { (acc, e) =>
+        .foldLeft(List.empty[List[PendEv]]) { (acc, e) =>
           acc match {
             case (h :: t) :: rest if e.ts_us - h.ts_us <= gapUs =>
               (e :: h :: t) :: rest
@@ -167,15 +173,16 @@ object Streams {
     // exact DECIMAL(18,2) of one value, in integer cents — the same
     // toString-based HALF_UP conversion Spark's double→decimal cast
     // performs, so the order-free cent addition reproduces the batch
-    // decimal sum bit-for-bit
+    // decimal sum bit-for-bit. Converted ONCE on ingest; state and
+    // emission only ever see the exact integer.
     def cents(v: Double): Long =
       new java.math.BigDecimal(java.lang.Double.toString(v))
         .setScale(2, java.math.RoundingMode.HALF_UP)
         .unscaledValue().longValueExact()
 
-    def row(user: Long, sid: Long, ss: List[Ev]): SessionRow =
+    def row(user: Long, sid: Long, ss: List[PendEv]): SessionRow =
       SessionRow(user, sid, ss.head.ts_us, ss.last.ts_us, ss.size.toLong,
-        ss.iterator.map(e => cents(e.value)).sum)
+        ss.iterator.map(_.cents).sum)
 
     // A session is FINAL only once the watermark passed its end + gap —
     // no admissible late event can extend or merge it. Earlier gap-closed
@@ -192,11 +199,15 @@ object Streams {
     val fn: (Long, Iterator[Ev], GroupState[SessState]) =>
         Iterator[SessionRow] = (user, evs, state) => {
       val st = state.getOption.getOrElse(SessState(Nil, 0L))
-      val all = st.pending ++ evs.toList
+      val all = st.pending ++
+        evs.map(e => PendEv(e.ts_us, e.event_id, cents(e.value))).toList
       if (state.hasTimedOut) {
-        // watermark passed last_end + gap: every pending session is final
-        state.update(SessState(Nil, st.emitted + sessionsOf(all).size))
-        sessionsOf(all).zipWithIndex.map { case (ss, i) =>
+        // watermark passed last_end + gap: every pending session is
+        // final (sessionsOf runs ONCE — the flush visits every pending
+        // event, so a second sort here would double the flush CPU)
+        val fin = sessionsOf(all)
+        state.update(SessState(Nil, st.emitted + fin.size))
+        fin.zipWithIndex.map { case (ss, i) =>
           row(user, st.emitted + i + 1, ss) }.iterator
       } else {
         val wmUs = state.getCurrentWatermarkMs() * 1000L
@@ -528,14 +539,29 @@ object Streams {
     * scaffolding: at local smoke volumes it spends ~5s/op on empty
     * state stores (measured: stream_join_attribution 5.4s at 32
     * partitions, 2.1s at 8). State partitioning is a per-deployment
-    * knob (`spark.graft.stream.statePartitions`, default 8) because a
+    * knob (`spark.graft.stream.statePartitions`; unset, it derives
+    * from the events table via [[statePartitionsFor]]) because a
     * streaming checkpoint PINS its partition count for the query's
     * lifetime — production sizes it to peak key cardinality once, and
     * graft's smoke passes run fresh checkpoints each time. Restores
     * the batch setting afterwards; the returned DataFrame's batch
     * post-processing (memory-sink reads) plans under the restored
     * conf. */
-  private def withStatePartitions[T](s: SparkSession)(body: => T): T =
+  /** Default state-partition count derived from the event volume in
+    * front of the engine (the maxPartitionBytes/quantizerK discipline:
+    * knobs follow the data, not a constant): ~250k events per state
+    * partition, floored at the measured local sweet spot (8 — see
+    * [[withStatePartitions]]) and capped at 32 (the local core count;
+    * a cluster deployment sets the knob explicitly to its own peak key
+    * cardinality). The r12 sf3 sweep measured the fixed-8 default
+    * scaling stream_sessionize 2.9× per 3× data — per-partition state
+    * snapshots grow with volume while the per-trigger store constant
+    * stays flat, so the split point must move with the data. */
+  private[graft] def statePartitionsFor(nEvents: Long): Int =
+    math.max(8L, math.min(32L, nEvents / 250000L)).toInt
+
+  private def withStatePartitions[T](s: SparkSession, dir: String)(
+      body: => T): T =
     // the set/run/restore mutates SESSION-global conf: serialize all
     // streaming-op construction behind one lock so two concurrent
     // streaming ops cannot interleave set and restore (second setter
@@ -545,8 +571,13 @@ object Streams {
     // clones the conf; documented here as the serial-only contract.
     Streams.synchronized {
       val prev = s.conf.get("spark.sql.shuffle.partitions")
+      // explicit knob wins; otherwise derive from the events footer
+      // row count (no job — the rowCount is parquet metadata)
       val n = try s.conf.get("spark.graft.stream.statePartitions")
-        catch { case scala.util.control.NonFatal(_) => "8" }
+        catch { case scala.util.control.NonFatal(_) =>
+          statePartitionsFor(
+            try graft.Tables.rowCount(s, dir, "events")
+            catch { case scala.util.control.NonFatal(_) => 0L }).toString }
       s.conf.set("spark.sql.shuffle.partitions", n)
       try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
     }
@@ -566,7 +597,7 @@ object Streams {
     "stream_incremental_landing" -> (incrementalLanding _)
   ).map { case (name, fn) =>
     name -> ((s: SparkSession, d: String) =>
-      withStatePartitions(s)(fn(s, d)))
+      withStatePartitions(s, d)(fn(s, d)))
   }
 
   /** The streaming windowed agg is epoch-aligned, so the batch SQL oracle

@@ -201,6 +201,76 @@ class StressSpec extends SparkSpec {
     }
   }
 
+  test("embedding-cosine pair budget: bundled scales pass, a doubling " +
+      "past 30x trips the guard") {
+    import operators.Dedup.{checkCosinePairBudget, cosinePairBudget}
+    // measured enumeration shape: 10 uniform labels → Σ w(w−1)/2 ≈ n²/20
+    def enumFor(n: Long): Long = n * n / 20L
+    // the committed scale points must stay runnable
+    for (n <- Seq(2000L, 20000L, 60000L))
+      checkCosinePairBudget(n, enumFor(n))
+    // ~sf10 (200k vectors): the exact baseline's own enumeration is
+    // 2e9 pairs — past the linear budget, the guard must fail LOUDLY
+    val n10 = 200000L
+    assert(enumFor(n10) > cosinePairBudget(n10))
+    val e = intercept[IllegalArgumentException] {
+      checkCosinePairBudget(n10, enumFor(n10))
+    }
+    assert(e.getMessage.contains("dedup_semantic"),
+      "guard message must point at the production paths")
+    // and the real op still constructs (guard passes) on bundled data
+    assert(operators.Dedup.embeddingCosine(spark, sfTiny).columns
+      .contains("cosine"))
+  }
+
+  test("quantizer training input is bounded: 64 vectors/centroid, " +
+      "constant past the k cap") {
+    import operators.Similarity.{quantizerKFor, trainSampleCap}
+    // below the floor the whole (tiny) corpus trains — no churn there
+    assert(trainSampleCap(quantizerKFor(500L)) == 4096L)
+    // in the derived-k regime the sample is 64·k = n/4: each Lloyd
+    // sweep costs s·k = n²/1024 — 4× under the full-corpus n²/256 —
+    // and all five sweeps together ≈ 1.25× the ONE full assignment
+    assert(trainSampleCap(quantizerKFor(60000L)) == 64L * (60000L / 256L))
+    // past the k cap (4096) the training input pins at a CONSTANT
+    // 262144 vectors at ANY corpus size — the 100 TB posture: training
+    // cost stops growing entirely, assignment is linear in n
+    for (n <- Seq(2000000L, 1000000000L, 100000000000L))
+      assert(trainSampleCap(quantizerKFor(n)) == 64L * 4096L)
+  }
+
+  test("landed kmeans assignment equals brute-force argmin against the " +
+      "landed centroids") {
+    operators.Similarity.ensureKmeansLanded(spark, sfTiny)
+    val cents = spark.read
+      .parquet(operators.Similarity.kmeansCentDir(sfTiny))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    val assign = spark.read
+      .parquet(operators.Similarity.kmeansAssignDir(sfTiny))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vecs = Tables.embeddings(spark, sfTiny)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray)
+    assert(assign.size == vecs.length)
+    // mirror the plan's exact arithmetic ((‖x‖²+‖c‖²)−2·x·c, sequential
+    // left-to-right folds) so FP rounding cannot flip a near-tie
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    vecs.foreach { case (id, v) =>
+      val nx2 = dot(v, v)
+      val best = cents.map { case (c, cv) =>
+        ((nx2 + dot(cv, cv)) - 2.0 * dot(v, cv), c)
+      }.min // ties to the lower cluster id via the (dist, cluster) order
+      assert(assign(id) == best._2,
+        s"vec $id assigned ${assign(id)}, brute-force says ${best._2}")
+    }
+  }
+
   test("hash-min CC converges on a worst-case 60-long chain") {
     import spark.implicits._
     // a path graph maximizes diameter: label 1 must walk 59 hops
