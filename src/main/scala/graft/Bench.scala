@@ -128,6 +128,33 @@ object Bench {
     } catch {
       case scala.util.control.NonFatal(_) => (None, Map.empty, Map.empty) }
 
+  /** The prior committed round's canary_duck_s for the same SF (absent
+    * in pre-r13 details → None, gate disarmed for one round). */
+  private def priorCanaryOf(detailPath: String, sfDir: String): Option[Double] =
+    try {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      JsonMethods.parse(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(detailPath))) match {
+        case JObject(fs) =>
+          val m = fs.toMap
+          if (!m.get("sf").collect { case JString(v) => v }.contains(sfDir))
+            None
+          else m.get("canary_duck_s").collect {
+            case JDouble(v) => v
+            case JInt(v) => v.toDouble
+            case JDecimal(v) => v.toDouble }
+        case _ => None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Canary gate predicate (spec'd in BenchGateSpec): prior must be a
+    * stable ≥0.25s denominator — millisecond jitter at tiny SFs must
+    * not arm the gate — and 1.5× covers run-to-run DuckDB noise. */
+  private[graft] def canaryInflatedGate(
+      cur: Double, prior: Option[Double]): Boolean =
+    prior.exists(p => p >= 0.25 && cur > 1.5 * p)
+
   /** Per-op cross-check vs the prior committed detail (the r9 gap: a
     * start-of-run load spike inflated ~10 early ops 2-7× while
     * duckdb_total stayed under the 2× gate and the run still shipped
@@ -199,6 +226,19 @@ object Bench {
     // read the prior round's totals BEFORE this run overwrites the file
     val (priorDuck, priorOps, priorOpsDuck) = priorDetail(detailPath, sfDir)
     val loadBefore = loadavg()
+    // CANARY PROBE (the r12 manual protocol, now recorded in the
+    // artifact): time two fixed DuckDB oracles BEFORE the Spark sweep.
+    // DuckDB is a fixed workload on fixed data, so canary inflation vs
+    // the prior committed run measures HOST drift at sweep start —
+    // loadavg can miss an IO-bound or short-burst contender, and the
+    // end-of-run duckdb_total check cannot see drift that cleared
+    // mid-sweep. Ops chosen for ≥0.3s denominators that stay CHEAP at
+    // every bundled SF (≤ ~3s at 30×) — a canary must cost seconds,
+    // not ride a superlinear oracle.
+    val canaryOps = Set("txt_boilerplate_scrub", "mm_binary_pipeline")
+    val canaryDuck = duckTimings(sfDir, Some(canaryOps))
+      .values.filter(_ > 0).sum
+    val priorCanary = priorCanaryOf(detailPath, sfDir)
     val spark = GraftSession.local(cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
 
@@ -222,6 +262,10 @@ object Bench {
         (() => operators.Dedup.ensureTuningLanded(spark, sfDir)),
       "landing_kmeans" ->
         (() => operators.Similarity.ensureKmeansLanded(spark, sfDir)),
+      "landing_lsh_buckets" ->
+        (() => operators.Similarity.ensureLshLanded(spark, sfDir)),
+      "landing_ivf_cent" ->
+        (() => operators.Similarity.ensureIvfCentLanded(spark, sfDir, 16)),
       "landing_moments" ->
         (() => operators.Similarity.ensureMomentsLanded(spark, sfDir)),
       "landing_clean_manifest" ->
@@ -303,10 +347,18 @@ object Bench {
     val perOpInflated = medianInflation.exists(_ > 1.5)
     val p95Inflation = p95OpInflation(results, priorOps)
     val offenders = tailOffenders(results, priorOps, duck, priorOpsDuck)
-    val contaminated =
-      duckInflated || highLoad || perOpInflated || offenders.nonEmpty
+    // canary gate: the pre-sweep fixed-workload probe ran >1.5× its
+    // prior committed time → the host was already drifting when the
+    // sweep STARTED (0.25s floor keeps millisecond jitter from arming
+    // the gate at tiny SFs)
+    val canaryInflated = canaryInflatedGate(canaryDuck, priorCanary)
+    val contaminated = duckInflated || highLoad || perOpInflated ||
+      offenders.nonEmpty || canaryInflated
+    val canaryField =
+      s""","canary_duck_s":${math.round(canaryDuck * 10000.0) / 10000.0}""" +
+        priorCanary.map(p => s""","canary_duck_prior":$p""").getOrElse("")
     val loadField =
-      s""","load_before":$loadBefore,"load_after":$loadAfter""" +
+      s""","load_before":$loadBefore,"load_after":$loadAfter""" + canaryField +
         priorDuck.map(p => s""","duckdb_total_prior":$p""").getOrElse("") +
         medianInflation.map(m => s""","median_op_inflation":${
           math.round(m * 100.0) / 100.0}""").getOrElse("") +

@@ -194,7 +194,19 @@ object Ranking {
     * the aggregate it replaces (RankingSpec). Returns one row per
     * (group, name): (group…, name, pv). Null values must be
     * pre-filtered (the aggregate ignores them; a caller with nullable
-    * measures filters). */
+    * measures filters).
+    *
+    * EAGER-EXECUTION CONTRACT: this call is an ACTION, not a lazy plan
+    * builder — the sampled boundaries (pass 1) and the bounded
+    * rank-probe table (`needs`) are pinned to driver-side collections
+    * at construction, because the three passes run as separate actions
+    * and a re-planned shuffle between them could otherwise re-evaluate
+    * a seeded sample into DIFFERENT boundaries per pass. Callers see
+    * input scans (and input errors) at call time, and the driver holds
+    * ≤ |groups|·|measures|·|pcts|·2 probe rows — bounded by
+    * configuration times GROUP CARDINALITY, which is data-dependent:
+    * the cap below fails loudly if a caller feeds a high-cardinality
+    * group set rather than letting the collect OOM the driver. */
   def groupedPercentiles(df: DataFrame, group: Seq[String],
       pcts: Map[String, Seq[(String, Double)]],
       nBuckets: Int = 64): DataFrame = {
@@ -225,10 +237,14 @@ object Ranking {
       .filter(!_.isNullAt(1))
       .map(r => r.getString(0) -> r.getSeq[Double](1))
     def bucketed(r: DataFrame): DataFrame = {
-      val boundsCol = bmap.foldLeft(lit(null).cast("array<double>")) {
-        case (acc, (m, arr)) =>
-          when(col("m") === lit(m), typedLit(arr)).otherwise(acc)
-      }
+      // map literal + element_at, not a nested when/otherwise chain: a
+      // per-measure conditional chain is O(|measures|) deep and a deep
+      // expression tree degrades codegen (falls back to interpreted
+      // mode past the splitting thresholds); the map lookup stays one
+      // hash probe per row however many measures ride the pipeline
+      val boundsCol =
+        if (bmap.isEmpty) lit(null).cast("array<double>")
+        else element_at(typedLit(bmap.toMap), col("m"))
       r.withColumn("__bkt", coalesce(graft.functions.VectorExprs
         .sortedUpperBound(col("__v"), boundsCol), lit(0)))
     }
@@ -274,8 +290,16 @@ object Ranking {
     // the same bound its broadcast already assumed), so materialize it
     // once on the driver: hist can be unpersisted right here instead
     // of leaking until a Caches.release, and pass 3 rides a literal
-    // table with no recompute of the histogram lineage.
-    val needsRows = needs.collect()
+    // table with no recompute of the histogram lineage. The bound is
+    // configuration × GROUP CARDINALITY: cap the materialization so a
+    // high-cardinality group set fails with a named error instead of
+    // an opaque driver OOM (1M probe rows ≈ a few hundred MB of Row
+    // overhead — far past any sane percentile report).
+    val needsRows = needs.limit(1000001).collect()
+    require(needsRows.length <= 1000000,
+      "groupedPercentiles: > 1e6 rank-probe rows — the group column " +
+        "cardinality is too high for a driver-pinned percentile " +
+        "report; bucket the groups or aggregate upstream first")
     hist.unpersist()
     val needsLit = broadcast(df.sparkSession.createDataFrame(
       java.util.Arrays.asList(needsRows: _*), needs.schema))

@@ -83,25 +83,44 @@ object Similarity {
     * pattern) — only the seeded hyperplane hash itself stays
     * Spark-side. Recall is additionally spec-checked against brute
     * force at multiple SFs. */
+  /** Land-once memo for the LSH bucket table (the kmeansLanded
+    * pattern): the bucket assignment is deterministic per corpus, and
+    * both ann_lsh_topk and ann_recall_eval consume it — without the
+    * memo recall_eval re-paid the planes×d projection scan and the
+    * parquet write per call (measured 10.4× DuckDB at 30× mostly on
+    * this re-landing). Content-keyed, so a regenerated embeddings
+    * table re-buckets. */
+  private val lshLanded = scala.collection.concurrent.TrieMap
+    .empty[(Int, String, String), scala.concurrent.Future[Unit]]
+  private[graft] def ensureLshLanded(s: SparkSession, dir: String): Unit = {
+    graft.Tables.landOnce(lshLanded,
+      (System.identityHashCode(s.sparkContext), dir,
+        graft.Tables.fingerprint(s, dir, "embeddings"))) {
+      val corpusPrep = prepared(s, dir, "neighbor_id")
+      val planes = planesFor(corpusPrep.count())
+      val tables = 2
+      // the bucket landing does planes×d hash-derived projection work
+      // per row — heavy per-row expression work behind a ONE-split scan
+      // (the embeddings table lands as a single file), which is exactly
+      // the Tables.spread case: profiled 7.8s in one task at sf1,
+      // spread across the cores it is sub-second.
+      Tables.spreadScan(s, s"$dir/embeddings.parquet", corpusPrep)
+        .withColumn("table_id",
+          explode(array((0 until tables).map(lit(_)): _*)))
+        .withColumn("bucket",
+          graft.functions.VectorFns.signLshBucketSeeded(
+            col("vd"), planes, col("table_id")))
+        .select(col("neighbor_id").as("vec_id"), col("table_id"),
+          col("bucket"))
+        .write.mode("overwrite").parquet(lshBucketsDir(dir))
+    }
+  }
+
   def lshTopk(s: SparkSession, dir: String): DataFrame = {
     val corpusPrep = prepared(s, dir, "neighbor_id")
-    val planes = planesFor(corpusPrep.count())
-    val tables = 2
-    // the bucket landing does planes×d hash-derived projection work per
-    // row — heavy per-row expression work behind a ONE-split scan (the
-    // embeddings table lands as a single file), which is exactly the
-    // Tables.spread case: profiled 7.8s in one task at sf1, spread
-    // across the cores it is sub-second. The probe joins below stay on
-    // the unspread scan — they are broadcast-side light.
-    Tables.spreadScan(s, s"$dir/embeddings.parquet", corpusPrep)
-      .withColumn("table_id",
-        explode(array((0 until tables).map(lit(_)): _*)))
-      .withColumn("bucket",
-        graft.functions.VectorFns.signLshBucketSeeded(
-          col("vd"), planes, col("table_id")))
-      .select(col("neighbor_id").as("vec_id"), col("table_id"),
-        col("bucket"))
-      .write.mode("overwrite").parquet(lshBucketsDir(dir))
+    // probe joins stay on the unspread scan — they are broadcast-side
+    // light; the bucket landing is memoized (ensureLshLanded)
+    ensureLshLanded(s, dir)
     val landed = s.read.parquet(lshBucketsDir(dir))
     val corpus = landed
       .select(col("vec_id").as("neighbor_id"), col("table_id"),
@@ -144,9 +163,23 @@ object Similarity {
   def ivfTopk(s: SparkSession, dir: String): DataFrame =
     ivfTopk(s, dir, k = 16, nprobe = 6)
 
+  /** Land-once memo for the sampled IVF centroid table — tiny (k rows)
+    * but its derivation is a full sort-limit scan + write job that
+    * recall_eval would otherwise re-pay per call. */
+  private val ivfCentLanded = scala.collection.concurrent.TrieMap
+    .empty[(Int, String, String, Int), scala.concurrent.Future[Unit]]
+  private[graft] def ensureIvfCentLanded(
+      s: SparkSession, dir: String, k: Int): Unit = {
+    graft.Tables.landOnce(ivfCentLanded,
+      (System.identityHashCode(s.sparkContext), dir,
+        graft.Tables.fingerprint(s, dir, "embeddings"), k)) {
+      centroidTable(s, dir, k).select(col("cell_id"), col("c_vd"))
+        .write.mode("overwrite").parquet(ivfCentDir(dir))
+    }
+  }
+
   def ivfTopk(s: SparkSession, dir: String, k: Int, nprobe: Int): DataFrame = {
-    centroidTable(s, dir, k).select(col("cell_id"), col("c_vd"))
-      .write.mode("overwrite").parquet(ivfCentDir(dir))
+    ensureIvfCentLanded(s, dir, k)
     val cents = s.read.parquet(ivfCentDir(dir))
       .withColumn("c_nrm", sqrt(dotD(col("c_vd"), col("c_vd"))))
     ivfWith(s, dir, cents, nprobe)
@@ -230,15 +263,17 @@ object Similarity {
   /** Per-label centroid drift audit — the embedding-quality dashboard of
     * a training pipeline: each vector's cosine to its label centroid,
     * flagging drifted/outlier members. The centroid is a per-(label,
-    * dim) mean whose summation runs as an ORDERED fold over (vec_id, x)
-    * pairs, so the double accumulation is bit-identical across engines,
-    * partitionings and reruns — the audit is oracle-checkable, not
-    * merely approximately right. Cost: the ordered fold materializes one
-    * (label, dim) group's values at a time — bounded by
-    * vectors-per-label; on an unbounded corpus swap the fold for the
-    * plain associative SUM and treat the last-ulp as audit noise. The
-    * centroid table (labels × dims) is broadcast. */
+    * dim) mean computed with the dimStats discipline (round → exact
+    * DECIMAL → associative SUM → one double divide): order-independent
+    * and MAP-SIDE COMBINABLE, so it is bit-identical across engines,
+    * partitionings and reruns with no task ever materializing a label's
+    * member list — the r12 form's ordered fold held vectors-per-label
+    * values in one task (measured 8.7× DuckDB at 30×; per-label width
+    * grows linearly with the corpus, so the fold was also the one
+    * unbounded-task residue in this file). The centroid table
+    * (labels × dims) is broadcast. */
   def centroidAudit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
     val emb = Tables.embeddings(s, dir)
     val flat = emb
       .select(col("label"), col("vec_id"),
@@ -246,10 +281,8 @@ object Similarity {
       .select(col("label"), col("vec_id"), col("i"),
         col("x").cast("double").as("x"))
     val cent = flat.groupBy(col("label"), col("i"))
-      .agg(collect_list(struct(col("vec_id"), col("x"))).as("xs"))
-      .select(col("label"), col("i"),
-        (aggregate(array_sort(col("xs")), lit(0.0),
-          (acc, e) => acc + e.getField("x")) / size(col("xs"))).as("c"))
+      .agg((sum(round(col("x"), 9).cast(DecimalType(18, 9))).cast("double")
+        / count(lit(1)).cast("double")).as("c"))
     val carr = cent.groupBy(col("label"))
       .agg(collect_list(struct(col("i"), col("c"))).as("cs"))
       .select(col("label"),
@@ -678,15 +711,26 @@ object Similarity {
             }
             val dims = (0 until d).map(i =>
               (i, dec(xs(i)), dec(xa(i)), mn(i), mx(i)))
-            Iterator((n, pairs.result().toSeq, dims))
+            Iterator((n, d, pairs.result().toSeq, dims))
           }
         }
-        .toDF("n", "pairs", "dims")
+        .toDF("n", "d", "pairs", "dims")
         // eager collapse barrier (the DocArtifacts discipline): both
         // writes reference the partials, and concurrent actions over a
         // lazily-persisted plan can each run the fold before the cache
         // fills — checkpointing materializes it exactly once
         .localCheckpoint()
+      // the per-partition ragged-width `require` only proves
+      // consistency WITHIN a partition: two internally-consistent
+      // partitions of different widths would fold into a silently
+      // corrupted landing (pairs beyond the narrower width carrying
+      // n_vecs from only some partials) that three consumers then
+      // serve. One distinct width across partials, asserted on the
+      // checkpointed (#partitions)-row table, closes that seam.
+      val widths = partials.select(countDistinct(col("d"))).first().getLong(0)
+      require(widths <= 1,
+        s"embeddings table mixes $widths distinct vector widths across " +
+          "partitions — refusing to land a merged moment table")
       // landed sums stay DECIMAL (scale 9 — the cast is exact since
       // every partial has ≤9 decimals); consumers cast to double at
       // read, which equals the inline sum-then-cast value exactly
@@ -1291,7 +1335,8 @@ object Similarity {
         |  FROM idx),
         |cent AS (
         |  SELECT label, i,
-        |    list_sum(array_agg(x ORDER BY vec_id)) / COUNT(*) AS c
+        |    CAST(SUM(CAST(ROUND(x, 9) AS DECIMAL(18,9))) AS DOUBLE)
+        |      / COUNT(*) AS c
         |  FROM flat GROUP BY label, i),
         |carr AS (
         |  SELECT label, array_agg(c ORDER BY i) AS cv

@@ -110,6 +110,17 @@ class BenchGateSpec extends AnyFunSuite {
     assert(Bench.p95OpInflation(r8, p8).contains(6.0))
   }
 
+  test("canary gate: fires on real pre-sweep drift, stays quiet on " +
+      "jitter, missing priors and tiny denominators") {
+    // the r12 manual protocol's numbers: ~1.25s canary at sf0.1
+    assert(Bench.canaryInflatedGate(2.5, Some(1.25)), "2x drift must fire")
+    assert(!Bench.canaryInflatedGate(1.5, Some(1.25)), "1.2x is noise")
+    // pre-r13 detail files carry no canary: gate disarmed, not crashed
+    assert(!Bench.canaryInflatedGate(99.0, None))
+    // millisecond denominators at tiny SFs never arm the gate
+    assert(!Bench.canaryInflatedGate(0.9, Some(0.1)))
+  }
+
   test("sub-constant priors and failed ops are excluded; narrow runs " +
       "never trigger") {
     // priors under 0.2s are per-job-constant noise

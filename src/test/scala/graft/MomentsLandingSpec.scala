@@ -81,7 +81,11 @@ class MomentsLandingSpec extends SparkSpec {
       val n = r.getAs[Long]("n_dim").toDouble
       val v = r.getAs[Double]("sum_xx") / n -
         math.pow(r.getAs[Double]("sum_x") / n, 2)
-      assert(v > 0.0, s"degenerate variance at dim ${r.getAs[Int]("dim")}")
+      // v ≥ 0 is the STRUCTURAL identity (E[x²] ≥ E[x]² up to the 9dp
+      // landing quantization); strict positivity would be a property of
+      // this corpus, not of the landing — a future test table with a
+      // constant (dead) dimension must not fail here
+      assert(v >= -1e-9, s"negative variance at dim ${r.getAs[Int]("dim")}")
     }
   }
 
