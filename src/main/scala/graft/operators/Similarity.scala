@@ -333,29 +333,70 @@ object Similarity {
 
   /** Assign the FULL corpus once against the landed centroids and land
     * (vec_id, cluster, dist) — dist is the raw squared-L2 double (the
-    * `kmeans` op rounds at emit). The plan is byte-for-byte the one the
-    * consumers previously each re-ran (crossJoin of the broadcast
-    * landed centroid table, (‖x‖²+‖c‖²)−2·x·c in that exact operand
-    * order, min_by ties to the lower cluster id), so every landed value
-    * equals what the DuckDB oracles re-derive brute-force from the
-    * landed centroid parquet — parquet round-trips doubles exactly. */
+    * `kmeans` op rounds at emit).
+    *
+    * This is the third documented kernel seam (after the multimodal
+    * codec and the integer-unit moments fold): a `mapPartitions` argmin
+    * loop over primitive arrays, because assignment is THE hot inner
+    * loop of the similarity family — n·k candidate evaluations where
+    * the crossJoin + min_by formulation pays row-copy/struct/agg
+    * machinery ~40× the cost of the 64-mult dot itself (measured: the
+    * 30× assignment, 14M candidate rows, 2.5s through the join vs
+    * ~0.1s of arithmetic). Past the k cap (k = 4096, n ≥ 1 M) the
+    * per-row work is a fixed 4096·d — the kernel is what makes the
+    * k-cap regime affordable at all.
+    *
+    * Exactness contract: the loop replicates the Column form
+    * operand-for-operand — dist = (‖x‖² + ‖c‖²) − 2·(x·c), every dot a
+    * sequential left-to-right fold (DotProduct's order, DuckDB's
+    * list_dot_product order), centroids visited in ascending cluster
+    * id with strict `<` so ties break to the lower id exactly like
+    * min_by over struct(dist, cluster). Driver/broadcast state is the
+    * BOUNDED centroid table (≤ 4096×64 doubles — the trainKmeans
+    * allowance). StressSpec pins kernel-vs-brute-force parity; the
+    * DuckDB oracles re-derive the same values from the landed centroid
+    * parquet, which round-trips doubles exactly. */
   private def landAssignment(s: SparkSession, dir: String): Unit = {
-    val landed = s.read.parquet(kmeansCentDir(dir))
-      .withColumn("nc2", dotD(col("cv"), col("cv")))
+    import s.implicits._
+    def dotSeq(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val cents: Array[(Long, Array[Double], Double)] =
+      s.read.parquet(kmeansCentDir(dir)).collect()
+        .map { r =>
+          val cv = r.getSeq[Double](1).toArray
+          (r.getLong(0), cv, dotSeq(cv, cv))
+        }
+        .sortBy(_._1)
+    val bc = s.sparkContext.broadcast(cents)
     // k×d scoring work per ROW behind a near-one-split scan — the
     // spreadScan case (the lshTopk landing's profile, same table)
     Tables.spreadScan(s, s"$dir/embeddings.parquet",
-        Tables.embeddings(s, dir)
-          .select(col("vec_id"), asDouble(col("embedding")).as("vd")))
-      .withColumn("nx2", dotD(col("vd"), col("vd")))
-      .crossJoin(broadcast(landed))
-      .withColumn("dist",
-        (col("nx2") + col("nc2")) - lit(2.0) * dotD(col("vd"), col("cv")))
-      .groupBy(col("vec_id"))
-      .agg(min_by(struct(col("cluster"), col("dist")),
-        struct(col("dist"), col("cluster"))).as("best"))
-      .select(col("vec_id"), col("best").getField("cluster").as("cluster"),
-        col("best").getField("dist").as("dist"))
+        Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, vf) =>
+          val v = new Array[Double](vf.length)
+          var i = 0
+          while (i < v.length) { v(i) = vf(i).toDouble; i += 1 }
+          val nx2 = dotSeq(v, v)
+          var bestC = -1L
+          var bestD = Double.PositiveInfinity
+          var c = 0
+          while (c < cs.length) {
+            val (cid, cv, nc2) = cs(c)
+            val d = (nx2 + nc2) - 2.0 * dotSeq(v, cv)
+            if (d < bestD) { bestD = d; bestC = cid }
+            c += 1
+          }
+          (id, bestC, bestD)
+        }
+      }
+      .toDF("vec_id", "cluster", "dist")
       .write.mode("overwrite").parquet(kmeansAssignDir(dir))
   }
 
@@ -391,8 +432,9 @@ object Similarity {
     *
     * Scale: each sweep is ONE scan of the bounded training sample
     * ([[trainSampleCap]]) — the k×d centroid table is broadcast,
-    * assignment is an O(s·k) projection + map-side-partial min_by, and
-    * the mean recomputation shuffles s·d rows onto k·d keys.
+    * assignment is the primitive-array argmin kernel (see
+    * landAssignment's exactness contract), and the mean recomputation
+    * shuffles s·d rows onto k·d keys.
     * The ordered-fold mean materializes one (cluster, dim) group's
     * values per task (bounded by cluster size; on an unbounded corpus
     * swap the fold for a plain associative SUM and accept last-ulp
@@ -443,48 +485,75 @@ object Similarity {
     val sweeps = 5
     val cap = trainSampleCap(k)
     val corpus = prepared(s, dir, "vec_id")
-      .withColumn("nx2", dotD(col("vd"), col("vd")))
-      .select(col("vec_id"), col("vd"), col("nx2"))
+      .select(col("vec_id"), col("vd"))
     // repartition BEFORE the checkpoint: limit() collapses the sample
     // to one partition, and every sweep's O(s·k) scoring runs against
     // this cached layout — unspread it would serialize all five sweeps
-    // onto a single core (the spreadScan lesson, cache edition)
+    // onto a single core (the spreadScan lesson, cache edition). The
+    // partition count follows the SAMPLE (≥1024 vectors per task, core
+    // count at most): a tiny corpus across all 32 cores pays 5 sweeps
+    // of near-empty task constants for no parallelism gain.
+    val sampleParts = math.max(1L, math.min(
+      s.sparkContext.defaultParallelism.toLong,
+      math.min(n, cap) / 1024L)).toInt
     val emb = (if (n > cap)
         corpus.orderBy(xxhash64(col("vec_id")), col("vec_id"))
           .limit(cap.toInt)
       else corpus)
-      .repartition(s.sparkContext.defaultParallelism)
+      .repartition(sampleParts)
       .localCheckpoint()
     // Iteration state rides the DRIVER: the centroid table is bounded
     // by quantizerK's cap (k × d ≤ 4096 × 64 doubles), never raw data
     // volume — the same
     // driver-bounded-trained-step allowance as the PCA eigensolve — so
-    // each sweep collects ≤ k rows and re-broadcasts them as a literal
-    // local relation. This replaces a per-sweep localCheckpoint +
-    // prev-join chain (lineage control for an iterating DataFrame) with
-    // one tiny action per sweep; the per-sweep MEANS math runs in Spark
-    // unchanged (ordered folds), and collect→literal round-trips
+    // each sweep collects ≤ k rows and re-broadcasts them. The sweep's
+    // argmin runs through the SAME kernel as [[landAssignment]] (one
+    // broadcast, primitive-array loop — see that scaladoc for the
+    // exactness contract); the per-sweep MEANS math runs in Spark
+    // unchanged (ordered folds), and collect→broadcast round-trips
     // doubles binarily, so the landed centroids are bit-identical.
     import s.implicits._
+    val typed = emb.as[(Long, Array[Double])]
     def centDf(rows: Seq[(Long, Seq[Double])]): DataFrame =
       rows.toDF("cluster", "cv")
     var centRows: Seq[(Long, Seq[Double])] =
       emb.orderBy(col("vec_id")).limit(k)
         .select(col("vec_id"), col("vd")).collect()
         .map(r => r.getLong(0) -> r.getSeq[Double](1)).toSeq
-    // squared L2 distance as (‖x‖² + ‖c‖²) − 2·x·c — the exact operand
-    // order the oracle mirrors term by term
-    def assigned(c: DataFrame): DataFrame =
-      emb.crossJoin(broadcast(
-          c.withColumn("nc2", dotD(col("cv"), col("cv")))))
-        .withColumn("dist",
-          (col("nx2") + col("nc2")) - lit(2.0) * dotD(col("vd"), col("cv")))
+    def dotSeq(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
     for (_ <- 1 to sweeps) {
-      val assign = assigned(centDf(centRows))
-        .groupBy(col("vec_id"))
-        .agg(min_by(col("cluster"), struct(col("dist"), col("cluster")))
-            .as("cluster"),
-          first(col("vd")).as("vd"))
+      val centArr: Array[(Long, Array[Double], Double)] = centRows
+        .map { case (c, cv) =>
+          val a = cv.toArray
+          (c, a, dotSeq(a, a))
+        }
+        .sortBy(_._1).toArray
+      val bcC = s.sparkContext.broadcast(centArr)
+      // squared L2 distance as (‖x‖² + ‖c‖²) − 2·x·c, centroids in
+      // ascending id with strict < — byte-for-byte the landAssignment
+      // kernel, so argmin (and its lower-id tie-break) is exactly the
+      // min_by-over-struct it replaces
+      val assign = typed.mapPartitions { it =>
+        val cs = bcC.value
+        it.map { case (id, v) =>
+          val nx2 = dotSeq(v, v)
+          var bestC = -1L
+          var bestD = Double.PositiveInfinity
+          var c = 0
+          while (c < cs.length) {
+            val t = cs(c)
+            val d = (nx2 + t._3) - 2.0 * dotSeq(v, t._2)
+            if (d < bestD) { bestD = d; bestC = t._1 }
+            c += 1
+          }
+          (bestC, id, v)
+        }
+      }.toDF("cluster", "vec_id", "vd")
       val means = assign
         .select(col("cluster"), col("vec_id"),
           posexplode(col("vd")).as(Seq("i", "x")))
@@ -498,6 +567,7 @@ object Similarity {
         .select(col("cluster"),
           transform(array_sort(col("cs")), e => e.getField("c")).as("cv"))
         .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      bcC.destroy()
       // empty clusters keep their previous centroid
       centRows = centRows.map { case (c, prev) =>
         c -> means.getOrElse(c, prev) }

@@ -40,6 +40,10 @@ object GenScale {
     val dst = args.drop(1).headOption
       .getOrElse("/root/repo/target/testdata/sf1")
     val k = args.drop(2).headOption.map(_.toInt).getOrElse(10)
+    // optional comma-list table filter (e.g. "embeddings" for the
+    // quantizer-family k-cap probe — replicating 10M events to study a
+    // 200k-vector training curve would be pure waste)
+    val onlyT = args.drop(3).headOption.map(_.split(",").toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = GraftSession.local(cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
@@ -49,7 +53,9 @@ object GenScale {
     // the driver's layout is one parquet FILE per table (TESTDATA.md),
     // and the streaming ops' pathGlobFilter depends on it — write via a
     // temp dir and move the single part file into place
-    def write(name: String, df: DataFrame): Unit = {
+    def write(name: String, df: => DataFrame): Unit =
+      if (onlyT.forall(_.contains(name))) writeAll(name, df)
+    def writeAll(name: String, df: DataFrame): Unit = {
       val tmp = s"$dst/__tmp_$name"
       // one FILE per table (driver layout), but MANY row groups: a
       // single 128MB-default row group makes the whole table one
