@@ -201,20 +201,60 @@ object Similarity {
 
   /** The IVF probe plan over an arbitrary (cell_id, c_vd, c_nrm) coarse
     * table: corpus assigned to its nearest cell, queries probe `nprobe`
-    * nearest cells — two broadcast joins + one windowed top-k. */
+    * nearest cells — the corpus assignment runs through the
+    * primitive-array kernel (landAssignment's seam — this is the same
+    * hot n·k loop under a cosine metric), the probe side stays a tiny
+    * broadcast plan.
+    *
+    * Kernel exactness: sim = (x·c)/(‖x‖·‖c‖) with every dot a
+    * sequential left-to-right fold, cells visited in ascending id with
+    * strict > — exactly max_by over struct(sim, −cell_id) (ties to the
+    * lower cell). A zero-norm side yields NO sim (the Column form's
+    * nullif→null), so it never wins, matching max_by's null ordering;
+    * all-null leaves the vector unassigned, which the old aggregate
+    * surfaced as a null cell joined away by the probe equi-join — the
+    * kernel drops the row at the same net effect. */
   private def ivfWith(s: SparkSession, dir: String,
       centroids: DataFrame, nprobe: Int): DataFrame = {
-    // Corpus assignment (nearest cell only): max_by aggregation instead of
-    // a per-vector rank window — partial aggregation shrinks the shuffle
-    // map-side, where a window would exchange + sort the whole corpus.
-    val assigned = prepared(s, dir, "neighbor_id")
-      .crossJoin(broadcast(centroids))
-      .withColumn("sim", cosineWithNorms(col("vd"), col("c_vd"),
-        col("nrm"), col("c_nrm")))
-      .groupBy(col("neighbor_id"))
-      .agg(first(col("vd")).as("vd"), first(col("nrm")).as("nrm"),
-        max_by(col("cell_id"),
-          struct(col("sim"), (-col("cell_id")).as("neg"))).as("cell_id"))
+    import s.implicits._
+    def dotSeq(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val cellArr: Array[(Long, Array[Double], Double)] = centroids
+      .select(col("cell_id"), col("c_vd"), col("c_nrm")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .sortBy(_._1)
+    val bcCells = s.sparkContext.broadcast(cellArr)
+    val assigned = Tables.spreadScan(s, s"$dir/embeddings.parquet",
+        Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bcCells.value
+        it.flatMap { case (id, vf) =>
+          val v = new Array[Double](vf.length)
+          var i = 0
+          while (i < v.length) { v(i) = vf(i).toDouble; i += 1 }
+          val nrm = Math.sqrt(dotSeq(v, v))
+          var bestC = -1L
+          var bestS = Double.NegativeInfinity
+          var any = false
+          var c = 0
+          while (c < cs.length) {
+            val t = cs(c)
+            val den = nrm * t._3
+            if (den != 0.0) {
+              val sim = dotSeq(v, t._2) / den
+              if (!any || sim > bestS) { bestS = sim; bestC = t._1; any = true }
+            }
+            c += 1
+          }
+          if (any) Iterator.single((bestC, id, v, nrm)) else Iterator.empty
+        }
+      }
+      .toDF("cell_id", "neighbor_id", "vd", "nrm")
     // Query probes (nprobe cells, 5 rows): the rank window is fine here.
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("cell_id"))
