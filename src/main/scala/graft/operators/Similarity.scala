@@ -633,8 +633,11 @@ object Similarity {
     * whether the codebook is good enough to replace raw vectors.
     *
     * Scale: each sweep is one scan of the (n·M)-row subvector table
-    * against a BROADCAST 64-row codebook (equi-join on the subspace
-    * key, O(n·M·k) work); means shuffle n·d values onto the bounded
+    * through the primitive-array argmin kernel (landAssignment's seam
+    * and exactness contract — per-sub code tables visited in ascending
+    * cluster id with strict <, dist in the (‖x‖²+‖c‖²)−2·x·c operand
+    * order; the whole M·k·subdim codebook is ~8 KB, captured in the
+    * task closure); means shuffle n·d values onto the bounded
     * (M·k·subdim) key space. The codebook lands to parquet and the
     * emitted coding is recomputed against the LANDED table, so the
     * oracle re-derives the exact assignment brute-force in DuckDB. */
@@ -672,17 +675,42 @@ object Similarity {
           col("x.cv").as("cv"))
         .collect()
         .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2))).toSeq
-    def assigned(c: DataFrame): DataFrame =
-      subs.join(broadcast(
-          c.withColumn("nc2", dotD(col("cv"), col("cv")))), Seq("sub"))
-        .withColumn("dist",
-          (col("nx2") + col("nc2")) - lit(2.0) * dotD(col("sv"), col("cv")))
+    def dotSeq(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val typedSubs = subs.as[(Long, Int, Array[Double], Double)]
+    // per-sub code arrays sorted ascending: the kernel's strict < is
+    // then exactly min_by over struct(dist, cluster)
+    def codeMap(c: Seq[(Int, Long, Seq[Double])])
+        : Map[Int, Array[(Long, Array[Double], Double)]] =
+      c.groupBy(_._1).map { case (sub, rows) =>
+        sub -> rows.map { case (_, cl, cv) =>
+          val a = cv.toArray
+          (cl, a, dotSeq(a, a))
+        }.sortBy(_._1).toArray
+      }
+    // (sub, cluster, vec_id, sv, dist) via the argmin kernel
+    def assignedK(cm: Map[Int, Array[(Long, Array[Double], Double)]]) =
+      typedSubs.mapPartitions { it =>
+        it.map { case (id, sub, sv, nx2) =>
+          val cs = cm(sub)
+          var bestC = -1L
+          var bestD = Double.PositiveInfinity
+          var i = 0
+          while (i < cs.length) {
+            val t = cs(i)
+            val d = (nx2 + t._3) - 2.0 * dotSeq(sv, t._2)
+            if (d < bestD) { bestD = d; bestC = t._1 }
+            i += 1
+          }
+          (sub, bestC, id, sv, bestD)
+        }
+      }.toDF("sub", "cluster", "vec_id", "sv", "dist")
     for (_ <- 1 to sweeps) {
-      val assign = assigned(centDf(centRows))
-        .groupBy(col("vec_id"), col("sub"))
-        .agg(min_by(col("cluster"), struct(col("dist"), col("cluster")))
-            .as("cluster"),
-          first(col("sv")).as("sv"))
+      val assign = assignedK(codeMap(centRows))
       // per-(sub, cluster, dim) means via round → exact DECIMAL →
       // associative SUM (the dimStats discipline): order-independent
       // and map-side combinable, so no task ever materializes a
@@ -709,14 +737,14 @@ object Similarity {
         (sub, c, means.getOrElse((sub, c), prev)) }
     }
     centDf(centRows).write.mode("overwrite").parquet(pqCodebookDir(dir))
-    val landed = s.read.parquet(pqCodebookDir(dir))
-    assigned(landed)
-      .groupBy(col("vec_id"), col("sub"))
-      .agg(min_by(struct(col("cluster"), col("dist")),
-        struct(col("dist"), col("cluster"))).as("best"))
+    // final coding against the LANDED codebook (parquet round-trips
+    // doubles exactly), through the same kernel
+    val landedRows = s.read.parquet(pqCodebookDir(dir)).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2))).toSeq
+    assignedK(codeMap(landedRows))
       .select(col("vec_id"), col("sub").cast("int").as("subspace"),
-        col("best").getField("cluster").as("code"),
-        round(col("best").getField("dist"), 6).as("recon_se"))
+        col("cluster").as("code"),
+        round(col("dist"), 6).as("recon_se"))
   }
 
   /** Landing dirs for the shared embedding moment tables — the
