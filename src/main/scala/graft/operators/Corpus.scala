@@ -119,8 +119,13 @@ object Corpus {
     * split. Linear, never doc×doc: one distinct-shingle vocabulary on
     * the train side (map-side combinable), one equi-join of the
     * exploded test shingles against it. At 100 TB the vocabulary join
-    * is a plain hash shuffle on the shingle string — no pair
-    * enumeration, no skew beyond shingle frequency. */
+    * is a plain hash shuffle — on the 64-bit shingle HASH
+    * (ShingleHash64, the sketch ops' codegen shingler): the audit only
+    * COUNTS shingles, so 8-byte keys replace ~25-byte 3-gram strings
+    * in the checkpoint, the distinct and the join, and a 64-bit
+    * collision (≲10⁻¹⁰ within a doc, ≲10⁻⁷ corpus-wide at 10⁸
+    * shingles) moves one count — the DuckDB oracle still counts raw
+    * strings. No pair enumeration, no skew beyond shingle frequency. */
   def contamination(s: SparkSession, dir: String): DataFrame = {
     val nibble = graft.functions.HashExprs.md5SliceLong(col("text"), 32, 1)
     val split =
@@ -138,7 +143,8 @@ object Corpus {
       .withColumn("split", split)
       .withColumn("toks", tokens(col("text")))
       .select(col("doc_id"), col("split"),
-        wordShingles(col("toks"), 3).as("shingles"))
+        graft.functions.ShingleHash64.shingleHash64(col("toks"), 3)
+          .as("shingles"))
       .localCheckpoint()
     val trainVocab = base.filter(col("split") === "train")
       .select(explode(col("shingles")).as("sh")).distinct()

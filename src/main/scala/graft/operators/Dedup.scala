@@ -110,12 +110,18 @@ object Dedup {
   def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
     // no pre-distinct pass: collect_set dedups sources per shingle and
     // the vocabulary totals are a direct count-distinct — one shuffle
-    // fewer than materializing the (source, shingle) distinct table
+    // fewer than materializing the (source, shingle) distinct table.
+    // Both corpus-sized shuffles key on xxhash64 of the shingle (the
+    // bigram-logprob discipline): the output only COUNTS distinct
+    // shingles, so 8-byte keys replace ~25-byte 3-gram strings in the
+    // exchanges, and a 64-bit collision (≲10⁻⁷ even at 10⁸ distinct
+    // shingles) merges one count; the DuckDB oracle still counts the
+    // raw strings from the same landed table.
     val sh = DocArtifacts.shingles3(s, dir)
-      .select(col("source"), col("shingle"))
+      .select(col("source"), xxhash64(col("shingle")).as("h"))
     val tot = sh.groupBy(col("source"))
-      .agg(countDistinct(col("shingle")).as("n"))
-    val sets = sh.groupBy(col("shingle"))
+      .agg(countDistinct(col("h")).as("n"))
+    val sets = sh.groupBy(col("h"))
       .agg(array_sort(collect_set(col("source"))).as("srcs"))
       .filter(size(col("srcs")) >= 2)
     val pairs = sets
