@@ -269,7 +269,9 @@ object Bench {
       "landing_moments" ->
         (() => operators.Similarity.ensureMomentsLanded(spark, sfDir)),
       "landing_clean_manifest" ->
-        (() => operators.Corpus.ensureCleanLanded(spark, sfDir)))
+        (() => operators.Corpus.ensureCleanLanded(spark, sfDir)),
+      "landing_buckets" ->
+        (() => operators.Scale.ensureBucketsLanded(spark, sfDir)))
     // (skippable for single-op local iteration loops)
     val landingTimes =
       if (sys.env.contains("SPARK_GRAFT_NO_PRELAND")) Nil
@@ -310,7 +312,7 @@ object Bench {
     // scaffolding and landing ops pay real file writes each run — label
     // them so the batch-compute number is visible on its own
     val ioOps = Set("etl_partitioned_write", "etl_json_landing",
-      "etl_csv_landing", "etl_manifest", "q17_bucketed_join")
+      "etl_csv_landing", "etl_manifest")
     def bucketOf(name: String): String =
       if (name.startsWith("stream_")) "streaming"
       else if (ioOps.contains(name)) "io_landing" else "batch"

@@ -17,30 +17,63 @@ object Scale {
   private def dec2(c: org.apache.spark.sql.Column) =
     c.cast(DecimalType(18, 2))
 
-  /** Bucketed co-located join: both fact tables written bucketed by the
-    * join key, then joined WITHOUT a shuffle — at 100 TB this is the
-    * difference between re-exchanging petabytes per query and a local
-    * sort-merge per bucket. The bucket count (8 here) scales with the
-    * cluster; the write is the one-time landing cost. */
-  def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
+  /** Catalog names + paths for the bucketed fact landings — derived
+    * from `dir` alone (the `Tables.landingDir` contract) so the names
+    * are stable across calls and sessions on one host. */
+  private def bucketTableNames(dir: String): (String, String) = {
     val tag = dir.replaceAll("[^0-9a-zA-Z]", "_") + "_" +
-      s.sparkContext.applicationId.replaceAll("[^0-9a-zA-Z]", "_")
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_buckets_$tag"
-    def landBucketed(df: DataFrame, table: String, key: String): String = {
-      val name = s"graft_${table}_$tag"
-      df.write.mode("overwrite")
-        .option("path", s"$base/$table")
-        .bucketBy(8, key).sortBy(key)
-        .saveAsTable(name)
-      name
+      f"${scala.util.hashing.MurmurHash3.stringHash(dir)}%08x"
+    (s"graft_orders_$tag", s"graft_lineitem_$tag")
+  }
+
+  /** Land-once memo for the bucketed fact tables (keyed on session +
+    * dir + both source fingerprints — the kmeans landing discipline).
+    * Before r14 every bucketedJoin call re-wrote BOTH bucketed tables
+    * inside the query — at sf3 the two writes were 9.0s around a join
+    * that itself runs exchange-free in under a second. Bucketing a fact
+    * table is a ONE-TIME landing cost amortized over every co-located
+    * join that follows (that is the entire point of bucketing at
+    * 100 TB); the query now pays it once per corpus and the bench times
+    * it as its own `landing_buckets` line. */
+  private val bucketsLanded = scala.collection.concurrent.TrieMap
+    .empty[(Int, String, String, String), scala.concurrent.Future[Unit]]
+  private[graft] def ensureBucketsLanded(s: SparkSession,
+      dir: String): Unit = {
+    val (ordName, liName) = bucketTableNames(dir)
+    graft.Tables.landOnce(bucketsLanded,
+      (System.identityHashCode(s.sparkContext), dir,
+        graft.Tables.fingerprint(s, dir, "orders"),
+        graft.Tables.fingerprint(s, dir, "lineitem"))) {
+      val base = graft.Tables.landingDir("buckets", dir)
+      def landBucketed(df: DataFrame, table: String, name: String,
+          key: String): Unit =
+        df.write.mode("overwrite")
+          .option("path", s"$base/$table")
+          .bucketBy(8, key).sortBy(key)
+          .saveAsTable(name)
+      landBucketed(
+        Tables.orders(s, dir).select(col("o_orderkey"),
+          col("o_orderstatus")),
+        "orders", ordName, "o_orderkey")
+      landBucketed(
+        Tables.lineitem(s, dir).select(col("l_orderkey"),
+          col("l_extendedprice")),
+        "lineitem", liName, "l_orderkey")
     }
-    val ord = landBucketed(
-      Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderstatus")),
-      "orders", "o_orderkey")
-    val li = landBucketed(
-      Tables.lineitem(s, dir).select(col("l_orderkey"),
-        col("l_extendedprice")),
-      "lineitem", "l_orderkey")
+  }
+
+  /** Test hook (the DocArtifacts.clearMemo discipline). */
+  private[graft] def clearBucketsMemo(): Unit = bucketsLanded.clear()
+
+  /** Bucketed co-located join: both fact tables written bucketed by the
+    * join key (once — [[ensureBucketsLanded]]), then joined WITHOUT a
+    * shuffle — at 100 TB this is the difference between re-exchanging
+    * petabytes per query and a local sort-merge per bucket. The bucket
+    * count (8 here) scales with the cluster; the write is the one-time
+    * landing cost. */
+  def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    ensureBucketsLanded(s, dir)
+    val (ord, li) = bucketTableNames(dir)
     s.table(li).join(s.table(ord), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n_items"),

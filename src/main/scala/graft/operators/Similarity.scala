@@ -150,9 +150,15 @@ object Similarity {
       .select(col("cell_id"), col("vd").as("c_vd"), col("nrm").as("c_nrm"))
 
   /** Landing dir for the sampled IVF coarse-centroid table — the
-    * kmeansCentDir contract: computable from `dir` alone. */
-  private[graft] def ivfCentDir(dir: String): String =
-    graft.Tables.landingDir("ivf_cent", dir)
+    * kmeansCentDir contract: computable from `dir` alone, with k IN THE
+    * PATH. The memo below keys on k, so without k here a k1-then-k2
+    * call sequence in one session would overwrite the single landing
+    * with k2 centroids while the k1 memo entry stays warm — a later k1
+    * call would silently read k2's table. Encoding k makes each k its
+    * own artifact; the static oracle SQL resolves the k=16 path (the
+    * registered query's k). */
+  private[graft] def ivfCentDir(dir: String, k: Int = 16): String =
+    graft.Tables.landingDir(s"ivf_cent_k$k", dir)
 
   /** IVF-style approximate top-k: every vector joins its nearest of k
     * fixed centroids, queries probe `nprobe` nearest cells. Two
@@ -174,13 +180,13 @@ object Similarity {
       (System.identityHashCode(s.sparkContext), dir,
         graft.Tables.fingerprint(s, dir, "embeddings"), k)) {
       centroidTable(s, dir, k).select(col("cell_id"), col("c_vd"))
-        .write.mode("overwrite").parquet(ivfCentDir(dir))
+        .write.mode("overwrite").parquet(ivfCentDir(dir, k))
     }
   }
 
   def ivfTopk(s: SparkSession, dir: String, k: Int, nprobe: Int): DataFrame = {
     ensureIvfCentLanded(s, dir, k)
-    val cents = s.read.parquet(ivfCentDir(dir))
+    val cents = s.read.parquet(ivfCentDir(dir, k))
       .withColumn("c_nrm", sqrt(dotD(col("c_vd"), col("c_vd"))))
     ivfWith(s, dir, cents, nprobe)
   }
@@ -632,40 +638,59 @@ object Similarity {
     * reconstruction error — the quantization-loss report that decides
     * whether the codebook is good enough to replace raw vectors.
     *
-    * Scale: each sweep is one scan of the (n·M)-row subvector table
-    * through the primitive-array argmin kernel (landAssignment's seam
-    * and exactness contract — per-sub code tables visited in ascending
-    * cluster id with strict <, dist in the (‖x‖²+‖c‖²)−2·x·c operand
-    * order; the whole M·k·subdim codebook is ~8 KB, captured in the
-    * task closure); means shuffle n·d values onto the bounded
-    * (M·k·subdim) key space. The codebook lands to parquet and the
-    * emitted coding is recomputed against the LANDED table, so the
-    * oracle re-derives the exact assignment brute-force in DuckDB. */
+    * Scale: the codebook TRAINS on a bounded deterministic sample
+    * ([[trainSampleCap]](16) vectors with the smallest id-hash — the
+    * trainKmeans r13 discipline; Lloyd's quality saturates far below
+    * the corpus and a full-corpus sweep made this the slowest LLM op
+    * at sf3), so each sweep scans a CONSTANT (cap·M)-row subvector
+    * table through the primitive-array argmin kernel (landAssignment's
+    * seam and exactness contract — per-sub code tables visited in
+    * ascending cluster id with strict <, dist in the (‖x‖²+‖c‖²)−2·x·c
+    * operand order; the whole M·k·subdim codebook is ~8 KB, captured in
+    * the task closure); means shuffle cap·d values onto the bounded
+    * (M·k·subdim) key space. Only the FINAL coding scans the corpus —
+    * once, against the LANDED codebook — so the oracle re-derives the
+    * exact assignment brute-force in DuckDB and never sees the
+    * training path. */
   def pq(s: SparkSession, dir: String): DataFrame = {
     val m = 4
     val subDim = 16
     val k = 16
     val sweeps = 3
+    val n = graft.Tables.rowCount(s, dir, "embeddings")
+    val cap = trainSampleCap(k)
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("vd"))
-    val subs = emb.select(col("vec_id"),
-        explode(array((0 until m).map(i =>
-          struct(lit(i).as("sub"),
-            slice(col("vd"), i * subDim + 1, subDim).as("sv"))): _*)).as("x"))
-      .select(col("vec_id"), col("x.sub").as("sub"), col("x.sv").as("sv"))
-      .withColumn("nx2", dotD(col("sv"), col("sv")))
+    def subsOf(df: DataFrame): DataFrame =
+      df.select(col("vec_id"),
+          explode(array((0 until m).map(i =>
+            struct(lit(i).as("sub"),
+              slice(col("vd"), i * subDim + 1, subDim).as("sv"))): _*))
+            .as("x"))
+        .select(col("vec_id"), col("x.sub").as("sub"), col("x.sv").as("sv"))
+        .withColumn("nx2", dotD(col("sv"), col("sv")))
+    // training sample: smallest-id-hash draw, spread over the cores the
+    // SAMPLE justifies (the trainKmeans repartition-before-checkpoint
+    // lesson — limit() collapses to one partition)
+    val sampleParts = math.max(1L, math.min(
+      s.sparkContext.defaultParallelism.toLong,
+      math.min(n, cap) * m / 1024L)).toInt
+    val trainEmb = (if (n > cap)
+        emb.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(cap.toInt)
+      else emb)
+    val trainSubs = subsOf(trainEmb).repartition(sampleParts)
       .localCheckpoint()
-    // seeds: the k lowest vec_ids' subvectors; cluster id = seed vec_id
-    // (the kmeans convention). Iteration state rides the driver — the
-    // codebook is bounded by SCHEMA (m × k × subdim = 4 × 16 × 16
-    // doubles), the kmeans driver-bounded discipline: one ≤ m·k-row
-    // collect per sweep instead of a checkpoint + prev-join chain;
-    // collect→literal round-trips doubles binarily.
+    // seeds: the k lowest vec_ids' subvectors FROM THE SAMPLE; cluster
+    // id = seed vec_id (the kmeans convention). Iteration state rides
+    // the driver — the codebook is bounded by SCHEMA (m × k × subdim =
+    // 4 × 16 × 16 doubles), the kmeans driver-bounded discipline: one
+    // ≤ m·k-row collect per sweep instead of a checkpoint + prev-join
+    // chain; collect→literal round-trips doubles binarily.
     import s.implicits._
     def centDf(rows: Seq[(Int, Long, Seq[Double])]): DataFrame =
       rows.toDF("sub", "cluster", "cv")
     var centRows: Seq[(Int, Long, Seq[Double])] =
-      emb.orderBy(col("vec_id")).limit(k)
+      trainEmb.orderBy(col("vec_id")).limit(k)
         .select(col("vec_id").as("cluster"),
           explode(array((0 until m).map(i =>
             struct(lit(i).as("sub"),
@@ -681,7 +706,7 @@ object Similarity {
       while (i < a.length) { acc += a(i) * b(i); i += 1 }
       acc
     }
-    val typedSubs = subs.as[(Long, Int, Array[Double], Double)]
+    val typedTrain = trainSubs.as[(Long, Int, Array[Double], Double)]
     // per-sub code arrays sorted ascending: the kernel's strict < is
     // then exactly min_by over struct(dist, cluster)
     def codeMap(c: Seq[(Int, Long, Seq[Double])])
@@ -693,8 +718,10 @@ object Similarity {
         }.sortBy(_._1).toArray
       }
     // (sub, cluster, vec_id, sv, dist) via the argmin kernel
-    def assignedK(cm: Map[Int, Array[(Long, Array[Double], Double)]]) =
-      typedSubs.mapPartitions { it =>
+    def assignedK(rows: org.apache.spark.sql.Dataset[
+          (Long, Int, Array[Double], Double)],
+        cm: Map[Int, Array[(Long, Array[Double], Double)]]) =
+      rows.mapPartitions { it =>
         it.map { case (id, sub, sv, nx2) =>
           val cs = cm(sub)
           var bestC = -1L
@@ -710,7 +737,7 @@ object Similarity {
         }
       }.toDF("sub", "cluster", "vec_id", "sv", "dist")
     for (_ <- 1 to sweeps) {
-      val assign = assignedK(codeMap(centRows))
+      val assign = assignedK(typedTrain, codeMap(centRows))
       // per-(sub, cluster, dim) means via round → exact DECIMAL →
       // associative SUM (the dimStats discipline): order-independent
       // and map-side combinable, so no task ever materializes a
@@ -741,7 +768,8 @@ object Similarity {
     // doubles exactly), through the same kernel
     val landedRows = s.read.parquet(pqCodebookDir(dir)).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2))).toSeq
-    assignedK(codeMap(landedRows))
+    assignedK(subsOf(emb).as[(Long, Int, Array[Double], Double)],
+        codeMap(landedRows))
       .select(col("vec_id"), col("sub").cast("int").as("subspace"),
         col("cluster").as("code"),
         round(col("dist"), 6).as("recon_se"))
