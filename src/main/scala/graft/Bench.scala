@@ -128,32 +128,78 @@ object Bench {
     } catch {
       case scala.util.control.NonFatal(_) => (None, Map.empty, Map.empty) }
 
-  /** The prior committed round's canary_duck_s for the same SF (absent
-    * in pre-r13 details → None, gate disarmed for one round). */
-  private def priorCanaryOf(detailPath: String, sfDir: String): Option[Double] =
+  /** The prior committed round's canary timings for the same SF: the
+    * per-op map (`canary_ops`, r14+) plus the legacy scalar sum
+    * (`canary_duck_s`, r13) as a fallback. Absent → (empty, None),
+    * gate disarmed for one round. */
+  private def priorCanaryOf(detailPath: String, sfDir: String)
+      : (Map[String, Double], Option[Double]) =
     try {
       import org.json4s._
       import org.json4s.jackson.JsonMethods
+      def num: PartialFunction[JValue, Double] = {
+        case JDouble(v) => v
+        case JInt(v) => v.toDouble
+        case JDecimal(v) => v.toDouble }
       JsonMethods.parse(java.nio.file.Files.readString(
         java.nio.file.Paths.get(detailPath))) match {
         case JObject(fs) =>
           val m = fs.toMap
           if (!m.get("sf").collect { case JString(v) => v }.contains(sfDir))
-            None
-          else m.get("canary_duck_s").collect {
-            case JDouble(v) => v
-            case JInt(v) => v.toDouble
-            case JDecimal(v) => v.toDouble }
-        case _ => None
+            (Map.empty, None)
+          else {
+            val perOp = m.get("canary_ops") match {
+              case Some(JObject(ops)) => ops.collect {
+                case (k, v) if num.isDefinedAt(v) => k -> num(v) }.toMap
+              case _ => Map.empty[String, Double]
+            }
+            (perOp, m.get("canary_duck_s").collect(num))
+          }
+        case _ => (Map.empty, None)
       }
-    } catch { case scala.util.control.NonFatal(_) => None }
+    } catch { case scala.util.control.NonFatal(_) => (Map.empty, None) }
+
+  /** Comparable (current, prior) canary sums, or None when the gate
+    * must disarm (spec'd in BenchGateSpec). The r13 form compared raw
+    * sums: if one canary op failed in either run (duckTimings swallows
+    * failures into missing/negative entries), the gate compared sums
+    * over DIFFERENT op sets — a one-op prior vs a healthy two-op
+    * current read as ~2× drift. Now only ops present and positive in
+    * BOTH runs enter the sums; an empty intersection falls back to the
+    * legacy scalar prior (r13 detail files) ONLY when the current
+    * probe is complete (both canary ops timed), else disarms. */
+  private[graft] def canaryCompare(cur: Map[String, Double],
+      priorOps: Map[String, Double], priorScalar: Option[Double],
+      canarySet: Set[String]): Option[(Double, Double)] = {
+    val shared = canarySet.filter(k =>
+      cur.get(k).exists(_ > 0) && priorOps.get(k).exists(_ > 0))
+    if (shared.nonEmpty)
+      Some((shared.toSeq.map(cur).sum, shared.toSeq.map(priorOps).sum))
+    else priorScalar match {
+      case Some(p) if canarySet.forall(k => cur.get(k).exists(_ > 0)) =>
+        Some((canarySet.toSeq.map(cur).sum, p))
+      case _ => None
+    }
+  }
 
   /** Canary gate predicate (spec'd in BenchGateSpec): prior must be a
     * stable ≥0.25s denominator — millisecond jitter at tiny SFs must
     * not arm the gate — and 1.5× covers run-to-run DuckDB noise. */
   private[graft] def canaryInflatedGate(
-      cur: Double, prior: Option[Double]): Boolean =
-    prior.exists(p => p >= 0.25 && cur > 1.5 * p)
+      cmp: Option[(Double, Double)]): Boolean =
+    cmp.exists { case (cur, p) => p >= 0.25 && cur > 1.5 * p }
+
+  /** Retry predicate for the pre-sweep canary (spec'd in
+    * BenchGateSpec): tighter than the contamination gate (1.15× vs
+    * 1.5×) because a retry is CHEAP next to shipping a whole sweep's
+    * artifact off a drifting host — the r13 lesson, where all three
+    * committed artifacts carried ~1.1-1.25× ambient inflation with
+    * contaminated:false. The bench sleeps and re-probes while this
+    * holds (bounded attempts), so a transient contender drains before
+    * the timed sweep starts instead of inflating 190 ops. */
+  private[graft] def canaryNeedsRetry(
+      cmp: Option[(Double, Double)]): Boolean =
+    cmp.exists { case (cur, p) => p >= 0.25 && cur > 1.15 * p }
 
   /** Per-op cross-check vs the prior committed detail (the r9 gap: a
     * start-of-run load spike inflated ~10 early ops 2-7× while
@@ -236,9 +282,26 @@ object Bench {
     // every bundled SF (≤ ~3s at 30×) — a canary must cost seconds,
     // not ride a superlinear oracle.
     val canaryOps = Set("txt_boilerplate_scrub", "mm_binary_pipeline")
-    val canaryDuck = duckTimings(sfDir, Some(canaryOps))
-      .values.filter(_ > 0).sum
-    val priorCanary = priorCanaryOf(detailPath, sfDir)
+    val (priorCanaryOps, priorCanaryScalar) = priorCanaryOf(detailPath, sfDir)
+    def probeCanary(): Map[String, Double] =
+      duckTimings(sfDir, Some(canaryOps)).filter(_._2 > 0)
+    // ACT on a hot probe, don't just record it (the r13 lesson: three
+    // artifacts shipped ambient-hot with contaminated:false): while the
+    // probe reads >1.15x its prior committed time, sleep and re-probe —
+    // a transient contender drains in minutes, and a minute of waiting
+    // is free next to re-running a 190-op sweep. Bounded attempts; a
+    // persistently hot host still ships, flagged, after the last probe.
+    var canaryMap = probeCanary()
+    var canaryRetries = 0
+    while (canaryRetries < 4 && canaryNeedsRetry(canaryCompare(
+        canaryMap, priorCanaryOps, priorCanaryScalar, canaryOps))) {
+      canaryRetries += 1
+      Thread.sleep(60000L)
+      canaryMap = probeCanary()
+    }
+    val canaryCmp = canaryCompare(canaryMap, priorCanaryOps,
+      priorCanaryScalar, canaryOps)
+    val canaryDuck = canaryMap.values.sum
     val spark = GraftSession.local(cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
 
@@ -353,12 +416,16 @@ object Bench {
     // prior committed time → the host was already drifting when the
     // sweep STARTED (0.25s floor keeps millisecond jitter from arming
     // the gate at tiny SFs)
-    val canaryInflated = canaryInflatedGate(canaryDuck, priorCanary)
+    val canaryInflated = canaryInflatedGate(canaryCmp)
     val contaminated = duckInflated || highLoad || perOpInflated ||
       offenders.nonEmpty || canaryInflated
     val canaryField =
       s""","canary_duck_s":${math.round(canaryDuck * 10000.0) / 10000.0}""" +
-        priorCanary.map(p => s""","canary_duck_prior":$p""").getOrElse("")
+        s""","canary_ops":${obj(canaryMap.toSeq.sortBy(_._1))}""" +
+        (if (canaryRetries > 0) s""","canary_retries":$canaryRetries"""
+         else "") +
+        canaryCmp.map { case (_, p) =>
+          s""","canary_duck_prior":$p""" }.getOrElse("")
     val loadField =
       s""","load_before":$loadBefore,"load_after":$loadAfter""" + canaryField +
         priorDuck.map(p => s""","duckdb_total_prior":$p""").getOrElse("") +

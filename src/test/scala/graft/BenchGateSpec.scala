@@ -113,12 +113,49 @@ class BenchGateSpec extends AnyFunSuite {
   test("canary gate: fires on real pre-sweep drift, stays quiet on " +
       "jitter, missing priors and tiny denominators") {
     // the r12 manual protocol's numbers: ~1.25s canary at sf0.1
-    assert(Bench.canaryInflatedGate(2.5, Some(1.25)), "2x drift must fire")
-    assert(!Bench.canaryInflatedGate(1.5, Some(1.25)), "1.2x is noise")
+    assert(Bench.canaryInflatedGate(Some((2.5, 1.25))), "2x drift must fire")
+    assert(!Bench.canaryInflatedGate(Some((1.5, 1.25))), "1.2x is noise")
     // pre-r13 detail files carry no canary: gate disarmed, not crashed
-    assert(!Bench.canaryInflatedGate(99.0, None))
+    assert(!Bench.canaryInflatedGate(None))
     // millisecond denominators at tiny SFs never arm the gate
-    assert(!Bench.canaryInflatedGate(0.9, Some(0.1)))
+    assert(!Bench.canaryInflatedGate(Some((0.9, 0.1))))
+  }
+
+  test("canary compare: sums only ops present in both runs; a one-op " +
+      "probe never reads as 2x drift") {
+    val set = Set("a", "b")
+    val prior = Map("a" -> 0.6, "b" -> 0.7)
+    // healthy two-op compare (sums float: compare within an ulp band)
+    val healthy = Bench.canaryCompare(Map("a" -> 0.65, "b" -> 0.7), prior,
+      None, set)
+    assert(healthy.exists { case (c, p) =>
+      math.abs(c - 1.35) < 1e-9 && math.abs(p - 1.3) < 1e-9 })
+    // the ADVICE exhibit: op b failed in the CURRENT probe — the r13
+    // form compared 0.6 vs 1.3 (sum over different sets); now only the
+    // shared op enters both sums, so a stable host reads stable
+    assert(Bench.canaryCompare(Map("a" -> 0.6), prior, None, set)
+      .contains((0.6, 0.6)))
+    // op b failed in the PRIOR run: same shared-op rule
+    assert(Bench.canaryCompare(Map("a" -> 0.62, "b" -> 0.7),
+      Map("a" -> 0.6), None, set).contains((0.62, 0.6)))
+    // legacy r13 detail (scalar only): compare only when the current
+    // probe is complete, else disarm rather than mix op sets
+    assert(Bench.canaryCompare(Map("a" -> 0.6, "b" -> 0.7), Map.empty,
+      Some(1.3), set).exists { case (c, p) =>
+        math.abs(c - 1.3) < 1e-9 && p == 1.3 })
+    assert(Bench.canaryCompare(Map("a" -> 0.6), Map.empty,
+      Some(1.3), set).isEmpty)
+    // nothing comparable at all: disarmed
+    assert(Bench.canaryCompare(Map.empty, Map.empty, None, set).isEmpty)
+  }
+
+  test("canary retry: re-probes above 1.15x prior (the act-don't-record " +
+      "gate), not on noise or missing priors") {
+    assert(Bench.canaryNeedsRetry(Some((1.6, 1.25))), "1.28x must re-probe")
+    assert(!Bench.canaryNeedsRetry(Some((1.4, 1.25))), "1.12x is noise")
+    assert(!Bench.canaryNeedsRetry(None), "no prior: nothing to compare")
+    assert(!Bench.canaryNeedsRetry(Some((0.9, 0.1))),
+      "tiny denominators never arm the retry loop")
   }
 
   test("sub-constant priors and failed ops are excluded; narrow runs " +
