@@ -334,7 +334,9 @@ object Bench {
       "landing_clean_manifest" ->
         (() => operators.Corpus.ensureCleanLanded(spark, sfDir)),
       "landing_buckets" ->
-        (() => operators.Scale.ensureBucketsLanded(spark, sfDir)))
+        (() => operators.Scale.ensureBucketsLanded(spark, sfDir)),
+      "landing_mhlsh" ->
+        (() => operators.Dedup.ensureMhLshLanded(spark, sfDir)))
     // (skippable for single-op local iteration loops)
     val landingTimes =
       if (sys.env.contains("SPARK_GRAFT_NO_PRELAND")) Nil

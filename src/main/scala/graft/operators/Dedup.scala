@@ -472,24 +472,43 @@ object Dedup {
   private[graft] def mhLshDir(dir: String): String =
     graft.Tables.landingDir("mhlsh", dir)
 
+  /** Land-once memo for the LSH (doc_id, hs, bands) table — the tuning
+    * landing discipline: shingle-hash + k=32 signature generation is a
+    * corpus-sized pass that every minhashLsh call re-paid in-query
+    * before r14 (the bulk of its 7.5s at sf3, around a candidate+verify
+    * stage that reads only the landed table). One landing per
+    * (session, dir, corpus fingerprint); the bench times it as its own
+    * landing_mhlsh line. */
+  private val mhLshLanded = scala.collection.concurrent.TrieMap
+    .empty[(Int, String, String), scala.concurrent.Future[Unit]]
+  /** Test hook (the clearTuningMemo discipline). */
+  private[graft] def clearMhLshMemo(): Unit = mhLshLanded.clear()
+  private[graft] def ensureMhLshLanded(s: SparkSession, dir: String): Unit = {
+    val bands = 8
+    val r = 4
+    graft.Tables.landOnce(mhLshLanded,
+      (System.identityHashCode(s.sparkContext), dir,
+        graft.Tables.fingerprint(s, dir, "documents"))) {
+      hashShingled(s, dir)
+        .withColumn("sig",
+          graft.functions.SketchExprs.minhashSig(col("hs"), bands * r))
+        .select(col("doc_id"), col("hs"),
+          bandHashes(col("sig"), bands, r).as("bands"))
+        .write.mode("overwrite").parquet(mhLshDir(dir))
+    }
+  }
+
   /** MinHash+LSH near-dup detection — the full scale path: one string-
     * hash pass, k=32 multiply-shift minima → 8 bands of 4 → salted
     * band-bucket join on ids only → exact-Jaccard verification of
-    * survivors. The (doc_id, hs, bands) table LANDS to parquet and the
-    * emitted pairs recompute from the landed table, so the oracle
-    * re-derives band-bucket candidate generation, the size-ratio
-    * prefilter and the exact-Jaccard verification brute-force in
-    * DuckDB — only the multiply-shift minhash + band hashing stay
-    * Spark-side (the simhash contract). */
+    * survivors. The (doc_id, hs, bands) table LANDS to parquet (once —
+    * [[ensureMhLshLanded]]) and the emitted pairs recompute from the
+    * landed table, so the oracle re-derives band-bucket candidate
+    * generation, the size-ratio prefilter and the exact-Jaccard
+    * verification brute-force in DuckDB — only the multiply-shift
+    * minhash + band hashing stay Spark-side (the simhash contract). */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val bands = 8
-    val r = 4
-    hashShingled(s, dir)
-      .withColumn("sig",
-        graft.functions.SketchExprs.minhashSig(col("hs"), bands * r))
-      .select(col("doc_id"), col("hs"),
-        bandHashes(col("sig"), bands, r).as("bands"))
-      .write.mode("overwrite").parquet(mhLshDir(dir))
+    ensureMhLshLanded(s, dir)
     val base = s.read.parquet(mhLshDir(dir))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val banded = base.select(col("doc_id"),

@@ -315,7 +315,10 @@ class StressSpec extends SparkSpec {
     val dir1 = gen(1)
     val dir10 = gen(10)
     val ops: Seq[(String, String => org.apache.spark.sql.DataFrame)] = Seq(
-      "dedup_minhash_lsh" -> (d => operators.Dedup.minhashLsh(spark, d)),
+      "dedup_minhash_lsh" -> (d => {
+        operators.DocArtifacts.clearMemo()
+        operators.Dedup.clearMhLshMemo()
+        operators.Dedup.minhashLsh(spark, d) }),
       "dedup_cluster" -> (d => operators.Dedup.cluster(spark, d)),
       "smp_shuffle" -> (d => operators.Sampling.shuffleOrder(spark, d)),
       "ann_lsh_topk" -> (d => operators.Similarity.lshTopk(spark, d)),
@@ -363,7 +366,11 @@ class StressSpec extends SparkSpec {
         operators.Dedup.clearTuningMemo()
         operators.Dedup.minhashCalibration(spark, d) }),
       "emb_pq" -> (d => operators.Similarity.pq(spark, d)),
-      "emb_pca_project" -> (d => operators.Similarity.pcaProject(spark, d)))
+      "emb_pca_project" -> (d => operators.Similarity.pcaProject(spark, d)),
+      // the r13 plan-shape changes get their own scaling pins (VERDICT
+      // r13 #6): contamination's hashed-shingle vocabulary join must
+      // stay linear in corpus shingles
+      "corpus_contamination" -> (d => operators.Corpus.contamination(spark, d)))
     def run(f: String => org.apache.spark.sql.DataFrame,
         d: String): Double = {
       val t0 = System.nanoTime()
