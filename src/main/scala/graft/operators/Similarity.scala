@@ -372,6 +372,7 @@ object Similarity {
         // content-keyed (count:bytes:mtime:listing-hash): a regenerated
         // embeddings table retrains instead of serving a stale quantizer
         graft.Tables.fingerprint(s, dir, "embeddings"))) {
+      assertCellWidth(graft.Tables.rowCount(s, dir, "embeddings"))
       trainKmeans(s, dir)
       landAssignment(s, dir)
     }
@@ -465,6 +466,34 @@ object Similarity {
 
   private[graft] def quantizerKFor(n: Long): Int =
     math.max(8L, math.min(4096L, n / 256L)).toInt
+
+  /** Loud boundary for the k-cap regime (the cosinePairBudget
+    * discipline: fail with a named error instead of silently degrading).
+    * Past the 4096 k-cap the expected cell width n/k grows linearly
+    * with the corpus — the r13 2M-vector probe measured cells drifting
+    * to ~488 with no signal — and every cell-local consumer
+    * (dedup_semantic, emb_knn_graph, the IVF probes) pays O(Σ cell²) or
+    * O(cell·k'), so unchecked growth re-quadratizes exactly the family
+    * the derived-k rule linearized. 512 is one doubling past the ~256
+    * design width: within it cell-local work stays ≤ ~4× design cost
+    * (width² on 2× width); beyond it the prescription in the error —
+    * raise the cap if driver/broadcast state allows, or move sweep
+    * state to a landed centroid table + shuffle-join assignment (the
+    * trainKmeans scaladoc's path) — must be taken deliberately, not
+    * discovered in a latency graph. Guard sits on [[ensureKmeansLanded]]
+    * so every consumer of the landed quantizer trips it. */
+  private[graft] def assertCellWidth(n: Long): Unit = {
+    val k = quantizerKFor(n)
+    val width = if (k <= 0) 0L else n / k
+    if (width > 512L)
+      throw new IllegalStateException(
+        s"graft quantizer cell width $width exceeds the 512 bound " +
+          s"(n=$n vectors, k=$k at the 4096 cap): cell-local consumers " +
+          "would run >4x their design cost. Raise the k cap (driver " +
+          "state is k x d doubles) or move Lloyd sweep state to a " +
+          "landed centroid table + shuffle-join assignment " +
+          "(trainKmeans scaladoc) before scaling past this corpus.")
+  }
 
   /** Distributed Lloyd's k-means (corpus-derived k via [[quantizerK]],
     * 5 sweeps) over the embedding

@@ -1120,6 +1120,26 @@ class OperatorsSpec extends SparkSpec {
     assert(quantizerKFor(100L * 1000 * 1000) == 4096)
   }
 
+  test("cell-width guard: the k-cap regime fails loudly one doubling " +
+      "past design width, not in a latency graph") {
+    import operators.Similarity.assertCellWidth
+    // linear region and the measured r13 probes: 200k (sf10emb) and 2M
+    // (sf100emb, width 488→512) all pass — the guard must not reject
+    // any corpus the scaling table proved affordable
+    Seq(500L, 60000L, 200000L, 2000000L, 512L * 4096L)
+      .foreach(assertCellWidth)
+    // one vector past width 512 at the 4096 cap: loud, named, with the
+    // prescription in the message
+    val e = intercept[IllegalStateException] {
+      assertCellWidth(512L * 4096L + 4096L) }
+    assert(e.getMessage.contains("cell width"))
+    assert(e.getMessage.contains("landed centroid table"),
+      "the error must prescribe the past-cap path, not just refuse")
+    // and far past: a 100M-vector corpus is firmly rejected
+    intercept[IllegalStateException] {
+      assertCellWidth(100L * 1000 * 1000) }
+  }
+
   test("emb_dim_stats: one row per dimension, full coverage, coherent " +
       "bounds") {
     val d = operators.Similarity.dimStats(spark, sfTiny)
