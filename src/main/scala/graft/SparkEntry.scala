@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AsOf, Corpus, Dedup, Etl, Events, Multimodal, Relational, Sampling, Scale, Similarity, Text}
+import graft.operators.{AsOf, Corpus, Dedup, Etl, Events, Multimodal, Relational, Sampling, Scale, Similarity, Text, Web}
 import graft.sources.{CsvLanding, JsonLanding}
 import graft.streaming.Streams
 
@@ -18,7 +18,7 @@ object SparkEntry {
       Dedup.queries ++ Similarity.queries ++ Text.queries ++
       Multimodal.queries ++ Streams.queries ++ JsonLanding.queries ++
       CsvLanding.queries ++ Scale.queries ++ AsOf.queries ++
-      Sampling.queries ++ Corpus.queries
+      Sampling.queries ++ Corpus.queries ++ Web.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */
@@ -27,7 +27,7 @@ object SparkEntry {
       Dedup.oracles ++ Similarity.oracles ++ Text.oracles ++
       Multimodal.oracles ++ Streams.oracles ++ JsonLanding.oracles ++
       CsvLanding.oracles ++ Scale.oracles ++ AsOf.oracles ++
-      Sampling.oracles ++ Corpus.oracles
+      Sampling.oracles ++ Corpus.oracles ++ Web.oracles
 
   /** `oracleSql` with the `__SFDIR__` landed-artifact token resolved for
     * a concrete sf dir: oracles that verify landed artifacts (simhash

@@ -531,6 +531,84 @@ object Similarity {
       .select(col("vec_id"), col("cluster"), round(col("dist"), 6).as("dist"))
   }
 
+  /** Cross-run incremental k-means maintenance — the production ANN
+    * story the incremental dedup ops already tell, completed for the
+    * quantizer: a NEW batch of vectors is assigned against the LANDED
+    * centroids (never retraining on arrival), and per-cluster drift —
+    * batch mean squared-L2 distance vs the landed corpus mean — gates
+    * whether a retrain is due. The batch here is the deterministic
+    * ~1/16 id-hash slice (the md5-nibble hashSplit rule, engine-
+    * portable), standing in for today's arrivals.
+    *
+    * Scale: one bounded-broadcast argmin kernel pass over the batch
+    * (landAssignment's seam and exactness contract), one groupBy on k
+    * clusters for the batch means, one k-row read of the landed
+    * assignment's per-cluster means — never a corpus re-scan beyond
+    * the landed table, never retraining in the query path. Means use
+    * the dimStats exact-decimal discipline (round(dist,9) → DECIMAL
+    * sum → double divide), so both engines agree bit-for-bit under any
+    * accumulation order; the oracle re-derives the batch assignment
+    * brute-force from the landed centroid parquet. */
+  def kmeansIncremental(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    import s.implicits._
+    ensureKmeansLanded(s, dir)
+    def dotSeq(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val cents: Array[(Long, Array[Double], Double)] =
+      s.read.parquet(kmeansCentDir(dir)).collect()
+        .map { r =>
+          val cv = r.getSeq[Double](1).toArray
+          (r.getLong(0), cv, dotSeq(cv, cv))
+        }
+        .sortBy(_._1)
+    val bc = s.sparkContext.broadcast(cents)
+    val batch = Tables.embeddings(s, dir)
+      .filter(graft.functions.HashExprs.md5SliceLong(
+        col("vec_id").cast("string"), 32, 1) === 7L)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, vf) =>
+          val v = new Array[Double](vf.length)
+          var i = 0
+          while (i < v.length) { v(i) = vf(i).toDouble; i += 1 }
+          val nx2 = dotSeq(v, v)
+          var bestC = -1L
+          var bestD = Double.PositiveInfinity
+          var c = 0
+          while (c < cs.length) {
+            val (cid, cv, nc2) = cs(c)
+            val d = (nx2 + nc2) - 2.0 * dotSeq(v, cv)
+            if (d < bestD) { bestD = d; bestC = cid }
+            c += 1
+          }
+          (id, bestC, bestD)
+        }
+      }.toDF("vec_id", "cluster", "dist")
+    def meanDist = (sum(round(col("dist"), 9).cast(DecimalType(18, 9)))
+      .cast("double") / count(lit(1)).cast("double"))
+    val corpusStats = s.read.parquet(kmeansAssignDir(dir))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_corpus"), meanDist.as("mean_corpus"))
+    val batchStats = batch
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_batch"), meanDist.as("mean_batch"))
+    val drift = col("mean_batch") / nullif(col("mean_corpus"), lit(0.0))
+    corpusStats.join(batchStats, Seq("cluster"), "left")
+      .select(col("cluster"), col("n_corpus"),
+        coalesce(col("n_batch"), lit(0L)).as("n_batch"),
+        round(col("mean_corpus"), 6).as("mean_dist_corpus"),
+        round(col("mean_batch"), 6).as("mean_dist_batch"),
+        round(drift, 6).as("drift_ratio"),
+        coalesce(drift > 1.2, lit(false)).as("retrain"))
+  }
+
   /** Training-sample cap: 64 vectors per centroid (the FAISS clustering
     * subsample discipline — Lloyd's quality saturates well below the
     * full corpus; FAISS's own Clustering warns only below ~39
@@ -1306,6 +1384,7 @@ object Similarity {
     "emb_normalize" -> (embNormalize _),
     "emb_kmeans" -> (kmeans _),
     "emb_pq" -> (pq _),
+    "emb_kmeans_incremental" -> (kmeansIncremental _),
     "emb_pca_project" -> (pcaProject _),
     "emb_dim_stats" -> (dimStats _),
     "emb_centroid_audit" -> (centroidAudit _))
@@ -1475,6 +1554,43 @@ object Similarity {
         |SELECT vec_id, cluster, ROUND(dist, 6) AS dist FROM d
         |QUALIFY row_number() OVER (PARTITION BY vec_id
         |  ORDER BY dist, cluster) = 1""".stripMargin,
+    // batch = the md5-nibble slice; assignment re-derived brute-force
+    // from the landed centroids (the emb_kmeans oracle's shape), corpus
+    // means from the landed assignment, exact-decimal mean arithmetic
+    "emb_kmeans_incremental" ->
+      s"""WITH c AS (SELECT cluster, cv
+        |  FROM '${kmeansCentDir("__SFDIR__")}/*.parquet'),
+        |a AS (SELECT cluster, dist
+        |  FROM '${kmeansAssignDir("__SFDIR__")}/*.parquet'),
+        |corpus AS (SELECT cluster, COUNT(*) AS n_corpus,
+        |    CAST(SUM(CAST(ROUND(dist, 9) AS DECIMAL(18,9))) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE) AS mean_corpus
+        |  FROM a GROUP BY cluster),
+        |b AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+        |  FROM embeddings
+        |  WHERE CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 32, 1)
+        |    AS BIGINT) = 7),
+        |d AS (SELECT b.vec_id, c.cluster,
+        |    (list_dot_product(vd, vd) + list_dot_product(cv, cv))
+        |      - 2.0 * list_dot_product(vd, cv) AS dist
+        |  FROM b, c),
+        |asg AS (SELECT vec_id, cluster, dist FROM d
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY dist, cluster) = 1),
+        |bat AS (SELECT cluster, COUNT(*) AS n_batch,
+        |    CAST(SUM(CAST(ROUND(dist, 9) AS DECIMAL(18,9))) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE) AS mean_batch
+        |  FROM asg GROUP BY cluster)
+        |SELECT corpus.cluster, n_corpus,
+        |  COALESCE(n_batch, 0) AS n_batch,
+        |  ROUND(mean_corpus, 6) AS mean_dist_corpus,
+        |  ROUND(mean_batch, 6) AS mean_dist_batch,
+        |  ROUND(mean_batch / NULLIF(mean_corpus, 0), 6) AS drift_ratio,
+        |  COALESCE(mean_batch / NULLIF(mean_corpus, 0) > 1.2, FALSE)
+        |    AS retrain
+        |FROM corpus LEFT JOIN bat ON corpus.cluster = bat.cluster"""
+        .stripMargin,
     // components from the landed parquet; proj = dot(v,c) − mu_dot with
     // identical float steps in both engines; +0.0 collapses -0.0
     "emb_pca_project" ->
