@@ -17,8 +17,15 @@ import org.apache.spark.sql.types._
 /** ts stays in the Dataset: dropping the watermark column would strip the
   * watermark the event-time timeout needs. Top-level case classes: encoder
   * codegen requires publicly accessible types. */
+/** cents is the exact DECIMAL(18,2) of the raw double in integer cents,
+  * computed by the CODEGEN'D decimal cast in the select feeding the
+  * typed boundary — not per-event BigDecimal in the lambda (r14: at 30×
+  * the stream carries ~18M events; the lambda-side toString+BigDecimal
+  * conversion was measurable against the ~1.4s batch twin). Spark's
+  * double→decimal cast is the same toString HALF_UP conversion, so the
+  * cent values are bit-identical to the batch DECIMAL sum's terms. */
 case class Ev(user_id: Long, event_id: Long, ts_us: Long,
-    value: Double, ts: java.sql.Timestamp)
+    cents: Long, ts: java.sql.Timestamp)
 /** session_id is the per-user 1-based ordinal by start time (the batch
   * window-sum form's id); sum_cents is the exact DECIMAL(18,2) sum in
   * integer cents — order-free addition, converted to double on read. */
@@ -31,7 +38,41 @@ case class SessionRow(user_id: Long, session_id: Long,
   * sparse stream, so every stored byte is paid twice per flush
   * (snapshot out, snapshot in). */
 case class PendEv(ts_us: Long, event_id: Long, cents: Long)
-case class SessState(pending: List[PendEv], emitted: Long)
+/** Sessionize state, PACKED as three primitive long arrays (column-major
+  * pending events) instead of List[PendEv]: the product-list encoder
+  * walks a MapObjects loop with per-element row conversion on every
+  * state read/write, while primitive arrays serialize as one
+  * UnsafeArrayData memcpy each — the dominant term of the fMGWS
+  * state-store floor (r13 profiled ~10s at 30× as typed-state ser/de).
+  * Pack/unpack at the state boundary is three list traversals, paid
+  * only when state actually changes. NOTE: like the r13 List[PendEv]
+  * slimming, this is a state-format break for persisted checkpoints
+  * (STREAMING.md's compatibility section). */
+case class SessState(ts: Array[Long], ids: Array[Long],
+    cents: Array[Long], emitted: Long) {
+  def pending: List[PendEv] = {
+    val b = List.newBuilder[PendEv]
+    var i = 0
+    while (i < ts.length) { b += PendEv(ts(i), ids(i), cents(i)); i += 1 }
+    b.result()
+  }
+}
+object SessState {
+  def pack(pending: List[PendEv], emitted: Long): SessState = {
+    val n = pending.size
+    val ts = new Array[Long](n)
+    val ids = new Array[Long](n)
+    val cents = new Array[Long](n)
+    var i = 0
+    var rest = pending
+    while (rest.nonEmpty) {
+      val e = rest.head
+      ts(i) = e.ts_us; ids(i) = e.event_id; cents(i) = e.cents
+      i += 1; rest = rest.tail
+    }
+    SessState(ts, ids, cents, emitted)
+  }
+}
 case class FunnelEv(user_id: Long, event_id: Long, ts_us: Long,
     event_type: String, ts: java.sql.Timestamp)
 case class FunnelSnap(user_id: Long, rev: Long, t_view_us: Option[Long],
@@ -154,6 +195,7 @@ object Streams {
     * package-visible so specs can drive it with a multi-batch source. */
   private[graft] def sessionizePipeline(s: SparkSession,
       stream: DataFrame, queryName: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
     import s.implicits._
     val gapUs = 1800L * 1000000L
 
@@ -169,16 +211,6 @@ object Streams {
             case _ => List(e) :: acc
           }
         }.map(_.reverse).reverse
-
-    // exact DECIMAL(18,2) of one value, in integer cents — the same
-    // toString-based HALF_UP conversion Spark's double→decimal cast
-    // performs, so the order-free cent addition reproduces the batch
-    // decimal sum bit-for-bit. Converted ONCE on ingest; state and
-    // emission only ever see the exact integer.
-    def cents(v: Double): Long =
-      new java.math.BigDecimal(java.lang.Double.toString(v))
-        .setScale(2, java.math.RoundingMode.HALF_UP)
-        .unscaledValue().longValueExact()
 
     def row(user: Long, sid: Long, ss: List[PendEv]): SessionRow =
       SessionRow(user, sid, ss.head.ts_us, ss.last.ts_us, ss.size.toLong,
@@ -198,22 +230,22 @@ object Streams {
     // per-user window partition).
     val fn: (Long, Iterator[Ev], GroupState[SessState]) =>
         Iterator[SessionRow] = (user, evs, state) => {
-      val st = state.getOption.getOrElse(SessState(Nil, 0L))
+      val st = state.getOption.getOrElse(SessState.pack(Nil, 0L))
       val all = st.pending ++
-        evs.map(e => PendEv(e.ts_us, e.event_id, cents(e.value))).toList
+        evs.map(e => PendEv(e.ts_us, e.event_id, e.cents)).toList
       if (state.hasTimedOut) {
         // watermark passed last_end + gap: every pending session is
         // final (sessionsOf runs ONCE — the flush visits every pending
         // event, so a second sort here would double the flush CPU)
         val fin = sessionsOf(all)
-        state.update(SessState(Nil, st.emitted + fin.size))
+        state.update(SessState.pack(Nil, st.emitted + fin.size))
         fin.zipWithIndex.map { case (ss, i) =>
           row(user, st.emitted + i + 1, ss) }.iterator
       } else {
         val wmUs = state.getCurrentWatermarkMs() * 1000L
         val (fin, pending) = sessionsOf(all)
           .partition(ss => ss.last.ts_us + gapUs < wmUs)
-        state.update(SessState(pending.flatten, st.emitted + fin.size))
+        state.update(SessState.pack(pending.flatten, st.emitted + fin.size))
         if (pending.nonEmpty)
           // a timeout exactly at the watermark is rejected by Spark
           state.setTimeoutTimestamp(math.max(
@@ -226,7 +258,12 @@ object Streams {
 
     val out = stream
       .select(col("user_id"), col("event_id"),
-        unix_micros(col("ts")).as("ts_us"), col("value"), col("ts"))
+        unix_micros(col("ts")).as("ts_us"),
+        // exact DECIMAL(18,2) in integer cents via the codegen'd cast
+        // (see Ev's scaladoc) — the lambda never touches BigDecimal
+        (col("value").cast(DecimalType(18, 2)) * lit(100))
+          .cast("long").as("cents"),
+        col("ts"))
       .withWatermark("ts", "30 minutes")
       .as[Ev]
       .groupByKey(_.user_id)
