@@ -532,68 +532,156 @@ object Etl {
     * orphan count, not as a silent inner-join row loss in some
     * downstream query.
     *
-    * Scale shape: ONE job for all seven edges. Each child table is
-    * scanned ONCE, exploding every row into its (edge, key) pairs — so
-    * lineitem's three edges share a single scan instead of paying three
-    * (the r13 form ran seven independent anti-join jobs, 6.1s at sf3
-    * for seven one-row counts). The pair stream reduces by (edge, key)
-    * with map-side combine — the shuffle carries at most the DISTINCT
-    * keys per edge, never the fact rows — then left-joins the unioned
-    * parent-key table (each parent scanned once, PK-unique so the join
-    * preserves counts) and one bounded seven-row aggregate emits the
-    * report. Null FKs are counted separately (a null key is a quality
-    * signal, not an orphan). No edge ever materializes the orphan rows
-    * themselves — at 100 TB the audit emits seven numbers, and a
-    * follow-up targeted query fetches offenders only when a count is
-    * non-zero. */
-  def fkAudit(s: SparkSession, dir: String): DataFrame = {
-    def edges(child: DataFrame, es: (String, String)*): DataFrame =
-      child.select(explode(array(es.map { case (name, ck) =>
-          struct(lit(name).as("fk_edge"), col(ck).as("k")) }: _*)).as("e"))
-        .select(col("e.fk_edge").as("fk_edge"), col("e.k").as("k"))
-    val childPairs = Seq(
-      edges(Tables.customer(s, dir),
-        "customer.c_nationkey->nation" -> "c_nationkey"),
-      edges(Tables.lineitem(s, dir),
-        "lineitem.l_orderkey->orders" -> "l_orderkey",
-        "lineitem.l_partkey->part" -> "l_partkey",
-        "lineitem.l_suppkey->supplier" -> "l_suppkey"),
-      edges(Tables.nation(s, dir),
-        "nation.n_regionkey->region" -> "n_regionkey"),
-      edges(Tables.orders(s, dir),
-        "orders.o_custkey->customer" -> "o_custkey"),
-      edges(Tables.supplier(s, dir),
-        "supplier.s_nationkey->nation" -> "s_nationkey"))
-      .reduce(_ unionAll _)
-    val parentKeys = Seq(
-      ("customer.c_nationkey->nation", Tables.nation(s, dir),
-        "n_nationkey"),
-      ("lineitem.l_orderkey->orders", Tables.orders(s, dir), "o_orderkey"),
-      ("lineitem.l_partkey->part", Tables.part(s, dir), "p_partkey"),
-      ("lineitem.l_suppkey->supplier", Tables.supplier(s, dir),
-        "s_suppkey"),
-      ("nation.n_regionkey->region", Tables.region(s, dir), "r_regionkey"),
-      ("orders.o_custkey->customer", Tables.customer(s, dir), "c_custkey"),
-      ("supplier.s_nationkey->nation", Tables.nation(s, dir),
-        "n_nationkey"))
-      .map { case (name, parent, pk) =>
-        parent.select(lit(name).as("fk_edge"), col(pk).as("k"),
-          lit(1).as("__hit")) }
-      .reduce(_ unionAll _)
-      // PKs are unique by contract, but the audit must not silently
-      // double-count children under a VIOLATED contract — distinct is
-      // a map-side-combining reduce over key-only rows
-      .distinct()
-    childPairs
-      .groupBy(col("fk_edge"), col("k"))
-      .agg(count(lit(1)).as("n_rows"))
-      .join(parentKeys, Seq("fk_edge", "k"), "left")
-      .groupBy(col("fk_edge"))
-      .agg(sum(col("n_rows")).as("n_child"),
-        coalesce(sum(when(col("k").isNull, col("n_rows"))), lit(0L))
-          .as("n_null_key"),
-        coalesce(sum(when(col("k").isNotNull && col("__hit").isNull,
-          col("n_rows"))), lit(0L)).as("n_orphan"))
+    * Scale shape: size-adaptive, ONE scan per child table. Edges whose
+    * parent key set is bounded (true dimensions — nation, region, part,
+    * supplier, customer against a dim) take the BROADCAST path: the
+    * child is scanned once, LEFT-joins every broadcast parent-key set
+    * in one plan, and a single one-row aggregate emits all of that
+    * child's edge counts — zero shuffles. Edges whose parent scales
+    * with the fact data (footer row count past [[fkBroadcastRows]] —
+    * e.g. lineitem→orders at 100 TB) switch to the exchange path: child
+    * pairs (weight 1) and parent keys (hit 1) reduce through one
+    * map-side-combining groupBy on (edge-id, key), so the single
+    * exchange carries distinct keys, never fact rows. This is exactly
+    * Spark's own broadcast-vs-SMJ decision, made on catalog statistics
+    * (parquet footers, no job). The r13 form ran seven independent
+    * anti-join jobs (6.1s at sf3 for seven one-row counts); the r14
+    * all-exchange rewrite bottomed at 5.6s on the high-cardinality
+    * partial agg — the broadcast path is both the local and the
+    * cluster plan for every true-dim edge. Null FKs are counted
+    * separately (a null key is a quality signal, not an orphan). No
+    * edge ever materializes the orphan rows themselves — at 100 TB the
+    * audit emits seven numbers, and a follow-up targeted query fetches
+    * offenders only when a count is non-zero. */
+  def fkAudit(s: SparkSession, dir: String): DataFrame =
+    fkAuditWith(s, dir, fkBroadcastRows)
+
+  /** Parent-key broadcast bound: ≤ this many parent rows broadcasts;
+    * beyond it the edge takes the exchange path. 1M keys ≈ 8 MB of
+    * longs — the conventional broadcast band; measured at sf3, pushing
+    * the 4.5M-key orders side through a broadcast cost MORE than the
+    * exchange (driver collect + hash-relation build serialize), so the
+    * bound is deliberately conservative. Package-visible so the spec
+    * can force the exchange path at tiny SF and prove both plans
+    * agree. */
+  private[graft] val fkBroadcastRows = 1L * 1000 * 1000
+
+  private[graft] def fkAuditWith(s: SparkSession, dir: String,
+      broadcastBound: Long): DataFrame = {
+    // (edge name, child table, child key, parent table, parent key)
+    val edgeDefs = Seq(
+      ("customer.c_nationkey->nation", "customer", "c_nationkey",
+        "nation", "n_nationkey"),
+      ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+        "orders", "o_orderkey"),
+      ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+        "part", "p_partkey"),
+      ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+        "supplier", "s_suppkey"),
+      ("nation.n_regionkey->region", "nation", "n_regionkey",
+        "region", "r_regionkey"),
+      ("orders.o_custkey->customer", "orders", "o_custkey",
+        "customer", "c_custkey"),
+      ("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+        "nation", "n_nationkey"))
+    def table(name: String): DataFrame = Tables(s, dir, name)
+    val (bcEdges, exEdges) = edgeDefs.partition { case (_, _, _, p, _) =>
+      Tables.rowCount(s, dir, p) <= broadcastBound }
+
+    // broadcast path: one scan + one one-row agg per child table
+    val bcPart = bcEdges.groupBy(_._2).toSeq.sortBy(_._1).map {
+      case (childName, es) =>
+        val joined = es.zipWithIndex.foldLeft(
+          table(childName).select(es.map(e => col(e._3)): _*)) {
+          case (df, ((_, _, ck, p, pk), i)) =>
+            // parent PKs ride the uniqueness contract (as the bucketed
+            // path documents): a pre-join distinct would add an
+            // exchange per dim for a violation this audit would itself
+            // surface downstream as inflated n_child
+            df.join(broadcast(table(p).select(col(pk).as(s"__p$i"))),
+              col(ck) === col(s"__p$i"), "left")
+        }
+        val aggs = es.zipWithIndex.flatMap { case ((_, _, ck, _, _), i) =>
+          Seq(count(lit(1)).as(s"__c$i"),
+            (count(lit(1)) - count(col(ck))).as(s"__z$i"),
+            count(when(col(ck).isNotNull && col(s"__p$i").isNull, 1))
+              .as(s"__o$i"))
+        }
+        joined.agg(aggs.head, aggs.tail: _*)
+          .select(explode(array(es.zipWithIndex.map {
+            case ((name, _, _, _, _), i) =>
+              struct(lit(name).as("fk_edge"), col(s"__c$i").as("n_child"),
+                col(s"__z$i").as("n_null_key"), col(s"__o$i").as("n_orphan"))
+          }: _*)).as("e"))
+          .select(col("e.fk_edge"), col("e.n_child"), col("e.n_null_key"),
+            col("e.n_orphan"))
+    }
+
+    // fact-fact edges whose key pair is ALREADY bucket-landed ride the
+    // bucketed tables exchange-free (the q17 landing: both sides
+    // bucketed+sorted by orderkey — bucketing a key amortizes across
+    // every consumer of that key, audits included): a zero-exchange
+    // SMJ + one-row aggregate replaces the distinct-key shuffle
+    val (bkEdges, exEdges2) = exEdges.partition { case (_, c, ck, p, pk) =>
+      // broadcastBound == 0 is the spec's force-exchange mode: every
+      // edge, bucket-landed or not, must go through the exchange plan
+      broadcastBound > 0 &&
+        c == "lineitem" && ck == "l_orderkey" && p == "orders" }
+    val bkPart = bkEdges.map { case (name, _, ck, _, pk) =>
+      Scale.ensureBucketsLanded(s, dir)
+      val (ordT, liT) = Scale.bucketTableNames(dir)
+      // rides the landed PK contract: a duplicated o_orderkey would
+      // double-count its lineitems here (the exchange path, not this
+      // one, is the defense when that contract is in question)
+      val li = s.table(liT).select(col(ck))
+      val ord = s.table(ordT).select(col(pk).as("__p"))
+      li.join(ord, col(ck) === col("__p"), "left")
+        .agg(count(lit(1)).as("n_child"),
+          (count(lit(1)) - count(col(ck))).as("n_null_key"),
+          count(when(col(ck).isNotNull && col("__p").isNull, 1))
+            .as("n_orphan"))
+        .select(lit(name).as("fk_edge"), col("n_child"),
+          col("n_null_key"), col("n_orphan"))
+    }
+    val exEdges3 = exEdges2
+
+    // exchange path: tagged pairs reduce via one combining groupBy —
+    // the single exchange carries distinct keys, never fact rows, and
+    // duplicate parent PKs (a violated contract) cannot double-count
+    // children because max(hit) saturates at 1
+    val exPart =
+      if (exEdges3.isEmpty) Nil
+      else {
+        val names = exEdges3.map(_._1)
+        val eid = names.zipWithIndex.toMap
+        val childPairs = exEdges3.groupBy(_._2).toSeq.map {
+          case (childName, es) =>
+            table(childName).select(explode(array(es.map {
+              case (name, _, ck, _, _) =>
+                struct(lit(eid(name)).as("eid"), col(ck).as("k"))
+            }: _*)).as("e"))
+              .select(col("e.eid").as("eid"), col("e.k").as("k"),
+                lit(1L).as("__n"), lit(0).as("__hit"))
+        }.reduce(_ unionAll _)
+        val parentKeys = exEdges3.map { case (name, _, _, p, pk) =>
+          table(p).select(lit(eid(name)).as("eid"), col(pk).as("k"),
+            lit(0L).as("__n"), lit(1).as("__hit"))
+        }.reduce(_ unionAll _)
+        val nameOf = element_at(array(names.map(lit): _*), col("eid") + 1)
+        Seq(childPairs.unionAll(parentKeys)
+          .groupBy(col("eid"), col("k"))
+          .agg(sum(col("__n")).as("n_rows"), max(col("__hit")).as("hit"))
+          .groupBy(col("eid"))
+          .agg(sum(col("n_rows")).as("n_child"),
+            coalesce(sum(when(col("k").isNull, col("n_rows"))), lit(0L))
+              .as("n_null_key"),
+            coalesce(sum(when(col("k").isNotNull && col("hit") === 0,
+              col("n_rows"))), lit(0L)).as("n_orphan"))
+          .select(nameOf.as("fk_edge"), col("n_child"),
+            col("n_null_key"), col("n_orphan")))
+      }
+
+    (bcPart ++ bkPart ++ exPart).reduce(_ unionAll _)
       .select(col("fk_edge"), col("n_child"), col("n_null_key"),
         col("n_orphan"),
         round(col("n_orphan") * lit(100.0) / col("n_child"), 6)

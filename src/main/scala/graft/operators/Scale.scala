@@ -20,7 +20,7 @@ object Scale {
   /** Catalog names + paths for the bucketed fact landings — derived
     * from `dir` alone (the `Tables.landingDir` contract) so the names
     * are stable across calls and sessions on one host. */
-  private def bucketTableNames(dir: String): (String, String) = {
+  private[graft] def bucketTableNames(dir: String): (String, String) = {
     val tag = dir.replaceAll("[^0-9a-zA-Z]", "_") + "_" +
       f"${scala.util.hashing.MurmurHash3.stringHash(dir)}%08x"
     (s"graft_orders_$tag", s"graft_lineitem_$tag")
@@ -34,7 +34,10 @@ object Scale {
     * table is a ONE-TIME landing cost amortized over every co-located
     * join that follows (that is the entire point of bucketing at
     * 100 TB); the query now pays it once per corpus and the bench times
-    * it as its own `landing_buckets` line. */
+    * it as its own `landing_buckets` line. Bucket count 32 = the local
+    * core count, so the exchange-free join keeps every core busy (8
+    * buckets capped the join at 8-way parallelism — 3.5s at sf3 for an
+    * 18M-row SMJ); on a cluster size it to executor-cores as usual. */
   private val bucketsLanded = scala.collection.concurrent.TrieMap
     .empty[(Int, String, String, String), scala.concurrent.Future[Unit]]
   private[graft] def ensureBucketsLanded(s: SparkSession,
@@ -49,7 +52,7 @@ object Scale {
           key: String): Unit =
         df.write.mode("overwrite")
           .option("path", s"$base/$table")
-          .bucketBy(8, key).sortBy(key)
+          .bucketBy(32, key).sortBy(key)
           .saveAsTable(name)
       landBucketed(
         Tables.orders(s, dir).select(col("o_orderkey"),
@@ -69,8 +72,8 @@ object Scale {
     * join key (once — [[ensureBucketsLanded]]), then joined WITHOUT a
     * shuffle — at 100 TB this is the difference between re-exchanging
     * petabytes per query and a local sort-merge per bucket. The bucket
-    * count (8 here) scales with the cluster; the write is the one-time
-    * landing cost. */
+    * count (32 here, the local core count) scales with the cluster;
+    * the write is the one-time landing cost. */
   def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
     ensureBucketsLanded(s, dir)
     val (ord, li) = bucketTableNames(dir)

@@ -2055,6 +2055,12 @@ class OperatorsSpec extends SparkSpec {
     val nLi = Tables.lineitem(spark, sfTiny).count()
     assert(liEdges.forall(_.getLong(1) == nLi),
       "every lineitem edge audits the full fact row count")
+    // the size-adaptive plan split must not change answers: force EVERY
+    // edge onto the exchange path (broadcast bound 0) and compare
+    val forced = operators.Etl.fkAuditWith(spark, sfTiny, 0L)
+      .collect().map(_.toSeq).toSet
+    assert(forced == a.collect().map(_.toSeq).toSet,
+      "exchange-path audit must equal the broadcast/bucketed-path audit")
     a.unpersist()
   }
 
