@@ -63,6 +63,10 @@ class PlanAudit extends SparkSpec {
       // etl_fk_audit / etl_freshness cross-join one-row aggregates
       // (orphan counts, the high-water mark) — the partition_audit shape
       "etl_fk_audit", "etl_freshness",
+      // web robots/license rules are bounded LITERAL tables joined on
+      // prefix/suffix match (non-equi by nature) — the intended BNLJ:
+      // broadcast side is 2-4 rows, probe side linear
+      "web_robots_filter", "web_license_mix",
       // emb_pca_project cross-joins the broadcast 4-row component table
       "emb_pca_project",
       // ev_markov_stationary cross-joins the one-row total (the
