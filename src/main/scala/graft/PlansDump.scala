@@ -100,8 +100,19 @@ object PlansDump {
         ("exact source-pair overlap: bounded in-row pair explode per " +
           "shingle — never a shingle-table self-join"),
       "etl_fk_audit" ->
-        ("FK audit: seven anti-joins (dims broadcast, orders keyed) " +
-          "each collapsing to a one-row count before the union"),
+        ("FK audit, size-adaptive: dim edges broadcast-join in one " +
+          "scan per child, the orderkey edge rides the bucketed " +
+          "landing exchange-free, big parents take one combining " +
+          "groupBy over tagged (edge, key) pairs"),
+      "web_url_dedup" ->
+        ("URL dedup: canonicalization is per-row string work; one " +
+          "groupBy on the canonical key (dedup_exact's shuffle shape)"),
+      "web_license_mix" ->
+        ("license mix: bounded rule-table BNLJ (4 literal rows) + " +
+          "one groupBy on the license key"),
+      "emb_kmeans_incremental" ->
+        ("incremental quantizer: batch through the broadcast argmin " +
+          "kernel, k-row read of the landed assignment, one k-row join"),
       "emb_pq" ->
         ("PQ coding: subvector table joins the BROADCAST landed " +
           "codebook on the subspace key — O(n·M·k), no pair explosion"),
