@@ -182,6 +182,18 @@ object Bench {
     }
   }
 
+  /** A canary op timed in the prior committed run (with a stable
+    * ≥0.25s denominator) but missing or non-positive in the CURRENT
+    * probe is itself a distress signal — a failed fixed-workload probe
+    * is a plausible symptom of exactly the host trouble the gate
+    * exists to catch, so it must arm the retry/contamination path
+    * rather than silently shrink the comparison to the surviving op
+    * (the r14 advice). Spec'd in BenchGateSpec. */
+  private[graft] def canaryProbeIncomplete(cur: Map[String, Double],
+      priorOps: Map[String, Double], canarySet: Set[String]): Boolean =
+    canarySet.exists(k => priorOps.get(k).exists(_ >= 0.25) &&
+      !cur.get(k).exists(_ > 0))
+
   /** Canary gate predicate (spec'd in BenchGateSpec): prior must be a
     * stable ≥0.25s denominator — millisecond jitter at tiny SFs must
     * not arm the gate — and 1.5× covers run-to-run DuckDB noise. */
@@ -293,12 +305,15 @@ object Bench {
     // persistently hot host still ships, flagged, after the last probe.
     var canaryMap = probeCanary()
     var canaryRetries = 0
-    while (canaryRetries < 4 && canaryNeedsRetry(canaryCompare(
-        canaryMap, priorCanaryOps, priorCanaryScalar, canaryOps))) {
+    while (canaryRetries < 4 && (canaryNeedsRetry(canaryCompare(
+        canaryMap, priorCanaryOps, priorCanaryScalar, canaryOps)) ||
+        canaryProbeIncomplete(canaryMap, priorCanaryOps, canaryOps))) {
       canaryRetries += 1
       Thread.sleep(60000L)
       canaryMap = probeCanary()
     }
+    val canaryIncomplete =
+      canaryProbeIncomplete(canaryMap, priorCanaryOps, canaryOps)
     val canaryCmp = canaryCompare(canaryMap, priorCanaryOps,
       priorCanaryScalar, canaryOps)
     val canaryDuck = canaryMap.values.sum
@@ -420,12 +435,13 @@ object Bench {
     // the gate at tiny SFs)
     val canaryInflated = canaryInflatedGate(canaryCmp)
     val contaminated = duckInflated || highLoad || perOpInflated ||
-      offenders.nonEmpty || canaryInflated
+      offenders.nonEmpty || canaryInflated || canaryIncomplete
     val canaryField =
       s""","canary_duck_s":${math.round(canaryDuck * 10000.0) / 10000.0}""" +
         s""","canary_ops":${obj(canaryMap.toSeq.sortBy(_._1))}""" +
         (if (canaryRetries > 0) s""","canary_retries":$canaryRetries"""
          else "") +
+        (if (canaryIncomplete) s""","canary_incomplete":true""" else "") +
         canaryCmp.map { case (_, p) =>
           s""","canary_duck_prior":$p""" }.getOrElse("")
     val loadField =

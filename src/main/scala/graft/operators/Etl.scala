@@ -594,12 +594,16 @@ object Etl {
         val joined = es.zipWithIndex.foldLeft(
           table(childName).select(es.map(e => col(e._3)): _*)) {
           case (df, ((_, _, ck, p, pk), i)) =>
-            // parent PKs ride the uniqueness contract (as the bucketed
-            // path documents): a pre-join distinct would add an
-            // exchange per dim for a violation this audit would itself
-            // surface downstream as inflated n_child
-            df.join(broadcast(table(p).select(col(pk).as(s"__p$i"))),
-              col(ck) === col(s"__p$i"), "left")
+            // parent key set is DEDUPED before the broadcast: these
+            // edges chain left joins over ONE child scan, so a
+            // duplicated parent PK would fan the child rows out and
+            // corrupt n_child/n_null_key/n_orphan for EVERY edge of
+            // this child, not just the violated one (the exchange
+            // path's max(hit) saturates duplicates; this distinct is
+            // its broadcast-side twin). The parent is bounded by
+            // fkBroadcastRows, so the extra exchange is over ≤1M keys.
+            df.join(broadcast(table(p).select(col(pk).as(s"__p$i"))
+              .distinct()), col(ck) === col(s"__p$i"), "left")
         }
         val aggs = es.zipWithIndex.flatMap { case ((_, _, ck, _, _), i) =>
           Seq(count(lit(1)).as(s"__c$i"),

@@ -19,7 +19,18 @@ object Scale {
 
   /** Catalog names + paths for the bucketed fact landings — derived
     * from `dir` alone (the `Tables.landingDir` contract) so the names
-    * are stable across calls and sessions on one host. */
+    * are stable across calls and sessions on one host.
+    *
+    * CONTRACT — one writer process per corpus dir: like every shared
+    * landing under `Tables.landingDir`, the name and path are
+    * deliberately NOT application-scoped (that is what lets a later
+    * session reuse an earlier session's landing instead of re-writing
+    * it), and the `landOnce` memo that serializes the write is
+    * JVM-local. Two JVMs racing `saveAsTable(overwrite)` on the same
+    * dir would corrupt the landing — the deployment contract (driver
+    * runs bench/verify sequentially; a cluster uses a real catalog
+    * with locking) is single-process-per-dir, same as the parquet
+    * landings themselves. */
   private[graft] def bucketTableNames(dir: String): (String, String) = {
     val tag = dir.replaceAll("[^0-9a-zA-Z]", "_") + "_" +
       f"${scala.util.hashing.MurmurHash3.stringHash(dir)}%08x"

@@ -600,8 +600,15 @@ object Similarity {
       .groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_batch"), meanDist.as("mean_batch"))
     val drift = col("mean_batch") / nullif(col("mean_corpus"), lit(0.0))
-    corpusStats.join(batchStats, Seq("cluster"), "left")
-      .select(col("cluster"), col("n_corpus"),
+    // FULL outer: corpusStats only carries clusters with landed
+    // assignment rows, but an empty cluster keeps its previous
+    // centroid, so a real arrival batch CAN assign to a cluster with
+    // zero corpus rows — that cluster must surface (n_corpus = 0,
+    // mean_dist_corpus null) rather than silently drop from the
+    // drift report (r14 advice).
+    corpusStats.join(batchStats, Seq("cluster"), "full")
+      .select(col("cluster"),
+        coalesce(col("n_corpus"), lit(0L)).as("n_corpus"),
         coalesce(col("n_batch"), lit(0L)).as("n_batch"),
         round(col("mean_corpus"), 6).as("mean_dist_corpus"),
         round(col("mean_batch"), 6).as("mean_dist_batch"),
@@ -1582,14 +1589,15 @@ object Similarity {
         |    CAST(SUM(CAST(ROUND(dist, 9) AS DECIMAL(18,9))) AS DOUBLE)
         |      / CAST(COUNT(*) AS DOUBLE) AS mean_batch
         |  FROM asg GROUP BY cluster)
-        |SELECT corpus.cluster, n_corpus,
+        |SELECT COALESCE(corpus.cluster, bat.cluster) AS cluster,
+        |  COALESCE(n_corpus, 0) AS n_corpus,
         |  COALESCE(n_batch, 0) AS n_batch,
         |  ROUND(mean_corpus, 6) AS mean_dist_corpus,
         |  ROUND(mean_batch, 6) AS mean_dist_batch,
         |  ROUND(mean_batch / NULLIF(mean_corpus, 0), 6) AS drift_ratio,
         |  COALESCE(mean_batch / NULLIF(mean_corpus, 0) > 1.2, FALSE)
         |    AS retrain
-        |FROM corpus LEFT JOIN bat ON corpus.cluster = bat.cluster"""
+        |FROM corpus FULL JOIN bat ON corpus.cluster = bat.cluster"""
         .stripMargin,
     // components from the landed parquet; proj = dot(v,c) − mu_dot with
     // identical float steps in both engines; +0.0 collapses -0.0

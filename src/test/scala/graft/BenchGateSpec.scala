@@ -149,6 +149,29 @@ class BenchGateSpec extends AnyFunSuite {
     assert(Bench.canaryCompare(Map.empty, Map.empty, None, set).isEmpty)
   }
 
+  test("canary probe incompleteness: a prior-timed op missing from the " +
+      "current probe is its own distress signal") {
+    val set = Set("a", "b")
+    val prior = Map("a" -> 0.6, "b" -> 0.7)
+    // op b timed in the prior run but absent now: the shrunk compare
+    // above reads stable, so THIS predicate must arm the retry loop
+    // and the contamination flag instead (r14 advice)
+    assert(Bench.canaryProbeIncomplete(Map("a" -> 0.6), prior, set))
+    assert(Bench.canaryProbeIncomplete(Map("a" -> 0.6, "b" -> -1.0),
+      prior, set), "a negative (failed) timing counts as missing")
+    // complete probe: quiet
+    assert(!Bench.canaryProbeIncomplete(Map("a" -> 0.6, "b" -> 0.7),
+      prior, set))
+    // op missing from the PRIOR (new canary, pre-r14 detail): quiet —
+    // nothing establishes the op ever ran on this corpus
+    assert(!Bench.canaryProbeIncomplete(Map("a" -> 0.6),
+      Map("a" -> 0.6), set))
+    assert(!Bench.canaryProbeIncomplete(Map.empty, Map.empty, set))
+    // sub-0.25s priors are tiny-SF jitter, not a stable baseline
+    assert(!Bench.canaryProbeIncomplete(Map("a" -> 0.6),
+      Map("a" -> 0.6, "b" -> 0.1), set))
+  }
+
   test("canary retry: re-probes above 1.15x prior (the act-don't-record " +
       "gate), not on noise or missing priors") {
     assert(Bench.canaryNeedsRetry(Some((1.6, 1.25))), "1.28x must re-probe")

@@ -2064,6 +2064,44 @@ class OperatorsSpec extends SparkSpec {
     a.unpersist()
   }
 
+  test("etl_fk_audit: a duplicated parent PK cannot fan out sibling " +
+      "edges of the same child (broadcast parent keys are deduped)") {
+    // the broadcast path chains every parent of a child onto ONE child
+    // scan: before r15 a duplicated dim PK doubled the child rows for
+    // ALL of that child's edges, so a violation on one edge falsified
+    // n_child/n_orphan on its healthy siblings. Build a corpus whose
+    // nation table carries one duplicated PK and check the customer
+    // edge still reports exactly the customer row count.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fkdup")
+      .toString
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem")) {
+      val df = Tables(spark, sfTiny, t)
+      val out = if (t == "nation") df.unionAll(df.limit(1)) else df
+      out.write.mode("overwrite").parquet(s"$tmp/$t.parquet")
+    }
+    val a = operators.Etl.fkAudit(spark, tmp)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nCust = Tables.customer(spark, sfTiny).count()
+    val cust = a.filter(col("fk_edge") === "customer.c_nationkey->nation")
+      .first()
+    assert(cust.getLong(1) == nCust,
+      "a duplicate nation PK must not inflate the customer edge's n_child")
+    assert(cust.getLong(3) == 0L,
+      "the customer edge is healthy; the dup is a parent-side violation")
+    val supp = a.filter(col("fk_edge") === "supplier.s_nationkey->nation")
+      .first()
+    assert(supp.getLong(1) == Tables.supplier(spark, sfTiny).count())
+    // and the dedup keeps the broadcast path equal to the exchange
+    // path, whose max(hit) saturates duplicates by construction
+    val forced = operators.Etl.fkAuditWith(spark, tmp, 0L)
+      .collect().map(_.toSeq).toSet
+    assert(forced == a.collect().map(_.toSeq).toSet,
+      "exchange-path audit must equal the broadcast-path audit under " +
+        "a duplicated parent PK")
+    a.unpersist()
+  }
+
   test("etl_freshness: newest day has zero staleness; counts reconcile") {
     val f = operators.Etl.freshness(spark, sfTiny)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
