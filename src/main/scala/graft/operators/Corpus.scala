@@ -127,7 +127,12 @@ object Corpus {
     * shingles) moves one count — the DuckDB oracle still counts raw
     * strings. No pair enumeration, no skew beyond shingle frequency. */
   def contamination(s: SparkSession, dir: String): DataFrame = {
-    val nibble = graft.functions.HashExprs.md5SliceLong(col("text"), 32, 1)
+    // split nibble = hex digit 32 of md5(text) — read off the LANDED
+    // content hash (stats `h`) instead of re-hashing the text, and the
+    // token arrays off the toks landing instead of re-tokenizing: the
+    // doc-level join is rows-of-docs sized (tiny next to token work).
+    // conv(substring(h,32,1)) is literally md5SliceLong's definition.
+    val nibble = conv(substring(col("h"), 32, 1), 16, 10).cast("long")
     val split =
       when(nibble <= 11, "train")
         .when(nibble <= 13, "val")
@@ -136,12 +141,10 @@ object Corpus {
     // without it the optimizer pushes the explode's size(shingles)>0
     // predicate into the scan — duplicating the whole (interpreted)
     // shingle expression per row per branch (measured 13s → ~1s here)
-    // spread the near-one-split docs scan before the per-row tokenize +
-    // shingle work so the checkpoint materializes across the cores
-    val base = graft.Tables.spreadScan(s, s"$dir/documents.parquet",
-        Tables.documents(s, dir).select(col("doc_id"), col("text")))
+    val base = DocArtifacts.toks(s, dir)
+      .join(DocArtifacts.stats(s, dir).select(col("doc_id"), col("h")),
+        "doc_id")
       .withColumn("split", split)
-      .withColumn("toks", tokens(col("text")))
       .select(col("doc_id"), col("split"),
         graft.functions.ShingleHash64.shingleHash64(col("toks"), 3)
           .as("shingles"))
@@ -224,9 +227,11 @@ object Corpus {
     * sorted source list (bit-deterministic under any partitioning —
     * same convention as `temperature`). */
   def epochPlan(s: SparkSession, dir: String): DataFrame = {
-    val c = Tables.documents(s, dir)
+    // per-source token mass folds the landed per-doc scalar (stats
+    // n_tokens) — no per-query tokenize
+    val c = DocArtifacts.stats(s, dir)
       .groupBy(col("source"))
-      .agg(sum(size(tokens(col("text"))).cast("long")).as("n_tokens"))
+      .agg(sum(col("n_tokens")).as("n_tokens"))
     val tot = c.agg(sum(col("n_tokens")).as("total"))
     val wp = c.crossJoin(broadcast(tot))
       .withColumn("p",
@@ -316,19 +321,18 @@ object Corpus {
     * equi-join — linear in corpus tokens, like txt_unigram_logprob. */
   def dsirWeights(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    // the exploded token stream feeds TWO branches (vocabulary counts
-    // and the per-doc weight join), so an inline tokens(text) would
-    // regex-tokenize the corpus twice — this op is exactly the
-    // multi-pass case the shared DocArtifacts toks landing exists for
-    // (the one-pass ops inline instead; see txt_unigram_logprob).
-    // `source` is landed WITH the toks (one row per doc — a
-    // data-sized broadcast of it would be a driver-memory hazard at
-    // corpus scale, against the bounded-state rule).
-    val exploded = DocArtifacts.toks(s, dir)
-      .select(col("doc_id"), col("source"), explode(col("toks")).as("tok"))
-    val corpusCounts = exploded.groupBy(col("tok"))
-      .agg(count(lit(1)).as("n_c"),
-        count(when(col("source") === "src0", 1)).as("n_t"))
+    // both branches fold the LANDED per-doc tf table (doctf): the
+    // vocabulary counts are type-row aggregates and the per-doc weight
+    // join weights each type's 6dp-decimal log-ratio term by its exact
+    // integer tf — term-for-term the same exact decimal sum as the
+    // per-instance fold (the txt_unigram_logprob r15 rewrite), at
+    // type-row cost with no per-query explode.
+    val tf = DocArtifacts.doctf(s, dir)
+      .select(col("doc_id"), col("source"), col("tok"), col("tf"))
+    val corpusCounts = tf.groupBy(col("tok"))
+      .agg(sum(col("tf")).as("n_c"),
+        coalesce(sum(when(col("source") === "src0", col("tf"))), lit(0L))
+          .as("n_t"))
     val totals = corpusCounts.agg(
       sum(col("n_c")).as("big_n_c"), sum(col("n_t")).as("big_n_t"),
       count(lit(1)).as("vocab"))
@@ -338,10 +342,10 @@ object Corpus {
       / ((col("n_c") + lit(1)).cast("double")
         / (col("big_n_c") + col("vocab")).cast("double"))), 6)
       .cast(DecimalType(18, 6))
-    exploded.join(broadcast(corpusCounts.crossJoin(totals)), "tok")
+    tf.join(broadcast(corpusCounts.crossJoin(totals)), "tok")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_toks"),
-        sum(term).cast("double").as("dsir_logweight"))
+      .agg(sum(col("tf")).as("n_toks"),
+        sum(col("tf") * term).cast("double").as("dsir_logweight"))
   }
 
   /** Quality-threshold sweep — the filter-tuning artifact every corpus
@@ -354,8 +358,10 @@ object Corpus {
     * 100 MB. Totals ride a broadcast one-row aggregate. */
   def filterSweep(s: SparkSession, dir: String): DataFrame = {
     val thresholds = Seq(8, 16, 32, 64, 128)
-    val perDoc = Tables.documents(s, dir)
-      .select(size(tokens(col("text"))).as("n_toks"))
+    // per-doc token counts are a landed scalar (DocArtifacts stats) —
+    // the sweep reads one integer column instead of re-tokenizing
+    val perDoc = DocArtifacts.stats(s, dir)
+      .select(col("n_tokens").as("n_toks"))
     val total = perDoc.agg(count(lit(1)).as("total_docs"),
       sum(col("n_toks")).as("total_tokens"))
     perDoc

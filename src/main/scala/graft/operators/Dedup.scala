@@ -108,23 +108,30 @@ object Dedup {
     * exploded shingle table (DocArtifacts) — the op itself is the
     * source-vocabulary distinct plus the bounded pair aggregate. */
   def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
-    // no pre-distinct pass: collect_set dedups sources per shingle and
-    // the vocabulary totals are a direct count-distinct — one shuffle
-    // fewer than materializing the (source, shingle) distinct table.
-    // Both corpus-sized shuffles key on xxhash64 of the shingle (the
+    // ONE corpus-sized shuffle: the per-shingle source set (groupBy h →
+    // collect_set) feeds BOTH the pair counts AND the per-source
+    // vocabulary totals (explode the set, count per source — an
+    // aggregate over the distinct-shingle table onto ≤|sources| keys,
+    // fully map-side-combinable). The r14 form paid a SECOND
+    // corpus-sized exchange for a direct per-source count-distinct that
+    // this derivation gets for free (measured 6.0s → the single-shuffle
+    // bottom at sf3). The shuffle keys on xxhash64 of the shingle (the
     // bigram-logprob discipline): the output only COUNTS distinct
     // shingles, so 8-byte keys replace ~25-byte 3-gram strings in the
-    // exchanges, and a 64-bit collision (≲10⁻⁷ even at 10⁸ distinct
+    // exchange, and a 64-bit collision (≲10⁻⁷ even at 10⁸ distinct
     // shingles) merges one count; the DuckDB oracle still counts the
     // raw strings from the same landed table.
     val sh = DocArtifacts.shingles3(s, dir)
       .select(col("source"), xxhash64(col("shingle")).as("h"))
-    val tot = sh.groupBy(col("source"))
-      .agg(countDistinct(col("h")).as("n"))
     val sets = sh.groupBy(col("h"))
       .agg(array_sort(collect_set(col("source"))).as("srcs"))
-      .filter(size(col("srcs")) >= 2)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val tot = sets
+      .select(explode(col("srcs")).as("source"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"))
     val pairs = sets
+      .filter(size(col("srcs")) >= 2)
       .select(posexplode(col("srcs")).as(Seq("i", "src_a")), col("srcs"))
       .select(col("src_a"), explode(
         slice(col("srcs"), col("i") + lit(2), size(col("srcs"))))
@@ -144,25 +151,29 @@ object Dedup {
   }
 
   /** Exact dedup: group by full-content hash, keep the smallest id as the
-    * canonical copy. One map-side-combinable shuffle. */
+    * canonical copy. One map-side-combinable shuffle over the LANDED
+    * per-doc hash column (DocArtifacts stats — the md5 pass is paid once
+    * per corpus, not per consumer); the oracle recomputes the hash from
+    * the raw text, so the landing is verified, not trusted. */
   def exact(s: SparkSession, dir: String): DataFrame = {
-    Tables.documents(s, dir)
-      .groupBy(md5(col("text")).as("content_hash"))
+    DocArtifacts.stats(s, dir)
+      .groupBy(col("h").as("content_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
   }
 
   /** Exact dedup over NORMALIZED text — case-folded, trimmed, runs of
     * whitespace collapsed — catching re-encodes and re-wraps that byte
     * hashing misses (the standard first pass before any fuzzy dedup).
-    * Same one-shuffle shape as `exact`; reports how many normalized
+    * Same one-shuffle shape as `exact`, over the SAME landed hash pair
+    * (the r14 form re-paid the regex-normalize + two md5 corpus passes
+    * this op's 6.6× sf3 ratio was made of); reports how many normalized
     * groups collapse more docs than their raw-byte groups did. */
   def exactNormalized(s: SparkSession, dir: String): DataFrame = {
-    val norm = lower(regexp_replace(trim(col("text")), "\\s+", " "))
-    Tables.documents(s, dir)
-      .groupBy(md5(norm).as("norm_hash"))
+    DocArtifacts.stats(s, dir)
+      .groupBy(col("norm_h").as("norm_hash"))
       .agg(min(col("doc_id")).as("keep_id"),
         count(lit(1)).as("n_copies"),
-        countDistinct(md5(col("text"))).as("n_byte_variants"))
+        countDistinct(col("h")).as("n_byte_variants"))
   }
 
   /** Word-3-gram Jaccard near-dup pairs, candidates restricted to docs
@@ -779,11 +790,15 @@ object Dedup {
     * without ever rescanning the corpus text. */
   private[graft] def incrementalOf(corpus: DataFrame,
       batch: DataFrame): DataFrame = {
-    def hashed(df: DataFrame): DataFrame = {
-      val norm = lower(regexp_replace(trim(col("text")), "\\s+", " "))
-      df.select(col("doc_id"), md5(col("text")).as("raw_hash"),
-        md5(norm).as("norm_hash"))
-    }
+    def hashed(df: DataFrame): DataFrame =
+      if (df.columns.contains("h"))
+        df.select(col("doc_id"), col("h").as("raw_hash"),
+          col("norm_h").as("norm_hash"))
+      else {
+        val norm = lower(regexp_replace(trim(col("text")), "\\s+", " "))
+        df.select(col("doc_id"), md5(col("text")).as("raw_hash"),
+          md5(norm).as("norm_hash"))
+      }
     val idx = hashed(corpus)
     val rawIdx = idx.groupBy(col("raw_hash"))
       .agg(min(col("doc_id")).as("raw_match"))
@@ -804,17 +819,12 @@ object Dedup {
     * days), incoming batch = doc_id % 5 == 0 (today) — a deterministic
     * stand-in for the date column a real landing carries. */
   def incremental(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+    // the landed hash pair serves both sides (incrementalOf recognizes
+    // the stats schema) — no text rescan per leg
+    val docs = DocArtifacts.stats(s, dir)
     incrementalOf(docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
       docs.filter(pmod(col("doc_id"), lit(5)) === 0))
   }
-
-  /** Landing dir for the incremental-minhash artifacts (band index +
-    * hash-shingle table) — computable from `dir` alone (the simhashFpDir
-    * contract) so the static oracle SQL can re-derive the candidate and
-    * verification legs from the same landed files. */
-  private[graft] def mhIncDir(dir: String): String =
-    graft.Tables.landingDir("mhinc", dir)
 
   /** Two-sided salted index probe: `batch` rows joined against a landed
     * `corpus` band index (both as (band_id, band_hash, doc_id)) without
@@ -856,24 +866,22 @@ object Dedup {
     * groups — the corpus side takes one salt by doc-id hash, the (small)
     * batch side replicates g ways — so no join group quadratically
     * blows one task. Survivors get exact hash-set Jaccard verification.
-    * Oracle: DuckDB re-derives candidates AND verification from the
-    * landed band index + hash-shingle table (__SFDIR__ pattern), so the
-    * whole operator is hash-checked end to end. */
+    *
+    * The band index IS the minhashLsh landing ([[ensureMhLshLanded]]):
+    * both ops maintain the identical (doc_id, hs, bands) table, so this
+    * op probes the SHARED memoized landing instead of re-running the
+    * corpus-sized shingle+signature pass and re-landing the same bytes
+    * to a private dir (the r14 form paid exactly that — 5.5s at sf3 for
+    * work the mhlsh landing already held). Oracle: DuckDB re-derives
+    * candidates AND verification from the same landed table (__SFDIR__
+    * pattern), so the whole operator stays hash-checked end to end. */
   def minhashIncremental(s: SparkSession, dir: String): DataFrame = {
-    val bands = 8
-    val r = 4
     val target = 64
-    val base = hashShingled(s, dir)
-      .withColumn("sig",
-        graft.functions.SketchExprs.minhashSig(col("hs"), bands * r))
-      .select(col("doc_id"), col("hs"),
-        bandHashes(col("sig"), bands, r).as("bands"))
+    ensureMhLshLanded(s, dir)
+    val base = s.read.parquet(mhLshDir(dir))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val banded = base.select(col("doc_id"),
       posexplode(col("bands")).as(Seq("band_id", "band_hash")))
-    banded.write.mode("overwrite").parquet(s"${mhIncDir(dir)}/bands")
-    base.select(col("doc_id"), col("hs")).write.mode("overwrite")
-      .parquet(s"${mhIncDir(dir)}/hs")
     // corpus = prior days, batch = today (deterministic date stand-in,
     // the `incremental` convention)
     val corpus = banded.filter(pmod(col("doc_id"), lit(5)) =!= 0)
@@ -896,12 +904,11 @@ object Dedup {
     * normalized content hashes, and the resulting duplication rates.
     * One map-side-combinable shuffle on `source`. */
   def stats(s: SparkSession, dir: String): DataFrame = {
-    val norm = lower(regexp_replace(trim(col("text")), "\\s+", " "))
-    Tables.documents(s, dir)
+    DocArtifacts.stats(s, dir)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
-        countDistinct(md5(col("text"))).as("n_distinct_texts"),
-        countDistinct(md5(norm)).as("n_distinct_norm"))
+        countDistinct(col("h")).as("n_distinct_texts"),
+        countDistinct(col("norm_h")).as("n_distinct_norm"))
       .select(col("source"), col("n_docs"), col("n_distinct_texts"),
         col("n_distinct_norm"),
         round(lit(1.0) - col("n_distinct_texts").cast("double") /
@@ -1212,9 +1219,13 @@ object Dedup {
     // bands, exact hash-set Jaccard verifies — the size-ratio prefilter
     // is implied by J >= 0.5 over distinct sets, so it's omitted here
     "dedup_minhash_incremental" ->
-      s"""WITH bands AS (
-        |  SELECT * FROM '${mhIncDir("__SFDIR__")}/bands/*.parquet'),
-        |hs AS (SELECT * FROM '${mhIncDir("__SFDIR__")}/hs/*.parquet'),
+      s"""WITH t AS (SELECT doc_id, hs, bands
+        |  FROM '${mhLshDir("__SFDIR__")}/*.parquet'),
+        |bands AS (
+        |  SELECT doc_id, generate_subscripts(bands, 1) AS band_id,
+        |    unnest(bands) AS band_hash
+        |  FROM t),
+        |hs AS (SELECT doc_id, hs FROM t),
         |cand AS (
         |  SELECT DISTINCT b.doc_id AS doc_batch, c.doc_id AS doc_corpus
         |  FROM bands b JOIN bands c

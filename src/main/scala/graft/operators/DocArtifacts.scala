@@ -22,6 +22,9 @@ import graft.functions.TextFns._
   *              without re-deriving boundaries
   *   - `sh3`   (doc_id, source, shingle):    distinct word-3-grams
   *   - `sh8`   (doc_id, span):               distinct word-8-grams
+  *   - `doctf` (doc_id, source, tok, tf):    per-doc term frequencies
+  *              (the unigram substrate — entropy, hapax, Zipf,
+  *              vocab coverage, BPE pairs, the unigram LM score)
   *
   * Consumers (txt_novelty, txt_boilerplate_ngrams, txt_boilerplate_scrub,
   * dedup_source_overlap, corpus_token_budget_trim, and the tuning
@@ -54,6 +57,8 @@ object DocArtifacts {
     Tables.landingDir("docsh3", dir)
   private[graft] def sh8Dir(dir: String): String =
     Tables.landingDir("docsh8", dir)
+  private[graft] def doctfDir(dir: String): String =
+    Tables.landingDir("doctf", dir)
 
   /** The stopword registry behind `q_hits` — the quality proxy
     * corpus_token_budget_trim ranks on (kept here so the landed stat and
@@ -78,14 +83,21 @@ object DocArtifacts {
         val base = Tables.spreadScan(s, s"$dir/documents.parquet",
             Tables.documents(s, dir))
           .select(col("doc_id"), col("source"), col("n_chars"),
-            tokens(col("text")).as("toks"), md5(col("text")).as("h"))
+            tokens(col("text")).as("toks"), md5(col("text")).as("h"),
+            // normalized-content hash (case-fold, trim, whitespace
+            // collapse — the dedup_exact_norm definition) rides the
+            // same text scan: the exact-dedup trio (dedup_exact_norm /
+            // dedup_stats / dedup_incremental) each re-paid a full
+            // regex+md5 corpus pass for it before r15
+            md5(lower(regexp_replace(trim(col("text")), "\\s+", " ")))
+              .as("norm_h"))
           .localCheckpoint()
         val scalar = base.select(col("doc_id"), col("source"),
             col("n_chars"),
             size(col("toks")).cast("long").as("n_tokens"),
             size(filter(col("toks"), x => array_contains(stop, x)))
               .cast("long").as("q_hits"),
-            col("h"))
+            col("h"), col("norm_h"))
           // quality-order position: one integer carrying (quality DESC,
           // md5-prefix ASC) — monotone along the curation trim order
           .withColumn("q_sort", -col("q_hits") * lit(16777216L) +
@@ -129,7 +141,21 @@ object DocArtifacts {
             .write.mode("overwrite").parquet(sh3Dir(dir))),
           Future(base.select(col("doc_id"),
               explode(wordShingles(col("toks"), 8)).as("span"))
-            .write.mode("overwrite").parquet(sh8Dir(dir))))
+            .write.mode("overwrite").parquet(sh8Dir(dir))),
+          // per-doc term frequencies (doc_id, source, tok, tf) — the
+          // unigram substrate six consumers re-derived per query before
+          // r15 (entropy, hapax, zipf, vocab-coverage, BPE pairs, the
+          // unigram-LM score + its ccnet consumer). A doc's rows live
+          // in one scan partition, so the map-side partial agg already
+          // FINISHES each (doc, tok) count — the landing's one exchange
+          // carries type rows (≈60% of tokens), not token instances,
+          // and every consumer afterwards reads columnar type counts
+          // instead of re-exploding raw token streams.
+          Future(base.select(col("doc_id"), col("source"),
+              explode(col("toks")).as("tok"))
+            .groupBy(col("doc_id"), col("source"), col("tok"))
+            .agg(count(lit(1)).as("tf"))
+            .write.mode("overwrite").parquet(doctfDir(dir))))
         Await.result(Future.sequence(writes),
           scala.concurrent.duration.Duration.Inf)
         ()
@@ -158,5 +184,11 @@ object DocArtifacts {
   private[graft] def shingles8(s: SparkSession, dir: String): DataFrame = {
     ensureLanded(s, dir)
     s.read.parquet(sh8Dir(dir))
+  }
+
+  /** Landed per-doc term frequencies (doc_id, source, tok, tf). */
+  private[graft] def doctf(s: SparkSession, dir: String): DataFrame = {
+    ensureLanded(s, dir)
+    s.read.parquet(doctfDir(dir))
   }
 }

@@ -588,22 +588,59 @@ object Etl {
     val (bcEdges, exEdges) = edgeDefs.partition { case (_, _, _, p, _) =>
       Tables.rowCount(s, dir, p) <= broadcastBound }
 
-    // broadcast path: one scan + one one-row agg per child table
-    val bcPart = bcEdges.groupBy(_._2).toSeq.sortBy(_._1).map {
-      case (childName, es) =>
+    // fact-fact edges whose key pair is ALREADY bucket-landed ride the
+    // bucketed tables exchange-free (the q17 landing: both sides
+    // bucketed+sorted by orderkey — bucketing a key amortizes across
+    // every consumer of that key, audits included): a zero-exchange
+    // SMJ replaces the distinct-key shuffle, FOLDED into the same scan
+    // as the child's broadcast dim edges below
+    val (bkEdges, exEdges3) = exEdges.partition { case (_, c, ck, p, pk) =>
+      // broadcastBound == 0 is the spec's force-exchange mode: every
+      // edge, bucket-landed or not, must go through the exchange plan
+      broadcastBound > 0 &&
+        c == "lineitem" && ck == "l_orderkey" && p == "orders" }
+
+    // one scan + one one-row agg per child table: broadcast dim edges
+    // chain left joins (streamed side preserved), and a bucket-landed
+    // fact edge of the SAME child joins the bucketed parent in the same
+    // chain (r14 paid a second full lineitem scan for the orderkey edge
+    // alone; BHJ preserves the bucketed distribution, so the SMJ stays
+    // exchange-free). When a child has a bucketed edge its scan is the
+    // bucketed landing — same rows, pre-split by the join key.
+    val scanPart = (bcEdges.map((_, false)) ++ bkEdges.map((_, true)))
+      .groupBy(_._1._2).toSeq.sortBy(_._1).map {
+      case (childName, tagged) =>
+        // bucketed edge last: the broadcast chain runs on the streamed
+        // side first, then the one co-located SMJ
+        val es = tagged.sortBy(_._2).map(_._1)
+        val anyBucketed = tagged.exists(_._2)
+        val baseDf =
+          if (anyBucketed) {
+            Scale.ensureBucketsLanded(s, dir)
+            s.table(Scale.bucketTableNames(dir)._2)
+          } else table(childName)
         val joined = es.zipWithIndex.foldLeft(
-          table(childName).select(es.map(e => col(e._3)): _*)) {
+          baseDf.select(es.map(e => col(e._3)): _*)) {
           case (df, ((_, _, ck, p, pk), i)) =>
-            // parent key set is DEDUPED before the broadcast: these
-            // edges chain left joins over ONE child scan, so a
-            // duplicated parent PK would fan the child rows out and
-            // corrupt n_child/n_null_key/n_orphan for EVERY edge of
-            // this child, not just the violated one (the exchange
-            // path's max(hit) saturates duplicates; this distinct is
-            // its broadcast-side twin). The parent is bounded by
-            // fkBroadcastRows, so the extra exchange is over ≤1M keys.
-            df.join(broadcast(table(p).select(col(pk).as(s"__p$i"))
-              .distinct()), col(ck) === col(s"__p$i"), "left")
+            if (p == "orders" && anyBucketed)
+              // rides the landed PK contract: a duplicated o_orderkey
+              // would double-count its lineitems here (the exchange
+              // path, not this one, is the defense when that contract
+              // is in question)
+              df.join(s.table(Scale.bucketTableNames(dir)._1)
+                .select(col(pk).as(s"__p$i")),
+                col(ck) === col(s"__p$i"), "left")
+            else
+              // parent key set is DEDUPED before the broadcast: these
+              // edges chain left joins over ONE child scan, so a
+              // duplicated parent PK would fan the child rows out and
+              // corrupt n_child/n_null_key/n_orphan for EVERY edge of
+              // this child, not just the violated one (the exchange
+              // path's max(hit) saturates duplicates; this distinct is
+              // its broadcast-side twin). The parent is bounded by
+              // fkBroadcastRows, so the extra exchange is over ≤1M keys.
+              df.join(broadcast(table(p).select(col(pk).as(s"__p$i"))
+                .distinct()), col(ck) === col(s"__p$i"), "left")
         }
         val aggs = es.zipWithIndex.flatMap { case ((_, _, ck, _, _), i) =>
           Seq(count(lit(1)).as(s"__c$i"),
@@ -620,34 +657,6 @@ object Etl {
           .select(col("e.fk_edge"), col("e.n_child"), col("e.n_null_key"),
             col("e.n_orphan"))
     }
-
-    // fact-fact edges whose key pair is ALREADY bucket-landed ride the
-    // bucketed tables exchange-free (the q17 landing: both sides
-    // bucketed+sorted by orderkey — bucketing a key amortizes across
-    // every consumer of that key, audits included): a zero-exchange
-    // SMJ + one-row aggregate replaces the distinct-key shuffle
-    val (bkEdges, exEdges2) = exEdges.partition { case (_, c, ck, p, pk) =>
-      // broadcastBound == 0 is the spec's force-exchange mode: every
-      // edge, bucket-landed or not, must go through the exchange plan
-      broadcastBound > 0 &&
-        c == "lineitem" && ck == "l_orderkey" && p == "orders" }
-    val bkPart = bkEdges.map { case (name, _, ck, _, pk) =>
-      Scale.ensureBucketsLanded(s, dir)
-      val (ordT, liT) = Scale.bucketTableNames(dir)
-      // rides the landed PK contract: a duplicated o_orderkey would
-      // double-count its lineitems here (the exchange path, not this
-      // one, is the defense when that contract is in question)
-      val li = s.table(liT).select(col(ck))
-      val ord = s.table(ordT).select(col(pk).as("__p"))
-      li.join(ord, col(ck) === col("__p"), "left")
-        .agg(count(lit(1)).as("n_child"),
-          (count(lit(1)) - count(col(ck))).as("n_null_key"),
-          count(when(col(ck).isNotNull && col("__p").isNull, 1))
-            .as("n_orphan"))
-        .select(lit(name).as("fk_edge"), col("n_child"),
-          col("n_null_key"), col("n_orphan"))
-    }
-    val exEdges3 = exEdges2
 
     // exchange path: tagged pairs reduce via one combining groupBy —
     // the single exchange carries distinct keys, never fact rows, and
@@ -685,7 +694,7 @@ object Etl {
             col("n_null_key"), col("n_orphan")))
       }
 
-    (bcPart ++ bkPart ++ exPart).reduce(_ unionAll _)
+    (scanPart ++ exPart).reduce(_ unionAll _)
       .select(col("fk_edge"), col("n_child"), col("n_null_key"),
         col("n_orphan"),
         round(col("n_orphan") * lit(100.0) / col("n_child"), 6)

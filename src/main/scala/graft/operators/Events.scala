@@ -411,8 +411,12 @@ object Events {
     val daily = Tables.events(s, dir)
       .select(col("ts").cast("date").as("day"), col("user_id"))
       .distinct()
+    // daily is already distinct (day, user): a plain count IS the
+    // distinct-user count, and its map-side partials collapse to
+    // ≤|days| rows per task — countDistinct here re-shuffled the whole
+    // pair table a second time for the same number
     val dau = daily.groupBy(col("day"))
-      .agg(countDistinct(col("user_id")).as("dau"))
+      .agg(count(lit(1)).as("dau"))
     val wau = daily
       .select(explode(sequence(col("day"), date_add(col("day"), 6)))
         .as("anchor"), col("user_id"))

@@ -194,10 +194,15 @@ object Relational {
   /** TPC-H Q4 shape: EXISTS with a cross-table predicate — orders with at
     * least one line shipped more than 90 days after the order date,
     * counted per priority. A left-semi join carries the mixed-side
-    * condition, so it's one shuffle on the order key and no DISTINCT. */
+    * condition and no DISTINCT; both sides ride the shared orderkey
+    * bucket landing (the q17/etl_fk_audit landing), so the semi-join is
+    * a ZERO-exchange co-located SMJ — at 100 TB the one-time bucketed
+    * landing replaces re-shuffling both fact tables per query. */
   def q4OrderPriority(s: SparkSession, dir: String): DataFrame = {
-    Tables.orders(s, dir)
-      .join(Tables.lineitem(s, dir),
+    Scale.ensureBucketsLanded(s, dir)
+    val (ordT, liT) = Scale.bucketTableNames(dir)
+    s.table(ordT)
+      .join(s.table(liT).select(col("l_orderkey"), col("l_shipdate")),
         col("o_orderkey") === col("l_orderkey") &&
           col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
         "left_semi")
@@ -270,15 +275,24 @@ object Relational {
     * done in double and rounded in both engines. */
   def q14ConditionalAgg(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
-    val pt = Tables.part(s, dir)
+    // the join only fetches ONE BIT of the part row: project the dim to
+    // (key, is-promo) before the broadcast — the hash relation shrinks
+    // from the full 9-column part row (strings included) to key+bool,
+    // and the per-row probe copies nothing it won't aggregate
+    val promo = Tables.part(s, dir).select(col("p_partkey"),
+      col("p_type").startsWith("PROMO").as("__promo"))
     val dp = discPrice(col("l_extendedprice"), col("l_discount"))
       .cast(DecimalType(30, 4))
-    li.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+    li.join(broadcast(promo), col("l_partkey") === col("p_partkey"))
       .groupBy(year(col("l_shipdate")).as("ship_year"))
       .agg(
         round(lit(100.0) *
-          sum(when(col("p_type").startsWith("PROMO"), dp)
-            .otherwise(lit(0).cast(DecimalType(30, 4)))).cast("double") /
+          // no `.otherwise(0)`: sum skips nulls, so non-promo rows cost
+          // no decimal add at all (dp is BigDecimal-backed past
+          // precision 18 — the adds are the measurable term here); the
+          // coalesce keeps the all-null group at the oracle's ELSE-0
+          coalesce(sum(when(col("__promo"), dp)).cast("double"),
+            lit(0.0)) /
           sum(dp).cast("double"), 4).as("promo_ratio"),
         count(lit(1)).as("n_items"))
   }

@@ -128,9 +128,11 @@ object Sampling {
     val nDocs = Tables.rowCount(s, dir, "documents")
     val hc = Ranking.hexCharsFor(nDocs)
     val vb = Ranking.bucketsFor(nDocs, 256)
-    val base = Tables.documents(s, dir)
+    // __hk IS the landed content hash (DocArtifacts stats `h` =
+    // md5(text)) — the interleave reads scalar columns only, no text
+    val base = DocArtifacts.stats(s, dir)
       .withColumn("weight", lit(1) + length(col("source")) % 3)
-      .withColumn("__hk", md5(col("text")))
+      .withColumn("__hk", col("h"))
       .withColumn("__bkt", Ranking.hexPrefixBucket(col("__hk"), hc))
     val ranked = Ranking.bucketedRowNumber(base, Seq("source"), "__bkt",
         1 << (4 * hc), Seq(col("__hk"), col("doc_id")), "src_rank")

@@ -65,13 +65,22 @@ object Scale {
           .option("path", s"$base/$table")
           .bucketBy(32, key).sortBy(key)
           .saveAsTable(name)
+      // o_orderpriority / o_orderdate / l_shipdate ride along for the
+      // orderkey-join consumers (q4's semi-join condition); columnar
+      // pruning keeps narrower consumers at their own columns
       landBucketed(
         Tables.orders(s, dir).select(col("o_orderkey"),
-          col("o_orderstatus")),
+          col("o_orderstatus"), col("o_orderpriority"),
+          col("o_orderdate")),
         "orders", ordName, "o_orderkey")
+      // l_partkey / l_suppkey ride along for etl_fk_audit: the audit's
+      // lineitem dim edges fold into this landing's scan (one lineitem
+      // pass for all three edges), and parquet column pruning keeps
+      // q17's join scan at its two columns regardless
       landBucketed(
         Tables.lineitem(s, dir).select(col("l_orderkey"),
-          col("l_extendedprice")),
+          col("l_extendedprice"), col("l_partkey"), col("l_suppkey"),
+          col("l_shipdate")),
         "lineitem", liName, "l_orderkey")
     }
   }

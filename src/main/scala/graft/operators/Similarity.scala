@@ -281,28 +281,37 @@ object Similarity {
   /** L2-normalize + int8 quantization audit — the shrink step before an
     * ANN index ships: per vector, the norm, the symmetric int8 code
     * (round(x/‖x‖·127)), and the total dequantization error. Pure
-    * projection, no shuffle. Per-element errors are rounded then summed
-    * as exact decimals (the unigram-logprob discipline) and the SUM is
-    * emitted (one exact decimal→double cast) rather than the mean — a
+    * projection, no shuffle. Per-element errors are rounded to integer
+    * NANOS and summed as plain longs (the integer-unit moments
+    * discipline — see the inline note for why this replaced the r14
+    * decimal fold) and the SUM is emitted rather than the mean — a
     * double divide-then-round re-introduces half-point boundaries where
     * engines round a double's last ulp differently (seen live at
     * sf0.001); consumers divide by n_dims themselves. */
   def embNormalize(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
     // nullif guard: a zero-norm vector must yield null codes/error, not
     // an ANSI divide-by-zero abort (same rule as every cosine path)
     val safeNrm = nullif(col("nrm"), lit(0.0))
     val q = transform(col("vd"), x => round(x / safeNrm * lit(127.0)))
+    // per-element error in integer NANOS: round(y·10⁹) is one plain
+    // LONG per term, and the fold accumulates longs — the r14 form
+    // rounded each term at 9 dp and summed DECIMAL(28,9) (BigDecimal-
+    // backed above precision 18, allocated per element inside the
+    // interpreted HOF — 64 allocations/row made this 'pure projection'
+    // the §2E tail's 7.8×). Exactness is unchanged in kind: both
+    // engines round the SAME IEEE double y·10⁹ half-up to an integer
+    // (the round(y,9) cross-engine argument, one multiply earlier), the
+    // long sum is order-independent, and the final nanos/10⁹ divide is
+    // correctly rounded (k < 2⁵³ exact, one IEEE divide) — bit-identical
+    // to casting the exact decimal sum to double.
     val errTerms = zip_with(col("vd"), col("q"), (x, qq) =>
-      round(abs(x / safeNrm - qq / lit(127.0)), 9)
-        .cast(DecimalType(18, 9)))
+      round(abs(x / safeNrm - qq / lit(127.0)) * lit(1e9)).cast("long"))
     prepared(s, dir, "vec_id")
       .withColumn("q", q)
-      .withColumn("err_sum", aggregate(errTerms,
-        lit(0).cast(DecimalType(28, 9)),
-        (acc, x) => (acc + x).cast(DecimalType(28, 9))))
+      .withColumn("err_nanos", aggregate(errTerms,
+        lit(0L), (acc, x) => acc + x))
       .select(col("vec_id"), round(col("nrm"), 6).as("norm"),
-        col("err_sum").cast("double").as("sum_q_err"),
+        (col("err_nanos").cast("double") / lit(1e9)).as("sum_q_err"),
         size(col("vd")).cast("bigint").as("n_dims"))
   }
 
@@ -1682,11 +1691,11 @@ object Similarity {
         |  SELECT vec_id, nrm, dims,
         |    list_sum(list_transform(vd, x ->
         |      CAST(ROUND(abs(x / NULLIF(nrm, 0.0)
-        |        - ROUND(x / NULLIF(nrm, 0.0) * 127.0) / 127.0), 9)
-        |        AS DECIMAL(18,9)))) AS err_sum
+        |        - ROUND(x / NULLIF(nrm, 0.0) * 127.0) / 127.0)
+        |        * 1000000000.0) AS BIGINT))) AS err_nanos
         |  FROM n)
         |SELECT vec_id, ROUND(nrm, 6) AS norm,
-        |  CAST(err_sum AS DOUBLE) AS sum_q_err,
+        |  CAST(err_nanos AS DOUBLE) / 1000000000.0 AS sum_q_err,
         |  CAST(dims AS BIGINT) AS n_dims
         |FROM err""".stripMargin,
     // candidate generation re-derived from the landed bucket table

@@ -146,31 +146,26 @@ object Text {
     * order and across engines (a raw double sum would be
     * shuffle-order-nondeterministic). Corpus stats side is a broadcast. */
   def unigramLogprob(s: SparkSession, dir: String): DataFrame = {
-    // INLINE tokenize, deliberately not the landed token arrays: this
-    // op reduces each side to token COUNTS immediately, so each
-    // consumer costs one text scan + the codegen split — cheaper than
-    // decoding the landed array<string> column (nested-column parquet
-    // assembly beats a flat string read + split; measured r10→r11:
-    // landed 1.2s vs inline 0.9s at sf0.1, and a localCheckpoint of
-    // the token-level exploded stream was slower still). The landed
-    // artifact wins where consumers need the SHINGLE/array structure
-    // repeatedly (novelty, boilerplate, overlap) — not here. The
-    // corpus total folds out of the vocabulary counts, so the op is
-    // two scans: vocabulary side and per-doc join-back side.
-    // regex tokenize is heavy per row and the docs table is a near-one-
-    // split file — spread each scan so the split work rides all cores
-    val exploded = graft.Tables.spreadScan(s, s"$dir/documents.parquet",
-        Tables.documents(s, dir).select(col("doc_id"), col("text")))
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-    val freqs = exploded.select(col("tok")).groupBy(col("tok"))
-      .agg(count(lit(1)).as("tok_n"))
+    // both sides fold the LANDED per-doc tf table (doctf): the
+    // vocabulary side is one type-row aggregate, and the per-doc mean
+    // weights each type's 6dp-decimal log term by its exact integer tf
+    // — term-for-term the same exact decimal sum as the r14
+    // per-instance fold (tf · (k·10⁻⁶) is an exact decimal; Σ and the
+    // ×10⁶ → long scale are unchanged), at type-row cost instead of
+    // token-instance cost and with no per-query tokenize. (The r10→r11
+    // inline-tokenize measurement predates the doctf landing: counts
+    // now come pre-folded off columnar storage, which beats both forms
+    // it compared.)
+    val tf = DocArtifacts.doctf(s, dir)
+      .select(col("doc_id"), col("tok"), col("tf"))
+    val freqs = tf.groupBy(col("tok")).agg(sum(col("tf")).as("tok_n"))
     val totals = freqs.agg(sum(col("tok_n")).as("corpus_n"))
     val term = round(log(col("tok_n").cast("double")
       / col("corpus_n").cast("double")), 6).cast(DecimalType(18, 6))
-    exploded.join(broadcast(freqs.crossJoin(totals)), "tok")
+    tf.join(broadcast(freqs.crossJoin(totals)), "tok")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_toks"),
-        (sum(term) * lit(1000000L)).cast("long").as("__s6"))
+      .agg(sum(col("tf")).as("n_toks"),
+        (sum(col("tf") * term) * lit(1000000L)).cast("long").as("__s6"))
       .select(col("doc_id"), col("n_toks"),
         mean4FromMicros(col("__s6"), col("n_toks")).as("mean_logprob"))
   }
@@ -229,19 +224,25 @@ object Text {
     val idxs = when(size(w) >= 2, sequence(lit(1), size(w) - 1))
       .otherwise(array().cast("array<int>"))
     // `exploded` feeds BOTH the bigram-count aggregate and the per-doc
-    // join-back. It is NOT checkpointed: since the toks landed (r10),
-    // re-deriving it is a columnar parquet read + an int explode with
-    // two element_at lookups that pipelines into each consumer —
-    // measured cheaper at sf0.1 AND sf1 than materializing the
-    // exploded rows to the block store and reading them back twice
-    // (the pre-landing ccnet discipline no longer applies once the
-    // expensive step — the tokenize — is already a landed artifact)
-    def exploded: DataFrame = DocArtifacts.toks(s, dir)
+    // join-back — through ONE exchange: the explicit repartition on the
+    // bigram hash is an identical subtree under both consumers, so the
+    // physical plan reuses the exchange (scan + explode + hash run
+    // once), the groupBy(h) needs no further shuffle (hash-partitioning
+    // on h satisfies the grouping), and the count-table join-back is
+    // CO-PARTITIONED (term derives from the same h-partitioning) — a
+    // zero-exchange join. The r14 form derived `exploded` twice and
+    // paid three corpus-sized exchanges (groupBy h, join-back shuffle,
+    // doc regroup); this shape pays one corpus exchange + the final
+    // per-doc aggregate, whose map-side partials reduce to
+    // ~partitions×docs rows (measured 4.9s → the single-exchange
+    // bottom at sf3).
+    val exploded: DataFrame = DocArtifacts.toks(s, dir)
       .select(col("doc_id"), col("toks"), explode(idxs).as("i"))
       .select(col("doc_id"),
         xxhash64(element_at(w, col("i")),
           element_at(w, col("i") + 1)).as("h"),
         xxhash64(element_at(w, col("i"))).as("h1"))
+      .repartition(col("h"))
     val b = exploded.groupBy(col("h"))
       .agg(count(lit(1)).as("n"), min(col("h1")).as("h1"))
     val p = b.groupBy(col("h1")).agg(sum(col("n")).as("np"))
@@ -508,10 +509,10 @@ object Text {
     * cross-engine exact. */
   def zipfFit(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val top = Tables.documents(s, dir)
-      .withColumn("toks", tokens(col("text")))
-      .select(explode(col("toks")).as("tok"))
-      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    // type counts fold the LANDED per-doc tf table (vocab-sized
+    // exchange over type rows; no per-query tokenize/explode)
+    val top = DocArtifacts.doctf(s, dir)
+      .groupBy(col("tok")).agg(sum(col("tf")).as("n"))
       .orderBy(col("n").desc, col("tok")).limit(100)
     val w = Window.orderBy(col("n").desc, col("tok"))
     val lx = log(col("rank"))
@@ -537,9 +538,10 @@ object Text {
     * levels: (source, type) counts, then per-source rollup — key space
     * is sources × vocabulary, never corpus rows; no window, no join. */
   def hapaxRatio(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("source"), explode(tokens(col("text"))).as("tok"))
-      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("n"))
+    // (source, type) counts fold the LANDED per-doc tf rows (type rows,
+    // not token instances — and no per-query tokenize)
+    DocArtifacts.doctf(s, dir)
+      .groupBy(col("source"), col("tok")).agg(sum(col("tf")).as("n"))
       .groupBy(col("source"))
       .agg(sum(col("n")).as("n_tokens"),
         count(lit(1)).as("n_types"),
@@ -623,10 +625,10 @@ object Text {
     * window anywhere. Linear in corpus tokens. */
   def entropy(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val tf = DocArtifacts.toks(s, dir)
-      .select(col("doc_id"), explode(col("toks")).as("tok"))
-      .groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("tf"))
+    // the landed per-doc tf table IS this op's first aggregation —
+    // the explode + (doc, tok) shuffle it re-paid per query lives in
+    // the doctf landing now
+    val tf = DocArtifacts.doctf(s, dir)
     val term = round(col("tf").cast("double")
       * log(col("tf").cast("double")), 9).cast(DecimalType(18, 9))
     tf.groupBy(col("doc_id"))
@@ -673,9 +675,8 @@ object Text {
     * a one-row broadcast. */
   def vocabCoverage(s: SparkSession, dir: String): DataFrame = {
     val ks = Seq(10, 25, 50, 100)
-    val counts = DocArtifacts.toks(s, dir)
-      .select(explode(col("toks")).as("tok"))
-      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val counts = DocArtifacts.doctf(s, dir)
+      .groupBy(col("tok")).agg(sum(col("tf")).as("n"))
     // vocab grows sublinearly in docs, so the doc count over-provisions
     // the bucket domain — harmless (empty buckets cost nothing)
     val nb = graft.operators.Ranking.bucketsFor(
@@ -766,10 +767,9 @@ object Text {
     * explode (pairs ride the vocab, ≪ corpus tokens), then one bounded
     * top-k. All counts integer-exact. */
   def bpeMergeCandidates(s: SparkSession, dir: String): DataFrame = {
-    val vocab = Tables.documents(s, dir)
-      .select(explode(tokens(col("text"))).as("tok"))
+    val vocab = DocArtifacts.doctf(s, dir)
       .filter(length(col("tok")) >= 2)
-      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .groupBy(col("tok")).agg(sum(col("tf")).as("n"))
     vocab
       .select(explode(expr(
         "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"))
