@@ -591,6 +591,95 @@ object Dedup {
   def cluster(s: SparkSession, dir: String): DataFrame =
     clusterOfPairs(ngramJaccard(s, dir).select(col("doc_a"), col("doc_b")))
 
+  /** Landing dir for the CORPUS-side component labels — the production
+    * state a near-dup clustering pipeline maintains between runs (the
+    * simhashFpDir contract: computable from `dir` alone). */
+  private[graft] def ccLabelsDir(dir: String): String =
+    graft.Tables.landingDir("cclabels", dir)
+
+  /** Land-once memo for the corpus component labels: hash-min CC over
+    * the CORPUS-ONLY near-dup pairs (both endpoints in the landed
+    * corpus — the `incremental` pmod-5 day stand-in), landed so
+    * [[clusterIncremental]] attaches each day's batch WITHOUT re-running
+    * global label propagation. */
+  private val ccLabelsLanded = scala.collection.concurrent.TrieMap
+    .empty[(Int, String, String), scala.concurrent.Future[Unit]]
+  /** Test hook (the clearTuningMemo discipline). */
+  private[graft] def clearCcLabelsMemo(): Unit = ccLabelsLanded.clear()
+  private[graft] def ensureCcLabelsLanded(s: SparkSession,
+      dir: String): Unit = {
+    ensureTuningLanded(s, dir)
+    graft.Tables.landOnce(ccLabelsLanded,
+      (System.identityHashCode(s.sparkContext), dir,
+        graft.Tables.fingerprint(s, dir, "documents"))) {
+      clusterOfPairs(
+        s.read.parquet(tuningCandDir(dir))
+          .filter(col("inter") * 2 >= col("uni"))
+          .filter(pmod(col("doc_a"), lit(5)) =!= 0 &&
+            pmod(col("doc_b"), lit(5)) =!= 0)
+          .select(col("doc_a"), col("doc_b")))
+        .write.mode("overwrite").parquet(ccLabelsDir(dir))
+    }
+  }
+
+  /** Batch-vs-corpus incremental near-dup CLUSTERING — the third leg of
+    * the incremental story (exact → near-dup pairs → components): each
+    * batch document is attached to the LANDED corpus component labels
+    * without re-running global label propagation. Corpus components are
+    * already collapsed to their canonical label (min corpus doc_id —
+    * [[ensureCcLabelsLanded]]), so the attach graph CONTRACTS every
+    * corpus endpoint of a batch pair to its label supernode; hash-min
+    * convergence then runs on that batch-sized graph only (batch docs +
+    * touched supernodes — a batch bridging two corpus clusters merges
+    * them here, exactly as full reachability would). Because a label IS
+    * its component's minimum, the attach component's minimum equals the
+    * full merged component's minimum doc_id: the emitted cluster_id is
+    * identical to a from-scratch global clustering, at batch cost.
+    * Output: one row per batch doc in the pair graph — its final
+    * cluster_id and whether it joined an existing corpus cluster
+    * (`joins_corpus`) or only a new batch-side cluster.
+    *
+    * Scale: the corpus-sized work (shingle pairs, corpus CC) is landed
+    * state amortized across runs; the per-run cost is one filter over
+    * the landed candidate table, two label equi-joins, and CC rounds
+    * bounded by the BATCH graph's diameter. Oracle: DuckDB re-derives
+    * the full pair graph from raw text and computes recursive-CTE
+    * reachability — the strongest possible check that the incremental
+    * composition equals global clustering. */
+  def clusterIncremental(s: SparkSession, dir: String): DataFrame = {
+    ensureTuningLanded(s, dir)
+    ensureCcLabelsLanded(s, dir)
+    def isBatch(c: org.apache.spark.sql.Column) = pmod(c, lit(5)) === 0
+    val pairs = s.read.parquet(tuningCandDir(dir))
+      .filter(col("inter") * 2 >= col("uni"))
+      .select(col("doc_a"), col("doc_b"))
+    val batchPairs = pairs
+      .filter(isBatch(col("doc_a")) || isBatch(col("doc_b")))
+    val labels = s.read.parquet(ccLabelsDir(dir))
+    // contract corpus endpoints to their landed label; a corpus doc
+    // absent from the corpus pair graph is its own singleton label
+    val attach = batchPairs
+      .join(labels.select(col("doc_id").as("__a"),
+        col("cluster_id").as("__la")), col("doc_a") === col("__a"), "left")
+      .join(labels.select(col("doc_id").as("__b"),
+        col("cluster_id").as("__lb")), col("doc_b") === col("__b"), "left")
+      .select(
+        when(isBatch(col("doc_a")), col("doc_a"))
+          .otherwise(coalesce(col("__la"), col("doc_a"))).as("doc_a"),
+        when(isBatch(col("doc_b")), col("doc_b"))
+          .otherwise(coalesce(col("__lb"), col("doc_b"))).as("doc_b"))
+    val cc = clusterOfPairs(attach)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // a component joins the corpus iff it contains a corpus supernode
+    val hasCorpus = cc.groupBy(col("cluster_id"))
+      .agg(max(when(pmod(col("doc_id"), lit(5)) =!= 0, 1).otherwise(0))
+        .as("__hc"))
+    cc.filter(isBatch(col("doc_id")))
+      .join(hasCorpus, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"),
+        (col("__hc") === 1).as("joins_corpus"))
+  }
+
   /** Cluster-size histogram — the dedup-impact report published after a
     * clustering run: for each near-dup cluster size, how many clusters,
     * how many documents they hold, and how many would drop under the
@@ -931,6 +1020,7 @@ object Dedup {
     "dedup_simhash" -> (simhash _),
     "dedup_cluster" -> (cluster _),
     "dedup_cluster_stats" -> (clusterStats _),
+    "dedup_cluster_incremental" -> (clusterIncremental _),
     "dedup_incremental" -> (incremental _),
     "dedup_minhash_incremental" -> (minhashIncremental _),
     "dedup_source_similarity" -> (sourceSimilarity _),
@@ -1285,6 +1375,39 @@ object Dedup {
         |  JOIN edges e ON e.src = r.node)
         |SELECT node AS doc_id, MIN(lbl) AS cluster_id
         |FROM reach GROUP BY node""".stripMargin,
+    // the incremental attach must equal GLOBAL clustering restricted to
+    // batch docs: full recursive-CTE reachability over the complete
+    // pair graph (corpus + batch edges re-derived from raw text), min
+    // reachable doc_id, plus whether any corpus doc is reachable —
+    // checking that landed-label contraction composes exactly
+    "dedup_cluster_incremental" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+        |      THEN list_transform(range(1, len(w) - 1),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        |      ELSE [] END) AS shingles
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |        FROM documents)),
+        |b AS (
+        |  SELECT doc_id, shingles,
+        |    list_min(list_transform(shingles, x -> md5(x))) AS bucket
+        |  FROM t),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b
+        |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.doc_id < b2.doc_id
+        |  WHERE CAST(len(list_intersect(a.shingles, b2.shingles)) AS DOUBLE)
+        |    / CAST(len(list_distinct(list_concat(a.shingles, b2.shingles))) AS DOUBLE) >= 0.5),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+        |  UNION ALL SELECT doc_b, doc_a FROM p),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |reach AS (
+        |  SELECT node, node AS lbl FROM nodes
+        |  UNION
+        |  SELECT e.dst AS node, r.lbl FROM reach r
+        |  JOIN edges e ON e.src = r.node)
+        |SELECT node AS doc_id, MIN(lbl) AS cluster_id,
+        |  MAX(CASE WHEN lbl % 5 <> 0 THEN 1 ELSE 0 END) = 1 AS joins_corpus
+        |FROM reach WHERE node % 5 = 0 GROUP BY node""".stripMargin,
     // same recursive-CC CTE, then the size histogram
     "dedup_cluster_stats" ->
       """WITH RECURSIVE t AS (

@@ -278,6 +278,31 @@ class OperatorsSpec extends SparkSpec {
     labels.values.foreach(l => assert(labels(l) == l))
   }
 
+  test("dedup_cluster_incremental: landed-label attach equals global " +
+      "clustering restricted to batch docs, joins_corpus exact") {
+    val inc = operators.Dedup.clusterIncremental(spark, sfTiny)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getBoolean(2))))
+      .toMap
+    assert(inc.nonEmpty, "the tiny corpus must produce batch attachments")
+    // ground truth: from-scratch global clustering over the FULL pair
+    // graph — the incremental composition must match it exactly on the
+    // batch slice (the supernode-contraction equality the scaladoc
+    // argues)
+    val full = operators.Dedup.cluster(spark, sfTiny)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val corpusByCluster = full.groupBy(_._2)
+      .map { case (c, ms) => c -> ms.keys.exists(_ % 5 != 0) }
+    val batchGlobal = full.filter { case (d, _) => d % 5 == 0 }
+    assert(inc.keySet == batchGlobal.keySet,
+      "attach must emit exactly the batch docs of the global pair graph")
+    batchGlobal.foreach { case (d, c) =>
+      assert(inc(d)._1 == c, s"doc $d: incremental=${inc(d)._1} global=$c")
+      assert(inc(d)._2 == corpusByCluster(c),
+        s"doc $d joins_corpus=${inc(d)._2} but global component says " +
+          s"${corpusByCluster(c)}")
+    }
+  }
+
   test("source-sketch similarity within MinHash error of exact Jaccard") {
     import graft.functions.TextFns._
     val est = operators.Dedup.sourceSimilarity(spark, sfTiny)
