@@ -414,6 +414,18 @@ object Similarity {
     * parquet, which round-trips doubles exactly. */
   private def landAssignment(s: SparkSession, dir: String): Unit = {
     import s.implicits._
+    if (quantizerK(s, dir) > broadcastK) {
+      // past the broadcast cap the centroid table stays landed and the
+      // corpus meets it through the block cogroup kernel — no driver
+      // collect, no broadcast (blockAssign's exactness contract makes
+      // the landed assignment bit-identical to the kernel below)
+      val vecs = Tables.spreadScan(s, s"$dir/embeddings.parquet",
+        Tables.embeddings(s, dir)
+          .select(col("vec_id"), asDouble(col("embedding")).as("vd")))
+      blockAssign(s, vecs, s.read.parquet(kmeansCentDir(dir)))
+        .write.mode("overwrite").parquet(kmeansAssignDir(dir))
+      return
+    }
     def dotSeq(a: Array[Double], b: Array[Double]): Double = {
       var acc = 0.0
       var i = 0
@@ -464,44 +476,145 @@ object Similarity {
     * FIXED k turns them quadratic as the corpus grows (measured: the
     * r11 sf1 sweep, where k=8 over 10× vectors scaled emb_knn_graph
     * 23.7× for 10× data). Floor 8 keeps the small-sf spec surface and
-    * the committed sf0.1 artifacts bit-identical (2000/256 < 8); cap
-    * 4096 bounds the driver-held Lloyd state (4096 × 64 doubles ≈ 2 MB
-    * broadcast) — past the cap (≫1 B vectors) the sweep state moves to
-    * a landed table + shuffle join, same plan shape. Reads the row
+    * the committed sf0.1 artifacts bit-identical (2000/256 < 8).
+    *
+    * Two k regimes, split at [[broadcastK]]:
+    *  - k ≤ 4096: Lloyd state rides the driver/broadcast (k × d ≈ 2 MB)
+    *    and assignment is the one-pass broadcast argmin kernel;
+    *  - 4096 < k ≤ [[maxQuantizerK]] (262144): sweep and assignment
+    *    state live in a LANDED centroid table and assignment is the
+    *    block-partitioned cogroup kernel ([[blockAssign]]) — no driver
+    *    or broadcast structure grows with k. Per-sweep cost is
+    *    64·k²·d flops (the bounded-sample discipline), a cluster-scale
+    *    job at the top of the range, linear in n below it.
+    * Past maxQuantizerK (n > 67M vectors) the width guard trips
+    * ([[assertCellWidth]]) and prescribes the next level. Reads the row
     * count from parquet footers (no job), and the landing memo already
     * keys on the embeddings fingerprint, so k tracks the data. */
   private[graft] def quantizerK(s: SparkSession, dir: String): Int =
     quantizerKFor(graft.Tables.rowCount(s, dir, "embeddings"))
 
-  private[graft] def quantizerKFor(n: Long): Int =
-    math.max(8L, math.min(4096L, n / 256L)).toInt
+  /** Driver/broadcast state bound: at or under this k the centroid table
+    * may live on the driver and broadcast; above it, state must stay in
+    * landed tables (the blockAssign regime). */
+  private[graft] val broadcastK = 4096
 
-  /** Loud boundary for the k-cap regime (the cosinePairBudget
+  /** Hard k ceiling for the FLAT (single-level) quantizer: 64× the
+    * broadcast cap. Bounds the landed centroid table (≤ 262144 × 64
+    * doubles ≈ 134 MB — a small parquet, never driver-held past
+    * broadcastK) and the per-vector assignment cost (k·d flops). */
+  private[graft] val maxQuantizerK = 64 * 4096
+
+  private[graft] def quantizerKFor(n: Long): Int =
+    math.max(8L, math.min(maxQuantizerK.toLong, n / 256L)).toInt
+
+  /** Loud boundary for the flat-quantizer regime (the cosinePairBudget
     * discipline: fail with a named error instead of silently degrading).
-    * Past the 4096 k-cap the expected cell width n/k grows linearly
-    * with the corpus — the r13 2M-vector probe measured cells drifting
-    * to ~488 with no signal — and every cell-local consumer
-    * (dedup_semantic, emb_knn_graph, the IVF probes) pays O(Σ cell²) or
-    * O(cell·k'), so unchecked growth re-quadratizes exactly the family
-    * the derived-k rule linearized. 512 is one doubling past the ~256
-    * design width: within it cell-local work stays ≤ ~4× design cost
-    * (width² on 2× width); beyond it the prescription in the error —
-    * raise the cap if driver/broadcast state allows, or move sweep
-    * state to a landed centroid table + shuffle-join assignment (the
-    * trainKmeans scaladoc's path) — must be taken deliberately, not
-    * discovered in a latency graph. Guard sits on [[ensureKmeansLanded]]
-    * so every consumer of the landed quantizer trips it. */
+    * Past the [[maxQuantizerK]] cap the expected cell width n/k grows
+    * linearly with the corpus — the r13 2M-vector probe measured cells
+    * drifting to ~488 with no signal under the old 4096 cap — and every
+    * cell-local consumer (dedup_semantic, emb_knn_graph, the IVF probes)
+    * pays O(Σ cell²) or O(cell·k'), so unchecked growth re-quadratizes
+    * exactly the family the derived-k rule linearized. 512 is one
+    * doubling past the ~256 design width: within it cell-local work
+    * stays ≤ ~4× design cost (width² on 2× width); beyond it the
+    * prescription in the error — a second quantizer level (cluster the
+    * centroids, assign coarse-then-fine, the IVF-HNSW/two-level shape)
+    * — must be taken deliberately, not discovered in a latency graph.
+    * The r14 boundary (2M vectors at the 4096 broadcast cap) is now
+    * INSIDE the runway: blockAssign carries 4096 < k ≤ 262144 with
+    * state out of the driver, so the guard trips only past ~134M
+    * vectors. Guard sits on [[ensureKmeansLanded]] so every consumer of
+    * the landed quantizer trips it. */
   private[graft] def assertCellWidth(n: Long): Unit = {
     val k = quantizerKFor(n)
     val width = if (k <= 0) 0L else n / k
     if (width > 512L)
       throw new IllegalStateException(
         s"graft quantizer cell width $width exceeds the 512 bound " +
-          s"(n=$n vectors, k=$k at the 4096 cap): cell-local consumers " +
-          "would run >4x their design cost. Raise the k cap (driver " +
-          "state is k x d doubles) or move Lloyd sweep state to a " +
-          "landed centroid table + shuffle-join assignment " +
-          "(trainKmeans scaladoc) before scaling past this corpus.")
+          s"(n=$n vectors, k=$k at the $maxQuantizerK flat cap): " +
+          "cell-local consumers would run >4x their design cost. The " +
+          "flat quantizer ends here — add a second quantizer level " +
+          "(cluster the landed centroids, assign coarse-then-fine) " +
+          "before scaling past this corpus.")
+  }
+
+  /** Exact argmin assignment of `vecs` (vec_id, vd) against an
+    * arbitrary-k centroid table (cluster, cv) WITHOUT driver or
+    * broadcast state — the past-[[broadcastK]] regime's assignment
+    * plan (and the Lloyd sweep's, via [[trainKmeans]]).
+    *
+    * Shape: centroids hash into B = ⌈k/blockSize⌉ blocks of ~blockSize;
+    * each vector meets every block once via a cogroup on
+    * (block, salt) — the salt (vector-id hash, S ≈ cores/B values)
+    * spreads a block's vectors over S reduce tasks so parallelism does
+    * not collapse onto B keys. A task materializes ONE block's
+    * centroids (≤ ~blockSize × d doubles — the same 2 MB bound the
+    * broadcast regime puts on the driver) and streams its vector
+    * slice through the primitive-array argmin kernel; per-block
+    * partials then min-reduce per vector. Shuffle carries n·B vector
+    * rows + B·S centroid rows — the honest price of EXACT flat
+    * assignment with out-of-driver state (FAISS pays the same n·k
+    * flops for exact IVF training assignment).
+    *
+    * Exactness contract (same result as the broadcast kernel,
+    * bit-for-bit): dist = (‖x‖² + ‖c‖²) − 2·(x·c) with sequential
+    * left-to-right dots is computed per (vector, centroid) pair
+    * independently of grouping; within a block centroids are visited in
+    * ascending cluster id with strict `<` (ties keep the lower id), and
+    * the cross-block min over struct(dist, cluster) resolves equal
+    * dists to the lower cluster id — together exactly the global
+    * ascending strict-`<` scan. StressSpec pins block-vs-broadcast
+    * parity and fixed-k wall-time linearity. */
+  private[graft] def blockAssign(s: SparkSession, vecs: DataFrame,
+      cents: DataFrame, blockSize: Int = broadcastK): DataFrame = {
+    import s.implicits._
+    def dotSeq(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val k = cents.count()
+    val b = math.max(1L, (k + blockSize - 1) / blockSize).toInt
+    val salts = math.max(1, s.sparkContext.defaultParallelism / b)
+    val centsRep = cents.select(
+        pmod(xxhash64(col("cluster")), lit(b.toLong)).cast("int")
+          .as("block"),
+        explode(array((0 until salts).map(lit(_)): _*)).as("salt"),
+        col("cluster"), col("cv").cast("array<double>").as("cv"))
+      .as[(Int, Int, Long, Array[Double])]
+      .groupByKey(t => (t._1, t._2))
+    val vecsRep = vecs.select(
+        explode(array((0 until b).map(lit(_)): _*)).as("block"),
+        pmod(xxhash64(col("vec_id")), lit(salts.toLong)).cast("int")
+          .as("salt"),
+        col("vec_id"), col("vd"))
+      .as[(Int, Int, Long, Array[Double])]
+      .groupByKey(t => (t._1, t._2))
+    val partial = vecsRep.cogroup(centsRep) { case (_, vs, cIt) =>
+      val cs = cIt.map { case (_, _, cid, cv) => (cid, cv, dotSeq(cv, cv)) }
+        .toArray.sortBy(_._1)
+      if (cs.isEmpty) Iterator.empty
+      else vs.map { case (_, _, id, v) =>
+        val nx2 = dotSeq(v, v)
+        var bestC = -1L
+        var bestD = Double.PositiveInfinity
+        var c = 0
+        while (c < cs.length) {
+          val t = cs(c)
+          val d = (nx2 + t._3) - 2.0 * dotSeq(v, t._2)
+          if (d < bestD) { bestD = d; bestC = t._1 }
+          c += 1
+        }
+        (id, bestC, bestD)
+      }
+    }.toDF("vec_id", "cluster", "dist")
+    partial
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cluster"))).as("m"))
+      .select(col("vec_id"), col("m.cluster").as("cluster"),
+        col("m.dist").as("dist"))
   }
 
   /** Distributed Lloyd's k-means (corpus-derived k via [[quantizerK]],
@@ -568,38 +681,48 @@ object Similarity {
       while (i < a.length) { acc += a(i) * b(i); i += 1 }
       acc
     }
-    val cents: Array[(Long, Array[Double], Double)] =
-      s.read.parquet(kmeansCentDir(dir)).collect()
-        .map { r =>
-          val cv = r.getSeq[Double](1).toArray
-          (r.getLong(0), cv, dotSeq(cv, cv))
-        }
-        .sortBy(_._1)
-    val bc = s.sparkContext.broadcast(cents)
-    val batch = Tables.embeddings(s, dir)
+    val batchRows = Tables.embeddings(s, dir)
       .filter(graft.functions.HashExprs.md5SliceLong(
         col("vec_id").cast("string"), 32, 1) === 7L)
       .select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])]
-      .mapPartitions { it =>
-        val cs = bc.value
-        it.map { case (id, vf) =>
-          val v = new Array[Double](vf.length)
-          var i = 0
-          while (i < v.length) { v(i) = vf(i).toDouble; i += 1 }
-          val nx2 = dotSeq(v, v)
-          var bestC = -1L
-          var bestD = Double.PositiveInfinity
-          var c = 0
-          while (c < cs.length) {
-            val (cid, cv, nc2) = cs(c)
-            val d = (nx2 + nc2) - 2.0 * dotSeq(v, cv)
-            if (d < bestD) { bestD = d; bestC = cid }
-            c += 1
+    // past the broadcast cap the batch meets the LANDED centroids
+    // through the block cogroup kernel, same as landAssignment — the
+    // maintenance loop must not re-acquire driver state training gave up
+    val batch = if (quantizerK(s, dir) > broadcastK)
+      blockAssign(s,
+        batchRows.select(col("vec_id"), asDouble(col("embedding")).as("vd")),
+        s.read.parquet(kmeansCentDir(dir)))
+    else {
+      val cents: Array[(Long, Array[Double], Double)] =
+        s.read.parquet(kmeansCentDir(dir)).collect()
+          .map { r =>
+            val cv = r.getSeq[Double](1).toArray
+            (r.getLong(0), cv, dotSeq(cv, cv))
           }
-          (id, bestC, bestD)
-        }
-      }.toDF("vec_id", "cluster", "dist")
+          .sortBy(_._1)
+      val bc = s.sparkContext.broadcast(cents)
+      batchRows
+        .as[(Long, Array[Float])]
+        .mapPartitions { it =>
+          val cs = bc.value
+          it.map { case (id, vf) =>
+            val v = new Array[Double](vf.length)
+            var i = 0
+            while (i < v.length) { v(i) = vf(i).toDouble; i += 1 }
+            val nx2 = dotSeq(v, v)
+            var bestC = -1L
+            var bestD = Double.PositiveInfinity
+            var c = 0
+            while (c < cs.length) {
+              val (cid, cv, nc2) = cs(c)
+              val d = (nx2 + nc2) - 2.0 * dotSeq(v, cv)
+              if (d < bestD) { bestD = d; bestC = cid }
+              c += 1
+            }
+            (id, bestC, bestD)
+          }
+        }.toDF("vec_id", "cluster", "dist")
+    }
     def meanDist = (sum(round(col("dist"), 9).cast(DecimalType(18, 9)))
       .cast("double") / count(lit(1)).cast("double"))
     val corpusStats = s.read.parquet(kmeansAssignDir(dir))
@@ -648,10 +771,84 @@ object Similarity {
     * ([[landAssignment]]); the oracle contract is unchanged — DuckDB
     * re-derives assignment from the landed centroid parquet and never
     * sees the training path. */
+  /** Per-sweep centroid means from an assignment (cluster, vec_id, vd):
+    * per-(cluster, dim) ordered folds (bit-identical under any
+    * partitioning — the centroid-audit discipline), re-assembled into
+    * ascending-dim vectors. One (cluster, dim) group materializes that
+    * cluster's member values — bounded by the training-sample cell
+    * width (~64 by trainSampleCap), never corpus width. Shared by both
+    * training regimes so the sweep math is one body. */
+  private def sweepMeans(assign: DataFrame): DataFrame =
+    assign
+      .select(col("cluster"), col("vec_id"),
+        posexplode(col("vd")).as(Seq("i", "x")))
+      .groupBy(col("cluster"), col("i"))
+      .agg(collect_list(struct(col("vec_id"), col("x"))).as("xs"))
+      .select(col("cluster"), col("i"),
+        (aggregate(array_sort(col("xs")), lit(0.0),
+          (acc, e) => acc + e.getField("x")) / size(col("xs"))).as("c"))
+      .groupBy(col("cluster"))
+      .agg(collect_list(struct(col("i"), col("c"))).as("cs"))
+      .select(col("cluster"),
+        transform(array_sort(col("cs")), e => e.getField("c")).as("cv"))
+
+  /** The past-[[broadcastK]] Lloyd loop: centroid state lives in a
+    * checkpointed DataFrame (never collected, never broadcast) and each
+    * sweep's assignment runs through [[blockAssign]] — the landed-table
+    * + shuffle-join regime the r14 width guard prescribed.
+    *
+    * Differences from the broadcast loop, all training-side only (the
+    * oracle contract is unchanged — DuckDB re-derives assignment from
+    * the LANDED centroids and never sees training):
+    *  - the training sample is the expected-64·k hash-mod slice
+    *    (pmod(xxhash64(id), n/cap) = 0) instead of the exact
+    *    smallest-cap-hashes sort — a global sort-limit of a 64·k-row
+    *    sample would funnel ~n/4 rows through TakeOrdered at this k;
+    *  - seeds are the expected-k hash-mod slice of the sample (cluster
+    *    id = vec_id, deterministic, engine-free) instead of the k
+    *    lowest ids;
+    *  - per-sweep means stay a DataFrame joined back onto the previous
+    *    centroids (full outer + coalesce keeps empty clusters on their
+    *    previous centroid, exactly the broadcast loop's rule). */
+  private def trainKmeansBlocked(s: SparkSession, dir: String,
+      n: Long, k: Int, sweeps: Int): Unit = {
+    val cap = trainSampleCap(k)
+    val corpus = prepared(s, dir, "vec_id")
+      .select(col("vec_id"), col("vd"))
+    val sliceEvery = math.max(1L, n / cap)
+    val sample = (if (sliceEvery > 1L)
+        corpus.filter(
+          pmod(xxhash64(col("vec_id")), lit(sliceEvery)) === 0L)
+      else corpus)
+      .repartition(s.sparkContext.defaultParallelism)
+      .localCheckpoint()
+    val sampleN = sample.count()
+    val seedEvery = math.max(1L, sampleN / k.toLong)
+    // a distinct hash (seed literal) decorrelates the seed draw from
+    // the sample draw so seeds spread uniformly within the sample
+    var cents = sample.filter(
+        pmod(xxhash64(col("vec_id"), lit(7L)), lit(seedEvery)) === 0L)
+      .select(col("vec_id").as("cluster"), col("vd").as("cv"))
+      .localCheckpoint()
+    for (_ <- 1 to sweeps) {
+      val assign = blockAssign(s, sample, cents)
+        .join(sample, Seq("vec_id"))
+        .select(col("cluster"), col("vec_id"), col("vd"))
+      cents = cents.join(
+          sweepMeans(assign).withColumnRenamed("cv", "mcv"),
+          Seq("cluster"), "left")
+        .select(col("cluster"),
+          coalesce(col("mcv"), col("cv")).as("cv"))
+        .localCheckpoint()
+    }
+    cents.write.mode("overwrite").parquet(kmeansCentDir(dir))
+  }
+
   private def trainKmeans(s: SparkSession, dir: String): Unit = {
     val n = graft.Tables.rowCount(s, dir, "embeddings")
     val k = quantizerKFor(n)
     val sweeps = 5
+    if (k > broadcastK) { trainKmeansBlocked(s, dir, n, k, sweeps); return }
     val cap = trainSampleCap(k)
     val corpus = prepared(s, dir, "vec_id")
       .select(col("vec_id"), col("vd"))
@@ -723,18 +920,7 @@ object Similarity {
           (bestC, id, v)
         }
       }.toDF("cluster", "vec_id", "vd")
-      val means = assign
-        .select(col("cluster"), col("vec_id"),
-          posexplode(col("vd")).as(Seq("i", "x")))
-        .groupBy(col("cluster"), col("i"))
-        .agg(collect_list(struct(col("vec_id"), col("x"))).as("xs"))
-        .select(col("cluster"), col("i"),
-          (aggregate(array_sort(col("xs")), lit(0.0),
-            (acc, e) => acc + e.getField("x")) / size(col("xs"))).as("c"))
-        .groupBy(col("cluster"))
-        .agg(collect_list(struct(col("i"), col("c"))).as("cs"))
-        .select(col("cluster"),
-          transform(array_sort(col("cs")), e => e.getField("c")).as("cv"))
+      val means = sweepMeans(assign)
         .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
       bcC.destroy()
       // empty clusters keep their previous centroid

@@ -92,7 +92,7 @@ object Streams {
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
 
-  private def eventStream(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def eventStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // footer probe rides the Tables plan memo — a fresh read would
     // re-infer the schema on every stream op (~55ms each)
@@ -191,10 +191,56 @@ object Streams {
         (col("sum_cents").cast("double") / lit(100.0)).as("sum_value"))
   }
 
+  /** Streaming STATE-FORMAT version — bump on ANY breaking change to a
+    * stateful case class ([[SessState]]/[[PendEv]]/[[FunnelState]]) or
+    * a stateful query's state schema. History: v1 = pre-r13
+    * `List[Ev]` pending; v2 = r13 `List[PendEv]` (slimmed tuple);
+    * v3 = r14 packed primitive long arrays. STREAMING.md's
+    * compatibility section carries the same ledger; a durable
+    * deployment routes its checkpoint through [[versionedCheckpoint]]
+    * so the NEXT break fails with a named error at restore instead of
+    * a state-store misread. */
+  private[graft] val stateFormatVersion = 3
+
+  /** Resolve the checkpoint dir for a DURABLE stateful query under
+    * `base`, encoding [[stateFormatVersion]] in the path and failing
+    * loudly when `base` already holds a checkpoint written by a
+    * different state format. Spark's own state-schema validation
+    * catches SOME breaks (field renames) but silently misreads others
+    * (same-shape semantic changes — r13's `List[Ev]`→`List[PendEv]`
+    * kept three longs per element); pinning the version in the PATH
+    * catches every declared break, by construction, before any state
+    * store opens. Fresh-checkpoint smoke runs never collide (the base
+    * is empty); only an upgrade across a declared break trips it. */
+  def versionedCheckpoint(base: String): String = {
+    val marker = "state_v"
+    val existing = Option(new java.io.File(base).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith(marker))
+      .flatMap(f =>
+        scala.util.Try(f.getName.stripPrefix(marker).toInt).toOption)
+    existing.find(_ != stateFormatVersion).foreach { v =>
+      throw new IllegalStateException(
+        s"graft streaming checkpoint at $base was written by state " +
+          s"format v$v but this build runs v$stateFormatVersion: " +
+          "restoring would misread persisted operator state " +
+          "(STREAMING.md, state-format compatibility). Drain the old " +
+          s"query with a v$v build or start a fresh checkpoint base " +
+          "before upgrading.")
+    }
+    s"$base/$marker$stateFormatVersion"
+  }
+
   /** The sessionization pipeline over an arbitrary event stream —
-    * package-visible so specs can drive it with a multi-batch source. */
+    * package-visible so specs can drive it with a multi-batch source.
+    * `checkpointBase` is the durable-deployment seam: when set, the
+    * query checkpoints under [[versionedCheckpoint]](base), so a
+    * restore across a state-format break fails with the named error
+    * (smoke runs leave it None — fresh ephemeral checkpoint per run,
+    * the recompute contract). */
   private[graft] def sessionizePipeline(s: SparkSession,
-      stream: DataFrame, queryName: String): DataFrame = {
+      stream: DataFrame, queryName: String,
+      checkpointBase: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     import s.implicits._
     val gapUs = 1800L * 1000000L
@@ -269,9 +315,12 @@ object Streams {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(fn)
-    val q = out.writeStream
+    val writer = out.writeStream
       .outputMode(OutputMode.Append)
       .format("memory").queryName(queryName)
+    val q = checkpointBase
+      .map(b => writer.option("checkpointLocation", versionedCheckpoint(b)))
+      .getOrElse(writer)
       .start()
     try q.processAllAvailable() finally q.stop()
     s.table(queryName)
@@ -342,7 +391,10 @@ object Streams {
       s.sparkContext.applicationId.replaceAll("[^0-9a-zA-Z]", "_")
     val tmp = System.getProperty("java.io.tmpdir")
     val out = s"$tmp/graft_stream_land_$tag"
-    val chk = s"$tmp/graft_stream_chk_$tag"
+    // the ONE durable checkpoint in the library (reruns in a JVM resume
+    // it for exactly-once) — versioned, so an upgrade across a declared
+    // state-format break fails loudly instead of misreading the log
+    val chk = versionedCheckpoint(s"$tmp/graft_stream_chk_$tag")
     val q = eventStream(s, dir)
       .writeStream
       .format("parquet")

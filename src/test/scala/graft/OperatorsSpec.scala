@@ -1131,8 +1131,10 @@ class OperatorsSpec extends SparkSpec {
     a.unpersist()
   }
 
-  test("quantizerK: n/256 cell-width rule with floor 8 and cap 4096") {
-    import operators.Similarity.{quantizerK, quantizerKFor}
+  test("quantizerK: n/256 cell-width rule with floor 8, broadcast cap " +
+      "4096, flat cap 262144") {
+    import operators.Similarity.{quantizerK, quantizerKFor,
+      broadcastK, maxQuantizerK}
     // floor: every bundled test sf sits under 2048 vectors
     assert(quantizerK(spark, sfTiny) == 8)
     assert(Seq(0L, 1L, 2047L).map(quantizerKFor) == Seq(8, 8, 8))
@@ -1141,28 +1143,32 @@ class OperatorsSpec extends SparkSpec {
     assert(quantizerKFor(2560) == 10)
     assert(quantizerKFor(20000) == 78)
     assert(quantizerKFor(1 << 20) == 4096)
-    // cap: driver-held Lloyd state stays schema-bounded past ~1M vectors
-    assert(quantizerKFor(100L * 1000 * 1000) == 4096)
+    // past the BROADCAST cap k keeps deriving (the r15 landed-state
+    // regime: width stays 256, state leaves the driver)
+    assert(quantizerKFor(2L * 1000 * 1000) == 7812)
+    assert(quantizerKFor(2L * 1000 * 1000) > broadcastK)
+    // flat cap: the landed centroid table stays schema-bounded
+    assert(quantizerKFor(100L * 1000 * 1000) == maxQuantizerK)
   }
 
-  test("cell-width guard: the k-cap regime fails loudly one doubling " +
-      "past design width, not in a latency graph") {
-    import operators.Similarity.assertCellWidth
-    // linear region and the measured r13 probes: 200k (sf10emb) and 2M
-    // (sf100emb, width 488→512) all pass — the guard must not reject
-    // any corpus the scaling table proved affordable
-    Seq(500L, 60000L, 200000L, 2000000L, 512L * 4096L)
-      .foreach(assertCellWidth)
-    // one vector past width 512 at the 4096 cap: loud, named, with the
-    // prescription in the message
+  test("cell-width guard: the flat-quantizer regime fails loudly one " +
+      "doubling past design width, not in a latency graph") {
+    import operators.Similarity.{assertCellWidth, maxQuantizerK}
+    // the r13/r14 probes (200k, 2M) now sit INSIDE the runway — the
+    // blockAssign regime carries k past the broadcast cap, so width
+    // stays ~256 until n outgrows the 262144 flat cap
+    Seq(500L, 60000L, 200000L, 2000000L, 4000000L,
+        512L * maxQuantizerK).foreach(assertCellWidth)
+    // one centroid-width past 512 at the flat cap: loud, named, with
+    // the prescription in the message
     val e = intercept[IllegalStateException] {
-      assertCellWidth(512L * 4096L + 4096L) }
+      assertCellWidth(512L * maxQuantizerK + maxQuantizerK) }
     assert(e.getMessage.contains("cell width"))
-    assert(e.getMessage.contains("landed centroid table"),
-      "the error must prescribe the past-cap path, not just refuse")
-    // and far past: a 100M-vector corpus is firmly rejected
+    assert(e.getMessage.contains("second quantizer level"),
+      "the error must prescribe the next level, not just refuse")
+    // and far past: a 1B-vector corpus is firmly rejected
     intercept[IllegalStateException] {
-      assertCellWidth(100L * 1000 * 1000) }
+      assertCellWidth(1000L * 1000 * 1000) }
   }
 
   test("emb_dim_stats: one row per dimension, full coverage, coherent " +

@@ -204,4 +204,35 @@ class StreamingSpec extends SparkSpec {
       s"stream-only: ${(streamed -- batch).take(3)}; " +
         s"batch-only: ${(batch -- streamed).take(3)}")
   }
+
+  test("versioned checkpoint: restoring across a state-format break " +
+      "fails with the named error, same-version restores pass") {
+    import streaming.Streams.{versionedCheckpoint, stateFormatVersion}
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_chk_ver").toString
+    // fresh base: resolves to the current version's subdir
+    val p1 = versionedCheckpoint(base)
+    assert(p1.endsWith(s"state_v$stateFormatVersion"))
+    // same-version re-open (the normal resume): passes, same path
+    new java.io.File(p1).mkdirs()
+    assert(versionedCheckpoint(base) == p1)
+    // a checkpoint written by an OLDER state format: loud, named, with
+    // both versions and the prescription in the message — never a
+    // silent state-store misread
+    val old = java.nio.file.Files
+      .createTempDirectory("graft_chk_old").toString
+    new java.io.File(s"$old/state_v${stateFormatVersion - 1}").mkdirs()
+    val e = intercept[IllegalStateException] { versionedCheckpoint(old) }
+    assert(e.getMessage.contains(s"v${stateFormatVersion - 1}"))
+    assert(e.getMessage.contains(s"v$stateFormatVersion"))
+    assert(e.getMessage.contains("fresh checkpoint"))
+    // and the durable seam itself trips it before any query starts: a
+    // sessionize pointed at the stale base dies with the same error
+    val e2 = intercept[IllegalStateException] {
+      streaming.Streams.sessionizePipeline(spark,
+        streaming.Streams.eventStream(spark, sfTiny),
+        "graft_stream_ver_probe", checkpointBase = Some(old))
+    }
+    assert(e2.getMessage.contains("state format"))
+  }
 }

@@ -225,18 +225,68 @@ class StressSpec extends SparkSpec {
 
   test("quantizer training input is bounded: 64 vectors/centroid, " +
       "constant past the k cap") {
-    import operators.Similarity.{quantizerKFor, trainSampleCap}
+    import operators.Similarity.{quantizerKFor, trainSampleCap,
+      maxQuantizerK}
     // below the floor the whole (tiny) corpus trains — no churn there
     assert(trainSampleCap(quantizerKFor(500L)) == 4096L)
     // in the derived-k regime the sample is 64·k = n/4: each Lloyd
     // sweep costs s·k = n²/1024 — 4× under the full-corpus n²/256 —
     // and all five sweeps together ≈ 1.25× the ONE full assignment
     assert(trainSampleCap(quantizerKFor(60000L)) == 64L * (60000L / 256L))
-    // past the k cap (4096) the training input pins at a CONSTANT
-    // 262144 vectors at ANY corpus size — the 100 TB posture: training
-    // cost stops growing entirely, assignment is linear in n
-    for (n <- Seq(2000000L, 1000000000L, 100000000000L))
-      assert(trainSampleCap(quantizerKFor(n)) == 64L * 4096L)
+    // the derived-k rule continues past the broadcast cap (the r15
+    // landed-state regime — 64·k keeps the n/4 sample)
+    assert(trainSampleCap(quantizerKFor(2000000L)) == 64L * 7812L)
+    // past the FLAT cap (262144) the training input pins at a CONSTANT
+    // 16.7M vectors at ANY corpus size: training cost stops growing,
+    // assignment is linear in n (the width guard trips first — reaching
+    // here requires the deliberate second quantizer level)
+    for (n <- Seq(1000000000L, 100000000000L))
+      assert(trainSampleCap(quantizerKFor(n)) == 64L * maxQuantizerK)
+  }
+
+  test("blockAssign equals the broadcast argmin kernel at adversarial " +
+      "block widths, and scales linearly in n at fixed k") {
+    import operators.Similarity.{ensureKmeansLanded, blockAssign,
+      kmeansCentDir, kmeansAssignDir}
+    ensureKmeansLanded(spark, sfTiny)
+    val cents = spark.read.parquet(kmeansCentDir(sfTiny))
+    val vecs = Tables.embeddings(spark, sfTiny)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("vd"))
+    val landed = spark.read.parquet(kmeansAssignDir(sfTiny))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    // parity: forcing many blocks (blockSize 3 over k=8 → 3 hash
+    // blocks, cross-block min-reduce on every vector) must reproduce
+    // the landed broadcast-kernel assignment BIT-identically, ties
+    // included
+    for (bs <- Seq(1, 3, 8192)) {
+      val got = blockAssign(spark, vecs, cents, blockSize = bs)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+        .toMap
+      assert(got == landed, s"blockSize=$bs diverged from the kernel")
+    }
+    // fixed-k wall-time linearity: 8× the vectors through the block
+    // path stays well under 8× the wall time + spark constants
+    import spark.implicits._
+    def rep(m: Int) = vecs.as[(Long, Array[Double])]
+      .flatMap { case (id, v) =>
+        (0 until m).map(i => (id + i * 10000000L, v)) }
+      .toDF("vec_id", "vd").localCheckpoint()
+    val small = rep(1)
+    val big = rep(8)
+    def time(df: org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime
+      blockAssign(spark, df, cents, blockSize = 3)
+        .foreach((_: org.apache.spark.sql.Row) => ())
+      (System.nanoTime - t0) / 1e9
+    }
+    time(small) // warm the path once (codegen + shuffle setup)
+    val t1 = time(small)
+    val t8 = time(big)
+    val bound = 8.0 * math.max(t1, 0.5) + 2.0
+    assert(t8 <= bound,
+      s"8x vectors took ${t8}s vs ${t1}s — past the linear bound $bound")
   }
 
   test("landed kmeans assignment equals brute-force argmin against the " +
