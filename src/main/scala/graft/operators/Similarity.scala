@@ -577,7 +577,12 @@ object Similarity {
     }
     val k = cents.count()
     val b = math.max(1L, (k + blockSize - 1) / blockSize).toInt
-    val salts = math.max(1, s.sparkContext.defaultParallelism / b)
+    // 8× more (block, salt) keys than cores: with keys ≈ cores the
+    // hash-to-partition balls-in-bins collisions leave 2-4-key
+    // straggler tasks holding the stage (measured on the 4M probe:
+    // 2 tasks × ~7 min tails at 32 keys / 32 partitions); many small
+    // keys per partition amortize instead
+    val salts = math.max(1, 8 * s.sparkContext.defaultParallelism / b)
     val centsRep = cents.select(
         pmod(xxhash64(col("cluster")), lit(b.toLong)).cast("int")
           .as("block"),
@@ -610,11 +615,26 @@ object Similarity {
         (id, bestC, bestD)
       }
     }.toDF("vec_id", "cluster", "dist")
-    partial
+    val reduced = partial
       .groupBy(col("vec_id"))
       .agg(min(struct(col("dist"), col("cluster"))).as("m"))
       .select(col("vec_id"), col("m.cluster").as("cluster"),
         col("m.dist").as("dist"))
+    // Materialize HERE with AQE partition-coalescing off: the cogroup
+    // partitions are ~17 MB of shuffle bytes but k·d FLOPS of kernel
+    // work per row, and AQE sizes by bytes — on the 4M probe it
+    // coalesced the 256-key stage to ~9 tasks and serialized the sweep
+    // onto a third of the cores. Toggled only around this eager
+    // execution (the landing/sweep paths run serially); values are
+    // partitioning-independent (the exactness contract above).
+    val key = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "false")
+    try reduced.localCheckpoint()
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
   }
 
   /** Distributed Lloyd's k-means (corpus-derived k via [[quantizerK]],
@@ -807,9 +827,11 @@ object Similarity {
     *  - seeds are the expected-k hash-mod slice of the sample (cluster
     *    id = vec_id, deterministic, engine-free) instead of the k
     *    lowest ids;
-    *  - per-sweep means stay a DataFrame joined back onto the previous
-    *    centroids (full outer + coalesce keeps empty clusters on their
-    *    previous centroid, exactly the broadcast loop's rule). */
+    *  - per-sweep means stay a DataFrame left-joined back onto the
+    *    previous centroids (coalesce keeps empty clusters on their
+    *    previous centroid, exactly the broadcast loop's rule), computed
+    *    with the order-free exact-decimal sum instead of the
+    *    small-sample ordered fold (see the sweep body). */
   private def trainKmeansBlocked(s: SparkSession, dir: String,
       n: Long, k: Int, sweeps: Int): Unit = {
     val cap = trainSampleCap(k)
@@ -833,10 +855,28 @@ object Similarity {
     for (_ <- 1 to sweeps) {
       val assign = blockAssign(s, sample, cents)
         .join(sample, Seq("vec_id"))
-        .select(col("cluster"), col("vec_id"), col("vd"))
-      cents = cents.join(
-          sweepMeans(assign).withColumnRenamed("cv", "mcv"),
-          Seq("cluster"), "left")
+        .select(col("cluster"), col("vd"))
+      // Means via the ORDER-FREE exact-decimal discipline (the moments
+      // landing's), not the small-sample ordered fold: at this k the
+      // sample is n/4 rows × d dims and collect_list's typed-imperative
+      // merge dominates the sweep (measured 15+ min/sweep at 1M × 64 on
+      // the 4M probe). round(x,9) → DECIMAL(27,9) → associative SUM is
+      // bit-deterministic under ANY partitioning and map-side
+      // combinable; only the k×d reassembly lists are collected per
+      // group (bounded by d). Training-side only — the oracle contract
+      // never sees sweep math.
+      import org.apache.spark.sql.types.DecimalType
+      val means = assign
+        .select(col("cluster"), posexplode(col("vd")).as(Seq("i", "x")))
+        .groupBy(col("cluster"), col("i"))
+        .agg((sum(round(col("x"), 9).cast(DecimalType(27, 9)))
+          .cast("double") / count(lit(1)).cast("double")).as("c"))
+        .groupBy(col("cluster"))
+        .agg(collect_list(struct(col("i"), col("c"))).as("cs"))
+        .select(col("cluster"),
+          transform(array_sort(col("cs")), e => e.getField("c"))
+            .as("mcv"))
+      cents = cents.join(means, Seq("cluster"), "left")
         .select(col("cluster"),
           coalesce(col("mcv"), col("cv")).as("cv"))
         .localCheckpoint()

@@ -1,0 +1,29 @@
+package graft
+
+/** One-off scale probe for the quantizer landing (SURVEY §6's k-cap
+  * scaling table): times ensureKmeansLanded on an arbitrary embeddings
+  * dir and reports n / k / wall / assigned-row count. The past-
+  * broadcast-cap corpora it probes are GenScale embeddings-only
+  * replicas (`Test/runMain graft.GenScale <src> <dst> <k> embeddings`).
+  * Run: sbt "Test/runMain graft.KmeansProbe <dir>" (idle machine). */
+object KmeansProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("target/testdata/sf4m")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = GraftSession.local(cpus)
+    spark.sparkContext.setLogLevel("WARN")
+    val n = Tables.rowCount(spark, dir, "embeddings")
+    val k = operators.Similarity.quantizerK(spark, dir)
+    val t0 = System.nanoTime
+    operators.Similarity.ensureKmeansLanded(spark, dir)
+    val wall = (System.nanoTime - t0) / 1e9
+    val assigned = spark.read
+      .parquet(operators.Similarity.kmeansAssignDir(dir)).count()
+    val cells = spark.read
+      .parquet(operators.Similarity.kmeansAssignDir(dir))
+      .select("cluster").distinct().count()
+    println(f"[kmeans-probe] n=$n k=$k wall=$wall%.1fs " +
+      s"assigned=$assigned nonempty_cells=$cells")
+    spark.stop()
+  }
+}
