@@ -172,13 +172,27 @@ object Relational {
     * form paid a full shuffle+sort over the (part, supplier) table;
     * never a correlated re-aggregation per outer row either way.) */
   def q2MinCostSupplier(s: SparkSession, dir: String): DataFrame = {
-    val costs = Tables.lineitem(s, dir)
-      .groupBy(col("l_partkey"), col("l_suppkey"))
-      .agg(min(dec2(col("l_extendedprice"))).as("cost"))
-    val best = costs.groupBy(col("l_partkey"))
-      .agg(min(struct(col("cost"), col("l_suppkey"))).as("best"))
-      .select(col("l_partkey"), col("best.cost").as("cost"),
-        col("best.l_suppkey").as("l_suppkey"))
+    // Single-pass PACKED argmin (r15): min over raw rows of
+    // price_cents·1e10 + suppkey picks (min extendedprice, lowest
+    // suppkey at it) per part — the same winner as the old two-level
+    // plan (per-supplier MIN cost, then struct-min with the suppkey
+    // tie-break), because the winning cost is the global row minimum
+    // either way and the pack orders ties by suppkey. One codegen'd
+    // hash aggregate over lineitem replaces two exchanges plus a
+    // SortAggregate struct-min (struct buffers are not hash-aggregable,
+    // so the old outer agg paid a per-row interpreted comparison).
+    // Bounds, documented not guarded: extendedprice < $9.2e8 (TPC-H
+    // caps it ~$110k) and suppkey < 1e10 keep the pack inside a long.
+    // min_cost = cents/100.0 is the correctly rounded double of the
+    // exact value — bit-identical to the oracle's decimal→double cast.
+    val base = 10000000000L
+    val best = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey"))
+      .agg(min((dec2(col("l_extendedprice")) * 100).cast("long")
+        * base + col("l_suppkey")).as("packed"))
+      .select(col("l_partkey"),
+        expr(s"packed div ${base}L").as("cost_cents"),
+        pmod(col("packed"), lit(base)).as("l_suppkey"))
     // part/supplier grow ~linearly with SF (SURVEY §4): no forced
     // broadcast — AQE picks BHJ from size stats while they fit and a
     // shuffle join once they don't
@@ -186,7 +200,7 @@ object Relational {
       .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
       .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
       .select(col("p_partkey"), col("p_name"), col("s_name"),
-        outd(col("cost")).as("min_cost"))
+        (col("cost_cents").cast("double") / 100.0).as("min_cost"))
       .orderBy(col("p_partkey"))
       .limit(100)
   }
@@ -473,23 +487,41 @@ object Relational {
     * derive from the same pre-aggregation, so its exchange is reused;
     * the supplier dim broadcasts. */
   def q24NestedAgg(s: SparkSession, dir: String): DataFrame = {
+    // PACKED argmax (r15): per-(part, supplier) quantity sums ride LONG
+    // cents so BOTH aggregation levels stay codegen'd hash aggregates —
+    // the old max(struct(qty, -suppkey)) forced a SortAggregate
+    // (struct buffers are not hash-aggregable) with per-row interpreted
+    // struct comparison. The winner is qty_cents·1e10 + (1e10−1−supp):
+    // max picks the highest qty and, on cents ties, the LOWEST suppkey
+    // — exactly the old struct order. Bounds, documented not guarded:
+    // a pair's qty < 9.2e8 cents (quantity ≤ 50/row, O(1-10) rows per
+    // pair at any SF) and suppkey < 1e10 keep the pack inside a long.
+    // The emitted decimals are reconstructed EXACTLY from cents
+    // (cents/100 at scale 2 is exact), so top_qty/part_qty/share go
+    // through the same decimal→double arithmetic as before — the
+    // oracle is unchanged.
+    val base = 10000000000L
     val perSupp = Tables.lineitem(s, dir)
       .groupBy(col("l_partkey"), col("l_suppkey"))
-      .agg(sum(dec2(col("l_quantity"))).as("supp_qty"))
+      .agg(sum((dec2(col("l_quantity")) * 100).cast("long")).as("qc"))
     val perPart = perSupp.groupBy(col("l_partkey"))
-      .agg(sum(col("supp_qty")).as("part_qty"),
+      .agg(sum(col("qc")).as("part_qc"),
         count(lit(1)).as("n_suppliers"),
-        max(struct(col("supp_qty"), (-col("l_suppkey")).as("neg_supp")))
-          .as("top"))
+        max(col("qc") * base + (lit(base - 1) - col("l_suppkey")))
+          .as("packed"))
+    def qtyDec(cents: Column): Column =
+      (cents.cast(DecimalType(20, 0)) / 100).cast(DecimalType(18, 2))
+    val topQc = expr(s"packed div ${base}L")
+    val topSupp = lit(base - 1) - pmod(col("packed"), lit(base))
     perPart
       .join(broadcast(Tables.supplier(s, dir)),
-        -col("top.neg_supp") === col("s_suppkey"))
+        topSupp === col("s_suppkey"))
       .select(col("l_partkey").as("p_partkey"), col("s_name"),
         col("n_suppliers"),
-        outd(col("top.supp_qty")).as("top_qty"),
-        outd(col("part_qty")).as("part_qty"),
-        round(col("top.supp_qty").cast("double")
-          / col("part_qty").cast("double"), 6).as("share"))
+        outd(qtyDec(topQc)).as("top_qty"),
+        outd(qtyDec(col("part_qc"))).as("part_qty"),
+        round(qtyDec(topQc).cast("double")
+          / qtyDec(col("part_qc")).cast("double"), 6).as("share"))
       .orderBy(col("p_partkey"))
   }
 
