@@ -27,6 +27,30 @@ object Relational {
     * any engine at any accumulation order (SURVEY §5). */
   private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
 
+  /** Long-pack radix for the q2/q24 single-pass argmin/argmax. */
+  private val packBase = 10000000000L
+
+  /** Pack (cents, slot) into one long for a codegen'd hash-aggregate
+    * argmin/argmax — GUARDED: inputs outside the pack envelope raise a
+    * named error instead of silently corrupting the winner. The
+    * envelope is cents in [0, Long.MaxValue/1e10] = [0, 9.2e8 cents]
+    * (~$9.2M — TPC-H extendedprice caps ~$110k at any SF) and slot in
+    * [0, 1e10). The guard is one codegen'd branch per row, free next
+    * to the aggregate's own hashing; non-TPC-H data that exceeds the
+    * envelope gets this error, not a wrong answer. */
+  private def packedOrFail(op: String, cents: Column,
+      slot: Column): Column = {
+    val maxCents = Long.MaxValue / packBase
+    when(cents < 0 || cents > maxCents ||
+        slot < 0 || slot >= packBase,
+      raise_error(concat(
+        lit(s"graft $op: packed-argmin overflow — cents="),
+        cents.cast("string"), lit(", slot="), slot.cast("string"),
+        lit(s"; the long pack requires 0 <= cents <= $maxCents" +
+          s" (~$$9.2M) and 0 <= slot < $packBase"))))
+      .otherwise(cents * packBase + slot)
+  }
+
   /** Final-output convention: money math stays exact-decimal internally
     * (accumulation-order-independent sums), then ONE deterministic
     * decimal→double cast on the output column. Engines render decimals
@@ -181,15 +205,17 @@ object Relational {
     // hash aggregate over lineitem replaces two exchanges plus a
     // SortAggregate struct-min (struct buffers are not hash-aggregable,
     // so the old outer agg paid a per-row interpreted comparison).
-    // Bounds, documented not guarded: extendedprice < $9.2e8 (TPC-H
-    // caps it ~$110k) and suppkey < 1e10 keep the pack inside a long.
+    // Bounds GUARDED by packedOrFail: extendedprice <= 9.2e8 cents
+    // (~$9.2M; TPC-H caps it ~$110k) and suppkey < 1e10 keep the pack
+    // inside a long — out-of-envelope data raises the named error.
     // min_cost = cents/100.0 is the correctly rounded double of the
     // exact value — bit-identical to the oracle's decimal→double cast.
-    val base = 10000000000L
+    val base = packBase
     val best = Tables.lineitem(s, dir)
       .groupBy(col("l_partkey"))
-      .agg(min((dec2(col("l_extendedprice")) * 100).cast("long")
-        * base + col("l_suppkey")).as("packed"))
+      .agg(min(packedOrFail("q2_min_cost_supplier",
+        (dec2(col("l_extendedprice")) * 100).cast("long"),
+        col("l_suppkey"))).as("packed"))
       .select(col("l_partkey"),
         expr(s"packed div ${base}L").as("cost_cents"),
         pmod(col("packed"), lit(base)).as("l_suppkey"))
@@ -493,22 +519,23 @@ object Relational {
     // (struct buffers are not hash-aggregable) with per-row interpreted
     // struct comparison. The winner is qty_cents·1e10 + (1e10−1−supp):
     // max picks the highest qty and, on cents ties, the LOWEST suppkey
-    // — exactly the old struct order. Bounds, documented not guarded:
-    // a pair's qty < 9.2e8 cents (quantity ≤ 50/row, O(1-10) rows per
-    // pair at any SF) and suppkey < 1e10 keep the pack inside a long.
+    // — exactly the old struct order. Bounds GUARDED by packedOrFail:
+    // a pair's qty <= 9.2e8 cents (quantity ≤ 50/row, O(1-10) rows per
+    // pair at any SF) and suppkey < 1e10 keep the pack inside a long —
+    // out-of-envelope data raises the named error, never a bad winner.
     // The emitted decimals are reconstructed EXACTLY from cents
     // (cents/100 at scale 2 is exact), so top_qty/part_qty/share go
     // through the same decimal→double arithmetic as before — the
     // oracle is unchanged.
-    val base = 10000000000L
+    val base = packBase
     val perSupp = Tables.lineitem(s, dir)
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sum((dec2(col("l_quantity")) * 100).cast("long")).as("qc"))
     val perPart = perSupp.groupBy(col("l_partkey"))
       .agg(sum(col("qc")).as("part_qc"),
         count(lit(1)).as("n_suppliers"),
-        max(col("qc") * base + (lit(base - 1) - col("l_suppkey")))
-          .as("packed"))
+        max(packedOrFail("q24_nested_agg", col("qc"),
+          lit(base - 1) - col("l_suppkey"))).as("packed"))
     def qtyDec(cents: Column): Column =
       (cents.cast(DecimalType(20, 0)) / 100).cast(DecimalType(18, 2))
     val topQc = expr(s"packed div ${base}L")

@@ -565,7 +565,16 @@ object Similarity {
     * the cross-block min over struct(dist, cluster) resolves equal
     * dists to the lower cluster id — together exactly the global
     * ascending strict-`<` scan. StressSpec pins block-vs-broadcast
-    * parity and fixed-k wall-time linearity. */
+    * parity and fixed-k wall-time linearity.
+    *
+    * NOT thread-safe: the eager materialization below toggles the
+    * session-global `spark.sql.adaptive.coalescePartitions.enabled`
+    * around its localCheckpoint, so a CONCURRENT query on the same
+    * SparkSession would run that window with AQE coalescing off (and
+    * a concurrent setter could be clobbered by the finally-restore).
+    * All in-library call sites (the Lloyd sweep, corpus assignment)
+    * run serially on the driver thread; callers embedding graft in a
+    * multi-threaded session must serialize calls to this helper. */
   private[graft] def blockAssign(s: SparkSession, vecs: DataFrame,
       cents: DataFrame, blockSize: Int = broadcastK): DataFrame = {
     import s.implicits._

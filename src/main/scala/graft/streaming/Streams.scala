@@ -212,13 +212,22 @@ object Streams {
     * catches every declared break, by construction, before any state
     * store opens. Fresh-checkpoint smoke runs never collide (the base
     * is empty); only an upgrade across a declared break trips it. */
-  def versionedCheckpoint(base: String): String = {
+  def versionedCheckpoint(s: SparkSession, base: String): String = {
     val marker = "state_v"
-    val existing = Option(new java.io.File(base).listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.startsWith(marker))
-      .flatMap(f =>
-        scala.util.Try(f.getName.stripPrefix(marker).toInt).toOption)
+    // resolve through Hadoop's FileSystem so the guard fires on ANY
+    // checkpoint scheme (hdfs://, s3a://, file:) — a java.io.File
+    // listing would return null for a remote URI and silently no-op
+    // the cross-version check, starting from empty state under the
+    // new subdir instead of failing with the named error
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val fs = basePath.getFileSystem(s.sessionState.newHadoopConf())
+    val existing =
+      (if (fs.exists(basePath)) fs.listStatus(basePath)
+       else Array.empty[org.apache.hadoop.fs.FileStatus])
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith(marker))
+        .flatMap(st => scala.util.Try(
+          st.getPath.getName.stripPrefix(marker).toInt).toOption)
     existing.find(_ != stateFormatVersion).foreach { v =>
       throw new IllegalStateException(
         s"graft streaming checkpoint at $base was written by state " +
@@ -319,7 +328,8 @@ object Streams {
       .outputMode(OutputMode.Append)
       .format("memory").queryName(queryName)
     val q = checkpointBase
-      .map(b => writer.option("checkpointLocation", versionedCheckpoint(b)))
+      .map(b => writer.option("checkpointLocation",
+        versionedCheckpoint(s, b)))
       .getOrElse(writer)
       .start()
     try q.processAllAvailable() finally q.stop()
@@ -394,7 +404,7 @@ object Streams {
     // the ONE durable checkpoint in the library (reruns in a JVM resume
     // it for exactly-once) — versioned, so an upgrade across a declared
     // state-format break fails loudly instead of misreading the log
-    val chk = versionedCheckpoint(s"$tmp/graft_stream_chk_$tag")
+    val chk = versionedCheckpoint(s, s"$tmp/graft_stream_chk_$tag")
     val q = eventStream(s, dir)
       .writeStream
       .format("parquet")

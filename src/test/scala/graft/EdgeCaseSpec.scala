@@ -119,4 +119,32 @@ class EdgeCaseSpec extends SparkSpec {
       .write.parquet(s"$dir/events.parquet")
     assert(streaming.Streams.sessionize(spark, dir).count() == 0)
   }
+
+  test("packed-argmin envelope: an out-of-bounds extendedprice raises " +
+      "the named overflow error instead of a silently wrong winner") {
+    // q2/q24 pack (cents, suppkey) into one long; the envelope is
+    // cents <= Long.MaxValue/1e10 (~$9.2M). Feed a $10M row through
+    // the REAL q2 operator on a poisoned copy of the tiny tables.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_edge_pack").toString
+    for (t <- Seq("part", "supplier"))
+      graft.Tables(spark, sfTiny, t).write.parquet(s"$dir/$t.parquet")
+    val li = graft.Tables(spark, sfTiny, "lineitem")
+    li.withColumn("l_extendedprice",
+        when(col("l_orderkey") === li.select(min("l_orderkey"))
+          .first().getLong(0), lit(1.0e7))
+          .otherwise(col("l_extendedprice")))
+      .write.parquet(s"$dir/lineitem.parquet")
+    val e = intercept[Exception] {
+      operators.Relational.q2MinCostSupplier(spark, dir).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(c => c.getMessage != null &&
+      c.getMessage.contains("packed-argmin overflow")),
+      s"expected the named overflow error, got: $e")
+    // and the unpoisoned tables still pass through the guard untouched
+    assert(operators.Relational.q2MinCostSupplier(spark, sfTiny)
+      .count() > 0)
+  }
 }

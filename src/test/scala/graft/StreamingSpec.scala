@@ -211,18 +211,18 @@ class StreamingSpec extends SparkSpec {
     val base = java.nio.file.Files
       .createTempDirectory("graft_chk_ver").toString
     // fresh base: resolves to the current version's subdir
-    val p1 = versionedCheckpoint(base)
+    val p1 = versionedCheckpoint(spark, base)
     assert(p1.endsWith(s"state_v$stateFormatVersion"))
     // same-version re-open (the normal resume): passes, same path
     new java.io.File(p1).mkdirs()
-    assert(versionedCheckpoint(base) == p1)
+    assert(versionedCheckpoint(spark, base) == p1)
     // a checkpoint written by an OLDER state format: loud, named, with
     // both versions and the prescription in the message — never a
     // silent state-store misread
     val old = java.nio.file.Files
       .createTempDirectory("graft_chk_old").toString
     new java.io.File(s"$old/state_v${stateFormatVersion - 1}").mkdirs()
-    val e = intercept[IllegalStateException] { versionedCheckpoint(old) }
+    val e = intercept[IllegalStateException] { versionedCheckpoint(spark, old) }
     assert(e.getMessage.contains(s"v${stateFormatVersion - 1}"))
     assert(e.getMessage.contains(s"v$stateFormatVersion"))
     assert(e.getMessage.contains("fresh checkpoint"))

@@ -282,9 +282,13 @@ class StressSpec extends SparkSpec {
       (System.nanoTime - t0) / 1e9
     }
     time(small) // warm the path once (codegen + shuffle setup)
-    val t1 = time(small)
-    val t8 = time(big)
-    val bound = 8.0 * math.max(t1, 0.5) + 2.0
+    // take the min of repeated timings on BOTH sides to damp GC /
+    // scheduler noise — a single loaded-machine outlier on the 8x run
+    // must not fail a structurally linear path — and keep wide
+    // absolute slack: this asserts "not quadratic", not a benchmark
+    val t1 = Seq.fill(2)(time(small)).min
+    val t8 = Seq.fill(2)(time(big)).min
+    val bound = 8.0 * math.max(t1, 0.5) + 6.0
     assert(t8 <= bound,
       s"8x vectors took ${t8}s vs ${t1}s — past the linear bound $bound")
   }
