@@ -121,11 +121,17 @@ object Dedup {
     // exchange, and a 64-bit collision (≲10⁻⁷ even at 10⁸ distinct
     // shingles) merges one count; the DuckDB oracle still counts the
     // raw strings from the same landed table.
+    // No persist: both consumers contain the identical
+    // groupBy→collect_set subtree, so the corpus-sized EXCHANGE is
+    // written once and reused (ReusedExchange/ShuffleQueryStage reuse);
+    // only the final set-merge re-runs per consumer. The r15
+    // MEMORY_AND_DISK persist materialized the corpus-sized set table
+    // to disk and DOUBLED sf0.1 wall time — the exchange-reuse form
+    // keeps the single-shuffle shape without paying a second landing.
     val sh = DocArtifacts.shingles3(s, dir)
       .select(col("source"), xxhash64(col("shingle")).as("h"))
     val sets = sh.groupBy(col("h"))
       .agg(array_sort(collect_set(col("source"))).as("srcs"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val tot = sets
       .select(explode(col("srcs")).as("source"))
       .groupBy(col("source"))
