@@ -436,6 +436,32 @@ object Bench {
     val canaryInflated = canaryInflatedGate(canaryCmp)
     val contaminated = duckInflated || highLoad || perOpInflated ||
       offenders.nonEmpty || canaryInflated || canaryIncomplete
+    // automated round-over-round per-op regression list (the r15 gap:
+    // dedup_source_overlap doubled and only an eyeballed diff caught
+    // it): ops whose spark_s grew >1.4x vs the prior committed detail
+    // on a stable >=0.3s prior while the op's OWN DuckDB time stayed
+    // within +-30% (the machine was fine for that op's data — the
+    // growth is Spark-side). Telemetry, not a gate: a legitimately
+    // rewritten op lands here once and the next round clears it.
+    val regressions = results.collect {
+      case (k, v) if v >= 0 &&
+          priorOps.get(k).exists(p => p >= 0.3 && v > 1.4 * p) &&
+          (for (pd <- priorOpsDuck.get(k); cd <- duck.get(k))
+            yield (cd >= 0.7 * pd && cd <= 1.3 * pd) ||
+              math.abs(cd - pd) < 0.05).getOrElse(true) =>
+        k -> (math.round(v / priorOps(k) * 100.0) / 100.0)
+    }.sortBy(-_._2).take(16)
+    // the artifact records the commit it was generated at, so a stamp
+    // checker (tools/stamp_check.py) can refuse a round whose bench
+    // artifacts predate the shipping HEAD
+    val gitHead = try {
+      val head = java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/root/repo/.git/HEAD")).trim
+      if (head.startsWith("ref: "))
+        java.nio.file.Files.readString(java.nio.file.Paths.get(
+          "/root/repo/.git/" + head.stripPrefix("ref: "))).trim
+      else head
+    } catch { case scala.util.control.NonFatal(_) => "" }
     val canaryField =
       s""","canary_duck_s":${math.round(canaryDuck * 10000.0) / 10000.0}""" +
         s""","canary_ops":${obj(canaryMap.toSeq.sortBy(_._1))}""" +
@@ -453,6 +479,9 @@ object Bench {
           math.round(m * 100.0) / 100.0}""").getOrElse("") +
         (if (offenders.isEmpty) "" else s""","tail_offenders":${
           offenders.take(8).map(jstr).mkString("[", ",", "]")}""") +
+        (if (regressions.isEmpty) ""
+         else s""","regressions":${obj(regressions)}""") +
+        (if (gitHead.isEmpty) "" else s""","git_head":${jstr(gitHead)}""") +
         s""","contaminated":$contaminated"""
     val landingsField =
       if (landingTimes.isEmpty) ""
