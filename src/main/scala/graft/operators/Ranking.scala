@@ -210,7 +210,6 @@ object Ranking {
   def groupedPercentiles(df: DataFrame, group: Seq[String],
       pcts: Map[String, Seq[(String, Double)]],
       nBuckets: Int = 64): DataFrame = {
-    val gCols = group.map(col)
     val gm = group :+ "m"
     val gmCols = gm.map(col)
     val rows = df.select(gmCols :+ col("v").cast("double").as("__v"): _*)
@@ -229,10 +228,10 @@ object Ranking {
     // (monotone in v and a pure function of v, so ties never straddle
     // a boundary), via the codegen'd binary search instead of an
     // interpreted 63-lambda fold per row.
-    val qs = (1 until nBuckets).map(i => lit(i.toDouble / nBuckets))
     val bmap: Seq[(String, Seq[Double])] = rows.sample(0.05, 7L)
       .groupBy(col("m"))
-      .agg(percentile_approx(col("__v"), array(qs: _*), lit(1000))
+      .agg(percentile_approx(col("__v"),
+        array(boundaryQs(nBuckets): _*), lit(1000))
         .as("__bounds")).collect().toSeq
       .filter(!_.isNullAt(1))
       .map(r => r.getString(0) -> r.getSeq[Double](1))
@@ -248,68 +247,211 @@ object Ranking {
       r.withColumn("__bkt", coalesce(graft.functions.VectorExprs
         .sortedUpperBound(col("__v"), boundsCol), lit(0)))
     }
-    // pass 2: exact bounded histogram, persisted for the two bounded
-    // derivations below (`tgt` and `needs` both read `cum`) and
-    // unpersisted as soon as `needs` is materialized — no reliance on
-    // the caller running Caches.release
-    val hist = bucketed(rows).groupBy(gmCols :+ col("__bkt"): _*)
-      .agg(count(lit(1)).as("__c")).persist()
-    val wOff = Window.partitionBy(gmCols: _*).orderBy(col("__bkt"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val cum = hist
-      .withColumn("__off", coalesce(sum(col("__c")).over(wOff), lit(0L)))
-      .withColumn("__n", sum(col("__c"))
-        .over(Window.partitionBy(gmCols: _*)))
-    // requested ranks around position p·(n−1) per (group, measure),
-    // resolved to their owning bucket: bucket b covers 1-based ranks
-    // (__off, __off + __c]. All bounded-table work.
-    val pctRows = pcts.toSeq.flatMap { case (m, ps) =>
-      ps.map { case (name, p) =>
-        struct(lit(m).as("m"), lit(name).as("name"), lit(p).as("p")) } }
-    val tgt = cum.select(gmCols :+ col("__n"): _*).distinct()
-      .select(gmCols ++ Seq(col("__n"),
-        explode(array(pctRows: _*)).as("__t")): _*)
-      .filter(col("__t").getField("m") === col("m"))
-      .select(gmCols ++ Seq(col("__t").getField("name").as("name"),
-        (col("__t").getField("p") * (col("__n") - 1).cast("double"))
-          .as("__pos")): _*)
-      .withColumn("__lo", floor(col("__pos")).cast("long"))
-      .withColumn("__hi", ceil(col("__pos")).cast("long"))
-    val needs = tgt
-      .select(gmCols ++ Seq(col("name"), col("__pos"), col("__lo"),
-        col("__hi"),
-        explode(array(col("__lo") + 1, col("__hi") + 1)).as("__r")): _*)
-      .distinct()
-      .join(cum.select(gmCols ++ Seq(col("__bkt"), col("__off"),
-        col("__c")): _*), gm)
-      .filter(col("__r") > col("__off") &&
-        col("__r") <= col("__off") + col("__c"))
-      .select(gmCols ++ Seq(col("name"), col("__pos"), col("__lo"),
-        col("__hi"), col("__r"), col("__bkt"), col("__off")): _*)
-    // `needs` is BOUNDED (≤ 2 rows per (group, measure, percentile) —
-    // the same bound its broadcast already assumed), so materialize it
-    // once on the driver: hist can be unpersisted right here instead
-    // of leaking until a Caches.release, and pass 3 rides a literal
-    // table with no recompute of the histogram lineage. The bound is
-    // configuration × GROUP CARDINALITY: cap the materialization so a
-    // high-cardinality group set fails with a named error instead of
-    // an opaque driver OOM (1M probe rows ≈ a few hundred MB of Row
-    // overhead — far past any sane percentile report).
-    val needsRows = needs.limit(1000001).collect()
-    require(needsRows.length <= 1000000,
-      "groupedPercentiles: > 1e6 rank-probe rows — the group column " +
+    // pass 2: exact bounded histogram — |g|·|m|·nBuckets rows, bounded
+    // by configuration, so it collects straight to the driver where
+    // the core does all rank targeting in plain Scala (guarded below)
+    val histRows = bucketed(rows).groupBy(gmCols :+ col("__bkt"): _*)
+      .agg(count(lit(1)).as("__c")).limit(histCap + 1).collect()
+    val hist = histRows.toSeq.map { r =>
+      (group.indices.map(r.get).toVector, r.getString(group.size),
+        r.getInt(group.size + 1), r.getLong(group.size + 2))
+    }
+    percentilesCore(df.sparkSession,
+      rows.schema.fields.take(group.size).toSeq, hist, pcts,
+      refined = _ => bucketed(rows))
+  }
+
+  private def boundaryQs(nBuckets: Int): Seq[Column] =
+    (1 until nBuckets).map(i => lit(i.toDouble / nBuckets))
+
+  /** WIDE-FORM [[groupedPercentiles]]: measures live in separate
+    * COLUMNS of one row instead of melted (m, v) rows. Same exactness
+    * contract and the same three-pass shape, but every pass runs over
+    * the UN-MELTED table:
+    *
+    *  1. one sample scan computes every measure's boundaries in a
+    *     single aggregate (the melted form's explode doubles the rows
+    *     of all three passes for a two-measure caller — q13 measured
+    *     ~8.6s at sf3 on exactly that);
+    *  2. the exact histogram is ONE contingency aggregate over all
+    *     measures' bucket columns — |g|·nBuckets^|measures| keys,
+    *     bounded by configuration (callers keep |measures| ≤ 3; q13's
+    *     2 measures × 64 buckets = 4096 cells/group), map-side
+    *     combinable, one scan; per-measure histograms marginalize out
+    *     of it with no further data-sized work;
+    *  3. the refinement explode is PRE-FILTERED by the target buckets
+    *     (known on the driver once `needs` is pinned): a row emits a
+    *     melted (m, v, bkt) entry only for measures whose bucket holds
+    *     a requested rank, so the explode produces ~target rows, never
+    *     |measures|·n.
+    *
+    * `measures` maps each VALUE COLUMN name to its (output name, p)
+    * list; results are one row per (group, name): (group…, name, pv),
+    * bit-identical to the melted form (RankingSpec pins both against
+    * the `percentile` aggregate). */
+  def groupedPercentilesWide(df: DataFrame, group: Seq[String],
+      measures: Seq[(String, Seq[(String, Double)])],
+      nBuckets: Int = 64): DataFrame = {
+    val gCols = group.map(col)
+    val mcols = measures.map(_._1)
+    require(mcols.size <= 3,
+      "groupedPercentilesWide: the contingency histogram is " +
+        "nBuckets^|measures| cells per group — melt past 3 measures")
+    val base = df.select(gCols ++
+      mcols.map(m => col(m).cast("double").as(m)): _*)
+    // pass 1: all boundaries in one sampled aggregate (no groupBy —
+    // measures are columns, so one row carries every bounds array).
+    // Accuracy 250, not the melted form's 1000: boundaries only shape
+    // BALANCE (contiguity gives exactness whatever they are), and the
+    // quantile-summary insert/compress cost scales with accuracy —
+    // measured ~2.5s of the sf3 wall at 1000 on a 900k-row sample.
+    val brow = base.sample(0.05, 7L)
+      .agg(percentile_approx(col(mcols.head),
+          array(boundaryQs(nBuckets): _*), lit(250)).as(mcols.head),
+        mcols.tail.map(m => percentile_approx(col(m),
+          array(boundaryQs(nBuckets): _*), lit(250)).as(m)): _*)
+      .collect().head
+    val bmap: Map[String, Seq[Double]] = mcols.zipWithIndex.flatMap {
+      case (m, i) =>
+        if (brow.isNullAt(i)) None else Some(m -> brow.getSeq[Double](i))
+    }.toMap
+    // a NULL measure value gets the −1 sentinel bucket: the joint
+    // contingency must still count the row for its other measures (the
+    // melted form's "caller pre-filters nulls" contract cannot exist
+    // column-wise), and the per-measure marginal drops the sentinel —
+    // exactly the aggregate's ignore-nulls rule
+    def bktCol(m: String): Column = when(col(m).isNull, lit(-1))
+      .otherwise(bmap.get(m)
+        .map(bs => coalesce(graft.functions.VectorExprs
+          .sortedUpperBound(col(m), typedLit(bs)), lit(0)))
+        .getOrElse(lit(0)))
+    def bName(m: String): String = s"__b_$m"
+    // pass 2: ONE exact contingency aggregate over all bucket columns —
+    // |g|·nBuckets^|measures| cells, bounded by configuration, so it
+    // collects straight to the driver and the per-measure marginals
+    // are plain Scala (zero extra jobs; the guarded cap names the
+    // failure for a high-cardinality group set)
+    val cRows = base.select(gCols ++
+        mcols.map(m => bktCol(m).as(bName(m))): _*)
+      .groupBy((group ++ mcols.map(bName)).map(col): _*)
+      .agg(count(lit(1)).as("__cc")).limit(histCap + 1).collect()
+    require(cRows.length <= histCap,
+      "groupedPercentilesWide: > 1e6 contingency cells — the group " +
+        "column cardinality is too high for a driver-pinned " +
+        "percentile report; bucket the groups or aggregate upstream")
+    val hist = mcols.zipWithIndex.flatMap { case (m, mi) =>
+      cRows.toSeq
+        .filter(_.getInt(group.size + mi) != -1)
+        .groupBy(r => (group.indices.map(r.get).toVector,
+          r.getInt(group.size + mi)))
+        .map { case ((g, b), rs) =>
+          (g, m, b, rs.map(_.getLong(group.size + mcols.size)).sum) }
+    }
+    val pcts = measures.toMap
+    percentilesCore(df.sparkSession,
+      base.schema.fields.take(group.size).toSeq, hist, pcts,
+      refined = targets => {
+        // the target buckets are literals by now — one cheap-filtered
+        // branch per measure, unioned (scans are ~0.4s at sf3 where a
+        // per-row array-of-structs explode measured 4.4s of allocation
+        // churn; n branch scans of a columnar source beat one
+        // allocating pass, and the union still feeds ONE shuffle)
+        mcols.flatMap { m =>
+          val tb = targets.getOrElse(m, Seq.empty)
+          if (tb.isEmpty) None
+          else Some(base
+            .select(gCols ++ Seq(lit(m).as("m"),
+              col(m).as("__v"), bktCol(m).as("__bkt")): _*)
+            .filter(col("__bkt").isin(tb: _*)))
+        }.reduceOption(_ unionAll _).getOrElse(
+          base.limit(0).select(gCols ++ Seq(lit("").as("m"),
+            lit(0.0).as("__v"), lit(0).as("__bkt")): _*))
+      })
+  }
+
+  /** Driver-side histogram cap: |g|·|m|·nBuckets (melted) or
+    * |g|·nBuckets^|measures| (wide) rows — bounded by configuration
+    * times GROUP CARDINALITY, which is data-dependent, so the collects
+    * fail loudly past this instead of letting a high-cardinality group
+    * set OOM the driver (1M rows of Row overhead ≈ a few hundred MB —
+    * far past any sane percentile report). */
+  private val histCap = 1000000
+
+  /** Shared rank-targeting + refinement of the percentile plans. The
+    * EXACT histogram arrives COLLECTED — (group values, m, bkt, count)
+    * tuples, configuration-bounded (see [[histCap]]) — and all rank
+    * targeting runs in plain Scala on the driver: the r15 form ran the
+    * same bounded-table math as Spark windows/joins over a 384-row
+    * DataFrame and paid ~10 AQE jobs of pure per-job constants for it
+    * (~2-3s of the q13 sf3 wall). Only pass 3 — the value-level
+    * refinement of target buckets — touches the cluster.
+    * `refined(targets)` must return (group…, m, __v, __bkt) rows
+    * covering AT LEAST every (m → target buckets) pair — extra rows
+    * are dropped by the needs semi-join, so an unfiltered scan (the
+    * melted frontend) and a pre-filtered union (the wide frontend) are
+    * both correct. */
+  private def percentilesCore(spark: org.apache.spark.sql.SparkSession,
+      groupFields: Seq[org.apache.spark.sql.types.StructField],
+      hist: Seq[(Vector[Any], String, Int, Long)],
+      pcts: Map[String, Seq[(String, Double)]],
+      refined: Map[String, Seq[Int]] => DataFrame): DataFrame = {
+    require(hist.length <= histCap,
+      "groupedPercentiles: > 1e6 histogram rows — the group column " +
         "cardinality is too high for a driver-pinned percentile " +
         "report; bucket the groups or aggregate upstream first")
-    hist.unpersist()
-    val needsLit = broadcast(df.sparkSession.createDataFrame(
-      java.util.Arrays.asList(needsRows: _*), needs.schema))
+    val group = groupFields.map(_.name)
+    val gCols = group.map(col)
+    val gm = group :+ "m"
+    val gmCols = gm.map(col)
+    // rank targeting, per (group, measure): ascending-bucket offsets
+    // pin the exact 1-based rank interval (off, off+c] each bucket
+    // covers; the two ranks around position p·(n−1) resolve to
+    // (bucket, offset) probes — all driver Scala over bounded rows.
+    // pos/lo/hi math is the same IEEE double arithmetic the previous
+    // Spark expressions ran, so the interpolation inputs are
+    // bit-identical.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val needsRows = hist.groupBy(t => (t._1, t._2)).toSeq.flatMap {
+      case ((g, m), ts) =>
+        val buckets = ts.map(t => (t._3, t._4)).sortBy(_._1)
+        val n = buckets.map(_._2).sum
+        val offs = buckets.scanLeft(0L)(_ + _._2)
+        // (bkt, off, c) triples in ascending bucket order
+        val triples = buckets.zip(offs).map { case ((b, c), off) =>
+          (b, off, c) }
+        pcts.getOrElse(m, Nil).flatMap { case (name, p) =>
+          val pos = p * (n - 1).toDouble
+          val lo = math.floor(pos).toLong
+          val hi = math.ceil(pos).toLong
+          Seq(lo + 1, hi + 1).distinct.flatMap { r =>
+            triples.find(t => r > t._2 && r <= t._2 + t._3).map(t =>
+              Row.fromSeq(g ++ Seq(m, name, pos, lo, hi, r, t._1, t._2)))
+          }
+        }
+    }
+    val needsSchema = StructType(groupFields ++ Seq(
+      StructField("m", StringType), StructField("name", StringType),
+      StructField("__pos", DoubleType), StructField("__lo", LongType),
+      StructField("__hi", LongType), StructField("__r", LongType),
+      StructField("__bkt", IntegerType), StructField("__off", LongType)))
+    val needsLit = broadcast(spark.createDataFrame(
+      java.util.Arrays.asList(needsRows: _*), needsSchema))
+    val mI = needsSchema.fieldIndex("m")
+    val bI = needsSchema.fieldIndex("__bkt")
+    // the driver-pinned probe rows double as the refinement frontends'
+    // pre-filter hint: measure → the buckets that hold requested ranks
+    val targets: Map[String, Seq[Int]] = needsRows
+      .map(r => r.getString(mI) -> r.getInt(bI))
+      .groupBy(_._1).map { case (m, bs) =>
+        m -> bs.map(_._2).distinct.sorted }
     // pass 3: shuffle ONLY the target buckets, collapsed to per-value
     // counts map-side; rank within the bucket via an exclusive prefix
     // sum partitioned by bucket, then probe residual rank __r − __off.
     // The semi join dedups by nature, so `needs` itself is the bucket
     // filter — and its broadcast exchange (same join keys) is shared
     // with the rank-probe join below instead of building twice.
-    val ref = bucketed(rows)
+    val ref = refined(targets)
       .join(needsLit, gm :+ "__bkt", "left_semi")
       .groupBy(gmCols ++ Seq(col("__bkt"), col("__v")): _*)
       .agg(count(lit(1)).as("__rc"))

@@ -282,24 +282,21 @@ object Relational {
   /** Exact interpolated quantiles per return flag (median, p95), rounded to
     * 6 dp for cross-engine double parity. */
   def q13Percentiles(s: SparkSession, dir: String): DataFrame = {
-    // distributed exact percentiles (Ranking.groupedPercentiles): the
-    // `percentile` AGGREGATE holds a per-group value→count map in one
-    // reduce task — parallelism caps at |groups| and the buffer is
+    // distributed exact percentiles (Ranking.groupedPercentilesWide):
+    // the `percentile` AGGREGATE holds a per-group value→count map in
+    // one reduce task — parallelism caps at |groups| and the buffer is
     // unbounded at corpus scale. Both measures ride ONE counting-sort
-    // pipeline keyed by a measure tag (per-measure bucket bounds).
-    val rows = Tables.lineitem(s, dir)
-      .select(col("l_returnflag"),
-        explode(array(
-          struct(lit("qty").as("m"), col("l_quantity").as("v")),
-          struct(lit("price").as("m"), col("l_extendedprice").as("v"))))
-          .as("x"))
-      .select(col("l_returnflag"), col("x").getField("m").as("m"),
-        col("x").getField("v").as("v"))
-    Ranking.groupedPercentiles(rows, Seq("l_returnflag"), Map(
-        "qty" -> Seq("median_qty" -> 0.5, "p95_qty" -> 0.95),
-        "price" -> Seq("median_price" -> 0.5)),
+    // pipeline as COLUMNS of the un-melted scan (the r15 melted form
+    // exploded lineitem 2× into every one of the three passes —
+    // measured ~8.6s at sf3 on exactly that).
+    Ranking.groupedPercentilesWide(
+      Tables.lineitem(s, dir).select(col("l_returnflag"),
+        col("l_quantity"), col("l_extendedprice")),
+      Seq("l_returnflag"), Seq(
+        "l_quantity" -> Seq("median_qty" -> 0.5, "p95_qty" -> 0.95),
+        "l_extendedprice" -> Seq("median_price" -> 0.5)),
       nBuckets = Ranking.bucketsFor(
-        2L * Tables.rowCount(s, dir, "lineitem"), 64))
+        Tables.rowCount(s, dir, "lineitem"), 64))
       .groupBy(col("l_returnflag"))
       .agg(
         round(min(when(col("name") === "median_qty", col("pv"))), 6)

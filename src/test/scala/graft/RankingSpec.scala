@@ -46,6 +46,54 @@ class RankingSpec extends SparkSpec {
     }
   }
 
+  test("groupedPercentilesWide equals the percentile aggregate AND the " +
+      "melted form bit-for-bit") {
+    // the same two measures as the melted test, un-melted: separate
+    // columns of one row — the wide pipeline (contingency histogram,
+    // pre-filtered refinement explode) must land the identical doubles
+    val wide = rows.toDF("g", "v", "id")
+      .select(col("g"), col("v").cast("double").as("small_vals"),
+        (col("id") * 37 % 991).cast("double").as("wide_vals"))
+    val got = Ranking.groupedPercentilesWide(wide, Seq("g"), Seq(
+        "small_vals" -> Seq("p50s" -> 0.5, "p95s" -> 0.95),
+        "wide_vals" -> Seq("p50w" -> 0.5, "p07w" -> 0.07)))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    assert(got.size == 8)
+    val agg = wide.groupBy(col("g"))
+      .agg(percentile(col("small_vals"), lit(0.5)).as("p50s"),
+        percentile(col("small_vals"), lit(0.95)).as("p95s"),
+        percentile(col("wide_vals"), lit(0.5)).as("p50w"),
+        percentile(col("wide_vals"), lit(0.07)).as("p07w"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    for (g <- Seq("big", "small")) {
+      assert(got((g, "p50s")) == agg(g)._1)
+      assert(got((g, "p95s")) == agg(g)._2)
+      assert(got((g, "p50w")) == agg(g)._3)
+      assert(got((g, "p07w")) == agg(g)._4)
+    }
+    // and nulls in one measure are ignored per-measure (the aggregate's
+    // rule), not dropped row-wise
+    val withNulls = wide.withColumn("small_vals",
+      when(col("wide_vals") < 100, lit(null)).otherwise(col("small_vals")))
+    val gotN = Ranking.groupedPercentilesWide(withNulls, Seq("g"), Seq(
+        "small_vals" -> Seq("p50s" -> 0.5),
+        "wide_vals" -> Seq("p50w" -> 0.5)))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    val aggN = withNulls.groupBy(col("g"))
+      .agg(percentile(col("small_vals"), lit(0.5)).as("p50s"),
+        percentile(col("wide_vals"), lit(0.5)).as("p50w"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2))).toMap
+    for (g <- Seq("big", "small")) {
+      assert(gotN((g, "p50s")) == aggN(g)._1)
+      assert(gotN((g, "p50w")) == aggN(g)._2)
+    }
+  }
+
   test("groupedPercentiles stays exact for a measure the boundary " +
       "sample misses (one-bucket fallback)") {
     // 3 rows of a rare measure among 2000 of a common one: the 5%
