@@ -108,52 +108,114 @@ object Dedup {
     * exploded shingle table (DocArtifacts) — the op itself is the
     * source-vocabulary distinct plus the bounded pair aggregate. */
   def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
-    // ONE corpus-sized shuffle: the per-shingle source set (groupBy h →
-    // collect_set) feeds BOTH the pair counts AND the per-source
-    // vocabulary totals (explode the set, count per source — an
-    // aggregate over the distinct-shingle table onto ≤|sources| keys,
-    // fully map-side-combinable). The r14 form paid a SECOND
-    // corpus-sized exchange for a direct per-source count-distinct that
-    // this derivation gets for free (measured 6.0s → the single-shuffle
-    // bottom at sf3). The shuffle keys on xxhash64 of the shingle (the
-    // bigram-logprob discipline): the output only COUNTS distinct
-    // shingles, so 8-byte keys replace ~25-byte 3-gram strings in the
-    // exchange, and a 64-bit collision (≲10⁻⁷ even at 10⁸ distinct
-    // shingles) merges one count; the DuckDB oracle still counts the
-    // raw strings from the same landed table.
-    // No persist: both consumers contain the identical
-    // groupBy→collect_set subtree, so the corpus-sized EXCHANGE is
-    // written once and reused (ReusedExchange/ShuffleQueryStage reuse);
-    // only the final set-merge re-runs per consumer. The r15
-    // MEMORY_AND_DISK persist materialized the corpus-sized set table
-    // to disk and DOUBLED sf0.1 wall time — the exchange-reuse form
-    // keeps the single-shuffle shape without paying a second landing.
+    // BITMASK plan (r16): the source registry is bounded (≤ tens, the
+    // Scale-shape contract this op already leaned on for its bounded
+    // pair space), so the per-shingle source SET is one LONG — groupBy
+    // the 8-byte shingle hash, bit_or the source bits (idempotent
+    // under the landed table's (shingle, source) duplicates, map-side
+    // combinable to ≤ distinct-shingle rows per partition), then ONE
+    // global aggregate sums every single-source bit and every pair's
+    // bit-conjunction: |src| + C(|src|,2) counting columns, bounded by
+    // the registry, no array state, no explode, no second pass. The
+    // r15 collect_set form paid the set-merge machinery twice (once
+    // per consumer) and measured ~6.5s at sf3; the mask plan carries
+    // the same ONE corpus-sized exchange and a 1-row result. The
+    // report assembles driver-side from that row (the percentilesCore
+    // discipline: bounded-by-configuration tables ride the driver).
+    // The shuffle keys on xxhash64 of the shingle (the bigram-logprob
+    // discipline): the output only COUNTS distinct shingles, so 8-byte
+    // keys replace ~25-byte 3-gram strings in the exchange, and a
+    // 64-bit collision (≲10⁻⁷ even at 10⁸ distinct shingles) merges
+    // one count; the DuckDB oracle still counts the raw strings from
+    // the same landed table. Past 32 sources the wide aggregate's
+    // column count grows quadratically — the set-based plan (one
+    // exchange, explode after the agg) takes over; same answer.
     val sh = DocArtifacts.shingles3(s, dir)
       .select(col("source"), xxhash64(col("shingle")).as("h"))
-    val sets = sh.groupBy(col("h"))
-      .agg(array_sort(collect_set(col("source"))).as("srcs"))
-    val tot = sets
-      .select(explode(col("srcs")).as("source"))
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n"))
-    val pairs = sets
-      .filter(size(col("srcs")) >= 2)
-      .select(posexplode(col("srcs")).as(Seq("i", "src_a")), col("srcs"))
-      .select(col("src_a"), explode(
-        slice(col("srcs"), col("i") + lit(2), size(col("srcs"))))
-        .as("src_b"))
-    pairs.groupBy(col("src_a"), col("src_b"))
-      .agg(count(lit(1)).as("n_shared"))
-      .join(broadcast(tot.select(col("source").as("src_a"),
-        col("n").as("n_a"))), "src_a")
-      .join(broadcast(tot.select(col("source").as("src_b"),
-        col("n").as("n_b"))), "src_b")
-      .select(col("src_a"), col("src_b"), col("n_shared"),
-        col("n_a"), col("n_b"),
-        round(col("n_shared").cast("double")
-          / least(col("n_a"), col("n_b")).cast("double"), 6)
-          .as("overlap_coef"))
-      .orderBy(col("src_a"), col("src_b"))
+    val srcs: Seq[String] = sh.select(col("source")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    if (srcs.size <= 32 && srcs.nonEmpty) sourceOverlapMask(s, sh, srcs)
+    else sourceOverlapSets(sh)
+  }
+
+  /** The ≤32-source bitmask plan (spec'd equivalent to
+    * [[sourceOverlapSets]] on the same input). */
+  private[graft] def sourceOverlapMask(s: SparkSession, sh: DataFrame,
+      srcs: Seq[String]): DataFrame = {
+    {
+      val bitOf = typedLit(srcs.zipWithIndex
+        .map { case (src, i) => src -> (1L << i) }.toMap)
+      val masks = sh
+        .select(col("h"), element_at(bitOf, col("source")).as("bit"))
+        .groupBy(col("h"))
+        .agg(bit_or(col("bit")).as("mask"))
+      val singleCols = srcs.indices.map { i =>
+        sum(when(col("mask").bitwiseAND(1L << i) =!= 0L, 1L)
+          .otherwise(0L)).as(s"__n$i") }
+      val pairIdx = for {
+        i <- srcs.indices; j <- srcs.indices if i < j } yield (i, j)
+      val pairCols = pairIdx.map { case (i, j) =>
+        val both = (1L << i) | (1L << j)
+        sum(when(col("mask").bitwiseAND(both) === both, 1L)
+          .otherwise(0L)).as(s"__p${i}_$j") }
+      val aggs = singleCols ++ pairCols
+      val row = masks.agg(aggs.head, aggs.tail: _*).collect().head
+      val nOf = srcs.indices.map(i => row.getLong(i))
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val out = pairIdx.zipWithIndex.collect {
+        case ((i, j), pi) if row.getLong(srcs.size + pi) > 0 =>
+          val shared = row.getLong(srcs.size + pi)
+          // java BigDecimal.valueOf (string-canonical), not Scala's
+          // exact-binary BigDecimal(double): Spark's Round expression
+          // rounds via valueOf, and the oracle hash-compares against
+          // exactly that rendering
+          Row(srcs(i), srcs(j), shared, nOf(i), nOf(j),
+            java.math.BigDecimal
+              .valueOf(shared.toDouble / math.min(nOf(i), nOf(j)))
+              .setScale(6, java.math.RoundingMode.HALF_UP)
+              .doubleValue)
+      }
+      val schema = StructType(Seq(
+        StructField("src_a", StringType), StructField("src_b", StringType),
+        StructField("n_shared", LongType), StructField("n_a", LongType),
+        StructField("n_b", LongType),
+        StructField("overlap_coef", DoubleType)))
+      s.createDataFrame(java.util.Arrays.asList(out: _*), schema)
+        .orderBy(col("src_a"), col("src_b"))
+    }
+  }
+
+  /** The general set-based plan — one exchange, explode after the agg;
+    * takes over past 32 sources where the mask plan's wide aggregate
+    * would grow quadratically in columns. */
+  private[graft] def sourceOverlapSets(sh: DataFrame): DataFrame = {
+    {
+      val sets = sh.groupBy(col("h"))
+        .agg(array_sort(collect_set(col("source"))).as("srcs"))
+      val tot = sets
+        .select(explode(col("srcs")).as("source"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"))
+      val pairs = sets
+        .filter(size(col("srcs")) >= 2)
+        .select(posexplode(col("srcs")).as(Seq("i", "src_a")), col("srcs"))
+        .select(col("src_a"), explode(
+          slice(col("srcs"), col("i") + lit(2), size(col("srcs"))))
+          .as("src_b"))
+      pairs.groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .join(broadcast(tot.select(col("source").as("src_a"),
+          col("n").as("n_a"))), "src_a")
+        .join(broadcast(tot.select(col("source").as("src_b"),
+          col("n").as("n_b"))), "src_b")
+        .select(col("src_a"), col("src_b"), col("n_shared"),
+          col("n_a"), col("n_b"),
+          round(col("n_shared").cast("double")
+            / least(col("n_a"), col("n_b")).cast("double"), 6)
+            .as("overlap_coef"))
+        .orderBy(col("src_a"), col("src_b"))
+    }
   }
 
   /** Exact dedup: group by full-content hash, keep the smallest id as the

@@ -1996,6 +1996,23 @@ class OperatorsSpec extends SparkSpec {
     m.unpersist()
   }
 
+  test("dedup_source_overlap: the bitmask plan and the >32-source " +
+      "set-based fallback produce identical matrices") {
+    val sh = operators.DocArtifacts.shingles3(spark, sfTiny)
+      .select(col("source"), xxhash64(col("shingle")).as("h"))
+    val srcs = sh.select("source").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+    val mask = rows(operators.Dedup.sourceOverlapMask(spark, sh, srcs))
+    val sets = rows(operators.Dedup.sourceOverlapSets(sh))
+    assert(mask.nonEmpty)
+    assert(mask == sets,
+      s"mask-only: ${(mask -- sets).take(3)}; " +
+        s"sets-only: ${(sets -- mask).take(3)}")
+  }
+
   test("etl_dq_profile: six columns whose counts reconcile with the feed") {
     val p = operators.Etl.dqProfile(spark, sfTiny)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
