@@ -492,37 +492,45 @@ object Etl {
 
   /** Per-column data-quality profile of the feed — the column-level DQ
     * report (null counts, exact distinct cardinality, min/max) every
-    * landing pipeline publishes beside the data. Values are projected
-    * into one canonical string vocabulary per column class (ints as
-    * digits, timestamps as epoch-µs, money as exact 2dp decimals) so
-    * min/max/distinct are engine-neutral. One scan: the row explodes
-    * onto its 6 (column, value) pairs map-side and everything
-    * aggregates on the 6-key space; the distinct count shuffles
-    * (column, value) pairs — linear, and the place to swap in
-    * approx_count_distinct (q19's path) at extreme cardinalities. */
+    * landing pipeline publishes beside the data. min/max run on the
+    * RAW typed value (numeric extremes for ids/timestamps/money — the
+    * reading a DQ consumer actually wants; the r15 form compared
+    * canonical strings, which ranked "9" above "10") and only the 12
+    * final extremes are rendered, in the engine-neutral vocab (ints as
+    * digits, timestamps as epoch-µs, money as exact 2dp decimals).
+    * Distinct counts group the raw value too — the canonical renders
+    * are injective, so the cardinality is identical and the heavy path
+    * never materializes a string.
+    *
+    * Plan: one narrow single-column aggregate per column, unioned —
+    * each leg is a columnar scan of its own column (total decode = one
+    * 6-column scan) feeding Spark's single-distinct rewrite (partial
+    * agg keyed on the value, map-side-deduped exchange of raw 8-byte
+    * values, then one merge). The r15 single-scan form exploded 6
+    * rendered strings per row into a mixed distinct/plain aggregate,
+    * which Catalyst plans through an Expand that duplicates every
+    * input row — measured ~4.1s at sf3 against ~2s for these legs.
+    * approx_count_distinct (q19's path) swaps in at extreme
+    * cardinalities. */
   def dqProfile(s: SparkSession, dir: String): DataFrame = {
-    // 6 string projections per ROW (epoch-µs, 2dp decimal renders)
-    // behind a near-one-split scan — the heavy-per-row spread case;
-    // count/min/max/distinct are partitioning-invariant
-    val ev = Tables.spreadScan(s, s"$dir/events.parquet",
-      Tables.events(s, dir))
     val reps: Seq[(String, org.apache.spark.sql.Column)] = Seq(
-      "event_id" -> col("event_id").cast("string"),
-      "ts" -> unix_micros(col("ts")).cast("string"),
-      "user_id" -> col("user_id").cast("string"),
+      "event_id" -> col("event_id"),
+      "ts" -> unix_micros(col("ts")),
+      "user_id" -> col("user_id"),
       "event_type" -> col("event_type"),
-      "value" -> col("value").cast("decimal(18,2)").cast("string"),
+      "value" -> col("value").cast("decimal(18,2)"),
       "props" -> col("props"))
-    ev.select(explode(array(reps.map { case (n, c) =>
-        struct(lit(n).as("c"), c.as("v")) }: _*)).as("x"))
-      .select(col("x.c").as("column_name"), col("x.v").as("v"))
-      .groupBy(col("column_name"))
-      .agg(count(lit(1)).as("n_rows"),
-        count(col("v")).as("n_nonnull"),
-        countDistinct(col("v")).as("n_distinct"),
-        min(col("v")).as("min_v"),
-        max(col("v")).as("max_v"))
-      .orderBy(col("column_name"))
+    reps.map { case (n, c) =>
+      Tables.events(s, dir)
+        .agg(count(lit(1)).as("n_rows"),
+          count(c).as("n_nonnull"),
+          countDistinct(c).as("n_distinct"),
+          min(c).cast("string").as("min_v"),
+          max(c).cast("string").as("max_v"))
+        .select(lit(n).as("column_name"), col("n_rows"),
+          col("n_nonnull"), col("n_distinct"), col("min_v"),
+          col("max_v"))
+    }.reduce(_ unionAll _).orderBy(col("column_name"))
   }
 
   /** Referential-integrity audit over the star schema — orphan counts for
@@ -983,19 +991,30 @@ object Etl {
         |    AS staleness_hours
         |FROM daily CROSS JOIN hwm ORDER BY event_date""".stripMargin,
     "etl_dq_profile" ->
-      """WITH v AS (
-        |  SELECT 'event_id' AS column_name, CAST(event_id AS VARCHAR) AS v
+      """SELECT 'event_id' AS column_name, COUNT(*) AS n_rows,
+        |  COUNT(event_id) AS n_nonnull,
+        |  COUNT(DISTINCT event_id) AS n_distinct,
+        |  CAST(MIN(event_id) AS VARCHAR) AS min_v,
+        |  CAST(MAX(event_id) AS VARCHAR) AS max_v FROM events
+        |UNION ALL SELECT 'event_type', COUNT(*), COUNT(event_type),
+        |  COUNT(DISTINCT event_type), MIN(event_type), MAX(event_type)
         |  FROM events
-        |  UNION ALL SELECT 'ts', CAST(epoch_us(ts) AS VARCHAR) FROM events
-        |  UNION ALL SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events
-        |  UNION ALL SELECT 'event_type', event_type FROM events
-        |  UNION ALL SELECT 'value',
-        |    CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) FROM events
-        |  UNION ALL SELECT 'props', props FROM events)
-        |SELECT column_name, COUNT(*) AS n_rows, COUNT(v) AS n_nonnull,
-        |  COUNT(DISTINCT v) AS n_distinct,
-        |  MIN(v) AS min_v, MAX(v) AS max_v
-        |FROM v GROUP BY column_name ORDER BY column_name""".stripMargin,
+        |UNION ALL SELECT 'props', COUNT(*), COUNT(props),
+        |  COUNT(DISTINCT props), MIN(props), MAX(props) FROM events
+        |UNION ALL SELECT 'ts', COUNT(*), COUNT(ts),
+        |  COUNT(DISTINCT ts),
+        |  CAST(MIN(epoch_us(ts)) AS VARCHAR),
+        |  CAST(MAX(epoch_us(ts)) AS VARCHAR) FROM events
+        |UNION ALL SELECT 'user_id', COUNT(*), COUNT(user_id),
+        |  COUNT(DISTINCT user_id),
+        |  CAST(MIN(user_id) AS VARCHAR),
+        |  CAST(MAX(user_id) AS VARCHAR) FROM events
+        |UNION ALL SELECT 'value', COUNT(*), COUNT(value),
+        |  COUNT(DISTINCT CAST(value AS DECIMAL(18,2))),
+        |  CAST(MIN(CAST(value AS DECIMAL(18,2))) AS VARCHAR),
+        |  CAST(MAX(CAST(value AS DECIMAL(18,2))) AS VARCHAR)
+        |  FROM events
+        |ORDER BY column_name""".stripMargin,
     "etl_backfill_plan" ->
       """WITH cells AS (
         |  SELECT CAST(ts AS DATE) AS d, event_type AS t, COUNT(*) AS n
