@@ -310,16 +310,37 @@ object Text {
   /** Corpus bigram statistics: top-50 by frequency. Explode → partial agg
     * → one shuffle over the (bounded) bigram key space. */
   def ngramStats(s: SparkSession, dir: String): DataFrame = {
-    val w = col("toks") // materialized below: tokenization runs once
-    val bigrams = when(size(w) >= 2,
-      transform(sequence(lit(1), size(w) - 1),
-        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
-      .otherwise(array().cast("array<string>"))
-    Tables.documents(s, dir)
-      .withColumn("toks", tokens(col("text")))
-      .select(explode(bigrams).as("bigram"))
+    import s.implicits._
+    // rides the LANDED per-doc token table (no per-query re-tokenize)
+    // behind a near-one-split spread, counted through a per-partition
+    // hash-map kernel — the fourth documented kernel seam (after the
+    // codec, moments and argmin loops): the explode form materialized
+    // a Tungsten row PER BIGRAM INSTANCE (~37M at sf3) before the
+    // map-side combine and measured 3.6s; the kernel folds instances
+    // straight into partial (bigram, n) counts, so the shuffle carries
+    // at most the per-partition distinct-bigram table (vocab²-bounded)
+    // and the only per-instance cost is the concat+hash itself.
+    // Exactness: partial counts sum associatively — identical to the
+    // combinable aggregate it replaces, under any partitioning.
+    Tables.spreadScan(s, DocArtifacts.toksDir(dir),
+        DocArtifacts.toks(s, dir).select(col("toks")))
+      .as[Seq[String]]
+      .mapPartitions { it =>
+        val m = new java.util.HashMap[String, Long]
+        it.foreach { toks =>
+          var i = 0
+          while (i < toks.length - 1) {
+            m.merge(toks(i) + " " + toks(i + 1), 1L, Long.box(_) + _)
+            i += 1
+          }
+        }
+        scala.jdk.CollectionConverters.IteratorHasAsScala(
+          m.entrySet().iterator()).asScala
+          .map(e => (e.getKey, e.getValue))
+      }
+      .toDF("bigram", "n")
       .groupBy(col("bigram"))
-      .agg(count(lit(1)).as("n"))
+      .agg(sum(col("n")).as("n"))
       .orderBy(col("n").desc, col("bigram"))
       .limit(50)
   }
