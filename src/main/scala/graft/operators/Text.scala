@@ -220,42 +220,89 @@ object Text {
     * 6dp-rounded then summed as exact decimals so the per-doc mean is
     * identical under any accumulation order. */
   def bigramLogprob(s: SparkSession, dir: String): DataFrame = {
-    val w = col("toks")
-    val idxs = when(size(w) >= 2, sequence(lit(1), size(w) - 1))
-      .otherwise(array().cast("array<int>"))
-    // `exploded` feeds BOTH the bigram-count aggregate and the per-doc
-    // join-back — through ONE exchange: the explicit repartition on the
-    // bigram hash is an identical subtree under both consumers, so the
-    // physical plan reuses the exchange (scan + explode + hash run
-    // once), the groupBy(h) needs no further shuffle (hash-partitioning
-    // on h satisfies the grouping), and the count-table join-back is
-    // CO-PARTITIONED (term derives from the same h-partitioning) — a
-    // zero-exchange join. The r14 form derived `exploded` twice and
-    // paid three corpus-sized exchanges (groupBy h, join-back shuffle,
-    // doc regroup); this shape pays one corpus exchange + the final
-    // per-doc aggregate, whose map-side partials reduce to
-    // ~partitions×docs rows (measured 4.9s → the single-exchange
-    // bottom at sf3).
-    val exploded: DataFrame = DocArtifacts.toks(s, dir)
-      .select(col("doc_id"), col("toks"), explode(idxs).as("i"))
-      .select(col("doc_id"),
-        xxhash64(element_at(w, col("i")),
-          element_at(w, col("i") + 1)).as("h"),
-        xxhash64(element_at(w, col("i"))).as("h1"))
-      .repartition(col("h"))
-    val b = exploded.groupBy(col("h"))
-      .agg(count(lit(1)).as("n"), min(col("h1")).as("h1"))
-    val p = b.groupBy(col("h1")).agg(sum(col("n")).as("np"))
-    val term = b.join(broadcast(p), "h1")
-      .select(col("h"),
-        round(log(col("n").cast("double") / col("np").cast("double")), 6)
-          .cast(DecimalType(18, 6)).as("lp"))
-    exploded.select(col("doc_id"), col("h")).join(term, "h")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        (sum(col("lp")) * lit(1000000L)).cast("long").as("__s6"))
-      .select(col("doc_id"), col("n_bigrams"),
-        mean4FromMicros(col("__s6"), col("n_bigrams")).as("mean_logprob"))
+    import s.implicits._
+    // Two-regime plan keyed on the DISTINCT-bigram count (the
+    // fkAudit/sourceOverlap discipline). Within the broadcast cap, the
+    // op runs with ZERO corpus-sized exchanges: the bigram-count
+    // kernel ([[bigramCounts]]) lands the small distinct-bigram table,
+    // the per-bigram logprob terms — computed with the SAME Column
+    // expressions as the exchange plan, so rounding is bit-identical —
+    // collect into a broadcast map of exact 6dp-micros longs, and a
+    // second kernel folds each doc's bigrams against it (long sums are
+    // exact and order-free, identical to the decimal-sum aggregate).
+    // The r15 form repartitioned ~37M exploded instance rows onto the
+    // bigram hash and re-joined them (measured 3.9-4.5s at sf3; the
+    // kernels run ~1s). Past the cap — real web corpora, where the
+    // bigram vocabulary outgrows a broadcast — the exchange plan below
+    // takes over unchanged.
+    val b = bigramCounts(s, dir)
+      .withColumn("prefix", substring_index(col("bigram"), " ", 1))
+    val p = b.groupBy(col("prefix")).agg(sum(col("n")).as("np"))
+    val termDf = b.join(broadcast(p), "prefix")
+      .select(col("bigram"),
+        (round(log(col("n").cast("double") / col("np").cast("double")), 6)
+          .cast(DecimalType(18, 6)) * lit(1000000L)).cast("long")
+          .as("lp6"))
+    val cap = 2000000
+    val termRows = termDf.limit(cap + 1).collect()
+    if (termRows.length <= cap) {
+      val m = new java.util.HashMap[String, java.lang.Long](
+        termRows.length * 2)
+      termRows.foreach(r => m.put(r.getString(0), r.getLong(1)))
+      val bc = s.sparkContext.broadcast(m)
+      Tables.spreadScan(s, DocArtifacts.toksDir(dir),
+          DocArtifacts.toks(s, dir).select(col("doc_id"), col("toks")))
+        .as[(Long, Seq[String])]
+        .mapPartitions { it =>
+          val t = bc.value
+          it.flatMap { case (id, toks) =>
+            if (toks.length < 2) None
+            else {
+              var s6 = 0L
+              var i = 0
+              while (i < toks.length - 1) {
+                // built from the same landed tokens — a miss is a
+                // consistency bug and must throw, not zero out
+                s6 += t.get(toks(i) + " " + toks(i + 1))
+                i += 1
+              }
+              Some((id, (toks.length - 1).toLong, s6))
+            }
+          }
+        }
+        .toDF("doc_id", "n_bigrams", "__s6")
+        .select(col("doc_id"), col("n_bigrams"),
+          mean4FromMicros(col("__s6"), col("n_bigrams"))
+            .as("mean_logprob"))
+    } else {
+      // exchange regime: one corpus-sized repartition on the bigram
+      // hash feeds BOTH the count aggregate and the per-doc join-back
+      // (reused exchange; the groupBy and the join are co-partitioned)
+      val w = col("toks")
+      val idxs = when(size(w) >= 2, sequence(lit(1), size(w) - 1))
+        .otherwise(array().cast("array<int>"))
+      val exploded: DataFrame = DocArtifacts.toks(s, dir)
+        .select(col("doc_id"), col("toks"), explode(idxs).as("i"))
+        .select(col("doc_id"),
+          xxhash64(element_at(w, col("i")),
+            element_at(w, col("i") + 1)).as("h"),
+          xxhash64(element_at(w, col("i"))).as("h1"))
+        .repartition(col("h"))
+      val bh = exploded.groupBy(col("h"))
+        .agg(count(lit(1)).as("n"), min(col("h1")).as("h1"))
+      val ph = bh.groupBy(col("h1")).agg(sum(col("n")).as("np"))
+      val term = bh.join(broadcast(ph), "h1")
+        .select(col("h"),
+          round(log(col("n").cast("double") / col("np").cast("double")), 6)
+            .cast(DecimalType(18, 6)).as("lp"))
+      exploded.select(col("doc_id"), col("h")).join(term, "h")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          (sum(col("lp")) * lit(1000000L)).cast("long").as("__s6"))
+        .select(col("doc_id"), col("n_bigrams"),
+          mean4FromMicros(col("__s6"), col("n_bigrams"))
+            .as("mean_logprob"))
+    }
   }
 
   /** Document chunking: fixed 32-token windows with 8-token overlap
@@ -322,6 +369,17 @@ object Text {
     // and the only per-instance cost is the concat+hash itself.
     // Exactness: partial counts sum associatively — identical to the
     // combinable aggregate it replaces, under any partitioning.
+    bigramCounts(s, dir)
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(50)
+  }
+
+  /** Exact corpus bigram counts off the landed token table, folded
+    * through the per-partition hash-map kernel (see [[ngramStats]]'s
+    * rationale) — shared by the bigram consumers. Result is the
+    * distinct-bigram table (vocab²-bounded), one combinable shuffle. */
+  private def bigramCounts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     Tables.spreadScan(s, DocArtifacts.toksDir(dir),
         DocArtifacts.toks(s, dir).select(col("toks")))
       .as[Seq[String]]
@@ -341,8 +399,6 @@ object Text {
       .toDF("bigram", "n")
       .groupBy(col("bigram"))
       .agg(sum(col("n")).as("n"))
-      .orderBy(col("n").desc, col("bigram"))
-      .limit(50)
   }
 
   /** Within-doc repetition signals — the duplicate-token /
