@@ -162,12 +162,52 @@ object Text {
     val totals = freqs.agg(sum(col("tok_n")).as("corpus_n"))
     val term = round(log(col("tok_n").cast("double")
       / col("corpus_n").cast("double")), 6).cast(DecimalType(18, 6))
-    tf.join(broadcast(freqs.crossJoin(totals)), "tok")
-      .groupBy(col("doc_id"))
-      .agg(sum(col("tf")).as("n_toks"),
-        (sum(col("tf") * term) * lit(1000000L)).cast("long").as("__s6"))
-      .select(col("doc_id"), col("n_toks"),
-        mean4FromMicros(col("__s6"), col("n_toks")).as("mean_logprob"))
+    // broadcast-fold regime (the bigramLogprob shape): within a 2M
+    // type cap the per-type logprob terms — SAME Column expressions,
+    // identical rounding — collect as exact 6dp-micros longs and a
+    // kernel folds each doc's token array against the map with zero
+    // corpus-sized exchanges (Σ per-instance lp6 ≡ Σ tf·lp6; long
+    // sums are exact and order-free). Past the cap the type-row join
+    // plan below takes over unchanged.
+    val cap = 2000000
+    val termRows = freqs.crossJoin(totals)
+      .select(col("tok"), (term * lit(1000000L)).cast("long").as("lp6"))
+      .limit(cap + 1).collect()
+    if (termRows.length <= cap) {
+      import s.implicits._
+      val m = new java.util.HashMap[String, java.lang.Long](
+        termRows.length * 2)
+      termRows.foreach(r => m.put(r.getString(0), r.getLong(1)))
+      val bc = s.sparkContext.broadcast(m)
+      Tables.spreadScan(s, DocArtifacts.toksDir(dir),
+          DocArtifacts.toks(s, dir).select(col("doc_id"), col("toks")))
+        .as[(Long, Seq[String])]
+        .mapPartitions { it =>
+          val t = bc.value
+          it.flatMap { case (id, toks) =>
+            if (toks.isEmpty) None
+            else {
+              var s6 = 0L
+              var i = 0
+              while (i < toks.length) {
+                // same landed tokens built the map — a miss must throw
+                s6 += t.get(toks(i))
+                i += 1
+              }
+              Some((id, toks.length.toLong, s6))
+            }
+          }
+        }
+        .toDF("doc_id", "n_toks", "__s6")
+        .select(col("doc_id"), col("n_toks"),
+          mean4FromMicros(col("__s6"), col("n_toks")).as("mean_logprob"))
+    } else
+      tf.join(broadcast(freqs.crossJoin(totals)), "tok")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tf")).as("n_toks"),
+          (sum(col("tf") * term) * lit(1000000L)).cast("long").as("__s6"))
+        .select(col("doc_id"), col("n_toks"),
+          mean4FromMicros(col("__s6"), col("n_toks")).as("mean_logprob"))
   }
 
   /** Half-up 4dp mean of an exact 6dp-decimal sum, in INTEGER
