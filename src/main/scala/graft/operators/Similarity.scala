@@ -367,6 +367,13 @@ object Similarity {
   private[graft] def kmeansAssignDir(dir: String): String =
     graft.Tables.landingDir("kmeans_assign", dir)
 
+  /** Two-level landings ([[trainKmeansTwoLevel]]): the coarse centroid
+    * table and the fine-cluster → coarse-cell map — both bounded. */
+  private[graft] def kmeansCoarseDir(dir: String): String =
+    graft.Tables.landingDir("kmeans_coarse", dir)
+  private[graft] def kmeansCellMapDir(dir: String): String =
+    graft.Tables.landingDir("kmeans_cellmap", dir)
+
   /** Train-once memo for the landed quantizer: the downstream consumers
     * (dedup_semantic, emb_knn_graph, emb_index_shards) only need the
     * LANDED centroid table, and Lloyd's is deterministic for a given
@@ -381,9 +388,18 @@ object Similarity {
         // content-keyed (count:bytes:mtime:listing-hash): a regenerated
         // embeddings table retrains instead of serving a stale quantizer
         graft.Tables.fingerprint(s, dir, "embeddings"))) {
-      assertCellWidth(graft.Tables.rowCount(s, dir, "embeddings"))
-      trainKmeans(s, dir)
-      landAssignment(s, dir)
+      val n = graft.Tables.rowCount(s, dir, "embeddings")
+      if (twoLevelNeeded(n)) {
+        // past the flat cap's 512-width runway: coarse-then-fine
+        // quantization (the prescription the r15 guard named) — lands
+        // the same centroid/assignment schema, consumers unchanged
+        assertCoarseCapacity(n)
+        trainKmeansTwoLevel(s, dir, n, broadcastK, 5)
+      } else {
+        assertCellWidth(n)
+        trainKmeans(s, dir)
+        landAssignment(s, dir)
+      }
     }
   }
 
@@ -487,8 +503,12 @@ object Similarity {
     *    or broadcast structure grows with k. Per-sweep cost is
     *    64·k²·d flops (the bounded-sample discipline), a cluster-scale
     *    job at the top of the range, linear in n below it.
-    * Past maxQuantizerK (n > 67M vectors) the width guard trips
-    * ([[assertCellWidth]]) and prescribes the next level. Reads the row
+    * Past maxQuantizerK the width guard ([[assertCellWidth]]) allows a
+    * 512-width runway; past THAT (n > ~134M vectors) the landing
+    * switches to the TWO-LEVEL quantizer ([[trainKmeansTwoLevel]]) —
+    * coarse 4096-cell broadcast level, per-cell fine quantizers
+    * through the cell cogroup kernel — up to the ~4.3B-vector
+    * coarse-capacity wall ([[assertCoarseCapacity]]). Reads the row
     * count from parquet footers (no job), and the landing memo already
     * keys on the embeddings fingerprint, so k tracks the data. */
   private[graft] def quantizerK(s: SparkSession, dir: String): Int =
@@ -537,6 +557,33 @@ object Similarity {
           "flat quantizer ends here — add a second quantizer level " +
           "(cluster the landed centroids, assign coarse-then-fine) " +
           "before scaling past this corpus.")
+  }
+
+  /** The FLAT regime ends where [[assertCellWidth]]'s 512-width runway
+    * does (n > 512·262144 ≈ 134M vectors); past it the landing switches
+    * to the two-level coarse-then-fine quantizer ([[trainKmeansTwoLevel]])
+    * instead of failing — the r15 guard's own prescription, taken. */
+  private[graft] def twoLevelNeeded(n: Long): Boolean =
+    quantizerKFor(n) >= maxQuantizerK && n / maxQuantizerK > 512L
+
+  /** Loud boundary for the TWO-LEVEL regime (the assertCellWidth
+    * discipline, one level up): with [[broadcastK]] coarse cells, the
+    * expected per-cell fine quantizer is k₂ = n/(4096·256); past
+    * k₂ = [[broadcastK]] (n ≈ 4.3B vectors) a cell's centroid slice no
+    * longer fits the per-task materialization bound the cell cogroup
+    * kernel relies on, and per-vector fine-assignment cost k₂·d has
+    * grown 4096-fold — the third level (a deeper coarse tree) must be
+    * taken deliberately, not discovered in a latency graph. */
+  private[graft] def assertCoarseCapacity(n: Long): Unit = {
+    val finePerCell = n / broadcastK.toLong / 256L
+    if (finePerCell > broadcastK.toLong)
+      throw new IllegalStateException(
+        s"graft two-level quantizer: expected per-cell fine k " +
+          s"$finePerCell exceeds the $broadcastK per-task bound " +
+          s"(n=$n vectors over $broadcastK coarse cells): the " +
+          "two-level quantizer ends here — add a third level " +
+          "(a deeper coarse tree over the cells) before scaling " +
+          "past this corpus.")
   }
 
   /** Exact argmin assignment of `vecs` (vec_id, vd) against an
@@ -644,6 +691,203 @@ object Similarity {
       case Some(v) => s.conf.set(key, v)
       case None    => s.conf.unset(key)
     }
+  }
+
+  /** Exact PER-CELL argmin for the two-level quantizer: each vector
+    * meets ONLY its own coarse cell's centroid slice, through the
+    * [[blockAssign]] cogroup machinery keyed on (cell, salt) — the
+    * salt (vector-id hash) spreads a cell's vectors over several
+    * reduce tasks so parallelism never collapses onto the cell count.
+    * A task materializes ONE cell's fine centroids (≤ [[broadcastK]]
+    * × d doubles by [[assertCoarseCapacity]]) and streams its vector
+    * slice through the primitive-array argmin kernel. No cross-group
+    * reduce is needed: unlike blockAssign, a vector appears in exactly
+    * one (cell, salt) group. Same exactness contract as blockAssign:
+    * ascending-cluster strict-`<` scan, ties to the lower id.
+    *
+    * `vecs` is (cell, vec_id, vd); `cents` is (cell, cluster, cv);
+    * result is (vec_id, cluster, dist). */
+  private[graft] def cellAssign(s: SparkSession, vecs: DataFrame,
+      cents: DataFrame, nCells: Int): DataFrame = {
+    import s.implicits._
+    def dotSeq(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val salts = math.max(1,
+      8 * s.sparkContext.defaultParallelism / math.max(1, nCells))
+    val vecsRep = vecs.select(col("cell").cast("int").as("cell"),
+        pmod(xxhash64(col("vec_id")), lit(salts.toLong)).cast("int")
+          .as("salt"),
+        col("vec_id"), col("vd").cast("array<double>").as("vd"))
+      .as[(Int, Int, Long, Array[Double])]
+      .groupByKey(t => (t._1, t._2))
+    val centsRep = cents.select(col("cell").cast("int").as("cell"),
+        explode(array((0 until salts).map(lit(_)): _*)).as("salt"),
+        col("cluster"), col("cv").cast("array<double>").as("cv"))
+      .as[(Int, Int, Long, Array[Double])]
+      .groupByKey(t => (t._1, t._2))
+    vecsRep.cogroup(centsRep) { case (_, vs, cIt) =>
+      val cs = cIt.map { case (_, _, cid, cv) => (cid, cv, dotSeq(cv, cv)) }
+        .toArray.sortBy(_._1)
+      if (cs.isEmpty) Iterator.empty
+      else vs.map { case (_, _, id, v) =>
+        val nx2 = dotSeq(v, v)
+        var bestC = -1L
+        var bestD = Double.PositiveInfinity
+        var c = 0
+        while (c < cs.length) {
+          val t = cs(c)
+          val d = (nx2 + t._3) - 2.0 * dotSeq(v, t._2)
+          if (d < bestD) { bestD = d; bestC = t._1 }
+          c += 1
+        }
+        (id, bestC, bestD)
+      }
+    }.toDF("vec_id", "cluster", "dist")
+  }
+
+  /** TWO-LEVEL quantizer landing — the regime past the flat cap's
+    * 512-width runway ([[twoLevelNeeded]], n > ~134M vectors), i.e.
+    * the "second quantizer level" the r15 width guard prescribed as an
+    * error message:
+    *
+    *  1. COARSE: `coarseK` (= [[broadcastK]] in production) centroids
+    *     trained by the driver-state Lloyd loop ([[lloydBroadcast]])
+    *     on a bounded hash-mod sample; the coarse table is ≤ 4096×d
+    *     doubles — broadcastable by construction, at any n.
+    *  2. Every vector gets its coarse CELL from the broadcast argmin
+    *     kernel — recomputed on the fly wherever needed (deterministic
+    *     from the coarse table; never landed, never joined).
+    *  3. FINE: one quantizer per cell, ALL cells trained together —
+    *     the expected-64-per-centroid hash-mod sample (every 4th
+    *     vector: width 256 / 4) sweeps through [[cellAssign]], means
+    *     via the order-free exact-decimal fold (the blocked trainer's
+    *     discipline). Seeds are the expected-1-per-64-sample-rows
+    *     hash-mod slice — so a cell's fine k tracks its width — with a
+    *     min-vec_id fallback seed for any populated cell the hash
+    *     missed (every corpus vector must have a same-cell centroid).
+    *     Fine cluster ids are their seed vec_ids: globally unique, so
+    *     the landed FLAT schema — (cluster, cv) centroids, (vec_id,
+    *     cluster, dist) assignment — is exactly the one-level one and
+    *     every consumer reads it unchanged.
+    *  4. The corpus assignment is coarse-on-the-fly + [[cellAssign]]
+    *     against the landed fine centroids: each vector pays
+    *     d·(coarseK + its cell's fine k) flops instead of the flat
+    *     regime's d·k_total — THE point of the second level.
+    *
+    * Semantics note (StressSpec pins it): the landed assignment is the
+    * argmin WITHIN the vector's coarse cell — the IVF contract — not
+    * the global argmin over all fine centroids; at this scale the flat
+    * oracle no longer applies (the bundled SFs never reach this
+    * regime; the probe and spec below exercise it with a forced small
+    * coarseK). */
+  private[graft] def trainKmeansTwoLevel(s: SparkSession, dir: String,
+      n: Long, coarseK: Int, sweeps: Int): Unit = {
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    def dotSeq(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val corpus = prepared(s, dir, "vec_id")
+      .select(col("vec_id"), col("vd"))
+    // level 1: coarse centroids, driver-state Lloyd on a bounded sample
+    val cap1 = trainSampleCap(coarseK)
+    val slice1 = math.max(1L, n / cap1)
+    val csample = (if (slice1 > 1L)
+        corpus.filter(pmod(xxhash64(col("vec_id")), lit(slice1)) === 0L)
+      else corpus)
+      .repartition(s.sparkContext.defaultParallelism)
+      .localCheckpoint()
+    val coarseArr: Array[(Int, Array[Double], Double)] =
+      lloydBroadcast(s, csample, coarseK, sweeps)
+        .sortBy(_._1).zipWithIndex.map { case ((_, cv), i) =>
+          val a = cv.toArray
+          (i, a, dotSeq(a, a))
+        }.toArray
+    val bcCoarse = s.sparkContext.broadcast(coarseArr)
+    // the broadcast coarse-argmin kernel: (vec_id, vd) -> (cell, vec_id, vd)
+    def withCells(df: DataFrame): DataFrame =
+      df.as[(Long, Array[Double])].mapPartitions { it =>
+        val cs = bcCoarse.value
+        it.map { case (id, v) =>
+          val nx2 = dotSeq(v, v)
+          var best = -1
+          var bestD = Double.PositiveInfinity
+          var c = 0
+          while (c < cs.length) {
+            val t = cs(c)
+            val d = (nx2 + t._3) - 2.0 * dotSeq(v, t._2)
+            if (d < bestD) { bestD = d; best = t._1 }
+            c += 1
+          }
+          (best, id, v)
+        }
+      }.toDF("cell", "vec_id", "vd")
+    // level 2: per-cell fine quantizers, all cells in one sweep job
+    val fsample = withCells(
+        corpus.filter(pmod(xxhash64(col("vec_id")), lit(4L)) === 0L))
+      .localCheckpoint()
+    val hashSeeds = fsample.filter(
+      pmod(xxhash64(col("vec_id"), lit(7L)), lit(64L)) === 0L)
+    // fallback seeds: the min-vec_id row of every populated corpus
+    // cell the hash slice missed (bounded: <= coarseK rows; the vd
+    // recovery is a broadcast hash join, never a corpus shuffle)
+    val seedless = withCells(corpus)
+      .groupBy(col("cell")).agg(min(col("vec_id")).as("vec_id"))
+      .join(hashSeeds.select(col("cell")).distinct(),
+        Seq("cell"), "left_anti")
+    val fallback = corpus.join(broadcast(seedless), Seq("vec_id"))
+      .select(col("cell"), col("vec_id"), col("vd"))
+    var cents = hashSeeds.select(col("cell"), col("vec_id"), col("vd"))
+      .unionByName(fallback)
+      .select(col("cell"), col("vec_id").as("cluster"),
+        col("vd").as("cv"))
+      .localCheckpoint()
+    for (_ <- 1 to sweeps) {
+      val assign = cellAssign(s, fsample, cents, coarseK)
+        .join(fsample.select(col("vec_id"), col("vd")), "vec_id")
+        .select(col("cluster"), col("vd"))
+      // order-free exact-decimal means (the blocked trainer's body)
+      val means = assign
+        .select(col("cluster"), posexplode(col("vd")).as(Seq("i", "x")))
+        .groupBy(col("cluster"), col("i"))
+        .agg((sum(round(col("x"), 9).cast(DecimalType(27, 9)))
+          .cast("double") / count(lit(1)).cast("double")).as("c"))
+        .groupBy(col("cluster"))
+        .agg(collect_list(struct(col("i"), col("c"))).as("cs"))
+        .select(col("cluster"),
+          transform(array_sort(col("cs")), e => e.getField("c"))
+            .as("mcv"))
+      cents = cents.join(means, Seq("cluster"), "left")
+        .select(col("cell"), col("cluster"),
+          coalesce(col("mcv"), col("cv")).as("cv"))
+        .localCheckpoint()
+    }
+    // land the FLAT consumer schema; assign the corpus coarse-on-the-
+    // fly + per-cell fine against the SAME checkpointed centroid state
+    // the landing wrote (parquet round-trips doubles exactly, so the
+    // landed table and `cents` are byte-equivalent)
+    cents.select(col("cluster"), col("cv"))
+      .write.mode("overwrite").parquet(kmeansCentDir(dir))
+    // the level structure lands beside it (both bounded tables):
+    // the coarse table for monitoring/debug and the cluster→cell map
+    // that makes the cell-containment contract externally checkable
+    // (StressSpec re-derives every vector's coarse cell from the
+    // landed coarse table and pins containment)
+    coarseArr.map { case (cell, cv, _) => (cell, cv.toSeq) }.toSeq
+      .toDF("cell", "cv")
+      .write.mode("overwrite").parquet(kmeansCoarseDir(dir))
+    cents.select(col("cluster"), col("cell"))
+      .write.mode("overwrite").parquet(kmeansCellMapDir(dir))
+    cellAssign(s, withCells(corpus), cents, coarseK)
+      .write.mode("overwrite").parquet(kmeansAssignDir(dir))
+    bcCoarse.destroy()
   }
 
   /** Distributed Lloyd's k-means (corpus-derived k via [[quantizerK]],
@@ -919,18 +1163,28 @@ object Similarity {
       .localCheckpoint()
     // Iteration state rides the DRIVER: the centroid table is bounded
     // by quantizerK's cap (k × d ≤ 4096 × 64 doubles), never raw data
-    // volume — the same
-    // driver-bounded-trained-step allowance as the PCA eigensolve — so
-    // each sweep collects ≤ k rows and re-broadcasts them. The sweep's
-    // argmin runs through the SAME kernel as [[landAssignment]] (one
-    // broadcast, primitive-array loop — see that scaladoc for the
-    // exactness contract); the per-sweep MEANS math runs in Spark
-    // unchanged (ordered folds), and collect→broadcast round-trips
-    // doubles binarily, so the landed centroids are bit-identical.
+    // volume — see [[lloydBroadcast]].
+    import s.implicits._
+    lloydBroadcast(s, emb, k, sweeps)
+      .toDF("cluster", "cv")
+      .write.mode("overwrite").parquet(kmeansCentDir(dir))
+  }
+
+  /** The driver-state Lloyd loop shared by the flat ≤[[broadcastK]]
+    * trainer and the two-level COARSE trainer: each sweep collects ≤ k
+    * centroid rows and re-broadcasts them — the same
+    * driver-bounded-trained-step allowance as the PCA eigensolve. The
+    * sweep's argmin runs through the SAME kernel as [[landAssignment]]
+    * (one broadcast, primitive-array loop — see that scaladoc for the
+    * exactness contract); the per-sweep MEANS math runs in Spark
+    * unchanged (ordered folds), and collect→broadcast round-trips
+    * doubles binarily, so the returned centroids are bit-identical to
+    * the pre-refactor inline loop. Seeds = the k lowest vec_ids of the
+    * sample; empty clusters keep their previous centroid. */
+  private def lloydBroadcast(s: SparkSession, emb: DataFrame, k: Int,
+      sweeps: Int): Seq[(Long, Seq[Double])] = {
     import s.implicits._
     val typed = emb.as[(Long, Array[Double])]
-    def centDf(rows: Seq[(Long, Seq[Double])]): DataFrame =
-      rows.toDF("cluster", "cv")
     var centRows: Seq[(Long, Seq[Double])] =
       emb.orderBy(col("vec_id")).limit(k)
         .select(col("vec_id"), col("vd")).collect()
@@ -976,7 +1230,7 @@ object Similarity {
       centRows = centRows.map { case (c, prev) =>
         c -> means.getOrElse(c, prev) }
     }
-    centDf(centRows).write.mode("overwrite").parquet(kmeansCentDir(dir))
+    centRows
   }
 
   /** Landing dir for the PQ codebook — the kmeansCentDir contract:

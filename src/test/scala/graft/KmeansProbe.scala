@@ -15,7 +15,14 @@ object KmeansProbe {
     val n = Tables.rowCount(spark, dir, "embeddings")
     val k = operators.Similarity.quantizerK(spark, dir)
     val t0 = System.nanoTime
-    operators.Similarity.ensureKmeansLanded(spark, dir)
+    // SPARK_GRAFT_TWOLEVEL_K forces the past-134M two-level landing at
+    // probe scale (coarse cells = the given k1) — the end-to-end drive
+    // of trainKmeansTwoLevel the bundled SFs can never reach
+    sys.env.get("SPARK_GRAFT_TWOLEVEL_K") match {
+      case Some(k1) => operators.Similarity
+        .trainKmeansTwoLevel(spark, dir, n, k1.toInt, 5)
+      case None => operators.Similarity.ensureKmeansLanded(spark, dir)
+    }
     val wall = (System.nanoTime - t0) / 1e9
     val assigned = spark.read
       .parquet(operators.Similarity.kmeansAssignDir(dir)).count()

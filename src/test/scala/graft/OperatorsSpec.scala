@@ -1151,22 +1151,23 @@ class OperatorsSpec extends SparkSpec {
     assert(quantizerKFor(100L * 1000 * 1000) == maxQuantizerK)
   }
 
-  test("cell-width guard: the flat-quantizer regime fails loudly one " +
-      "doubling past design width, not in a latency graph") {
+  test("cell-width guard: the FLAT regime ends one doubling past " +
+      "design width — where the two-level landing takes over") {
     import operators.Similarity.{assertCellWidth, maxQuantizerK}
     // the r13/r14 probes (200k, 2M) now sit INSIDE the runway — the
     // blockAssign regime carries k past the broadcast cap, so width
     // stays ~256 until n outgrows the 262144 flat cap
     Seq(500L, 60000L, 200000L, 2000000L, 4000000L,
         512L * maxQuantizerK).foreach(assertCellWidth)
-    // one centroid-width past 512 at the flat cap: loud, named, with
-    // the prescription in the message
+    // one centroid-width past 512 at the flat cap the FLAT guard still
+    // refuses (it protects the flat plan itself); ensureKmeansLanded
+    // routes those corpora to trainKmeansTwoLevel instead — the regime
+    // boundary and the new ~4.3B coarse-capacity wall are pinned in
+    // StressSpec ("two-level regime boundary")
     val e = intercept[IllegalStateException] {
       assertCellWidth(512L * maxQuantizerK + maxQuantizerK) }
     assert(e.getMessage.contains("cell width"))
-    assert(e.getMessage.contains("second quantizer level"),
-      "the error must prescribe the next level, not just refuse")
-    // and far past: a 1B-vector corpus is firmly rejected
+    assert(e.getMessage.contains("second quantizer level"))
     intercept[IllegalStateException] {
       assertCellWidth(1000L * 1000 * 1000) }
   }

@@ -544,4 +544,97 @@ class StressSpec extends SparkSpec {
       .distinct().count()
     assert(spread > salts / 2, s"hot key only spread over $spread salts")
   }
+
+  test("two-level quantizer: full coverage, cell containment, exact " +
+      "dists, bit-determinism (forced small coarseK)") {
+    import operators.Similarity._
+    def land(): String = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_twolevel").toString
+      Tables.embeddings(spark, sfTiny)
+        .write.parquet(s"$dir/embeddings.parquet")
+      val n = Tables.rowCount(spark, dir, "embeddings")
+      trainKmeansTwoLevel(spark, dir, n, coarseK = 8, sweeps = 3)
+      dir
+    }
+    val dir = land()
+    val n = Tables.rowCount(spark, dir, "embeddings")
+    val assign = spark.read.parquet(kmeansAssignDir(dir))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    // full coverage: every corpus vector is assigned exactly once
+    assert(assign.size == n,
+      s"assigned ${assign.size} of $n vectors")
+    val cents = spark.read.parquet(kmeansCentDir(dir))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .toMap
+    val cellOf = spark.read.parquet(kmeansCellMapDir(dir))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cents.keySet == cellOf.keySet, "cluster/cell map must cover " +
+      "exactly the landed centroid table")
+    val coarse = spark.read.parquet(kmeansCoarseDir(dir))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    assert(coarse.length == 8)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }; acc
+    }
+    def d2(v: Array[Double], c: Array[Double]): Double =
+      (dot(v, v) + dot(c, c)) - 2.0 * dot(v, c)
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("vd"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    vecs.foreach { case (id, v) =>
+      val (cl, dist) = assign(id)
+      // cell containment: the assigned fine cluster lives in the
+      // vector's own coarse cell (re-derived brute-force, ascending
+      // strict-< — the kernel's exact order)
+      val myCell = coarse.minBy { case (c, cv) => (d2(v, cv), c) }._1
+      assert(cellOf(cl) == myCell,
+        s"vec $id assigned to cluster $cl of cell ${cellOf(cl)} but " +
+          s"its coarse cell is $myCell")
+      // the landed dist is the exact squared-L2 to the assigned
+      // centroid, and the assigned centroid is the argmin WITHIN the
+      // cell (ties to the lower cluster id)
+      assert(dist == d2(v, cents(cl)), s"vec $id dist mismatch")
+      val cellClusters = cellOf.collect {
+        case (c, cell) if cell == myCell => c }.toSeq.sorted
+      val best = cellClusters.minBy(c => (d2(v, cents(c)), c))
+      assert(cl == best, s"vec $id: $cl is not the cell argmin $best")
+    }
+    // bit-determinism: a second landing from the same bytes is
+    // identical, assignment and centroids both
+    val dir2 = land()
+    val assign2 = spark.read.parquet(kmeansAssignDir(dir2))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(assign2 == assign, "two-level landing must be deterministic")
+    val cents2 = spark.read.parquet(kmeansCentDir(dir2))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .toMap
+    assert(cents2.keySet == cents.keySet &&
+      cents.keySet.forall(k => cents2(k).sameElements(cents(k))))
+  }
+
+  test("two-level regime boundary: flat runway ends at 512 width, the " +
+      "coarse capacity guard prescribes the third level") {
+    import operators.Similarity._
+    // inside the flat runway: no two-level, width guard passes
+    for (n <- Seq(500L, 2000000L, 512L * maxQuantizerK))
+      assert(!twoLevelNeeded(n))
+    // past it: the two-level regime takes over (the r15 guard's own
+    // prescription) instead of an error
+    for (n <- Seq(512L * maxQuantizerK + maxQuantizerK,
+        1000L * 1000 * 1000)) {
+      assert(twoLevelNeeded(n))
+      assertCoarseCapacity(n) // inside two-level capacity: no throw
+    }
+    // the NEXT wall: past ~4.3B vectors the per-cell fine k outgrows
+    // the per-task bound — loud, named, with the prescription
+    val e = intercept[IllegalStateException] {
+      assertCoarseCapacity(5L * 1000 * 1000 * 1000) }
+    assert(e.getMessage.contains("third level"))
+  }
 }
