@@ -103,23 +103,23 @@ object Multimodal {
           .as("frame_key"))
   }
 
-  /** STUB resize: the payload as a `GridW`-wide byte grid, downsampled
-    * by `factor` via block averaging (floor of the integer mean of the
-    * present cells) — the thumbnail/pooling shape of an image
-    * pre-processing leg, minus the real codec. Integer math throughout,
-    * so the result is exactly recomputable by a SQL oracle. */
+  /** Block-average downsample of a `gridW`-wide byte grid by `factor`
+    * (floor of the integer mean of the present cells) — the
+    * thumbnail/pooling kernel of an image pre-processing leg. Integer
+    * math throughout, so the result is exactly recomputable (by the
+    * SQL oracle on the stub grid; by the spec on decoded pixels). */
   private val GridW = 16
-  private def stubResize(payload: Array[Byte], factor: Int)
+  private def blockResize(grid: Array[Byte], gridW: Int, factor: Int)
       : (Int, Long) = {
-    val ow = (GridW + factor - 1) / factor
-    val rows = (payload.length + GridW - 1) / GridW
+    val ow = (gridW + factor - 1) / factor
+    val rows = (grid.length + gridW - 1) / gridW
     val orows = math.max((rows + factor - 1) / factor, 1)
     val sums = new Array[Long](orows * ow)
     val cnts = new Array[Int](orows * ow)
     var i = 0
-    while (i < payload.length) {
-      val oi = (i / GridW / factor) * ow + (i % GridW / factor)
-      sums(oi) += (payload(i) & 0xff)
+    while (i < grid.length) {
+      val oi = (i / gridW / factor) * ow + (i % gridW / factor)
+      sums(oi) += (grid(i) & 0xff)
       cnts(oi) += 1
       i += 1
     }
@@ -133,6 +133,47 @@ object Multimodal {
     (n, total)
   }
 
+  /** REAL image decode — the first leg of the codec seam swapped from
+    * stub to real, feasible in this container because javax.imageio's
+    * PNG/BMP/GIF readers are pure JVM (no native libs): a payload that
+    * IS a PNG decodes to its integer BT.601 luma grid (per-pixel
+    * (299·R + 587·G + 114·B)/1000 — all-integer, so the spec
+    * re-derives the expected output from the same pixels exactly);
+    * anything else returns None and keeps the deterministic stub grid,
+    * so the text-payload corpus (and its SQL oracle) is bit-unchanged.
+    * Decode failures of a claimed-PNG payload return None too —
+    * quarantine-not-crash, the etl_quarantine discipline. */
+  private[graft] def decodePng(payload: Array[Byte])
+      : Option[(Int, Array[Byte])] = {
+    val isPng = payload.length > 8 &&
+      payload(0) == 0x89.toByte && payload(1) == 'P'.toByte &&
+      payload(2) == 'N'.toByte && payload(3) == 'G'.toByte
+    if (!isPng) None
+    else try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val px = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            px(y * w + x) = ((((rgb >> 16) & 0xff) * 299 +
+              ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000)
+              .toByte
+            x += 1
+          }
+          y += 1
+        }
+        Some((w, px))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   private val resizeSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("n_bytes_in", LongType),
@@ -144,14 +185,25 @@ object Multimodal {
     * integer projection (output size + output byte sum) the DuckDB
     * oracle recomputes from code points — the transform is verified
     * byte-for-byte, not just "runs". */
-  def resize(s: SparkSession, dir: String): DataFrame = {
-    val withPayload = Tables.documents(s, dir).select(
-      col("doc_id"), col("text").cast("binary").as("payload"))
+  def resize(s: SparkSession, dir: String): DataFrame =
+    resizeRows(Tables.documents(s, dir).select(
+      col("doc_id"), col("text").cast("binary").as("payload")))
+
+  /** The resize pipeline over arbitrary (doc_id, payload) rows —
+    * package-visible so the spec can drive the REAL decode leg with a
+    * generated PNG payload (the bundled corpus is text bytes, which
+    * keep the stub grid and the SQL oracle bit-for-bit). */
+  private[graft] def resizeRows(withPayload: DataFrame): DataFrame = {
     val enc = RowEncoder.encoderFor(resizeSchema)
     withPayload.mapPartitions { rows =>
       rows.map { r =>
         val payload = r.getAs[Array[Byte]]("payload")
-        val (n, total) = stubResize(payload, factor = 2)
+        // real-decode leg first (PNG → luma grid at the image's own
+        // width), stub grid otherwise — one shared pooling kernel
+        val (n, total) = decodePng(payload) match {
+          case Some((w, px)) => blockResize(px, w, factor = 2)
+          case None => blockResize(payload, GridW, factor = 2)
+        }
         Row(r.getLong(0), payload.length.toLong, n.toLong, total)
       }
     }(enc)

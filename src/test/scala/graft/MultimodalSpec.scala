@@ -76,4 +76,48 @@ class MultimodalSpec extends SparkSpec {
       s"want ${want.take(3)}")
     a.unpersist()
   }
+
+  test("mm_resize REAL decode: a generated PNG decodes through " +
+      "javax.imageio and the output re-derives from the same pixels; " +
+      "text payloads keep the stub grid bit-for-bit") {
+    import java.awt.image.BufferedImage
+    // a 20x12 RGB gradient whose luma we can recompute independently
+    val (w, h) = (20, 12)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 12) << 16) | ((y * 20) << 8) | (x + y))
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+    // expected: integer BT.601 luma grid -> 2x block-average pooling
+    val luma = Array.tabulate(h * w) { i =>
+      val (y, x) = (i / w, i % w)
+      (((x * 12) * 299 + (y * 20) * 587 + (x + y) * 114) / 1000).toByte
+    }
+    val ow = (w + 1) / 2
+    val cells = luma.zipWithIndex
+      .groupBy { case (_, i) => (i / w / 2) * ow + (i % w / 2) }
+    val wantN = cells.size.toLong
+    val wantSum = cells.values
+      .map(c => c.map(_._1 & 0xff).map(_.toLong).sum / c.length).sum
+    val textBytes = "a plain text payload, not an image".getBytes("UTF-8")
+    import spark.implicits._
+    val df = Seq((1L, png), (2L, textBytes)).toDF("doc_id", "payload")
+    val got = operators.Multimodal.resizeRows(df)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) == ((png.length.toLong, wantN, wantSum)),
+      s"PNG leg: got ${got(1L)}, want ($wantN, $wantSum) from pixels")
+    // stub parity: a non-image payload must produce EXACTLY what the
+    // corpus oracle computes (16-wide grid, 2x pooling) — the real
+    // decoder's presence changes nothing for text bytes
+    val gw = 16
+    val sow = (gw + 1) / 2
+    val sCells = textBytes.zipWithIndex
+      .groupBy { case (_, i) => (i / gw / 2) * sow + (i % gw / 2) }
+    val sWant = (textBytes.length.toLong, sCells.size.toLong,
+      sCells.values.map(c => c.map(_._1 & 0xff).map(_.toLong).sum
+        / c.length).sum)
+    assert(got(2L) == sWant, s"stub leg diverged: ${got(2L)} vs $sWant")
+  }
 }
