@@ -995,17 +995,28 @@ object Dedup {
     * Returns distinct (doc_batch, doc_corpus). */
   private[graft] def saltedProbePairs(corpus: DataFrame, batch: DataFrame,
       target: Int): DataFrame = {
-    val widths = corpus.groupBy(col("band_id"), col("band_hash"))
+    // only STORM buckets (width > target) need salting, and storms are
+    // rare by design — so the width table joins in as a BROADCAST of
+    // the storms alone (left join, absent → one salt group) instead of
+    // shuffling both sides against the full corpus-sized bucket-width
+    // table (the r15 form paid two width shuffles before the probe
+    // join; the storm table is bounded by corpus_width/target rows and
+    // in practice tiny)
+    val storms = corpus.groupBy(col("band_id"), col("band_hash"))
       .agg(count(lit(1)).as("__w"))
+      .filter(col("__w") > target)
     val g = ceil(col("__w") / lit(target)).cast("int")
-    val cs = corpus.join(widths, Seq("band_id", "band_hash"))
+    val cs = corpus.join(broadcast(storms), Seq("band_id", "band_hash"),
+        "left")
       .select(col("band_id"), col("band_hash"),
-        pmod(xxhash64(col("doc_id")), g.cast("long")).cast("int")
-          .as("__salt"),
+        when(col("__w").isNull, lit(0))
+          .otherwise(pmod(xxhash64(col("doc_id")), g.cast("long"))
+            .cast("int")).as("__salt"),
         col("doc_id").as("doc_corpus"))
-    val bs = batch.join(widths, Seq("band_id", "band_hash"))
+    val bs = batch.join(broadcast(storms), Seq("band_id", "band_hash"),
+        "left")
       .select(col("band_id"), col("band_hash"),
-        explode(sequence(lit(0), g - 1)).as("__salt"),
+        explode(sequence(lit(0), coalesce(g - 1, lit(0)))).as("__salt"),
         col("doc_id").as("doc_batch"))
     bs.join(cs, Seq("band_id", "band_hash", "__salt"))
       .select(col("doc_batch"), col("doc_corpus"))
