@@ -137,18 +137,21 @@ object Corpus {
       when(nibble <= 11, "train")
         .when(nibble <= 13, "val")
         .otherwise(lit("test"))
-    // checkpoint barrier: two branches consume the shingled table, and
-    // without it the optimizer pushes the explode's size(shingles)>0
-    // predicate into the scan — duplicating the whole (interpreted)
-    // shingle expression per row per branch (measured 13s → ~1s here)
-    val base = DocArtifacts.toks(s, dir)
+    // the per-doc shingle-hash sets are ALREADY LANDED — the mhlsh
+    // table's `hs` column is shingleHash64(toks, 3) on the same
+    // tokens — so both branches read columnar bytes instead of
+    // re-hashing the corpus behind a localCheckpoint barrier (the r15
+    // checkpoint existed to stop the optimizer duplicating an
+    // interpreted shingle expression that no longer exists here; docs
+    // with zero shingles are absent either way — explode of an empty
+    // set emits nothing)
+    Dedup.ensureMhLshLanded(s, dir)
+    val base = s.read.parquet(Dedup.mhLshDir(dir))
+      .select(col("doc_id"), col("hs").as("shingles"))
       .join(DocArtifacts.stats(s, dir).select(col("doc_id"), col("h")),
         "doc_id")
       .withColumn("split", split)
-      .select(col("doc_id"), col("split"),
-        graft.functions.ShingleHash64.shingleHash64(col("toks"), 3)
-          .as("shingles"))
-      .localCheckpoint()
+      .select(col("doc_id"), col("split"), col("shingles"))
     val trainVocab = base.filter(col("split") === "train")
       .select(explode(col("shingles")).as("sh")).distinct()
       .withColumn("hit", lit(1))
