@@ -708,7 +708,33 @@ object Similarity {
     * `vecs` is (cell, vec_id, vd); `cents` is (cell, cluster, cv);
     * result is (vec_id, cluster, dist). */
   private[graft] def cellAssign(s: SparkSession, vecs: DataFrame,
-      cents: DataFrame, nCells: Int): DataFrame = {
+      cents: DataFrame, nCells: Int): DataFrame =
+    cellAssignFull(s, vecs, cents,
+      cellWidthsOf(vecs))
+      .select(col("vec_id"), col("cluster"), col("dist"))
+
+  /** Per-cell row counts of a (cell, …) frame — one combinable
+    * aggregate onto ≤ [[broadcastK]] keys, collected (bounded). */
+  private[graft] def cellWidthsOf(vecs: DataFrame): Map[Int, Long] =
+    vecs.groupBy(col("cell")).agg(count(lit(1)).as("w"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+  /** [[cellAssign]] carrying the vector through — the Lloyd sweep
+    * consumes (cluster, vd) directly from the cogroup's own hand
+    * instead of re-joining the sample per sweep (1M×1M at the 4M
+    * probe). Dropping `vd` is a projection; nothing re-shuffles it.
+    *
+    * Salting is PER CELL and FLOPS-proportional: coarse cells are
+    * data-skewed (unlike blockAssign's hash-balanced blocks), and a
+    * cell's assignment work is width × its own fine k ∝ width², so a
+    * fixed salt count leaves one mega-cell holding the stage (the 4M
+    * probe measured 3-task stragglers for many minutes). Each cell
+    * gets g_c = ceil(width_c² / q) salt groups, q sized so the total
+    * task count lands near 8× the cores; the vecs side takes one salt
+    * by id hash, the cell's centroid slice replicates g_c ways via a
+    * broadcast literal map. */
+  private def cellAssignFull(s: SparkSession, vecs: DataFrame,
+      cents: DataFrame, widths: Map[Int, Long]): DataFrame = {
     import s.implicits._
     def dotSeq(a: Array[Double], b: Array[Double]): Double = {
       var acc = 0.0
@@ -716,16 +742,27 @@ object Similarity {
       while (i < a.length) { acc += a(i) * b(i); i += 1 }
       acc
     }
-    val salts = math.max(1,
-      8 * s.sparkContext.defaultParallelism / math.max(1, nCells))
+    val par = s.sparkContext.defaultParallelism
+    val totalW2 = widths.values.map(w => w.toDouble * w.toDouble).sum
+    val q = math.max(1.0, totalW2 / (8.0 * par))
+    val gOf: Map[Int, Int] = widths.map { case (c, w) =>
+      c -> math.min(16L * par,
+        math.max(1L, math.ceil(w.toDouble * w.toDouble / q).toLong))
+        .toInt
+    }
+    val gLit =
+      if (gOf.isEmpty) lit(null).cast("map<int,int>")
+      else typedLit(gOf)
+    val saltOf = coalesce(element_at(gLit, col("cell").cast("int")),
+      lit(1))
     val vecsRep = vecs.select(col("cell").cast("int").as("cell"),
-        pmod(xxhash64(col("vec_id")), lit(salts.toLong)).cast("int")
+        pmod(xxhash64(col("vec_id")), saltOf.cast("long")).cast("int")
           .as("salt"),
         col("vec_id"), col("vd").cast("array<double>").as("vd"))
       .as[(Int, Int, Long, Array[Double])]
       .groupByKey(t => (t._1, t._2))
     val centsRep = cents.select(col("cell").cast("int").as("cell"),
-        explode(array((0 until salts).map(lit(_)): _*)).as("salt"),
+        explode(sequence(lit(0), saltOf - 1)).as("salt"),
         col("cluster"), col("cv").cast("array<double>").as("cv"))
       .as[(Int, Int, Long, Array[Double])]
       .groupByKey(t => (t._1, t._2))
@@ -744,9 +781,9 @@ object Similarity {
           if (d < bestD) { bestD = d; bestC = t._1 }
           c += 1
         }
-        (id, bestC, bestD)
+        (id, bestC, bestD, v)
       }
-    }.toDF("vec_id", "cluster", "dist")
+    }.toDF("vec_id", "cluster", "dist", "vd")
   }
 
   /** TWO-LEVEL quantizer landing — the regime past the flat cap's
@@ -786,6 +823,24 @@ object Similarity {
     * coarseK). */
   private[graft] def trainKmeansTwoLevel(s: SparkSession, dir: String,
       n: Long, coarseK: Int, sweeps: Int): Unit = {
+    // AQE partition-coalescing OFF for the whole landing (the
+    // blockAssign rationale, same non-thread-safety caveat — landings
+    // run serially): the cellAssign cogroup stages carry ~fractions of
+    // a GB of shuffle bytes but k₂·d FLOPS of kernel work per row, and
+    // AQE sizes by bytes — the 4M probe ran its sweep stages on ~3
+    // cores before this toggle.
+    val aqeKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val aqePrev = s.conf.getOption(aqeKey)
+    s.conf.set(aqeKey, "false")
+    try trainKmeansTwoLevelBody(s, dir, n, coarseK, sweeps)
+    finally aqePrev match {
+      case Some(v) => s.conf.set(aqeKey, v)
+      case None    => s.conf.unset(aqeKey)
+    }
+  }
+
+  private def trainKmeansTwoLevelBody(s: SparkSession, dir: String,
+      n: Long, coarseK: Int, sweeps: Int): Unit = {
     import s.implicits._
     import org.apache.spark.sql.types.DecimalType
     def dotSeq(a: Array[Double], b: Array[Double]): Double = {
@@ -794,8 +849,12 @@ object Similarity {
       while (i < a.length) { acc += a(i) * b(i); i += 1 }
       acc
     }
-    val corpus = prepared(s, dir, "vec_id")
-      .select(col("vec_id"), col("vd"))
+    // near-one-split spread on every corpus pass: the kernel work per
+    // row is k·d FLOPS and a single ~1GB parquet file yields only ~8
+    // byte-range splits (measured: the 4M probe's corpus passes ran on
+    // 3-4 cores unspread)
+    val corpus = Tables.spreadScan(s, s"$dir/embeddings.parquet",
+      prepared(s, dir, "vec_id").select(col("vec_id"), col("vd")))
     // level 1: coarse centroids, driver-state Lloyd on a bounded sample
     val cap1 = trainSampleCap(coarseK)
     val slice1 = math.max(1L, n / cap1)
@@ -835,35 +894,65 @@ object Similarity {
       .localCheckpoint()
     val hashSeeds = fsample.filter(
       pmod(xxhash64(col("vec_id"), lit(7L)), lit(64L)) === 0L)
+    // one corpus stats pass: per-cell min id (the seed fallback) AND
+    // width (the FLOPS-proportional salt budget for the final corpus
+    // assignment) — a combinable aggregate onto ≤ coarseK keys,
+    // collected (bounded by configuration)
+    val cellStats: Map[Int, (Long, Long)] = withCells(corpus)
+      .groupBy(col("cell"))
+      .agg(min(col("vec_id")).as("mn"), count(lit(1)).as("w"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val corpusWidths = cellStats.map { case (c, (_, w)) => c -> w }
     // fallback seeds: the min-vec_id row of every populated corpus
-    // cell the hash slice missed (bounded: <= coarseK rows; the vd
-    // recovery is a broadcast hash join, never a corpus shuffle)
-    val seedless = withCells(corpus)
-      .groupBy(col("cell")).agg(min(col("vec_id")).as("vec_id"))
-      .join(hashSeeds.select(col("cell")).distinct(),
-        Seq("cell"), "left_anti")
-    val fallback = corpus.join(broadcast(seedless), Seq("vec_id"))
-      .select(col("cell"), col("vec_id"), col("vd"))
+    // cell the hash slice missed (bounded: <= coarseK ids; the vd
+    // recovery is a pushed-down id filter, never a corpus shuffle)
+    val seedCells = hashSeeds.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val fbIds = cellStats.collect {
+      case (c, (mn, _)) if !seedCells(c) => mn }.toSeq
+    val fallback =
+      if (fbIds.isEmpty)
+        fsample.limit(0).select(col("cell"), col("vec_id"), col("vd"))
+      else withCells(corpus.filter(col("vec_id").isin(fbIds: _*)))
+        .select(col("cell"), col("vec_id"), col("vd"))
     var cents = hashSeeds.select(col("cell"), col("vec_id"), col("vd"))
       .unionByName(fallback)
       .select(col("cell"), col("vec_id").as("cluster"),
         col("vd").as("cv"))
       .localCheckpoint()
+    val sampleWidths = cellWidthsOf(fsample)
     for (_ <- 1 to sweeps) {
-      val assign = cellAssign(s, fsample, cents, coarseK)
-        .join(fsample.select(col("vec_id"), col("vd")), "vec_id")
+      // means through an order-free INTEGER-MICROS kernel: per-cluster
+      // sums of the exact 9dp-long rendering of each coordinate —
+      // long addition commutes, so the result is bit-deterministic
+      // under any partitioning (the decimal-sum discipline at kernel
+      // cost; the r16 first cut exploded 64M (cluster, i, x) rows into
+      // a DecimalType hash-agg per sweep and dominated the 4M probe).
+      // Training-side only — the oracle contract never sees sweep math.
+      val assign = cellAssignFull(s, fsample, cents, sampleWidths)
         .select(col("cluster"), col("vd"))
-      // order-free exact-decimal means (the blocked trainer's body)
-      val means = assign
-        .select(col("cluster"), posexplode(col("vd")).as(Seq("i", "x")))
-        .groupBy(col("cluster"), col("i"))
-        .agg((sum(round(col("x"), 9).cast(DecimalType(27, 9)))
-          .cast("double") / count(lit(1)).cast("double")).as("c"))
-        .groupBy(col("cluster"))
-        .agg(collect_list(struct(col("i"), col("c"))).as("cs"))
-        .select(col("cluster"),
-          transform(array_sort(col("cs")), e => e.getField("c"))
-            .as("mcv"))
+      val means = assign.as[(Long, Array[Double])]
+        .groupByKey(_._1)
+        .mapGroups { (cl, it) =>
+          var cnt = 0L
+          var s9: Array[Long] = null
+          it.foreach { case (_, v) =>
+            if (s9 == null) s9 = new Array[Long](v.length)
+            var i = 0
+            while (i < v.length) {
+              s9(i) += java.math.BigDecimal.valueOf(v(i))
+                .setScale(9, java.math.RoundingMode.HALF_UP)
+                .unscaledValue().longValueExact()
+              i += 1
+            }
+            cnt += 1
+          }
+          // (Σ micros)/1e9 is exact in double (|Σ| < 2^53 for any
+          // bounded-norm corpus), then one deterministic /cnt
+          (cl, s9.map(m => (m.toDouble / 1e9) / cnt.toDouble).toSeq)
+        }
+        .toDF("cluster", "mcv")
       cents = cents.join(means, Seq("cluster"), "left")
         .select(col("cell"), col("cluster"),
           coalesce(col("mcv"), col("cv")).as("cv"))
@@ -885,7 +974,8 @@ object Similarity {
       .write.mode("overwrite").parquet(kmeansCoarseDir(dir))
     cents.select(col("cluster"), col("cell"))
       .write.mode("overwrite").parquet(kmeansCellMapDir(dir))
-    cellAssign(s, withCells(corpus), cents, coarseK)
+    cellAssignFull(s, withCells(corpus), cents, corpusWidths)
+      .select(col("vec_id"), col("cluster"), col("dist"))
       .write.mode("overwrite").parquet(kmeansAssignDir(dir))
     bcCoarse.destroy()
   }
