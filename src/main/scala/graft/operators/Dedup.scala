@@ -138,52 +138,72 @@ object Dedup {
     else sourceOverlapSets(sh)
   }
 
+  /** Distinct-mask cap for the driver-side pair fold: 2^|src| ≤ 2^32 in
+    * principle, but real corpora produce few distinct source SETS; past
+    * the cap the wide in-Spark aggregate takes over (same answer). */
+  private val maskCountCap = 262144
+
   /** The ≤32-source bitmask plan (spec'd equivalent to
     * [[sourceOverlapSets]] on the same input). */
   private[graft] def sourceOverlapMask(s: SparkSession, sh: DataFrame,
       srcs: Seq[String]): DataFrame = {
-    {
-      val bitOf = typedLit(srcs.zipWithIndex
-        .map { case (src, i) => src -> (1L << i) }.toMap)
-      val masks = sh
-        .select(col("h"), element_at(bitOf, col("source")).as("bit"))
-        .groupBy(col("h"))
-        .agg(bit_or(col("bit")).as("mask"))
-      val singleCols = srcs.indices.map { i =>
-        sum(when(col("mask").bitwiseAND(1L << i) =!= 0L, 1L)
-          .otherwise(0L)).as(s"__n$i") }
-      val pairIdx = for {
-        i <- srcs.indices; j <- srcs.indices if i < j } yield (i, j)
-      val pairCols = pairIdx.map { case (i, j) =>
-        val both = (1L << i) | (1L << j)
-        sum(when(col("mask").bitwiseAND(both) === both, 1L)
-          .otherwise(0L)).as(s"__p${i}_$j") }
-      val aggs = singleCols ++ pairCols
-      val row = masks.agg(aggs.head, aggs.tail: _*).collect().head
-      val nOf = srcs.indices.map(i => row.getLong(i))
-      import org.apache.spark.sql.Row
-      import org.apache.spark.sql.types._
-      val out = pairIdx.zipWithIndex.collect {
-        case ((i, j), pi) if row.getLong(srcs.size + pi) > 0 =>
-          val shared = row.getLong(srcs.size + pi)
-          // java BigDecimal.valueOf (string-canonical), not Scala's
-          // exact-binary BigDecimal(double): Spark's Round expression
-          // rounds via valueOf, and the oracle hash-compares against
-          // exactly that rendering
-          Row(srcs(i), srcs(j), shared, nOf(i), nOf(j),
-            java.math.BigDecimal
-              .valueOf(shared.toDouble / math.min(nOf(i), nOf(j)))
-              .setScale(6, java.math.RoundingMode.HALF_UP)
-              .doubleValue)
+    val bitOf = typedLit(srcs.zipWithIndex
+      .map { case (src, i) => src -> (1L << i) }.toMap)
+    // two combinable aggregates: per-shingle mask, then per-MASK
+    // counts — the distinct-mask table is tiny (source SETS, not
+    // shingles) and the singles/pairs fold over it on the driver. The
+    // first cut ran |src| + C(|src|,2) sum-aggregate COLUMNS in Spark;
+    // the 210-column codegen compile alone was ~1.4s of per-call
+    // constant at sf0.1.
+    val maskCounts = sh
+      .select(col("h"), element_at(bitOf, col("source")).as("bit"))
+      .groupBy(col("h"))
+      .agg(bit_or(col("bit")).as("mask"))
+      .groupBy(col("mask"))
+      .agg(count(lit(1)).as("cnt"))
+      .limit(maskCountCap + 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    if (maskCounts.length > maskCountCap)
+      // pathological set diversity: fall back to the in-Spark plan
+      return sourceOverlapSets(sh)
+    val k = srcs.size
+    val nOf = new Array[Long](k)
+    val shared = Array.ofDim[Long](k, k)
+    maskCounts.foreach { case (mask, cnt) =>
+      var i = 0
+      while (i < k) {
+        if ((mask & (1L << i)) != 0L) {
+          nOf(i) += cnt
+          var j = i + 1
+          while (j < k) {
+            if ((mask & (1L << j)) != 0L) shared(i)(j) += cnt
+            j += 1
+          }
+        }
+        i += 1
       }
-      val schema = StructType(Seq(
-        StructField("src_a", StringType), StructField("src_b", StringType),
-        StructField("n_shared", LongType), StructField("n_a", LongType),
-        StructField("n_b", LongType),
-        StructField("overlap_coef", DoubleType)))
-      s.createDataFrame(java.util.Arrays.asList(out: _*), schema)
-        .orderBy(col("src_a"), col("src_b"))
     }
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val out = for {
+      i <- 0 until k; j <- (i + 1) until k if shared(i)(j) > 0
+    } yield
+      // java BigDecimal.valueOf (string-canonical), not Scala's
+      // exact-binary BigDecimal(double): Spark's Round expression
+      // rounds via valueOf, and the oracle hash-compares against
+      // exactly that rendering
+      Row(srcs(i), srcs(j), shared(i)(j), nOf(i), nOf(j),
+        java.math.BigDecimal
+          .valueOf(shared(i)(j).toDouble / math.min(nOf(i), nOf(j)))
+          .setScale(6, java.math.RoundingMode.HALF_UP)
+          .doubleValue)
+    val schema = StructType(Seq(
+      StructField("src_a", StringType), StructField("src_b", StringType),
+      StructField("n_shared", LongType), StructField("n_a", LongType),
+      StructField("n_b", LongType),
+      StructField("overlap_coef", DoubleType)))
+    s.createDataFrame(java.util.Arrays.asList(out: _*), schema)
+      .orderBy(col("src_a"), col("src_b"))
   }
 
   /** The general set-based plan — one exchange, explode after the agg;
