@@ -38,8 +38,11 @@ fails = []
 # fine (the commit that ships them comes next); any OTHER dirt means
 # the artifacts describe code that is not committed
 allowed = set(DEFAULT + sys.argv[1:])
+# robust to the status-column width (" M path" unstaged, "M  path"
+# staged, "MM path" both): take everything after the first whitespace
 dirt = [l for l in dirty.splitlines()
-        if l[3:].split(" -> ")[-1] not in allowed]
+        if l.split(None, 1)[-1].split(" -> ")[-1].strip('"')
+        not in allowed]
 if dirt:
     fails.append(f"working tree dirty beyond the artifacts themselves: "
                  f"{[l.strip() for l in dirt[:5]]}")
