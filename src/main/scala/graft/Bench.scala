@@ -367,20 +367,38 @@ object Bench {
 
     // optional comma-list filter for local iteration (driver sets none)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Min-of-two, SYMMETRIC with the DuckDB side (duckScript has taken
+    // min-of-two since r13 — "stabler ratios"). A single cold run times
+    // janino codegen compilation + C2 JIT of that op's generated classes
+    // on top of the query: measured at sf3, q20's first run is 3.4s
+    // against an 0.9s steady state, and the r16 "regression" flags
+    // (q21 0.71→1.61, txt_entropy 1.33→2.07, neither touched by any
+    // commit) were exactly this noise moving between rounds. On a real
+    // cluster the JVM is long-lived and JIT amortizes to zero; the warm
+    // number is the scale signal. Both runs are recorded: spark_s = min
+    // (the comparison number), cold_s = first run (so the one-shot cost
+    // stays visible in the artifact, not hidden).
+    val resultsBoth = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          true
-        } catch { case _: Throwable => false }
-      Caches.release(spark) // ops persist/checkpoint derived tables
-      name -> (if (ok)
-        math.round((System.nanoTime() - t0) / 1e9 * 1000.0) / 1000.0
-      else -1.0)
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        val ok =
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            true
+          } catch { case _: Throwable => false }
+        Caches.release(spark) // ops persist/checkpoint derived tables
+        if (ok) math.round((System.nanoTime() - t0) / 1e9 * 1000.0) / 1000.0
+        else -1.0
+      }
+      val first = once()
+      val second = if (first < 0) -1.0 else once()
+      name -> (if (first < 0 || second < 0) (-1.0, first)
+        else (math.min(first, second), first))
     }
+    val results = resultsBoth.map { case (k, (best, _)) => k -> best }
+    val coldRuns = resultsBoth.map { case (k, (_, cold)) => k -> cold }.toMap
     val duck = duckTimings(sfDir, only)
     def obj(m: Seq[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -454,14 +472,19 @@ object Bench {
     // the artifact records the commit it was generated at, so a stamp
     // checker (tools/stamp_check.py) can refuse a round whose bench
     // artifacts predate the shipping HEAD
+    // `git rev-parse HEAD` handles packed refs / worktrees / any layout
+    // the raw .git-file read cannot; warn loudly when no stamp can be
+    // produced so a stamp-less artifact is never a silent state.
     val gitHead = try {
-      val head = java.nio.file.Files.readString(
-        java.nio.file.Paths.get("/root/repo/.git/HEAD")).trim
-      if (head.startsWith("ref: "))
-        java.nio.file.Files.readString(java.nio.file.Paths.get(
-          "/root/repo/.git/" + head.stripPrefix("ref: "))).trim
-      else head
+      val p = new ProcessBuilder("git", "rev-parse", "HEAD")
+        .directory(new java.io.File("/root/repo")).start()
+      val out = new String(p.getInputStream.readAllBytes,
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      if (p.waitFor() == 0 && out.matches("[0-9a-f]{40}")) out else ""
     } catch { case scala.util.control.NonFatal(_) => "" }
+    if (gitHead.isEmpty)
+      System.err.println(
+        "WARN: git rev-parse HEAD failed; bench artifact ships UNSTAMPED")
     val canaryField =
       s""","canary_duck_s":${math.round(canaryDuck * 10000.0) / 10000.0}""" +
         s""","canary_ops":${obj(canaryMap.toSeq.sortBy(_._1))}""" +
@@ -497,6 +520,8 @@ object Bench {
       val perOp = results.map { case (k, sparkS) =>
         val d = duck.get(k).filter(_ > 0)
         jstr(k) + ":{\"spark_s\":" + sparkS +
+          coldRuns.get(k).filter(c => c >= 0 && c != sparkS)
+            .map(c => ",\"cold_s\":" + c).getOrElse("") +
           d.map(v => ",\"duckdb_s\":" + v).getOrElse("") +
           ratioMap.get(k).map(v => ",\"ratio\":" + v).getOrElse("") + "}"
       }.mkString(",")
