@@ -59,6 +59,10 @@ object DocArtifacts {
     Tables.landingDir("docsh8", dir)
   private[graft] def doctfDir(dir: String): String =
     Tables.landingDir("doctf", dir)
+  private[graft] def bigramsDir(dir: String): String =
+    Tables.landingDir("docbigrams", dir)
+  private[graft] def srctfDir(dir: String): String =
+    Tables.landingDir("docsrctf", dir)
 
   /** The stopword registry behind `q_hits` — the quality proxy
     * corpus_token_budget_trim ranks on (kept here so the landed stat and
@@ -151,11 +155,64 @@ object DocArtifacts {
           // carries type rows (≈60% of tokens), not token instances,
           // and every consumer afterwards reads columnar type counts
           // instead of re-exploding raw token streams.
-          Future(base.select(col("doc_id"), col("source"),
-              explode(col("toks")).as("tok"))
-            .groupBy(col("doc_id"), col("source"), col("tok"))
-            .agg(count(lit(1)).as("tf"))
-            .write.mode("overwrite").parquet(doctfDir(dir))))
+          Future {
+            base.select(col("doc_id"), col("source"),
+                explode(col("toks")).as("tok"))
+              .groupBy(col("doc_id"), col("source"), col("tok"))
+              .agg(count(lit(1)).as("tf"))
+              .write.mode("overwrite").parquet(doctfDir(dir))
+            // (source, type) totals — VOCABULARY-sized, derived from the
+            // just-landed doctf bytes (columnar type rows, never token
+            // instances). Consumers that only need corpus/source type
+            // counts (hapax/TTR, vocab coverage, the unigram-LM
+            // vocabulary side) read this tiny table instead of
+            // re-aggregating the corpus-sized doctf per query.
+            s.read.parquet(doctfDir(dir))
+              .groupBy(col("source"), col("tok"))
+              .agg(sum(col("tf")).as("n"))
+              .write.mode("overwrite").parquet(srctfDir(dir))
+          },
+          // corpus bigram counts (bigram, n) — the distinct-bigram
+          // table, vocab²-bounded, landed once for every bigram
+          // consumer (ngram stats top-k, the bigram-LM score) instead
+          // of each paying the corpus-sized counting pass per query.
+          // Folded through a bounded-memory per-partition hash-map
+          // kernel: instances collapse to partial (bigram, n) counts in
+          // place, and the map FLUSHES partials past 4M entries, so
+          // executor heap is bounded by configuration even on a corpus
+          // whose per-partition distinct-bigram count is huge — partial
+          // counts re-merge exactly in the one combining shuffle.
+          Future {
+            import s.implicits._
+            base.select(col("toks")).as[Seq[String]]
+              .mapPartitions { it =>
+                val m = new java.util.HashMap[String, Long]
+                val out = scala.collection.mutable.ArrayBuffer
+                  .empty[(String, Long)]
+                def flush(): Unit = {
+                  val e = m.entrySet().iterator()
+                  while (e.hasNext) {
+                    val kv = e.next(); out += ((kv.getKey, kv.getValue))
+                  }
+                  m.clear()
+                }
+                it.foreach { toks =>
+                  var i = 0
+                  while (i < toks.length - 1) {
+                    m.merge(toks(i) + " " + toks(i + 1), 1L,
+                      Long.box(_) + _)
+                    i += 1
+                  }
+                  if (m.size > 4000000) flush()
+                }
+                flush()
+                out.iterator
+              }
+              .toDF("bigram", "n")
+              .groupBy(col("bigram"))
+              .agg(sum(col("n")).as("n"))
+              .write.mode("overwrite").parquet(bigramsDir(dir))
+          })
         Await.result(Future.sequence(writes),
           scala.concurrent.duration.Duration.Inf)
         ()
@@ -190,5 +247,17 @@ object DocArtifacts {
   private[graft] def doctf(s: SparkSession, dir: String): DataFrame = {
     ensureLanded(s, dir)
     s.read.parquet(doctfDir(dir))
+  }
+
+  /** Landed per-source type totals (source, tok, n) — vocabulary-sized. */
+  private[graft] def srctf(s: SparkSession, dir: String): DataFrame = {
+    ensureLanded(s, dir)
+    s.read.parquet(srctfDir(dir))
+  }
+
+  /** Landed corpus bigram counts (bigram, n) — vocab²-bounded. */
+  private[graft] def bigrams(s: SparkSession, dir: String): DataFrame = {
+    ensureLanded(s, dir)
+    s.read.parquet(bigramsDir(dir))
   }
 }

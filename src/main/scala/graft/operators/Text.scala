@@ -158,27 +158,28 @@ object Text {
     // it compared.)
     val tf = DocArtifacts.doctf(s, dir)
       .select(col("doc_id"), col("tok"), col("tf"))
-    val freqs = tf.groupBy(col("tok")).agg(sum(col("tf")).as("tok_n"))
+    // vocabulary totals off the landed (source, tok, n) table — a
+    // vocabulary-sized rollup, not a corpus-sized doctf re-aggregate
+    val freqs = DocArtifacts.srctf(s, dir)
+      .groupBy(col("tok")).agg(sum(col("n")).as("tok_n"))
     val totals = freqs.agg(sum(col("tok_n")).as("corpus_n"))
     val term = round(log(col("tok_n").cast("double")
       / col("corpus_n").cast("double")), 6).cast(DecimalType(18, 6))
-    // broadcast-fold regime (the bigramLogprob shape): within a 2M
-    // type cap the per-type logprob terms — SAME Column expressions,
-    // identical rounding — collect as exact 6dp-micros longs and a
-    // kernel folds each doc's token array against the map with zero
-    // corpus-sized exchanges (Σ per-instance lp6 ≡ Σ tf·lp6; long
-    // sums are exact and order-free). Past the cap the type-row join
-    // plan below takes over unchanged.
-    val cap = 2000000
+    // broadcast-fold regime (the bigramLogprob shape): within the
+    // row+byte-bounded broadcast cap (boundedTermMap) the per-type
+    // logprob terms — SAME Column expressions, identical rounding —
+    // collect as exact 6dp-micros longs and a kernel folds each doc's
+    // token array against the map with zero corpus-sized exchanges
+    // (Σ per-instance lp6 ≡ Σ tf·lp6; long sums are exact and
+    // order-free). Past either cap the type-row join plan below takes
+    // over unchanged.
     val termRows = freqs.crossJoin(totals)
       .select(col("tok"), (term * lit(1000000L)).cast("long").as("lp6"))
-      .limit(cap + 1).collect()
-    if (termRows.length <= cap) {
+      .limit(termRowCap + 1).collect()
+    val termMap = boundedTermMap(termRows)
+    if (termMap.isDefined) {
       import s.implicits._
-      val m = new java.util.HashMap[String, java.lang.Long](
-        termRows.length * 2)
-      termRows.foreach(r => m.put(r.getString(0), r.getLong(1)))
-      val bc = s.sparkContext.broadcast(m)
+      val bc = s.sparkContext.broadcast(termMap.get)
       Tables.spreadScan(s, DocArtifacts.toksDir(dir),
           DocArtifacts.toks(s, dir).select(col("doc_id"), col("toks")))
         .as[(Long, Seq[String])]
@@ -208,6 +209,36 @@ object Text {
           (sum(col("tf") * term) * lit(1000000L)).cast("long").as("__s6"))
         .select(col("doc_id"), col("n_toks"),
           mean4FromMicros(col("__s6"), col("n_toks")).as("mean_logprob"))
+  }
+
+  /** Broadcast-term regime bounds (unigram/bigram LM scores). The r16
+    * cap was 2M ROWS — row-counted, not byte-counted: 2M string-keyed
+    * rows are plausibly several hundred MB as a driver array plus again
+    * per executor as a broadcast HashMap (invisible at local[32],
+    * an OOM candidate on tightly-sized executors). The collect is now
+    * bounded at 200k rows (~tens of MB worst case) AND the accumulated
+    * KEY BYTES are checked while the map builds — either bound trips
+    * the op into its exchange plan, which computes the identical
+    * result at any vocabulary size. */
+  private[graft] val termRowCap = 200000
+  private[graft] val termKeyByteCap = 32L * 1024 * 1024
+
+  /** Build the broadcast term map iff the collected rows fit BOTH caps
+    * (row count and accumulated key bytes); None → exchange regime. */
+  private[graft] def boundedTermMap(rows: Array[org.apache.spark.sql.Row])
+      : Option[java.util.HashMap[String, java.lang.Long]] = {
+    if (rows.length > termRowCap) return None
+    val m = new java.util.HashMap[String, java.lang.Long](rows.length * 2)
+    var bytes = 0L
+    var i = 0
+    while (i < rows.length) {
+      val k = rows(i).getString(0)
+      bytes += 2L * k.length + 48L // UTF-16 chars + entry overhead
+      if (bytes > termKeyByteCap) return None
+      m.put(k, rows(i).getLong(1))
+      i += 1
+    }
+    Some(m)
   }
 
   /** Half-up 4dp mean of an exact 6dp-decimal sum, in INTEGER
@@ -262,17 +293,21 @@ object Text {
   def bigramLogprob(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // Two-regime plan keyed on the DISTINCT-bigram count (the
-    // fkAudit/sourceOverlap discipline). Within the broadcast cap, the
-    // op runs with ZERO corpus-sized exchanges: the bigram-count
-    // kernel ([[bigramCounts]]) lands the small distinct-bigram table,
-    // the per-bigram logprob terms — computed with the SAME Column
+    // fkAudit/sourceOverlap discipline). Within the broadcast caps, the
+    // op runs with ZERO corpus-sized exchanges: the LANDED
+    // distinct-bigram table ([[bigramCounts]] — the counting pass is
+    // landing-time work now, shared with ngramStats) supplies the
+    // per-bigram logprob terms — computed with the SAME Column
     // expressions as the exchange plan, so rounding is bit-identical —
-    // collect into a broadcast map of exact 6dp-micros longs, and a
-    // second kernel folds each doc's bigrams against it (long sums are
+    // which collect into a broadcast map of exact 6dp-micros longs
+    // under the row+byte bounds of [[boundedTermMap]] (a limit-pushdown
+    // read of a landed columnar table: nothing corpus-sized runs before
+    // the gate decides, and nothing is discarded past the caps), and a
+    // fold kernel scores each doc's bigrams against it (long sums are
     // exact and order-free, identical to the decimal-sum aggregate).
     // The r15 form repartitioned ~37M exploded instance rows onto the
     // bigram hash and re-joined them (measured 3.9-4.5s at sf3; the
-    // kernels run ~1s). Past the cap — real web corpora, where the
+    // kernels run ~1s). Past either cap — real web corpora, where the
     // bigram vocabulary outgrows a broadcast — the exchange plan below
     // takes over unchanged.
     val b = bigramCounts(s, dir)
@@ -283,13 +318,10 @@ object Text {
         (round(log(col("n").cast("double") / col("np").cast("double")), 6)
           .cast(DecimalType(18, 6)) * lit(1000000L)).cast("long")
           .as("lp6"))
-    val cap = 2000000
-    val termRows = termDf.limit(cap + 1).collect()
-    if (termRows.length <= cap) {
-      val m = new java.util.HashMap[String, java.lang.Long](
-        termRows.length * 2)
-      termRows.foreach(r => m.put(r.getString(0), r.getLong(1)))
-      val bc = s.sparkContext.broadcast(m)
+    val termRows = termDf.limit(termRowCap + 1).collect()
+    val termMap = boundedTermMap(termRows)
+    if (termMap.isDefined) {
+      val bc = s.sparkContext.broadcast(termMap.get)
       Tables.spreadScan(s, DocArtifacts.toksDir(dir),
           DocArtifacts.toks(s, dir).select(col("doc_id"), col("toks")))
         .as[(Long, Seq[String])]
@@ -397,49 +429,24 @@ object Text {
   /** Corpus bigram statistics: top-50 by frequency. Explode → partial agg
     * → one shuffle over the (bounded) bigram key space. */
   def ngramStats(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    // rides the LANDED per-doc token table (no per-query re-tokenize)
-    // behind a near-one-split spread, counted through a per-partition
-    // hash-map kernel — the fourth documented kernel seam (after the
-    // codec, moments and argmin loops): the explode form materialized
-    // a Tungsten row PER BIGRAM INSTANCE (~37M at sf3) before the
-    // map-side combine and measured 3.6s; the kernel folds instances
-    // straight into partial (bigram, n) counts, so the shuffle carries
-    // at most the per-partition distinct-bigram table (vocab²-bounded)
-    // and the only per-instance cost is the concat+hash itself.
-    // Exactness: partial counts sum associatively — identical to the
-    // combinable aggregate it replaces, under any partitioning.
+    // top-k over the LANDED distinct-bigram table (vocab²-bounded; the
+    // per-partition counting kernel that folds ~37M bigram instances
+    // into it is landing-time work now — DocArtifacts.bigrams — shared
+    // with the bigram-LM score instead of re-paid per query). The
+    // orderBy+limit is a TakeOrderedAndProject over the small landed
+    // table: no corpus-sized anything at query time.
     bigramCounts(s, dir)
       .orderBy(col("n").desc, col("bigram"))
       .limit(50)
   }
 
-  /** Exact corpus bigram counts off the landed token table, folded
-    * through the per-partition hash-map kernel (see [[ngramStats]]'s
-    * rationale) — shared by the bigram consumers. Result is the
-    * distinct-bigram table (vocab²-bounded), one combinable shuffle. */
-  private def bigramCounts(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    Tables.spreadScan(s, DocArtifacts.toksDir(dir),
-        DocArtifacts.toks(s, dir).select(col("toks")))
-      .as[Seq[String]]
-      .mapPartitions { it =>
-        val m = new java.util.HashMap[String, Long]
-        it.foreach { toks =>
-          var i = 0
-          while (i < toks.length - 1) {
-            m.merge(toks(i) + " " + toks(i + 1), 1L, Long.box(_) + _)
-            i += 1
-          }
-        }
-        scala.jdk.CollectionConverters.IteratorHasAsScala(
-          m.entrySet().iterator()).asScala
-          .map(e => (e.getKey, e.getValue))
-      }
-      .toDF("bigram", "n")
-      .groupBy(col("bigram"))
-      .agg(sum(col("n")).as("n"))
-  }
+  /** Exact corpus bigram counts — the LANDED distinct-bigram table
+    * (DocArtifacts.bigrams: vocab²-bounded, one bounded-memory kernel
+    * pass + one combining shuffle paid once at landing time). Every
+    * bigram consumer (ngram stats, the bigram-LM score) reads these
+    * columnar counts instead of re-folding the corpus per query. */
+  private def bigramCounts(s: SparkSession, dir: String): DataFrame =
+    DocArtifacts.bigrams(s, dir)
 
   /** Within-doc repetition signals — the duplicate-token /
     * duplicate-bigram fractions a pre-training quality filter
@@ -655,10 +662,9 @@ object Text {
     * levels: (source, type) counts, then per-source rollup — key space
     * is sources × vocabulary, never corpus rows; no window, no join. */
   def hapaxRatio(s: SparkSession, dir: String): DataFrame =
-    // (source, type) counts fold the LANDED per-doc tf rows (type rows,
-    // not token instances — and no per-query tokenize)
-    DocArtifacts.doctf(s, dir)
-      .groupBy(col("source"), col("tok")).agg(sum(col("tf")).as("n"))
+    // rides the LANDED (source, type) totals — a vocabulary-sized scan
+    // and rollup; the corpus-sized doctf aggregate lives in the landing
+    DocArtifacts.srctf(s, dir)
       .groupBy(col("source"))
       .agg(sum(col("n")).as("n_tokens"),
         count(lit(1)).as("n_types"),
@@ -742,16 +748,39 @@ object Text {
     * window anywhere. Linear in corpus tokens. */
   def entropy(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    // the landed per-doc tf table IS this op's first aggregation —
-    // the explode + (doc, tok) shuffle it re-paid per query lives in
-    // the doctf landing now
-    val tf = DocArtifacts.doctf(s, dir)
-    val term = round(col("tf").cast("double")
-      * log(col("tf").cast("double")), 9).cast(DecimalType(18, 9))
-    tf.groupBy(col("doc_id"))
-      .agg(sum(col("tf")).as("n_toks"),
-        count(lit(1)).as("n_distinct"),
-        sum(term).cast("double").as("s_tlnt"))
+    // Expression-only plan (r17): a doc's entropy needs only the doc's
+    // OWN type counts, so the per-doc tf's come from a run-length pass
+    // over the SORTED token array — a pure projection over the landed
+    // toks table with NO shuffle at any corpus size (the r16 form
+    // aggregated the doctf table: a corpus-sized (doc, type)-row
+    // exchange for per-doc state that never needed to leave its row).
+    // Exactness is unchanged: each run length tf feeds the IDENTICAL
+    // round(tf·ln tf, 9) → decimal(18,9) Column chain as before, scaled
+    // to exact integer nanos and summed as longs (exact and order-free;
+    // ≡ the decimal sum, which is the same integer grid). The long
+    // accumulator bounds the doc at n·ln(n) ≤ 9.2e9 ≈ a 4e8-token
+    // single document — far past any real document; a bigger one
+    // overflows loudly in the spec'd envelope, never silently here.
+    val sorted = array_sort(col("toks"))
+    val n = size(sorted)
+    // starts = 1-based positions where a new type's run begins
+    val starts = filter(sequence(lit(1), n), i =>
+      i === 1 || element_at(sorted, i) =!= element_at(sorted, i - 1))
+    // run lengths: next start (or n+1) minus this start
+    val tfs = zip_with(starts,
+      concat(slice(starts, lit(2), size(starts)), array(n + 1)),
+      (a, b) => b - a)
+    val nanos9 = (acc: Column, tf: Column) => acc +
+      (round(tf.cast("double") * log(tf.cast("double")), 9)
+        .cast(DecimalType(18, 9)) * lit(1000000000L)).cast("long")
+    Tables.spreadScan(s, DocArtifacts.toksDir(dir),
+        DocArtifacts.toks(s, dir).select(col("doc_id"), col("toks")))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_toks"),
+        size(starts).cast("long").as("n_distinct"),
+        (aggregate(tfs, lit(0L), nanos9).cast("double") / lit(1.0e9))
+          .as("s_tlnt"))
       .select(col("doc_id"), col("n_toks"), col("n_distinct"),
         round(log(col("n_toks").cast("double"))
           - col("s_tlnt") / col("n_toks").cast("double"), 6)
@@ -792,8 +821,9 @@ object Text {
     * a one-row broadcast. */
   def vocabCoverage(s: SparkSession, dir: String): DataFrame = {
     val ks = Seq(10, 25, 50, 100)
-    val counts = DocArtifacts.doctf(s, dir)
-      .groupBy(col("tok")).agg(sum(col("tf")).as("n"))
+    // vocabulary totals off the landed (source, tok, n) table
+    val counts = DocArtifacts.srctf(s, dir)
+      .groupBy(col("tok")).agg(sum(col("n")).as("n"))
     // vocab grows sublinearly in docs, so the doc count over-provisions
     // the bucket domain — harmless (empty buckets cost nothing)
     val nb = graft.operators.Ranking.bucketsFor(
