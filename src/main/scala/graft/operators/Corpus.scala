@@ -324,17 +324,18 @@ object Corpus {
     * equi-join — linear in corpus tokens, like txt_unigram_logprob. */
   def dsirWeights(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    // both branches fold the LANDED per-doc tf table (doctf): the
-    // vocabulary counts are type-row aggregates and the per-doc weight
-    // join weights each type's 6dp-decimal log-ratio term by its exact
-    // integer tf — term-for-term the same exact decimal sum as the
-    // per-instance fold (the txt_unigram_logprob r15 rewrite), at
-    // type-row cost with no per-query explode.
-    val tf = DocArtifacts.doctf(s, dir)
-      .select(col("doc_id"), col("source"), col("tok"), col("tf"))
-    val corpusCounts = tf.groupBy(col("tok"))
-      .agg(sum(col("tf")).as("n_c"),
-        coalesce(sum(when(col("source") === "src0", col("tf"))), lit(0L))
+    // vocabulary side off the LANDED (source, tok, n) totals
+    // (DocArtifacts.srctf — vocabulary-sized, not corpus-sized); the
+    // per-doc fold follows the txt_unigram_logprob broadcast-fold
+    // regime: within the row+byte caps the 6dp-micros log-ratio terms
+    // broadcast and a kernel folds each doc's token array — zero
+    // corpus-sized exchanges (Σ per-instance lp6 ≡ Σ tf·lp6; long sums
+    // exact and order-free, identical to the decimal-sum aggregate).
+    // Past either cap the doctf join plan takes over unchanged.
+    val corpusCounts = DocArtifacts.srctf(s, dir)
+      .groupBy(col("tok"))
+      .agg(sum(col("n")).as("n_c"),
+        coalesce(sum(when(col("source") === "src0", col("n"))), lit(0L))
           .as("n_t"))
     val totals = corpusCounts.agg(
       sum(col("n_c")).as("big_n_c"), sum(col("n_t")).as("big_n_t"),
@@ -345,10 +346,43 @@ object Corpus {
       / ((col("n_c") + lit(1)).cast("double")
         / (col("big_n_c") + col("vocab")).cast("double"))), 6)
       .cast(DecimalType(18, 6))
-    tf.join(broadcast(corpusCounts.crossJoin(totals)), "tok")
-      .groupBy(col("doc_id"))
-      .agg(sum(col("tf")).as("n_toks"),
-        sum(col("tf") * term).cast("double").as("dsir_logweight"))
+    val termDf = corpusCounts.crossJoin(totals)
+      .select(col("tok"), (term * lit(1000000L)).cast("long").as("lp6"))
+    val termRows = termDf.limit(Text.termRowCap + 1).collect()
+    val termMap = Text.boundedTermMap(termRows)
+    if (termMap.isDefined) {
+      import s.implicits._
+      val bc = s.sparkContext.broadcast(termMap.get)
+      Tables.spreadScan(s, DocArtifacts.toksDir(dir),
+          DocArtifacts.toks(s, dir).select(col("doc_id"), col("toks")))
+        .as[(Long, Seq[String])]
+        .mapPartitions { it =>
+          val t = bc.value
+          it.flatMap { case (id, toks) =>
+            if (toks.isEmpty) None
+            else {
+              var s6 = 0L
+              var i = 0
+              while (i < toks.length) {
+                // same landed tokens built the map — a miss must throw
+                s6 += t.get(toks(i))
+                i += 1
+              }
+              Some((id, toks.length.toLong, s6))
+            }
+          }
+        }
+        .toDF("doc_id", "n_toks", "__s6")
+        .select(col("doc_id"), col("n_toks"),
+          (col("__s6").cast("double") / lit(1.0e6)).as("dsir_logweight"))
+    } else {
+      val tf = DocArtifacts.doctf(s, dir)
+        .select(col("doc_id"), col("tok"), col("tf"))
+      tf.join(broadcast(corpusCounts.crossJoin(totals)), "tok")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tf")).as("n_toks"),
+          sum(col("tf") * term).cast("double").as("dsir_logweight"))
+    }
   }
 
   /** Quality-threshold sweep — the filter-tuning artifact every corpus

@@ -132,8 +132,17 @@ object Dedup {
     // exchange, explode after the agg) takes over; same answer.
     val sh = DocArtifacts.shingles3(s, dir)
       .select(col("source"), xxhash64(col("shingle")).as("h"))
+    // UTF-8 BYTE order, not Scala's UTF-16 code-unit `.sorted`: the
+    // >32-source fallback orients (src_a, src_b) pairs with Spark's
+    // array_sort (UTF8String binary order), and for source names with
+    // supplementary characters the two orders differ — both regimes
+    // must orient pairs identically
+    val utf8Order: Ordering[String] = (a: String, b: String) =>
+      java.util.Arrays.compareUnsigned(
+        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val srcs: Seq[String] = sh.select(col("source")).distinct()
-      .collect().map(_.getString(0)).sorted.toSeq
+      .collect().map(_.getString(0)).sorted(utf8Order).toSeq
     if (srcs.size <= 32 && srcs.nonEmpty) sourceOverlapMask(s, sh, srcs)
     else sourceOverlapSets(sh)
   }
@@ -1013,6 +1022,14 @@ object Dedup {
     * appears exactly once. The inner join on the width table also DROPS
     * batch bands absent from the index: exactly the no-candidate case.
     * Returns distinct (doc_batch, doc_corpus). */
+  /** Storm-table broadcast bound: ≤ this many storm buckets broadcast
+    * (≤ ~2.4 MB of (int, long, long) rows); past it the width join
+    * falls back to the shuffle plan. Storm count is DATA-dependent
+    * (bounded only by corpus_rows/target — a heavy-duplication corpus
+    * can make most buckets storms), so the regime is decided by a
+    * COUNTED probe of the storm aggregate, never assumed. */
+  private[graft] val stormBroadcastCap = 100000L
+
   private[graft] def saltedProbePairs(corpus: DataFrame, batch: DataFrame,
       target: Int): DataFrame = {
     // only STORM buckets (width > target) need salting, and storms are
@@ -1020,20 +1037,28 @@ object Dedup {
     // the storms alone (left join, absent → one salt group) instead of
     // shuffling both sides against the full corpus-sized bucket-width
     // table (the r15 form paid two width shuffles before the probe
-    // join; the storm table is bounded by corpus_width/target rows and
-    // in practice tiny)
+    // join). The two-regime discipline: the storm table is persisted
+    // and counted under a bounded probe (limit cap+1, never a full
+    // count of an unbounded table) — within the cap it broadcasts,
+    // past it (the heavy-duplication corpus where "rare by design"
+    // fails) both sides take the shuffle width-join, which is safe at
+    // any storm count.
     val storms = corpus.groupBy(col("band_id"), col("band_hash"))
       .agg(count(lit(1)).as("__w"))
       .filter(col("__w") > target)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fits = storms.limit(stormBroadcastCap.toInt + 1).count() <=
+      stormBroadcastCap
+    val side = if (fits) broadcast(storms) else storms
     val g = ceil(col("__w") / lit(target)).cast("int")
-    val cs = corpus.join(broadcast(storms), Seq("band_id", "band_hash"),
+    val cs = corpus.join(side, Seq("band_id", "band_hash"),
         "left")
       .select(col("band_id"), col("band_hash"),
         when(col("__w").isNull, lit(0))
           .otherwise(pmod(xxhash64(col("doc_id")), g.cast("long"))
             .cast("int")).as("__salt"),
         col("doc_id").as("doc_corpus"))
-    val bs = batch.join(broadcast(storms), Seq("band_id", "band_hash"),
+    val bs = batch.join(side, Seq("band_id", "band_hash"),
         "left")
       .select(col("band_id"), col("band_hash"),
         explode(sequence(lit(0), coalesce(g - 1, lit(0)))).as("__salt"),

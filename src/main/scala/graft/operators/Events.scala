@@ -398,31 +398,41 @@ object Events {
           .as("revenue"))
   }
 
-  /** Daily + 7-day rolling active users. Distinct (day,user) pairs are
-    * aggregated first, then each pair EXPLODES into the ≤7 window anchors
-    * it covers and one equi-groupBy counts distinct users per anchor —
-    * O(7n) with partial aggregation and zero non-equi joins (the
-    * `datediff BETWEEN` formulation degenerates to a broadcast
-    * nested-loop join of every pair against every anchor). Anchors that
-    * aren't real activity days fall out in the final dau equi-join.
-    * DISTINCT window aggregates don't exist in either engine; this shape
-    * scales where they wouldn't. */
+  /** Daily + 7-day rolling active users, in ONE data-sized exchange:
+    * events collapse to per-user distinct day SETS (map-side partial
+    * collect_set, one user_id shuffle), then BOTH counts fall out of
+    * bounded per-row array math — dau explodes the day set, wau
+    * explodes the per-user DEDUPED anchor set (each day covers ≤7
+    * anchors; array_distinct runs per user-row, so the (anchor, user)
+    * pair stream is already distinct by construction and a plain count
+    * IS the distinct-user count). The two count aggregates collapse
+    * map-side to ≤|days| rows per task — calendar-bounded, tiny at any
+    * fact scale. The r16 form shuffled the distinct (day,user) pair
+    * table once for the distinct, then AGAIN through countDistinct's
+    * two-phase expand over the ×7 exploded anchors — two fact-sized
+    * exchanges where one suffices. Per-user state is bounded by the
+    * calendar (≤ |days| distinct days per user), never by event count.
+    * DISTINCT window aggregates don't exist in either engine; this
+    * shape scales where they wouldn't. */
   def dauWau(s: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.events(s, dir)
-      .select(col("ts").cast("date").as("day"), col("user_id"))
-      .distinct()
-    // daily is already distinct (day, user): a plain count IS the
-    // distinct-user count, and its map-side partials collapse to
-    // ≤|days| rows per task — countDistinct here re-shuffled the whole
-    // pair table a second time for the same number
-    val dau = daily.groupBy(col("day"))
-      .agg(count(lit(1)).as("dau"))
-    val wau = daily
-      .select(explode(sequence(col("day"), date_add(col("day"), 6)))
-        .as("anchor"), col("user_id"))
-      .groupBy(col("anchor"))
-      .agg(countDistinct(col("user_id")).as("wau"))
-    dau.join(wau, col("day") === col("anchor"))
+    val perUser = Tables.events(s, dir)
+      .select(col("user_id"), col("ts").cast("date").as("day"))
+      .groupBy(col("user_id"))
+      .agg(collect_set(col("day")).as("days"))
+    // one explode emits BOTH tagged streams per user (k=0 activity
+    // days, k=1 covered anchors), so a single bounded aggregate yields
+    // dau and wau together — no second pass over the exchange, no join;
+    // anchors that aren't real activity days drop at the dau>0 filter
+    perUser
+      .select(explode(concat(
+        transform(col("days"), d => struct(d.as("day"), lit(0).as("k"))),
+        transform(array_distinct(flatten(transform(col("days"),
+            d => sequence(d, date_add(d, 6))))),
+          a => struct(a.as("day"), lit(1).as("k"))))).as("x"))
+      .groupBy(col("x.day").as("day"))
+      .agg(count(when(col("x.k") === 0, 1)).as("dau"),
+        count(when(col("x.k") === 1, 1)).as("wau"))
+      .filter(col("dau") > 0)
       .select(col("day"), col("dau"), col("wau"))
   }
 

@@ -318,11 +318,30 @@ object Relational {
     // and the per-row probe copies nothing it won't aggregate
     val promo = Tables.part(s, dir).select(col("p_partkey"),
       col("p_type").startsWith("PROMO").as("__promo"))
-    val dp = discPrice(col("l_extendedprice"), col("l_discount"))
-      .cast(DecimalType(30, 4))
-    li.join(broadcast(promo), col("l_partkey") === col("p_partkey"))
+    val joined = li
+      .join(broadcast(promo), col("l_partkey") === col("p_partkey"))
       .groupBy(year(col("l_shipdate")).as("ship_year"))
-      .agg(
+    // Two-regime sums on the catalog row count (parquet footers, no
+    // job). Within 2e9 fact rows the 4dp revenue rides EXACT LONG
+    // 4dp-units — discPrice is a scale-4 decimal, so ×10⁴ is integral
+    // and the long sum is the identical integer the decimal sum holds
+    // (per-row ≤ 1.1e9 units, 2e9 rows ≤ 2.2e18 < 2⁶³: a 4× margin),
+    // at codegen'd long-add cost instead of per-row BigDecimal adds
+    // (the decimal(30,4) accumulator is boxed — measured ~2× the whole
+    // op at sf3). Past 2e9 rows the decimal plan takes over unchanged —
+    // same expressions, unbounded precision.
+    if (Tables.rowCount(s, dir, "lineitem") <= 2L * 1000 * 1000 * 1000) {
+      val dp4 = (discPrice(col("l_extendedprice"), col("l_discount"))
+        * 10000).cast("long")
+      joined.agg(
+        round(lit(100.0) *
+          coalesce(sum(when(col("__promo"), dp4)), lit(0L)).cast("double")
+          / sum(dp4).cast("double"), 4).as("promo_ratio"),
+        count(lit(1)).as("n_items"))
+    } else {
+      val dp = discPrice(col("l_extendedprice"), col("l_discount"))
+        .cast(DecimalType(30, 4))
+      joined.agg(
         round(lit(100.0) *
           // no `.otherwise(0)`: sum skips nulls, so non-promo rows cost
           // no decimal add at all (dp is BigDecimal-backed past
@@ -332,6 +351,7 @@ object Relational {
             lit(0.0)) /
           sum(dp).cast("double"), 4).as("promo_ratio"),
         count(lit(1)).as("n_items"))
+    }
   }
 
   /** TPC-H Q15 shape: scalar-subquery comparison against a global max —
@@ -753,11 +773,15 @@ object Relational {
         |ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS median_price
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q14_conditional_agg" ->
+      // integer-exact: the scale-4 revenue is summed as exact 4dp-unit
+      // integers on BOTH sides (the ×10⁴ cancels in the ratio), so the
+      // two engines cast the IDENTICAL integers to double — no
+      // engine-variant decimal→double pre-rounding in the quotient
       """SELECT year(l_shipdate) AS ship_year,
         |ROUND(100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
-        |    THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(30,4))
-        |    ELSE CAST(0 AS DECIMAL(30,4)) END) AS DOUBLE)
-        |  / CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(30,4))) AS DOUBLE), 4) AS promo_ratio,
+        |    THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * 10000 AS BIGINT)
+        |    ELSE 0 END) AS DOUBLE)
+        |  / CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * 10000 AS BIGINT)) AS DOUBLE), 4) AS promo_ratio,
         |COUNT(*) AS n_items
         |FROM lineitem, part WHERE l_partkey = p_partkey
         |GROUP BY year(l_shipdate)""".stripMargin,

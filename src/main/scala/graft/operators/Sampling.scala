@@ -127,7 +127,6 @@ object Sampling {
   def interleave(s: SparkSession, dir: String): DataFrame = {
     val nDocs = Tables.rowCount(s, dir, "documents")
     val hc = Ranking.hexCharsFor(nDocs)
-    val vb = Ranking.bucketsFor(nDocs, 256)
     // __hk IS the landed content hash (DocArtifacts stats `h` =
     // md5(text)) — the interleave reads scalar columns only, no text
     val base = DocArtifacts.stats(s, dir)
@@ -138,11 +137,54 @@ object Sampling {
         1 << (4 * hc), Seq(col("__hk"), col("doc_id")), "src_rank")
       .withColumn("vt",
         col("src_rank").cast("double") / col("weight").cast("double"))
-    val bucketed = Ranking.withValueBucket(ranked, col("vt"), "__vbkt", vb)
-    Ranking.bucketedRowNumber(bucketed, Nil, "__vbkt", vb,
-        Seq(col("vt"), col("source"), col("doc_id")), "pos")
-      .select(col("doc_id"), col("source"), col("weight"),
-        col("src_rank"), round(col("vt"), 6).as("vt"), col("pos"))
+    // The global position is CLOSED-FORM from the per-source totals:
+    // stride scheduling emits each source's ranks as the arithmetic
+    // ladder r/w, so the number of rows ordered strictly before
+    // (s, r) is Σ_{s'} |{r' ≤ n_{s'} : r'·w_s < r·w_{s'}}|
+    //         = Σ_{s'} min(n_{s'}, (r·w_{s'} − 1) div w_s),
+    // plus the exact ties r'·w_s = r·w_{s'} from earlier-named sources
+    // (the (vt, source) tie-break; same-source ties are impossible —
+    // vt is strictly increasing in r). All integer arithmetic, so the
+    // result is exact wherever the oracle's double vt ordering is
+    // collision-free: with integer weights ≤ 3 the rational grid's
+    // minimum nonzero gap is ≥ 1/9, astronomically wider than a double
+    // ulp until r ≈ 4e14 — far past any real corpus. This replaces the
+    // r16 second two-pass ranking (percentile boundary pass + offset
+    // pass + data-sized rank exchange over vt) with ONE broadcast
+    // projection; the per-source stat table is bounded by the source
+    // registry (the dedup_source_overlap discipline), guarded by cap
+    // with the ranking plan as fallback.
+    val srcStats = base.groupBy(col("source"))
+      .agg(first(col("weight")).as("w"), count(lit(1)).as("n"))
+      .limit(65).collect()
+    if (srcStats.length > 64) {
+      // unbounded registry: fall back to the exact two-pass ranking
+      val vb = Ranking.bucketsFor(nDocs, 256)
+      val bucketed = Ranking.withValueBucket(ranked, col("vt"), "__vbkt",
+        vb)
+      Ranking.bucketedRowNumber(bucketed, Nil, "__vbkt", vb,
+          Seq(col("vt"), col("source"), col("doc_id")), "pos")
+        .select(col("doc_id"), col("source"), col("weight"),
+          col("src_rank"), round(col("vt"), 6).as("vt"), col("pos"))
+    } else {
+      val stats = array(srcStats.map { r =>
+        struct(lit(r.getString(0)).as("src"),
+          lit(r.getInt(1).toLong).as("w"), lit(r.getLong(2)).as("n"))
+      }: _*)
+      def floorDiv(t: org.apache.spark.sql.Column, d: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        ((t - pmod(t, d)) / d).cast("long")
+      val w = col("weight").cast("long")
+      val pos = aggregate(stats, lit(1L), (acc, st) => {
+        val cross = col("src_rank") * st.getField("w")
+        acc +
+          least(st.getField("n"), floorDiv(cross - 1, w)) +
+          when(st.getField("src") < col("source") &&
+            pmod(cross, w) === 0 && floorDiv(cross, w) <= st.getField("n"),
+            1L).otherwise(0L)
+      })
+      ranked.select(col("doc_id"), col("source"), col("weight"),
+        col("src_rank"), round(col("vt"), 6).as("vt"), pos.as("pos"))
+    }
   }
 
   /** Deterministic k-fold cross-validation assignment: fold = a 24-bit

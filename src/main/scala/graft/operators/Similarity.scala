@@ -693,33 +693,22 @@ object Similarity {
     }
   }
 
-  /** Exact PER-CELL argmin for the two-level quantizer: each vector
-    * meets ONLY its own coarse cell's centroid slice, through the
-    * [[blockAssign]] cogroup machinery keyed on (cell, salt) — the
-    * salt (vector-id hash) spreads a cell's vectors over several
-    * reduce tasks so parallelism never collapses onto the cell count.
-    * A task materializes ONE cell's fine centroids (≤ [[broadcastK]]
-    * × d doubles by [[assertCoarseCapacity]]) and streams its vector
-    * slice through the primitive-array argmin kernel. No cross-group
-    * reduce is needed: unlike blockAssign, a vector appears in exactly
-    * one (cell, salt) group. Same exactness contract as blockAssign:
-    * ascending-cluster strict-`<` scan, ties to the lower id.
-    *
-    * `vecs` is (cell, vec_id, vd); `cents` is (cell, cluster, cv);
-    * result is (vec_id, cluster, dist). */
-  private[graft] def cellAssign(s: SparkSession, vecs: DataFrame,
-      cents: DataFrame, nCells: Int): DataFrame =
-    cellAssignFull(s, vecs, cents,
-      cellWidthsOf(vecs))
-      .select(col("vec_id"), col("cluster"), col("dist"))
-
   /** Per-cell row counts of a (cell, …) frame — one combinable
     * aggregate onto ≤ [[broadcastK]] keys, collected (bounded). */
   private[graft] def cellWidthsOf(vecs: DataFrame): Map[Int, Long] =
     vecs.groupBy(col("cell")).agg(count(lit(1)).as("w"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
 
-  /** [[cellAssign]] carrying the vector through — the Lloyd sweep
+  /** Exact PER-CELL argmin for the two-level quantizer, carrying the
+    * vector through — each vector meets ONLY its own coarse cell's
+    * centroid slice, through the [[blockAssign]] cogroup machinery
+    * keyed on (cell, salt). A task materializes ONE cell's fine
+    * centroids (≤ [[broadcastK]] × d doubles by
+    * [[assertCoarseCapacity]]) and streams its vector slice through
+    * the primitive-array argmin kernel; no cross-group reduce is
+    * needed — a vector appears in exactly one (cell, salt) group.
+    * Same exactness contract as blockAssign: ascending-cluster
+    * strict-`<` scan, ties to the lower id. The Lloyd sweep
     * consumes (cluster, vd) directly from the cogroup's own hand
     * instead of re-joining the sample per sweep (1M×1M at the 4M
     * probe). Dropping `vd` is a projection; nothing re-shuffles it.
@@ -800,7 +789,7 @@ object Similarity {
     *     from the coarse table; never landed, never joined).
     *  3. FINE: one quantizer per cell, ALL cells trained together —
     *     the expected-64-per-centroid hash-mod sample (every 4th
-    *     vector: width 256 / 4) sweeps through [[cellAssign]], means
+    *     vector: width 256 / 4) sweeps through [[cellAssignFull]], means
     *     via the order-free exact-decimal fold (the blocked trainer's
     *     discipline). Seeds are the expected-1-per-64-sample-rows
     *     hash-mod slice — so a cell's fine k tracks its width — with a
@@ -810,7 +799,7 @@ object Similarity {
     *     the landed FLAT schema — (cluster, cv) centroids, (vec_id,
     *     cluster, dist) assignment — is exactly the one-level one and
     *     every consumer reads it unchanged.
-    *  4. The corpus assignment is coarse-on-the-fly + [[cellAssign]]
+    *  4. The corpus assignment is coarse-on-the-fly + [[cellAssignFull]]
     *     against the landed fine centroids: each vector pays
     *     d·(coarseK + its cell's fine k) flops instead of the flat
     *     regime's d·k_total — THE point of the second level.

@@ -748,42 +748,59 @@ object Text {
     * window anywhere. Linear in corpus tokens. */
   def entropy(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    // Expression-only plan (r17): a doc's entropy needs only the doc's
-    // OWN type counts, so the per-doc tf's come from a run-length pass
-    // over the SORTED token array — a pure projection over the landed
-    // toks table with NO shuffle at any corpus size (the r16 form
-    // aggregated the doctf table: a corpus-sized (doc, type)-row
-    // exchange for per-doc state that never needed to leave its row).
-    // Exactness is unchanged: each run length tf feeds the IDENTICAL
-    // round(tf·ln tf, 9) → decimal(18,9) Column chain as before, scaled
-    // to exact integer nanos and summed as longs (exact and order-free;
-    // ≡ the decimal sum, which is the same integer grid). The long
-    // accumulator bounds the doc at n·ln(n) ≤ 9.2e9 ≈ a 4e8-token
-    // single document — far past any real document; a bigger one
-    // overflows loudly in the spec'd envelope, never silently here.
-    val sorted = array_sort(col("toks"))
-    val n = size(sorted)
-    // starts = 1-based positions where a new type's run begins
-    val starts = filter(sequence(lit(1), n), i =>
-      i === 1 || element_at(sorted, i) =!= element_at(sorted, i - 1))
-    // run lengths: next start (or n+1) minus this start
-    val tfs = zip_with(starts,
-      concat(slice(starts, lit(2), size(starts)), array(n + 1)),
-      (a, b) => b - a)
-    val nanos9 = (acc: Column, tf: Column) => acc +
-      (round(tf.cast("double") * log(tf.cast("double")), 9)
-        .cast(DecimalType(18, 9)) * lit(1000000000L)).cast("long")
+    // Kernel plan (r17): a doc's entropy needs only the doc's OWN type
+    // counts, so the per-doc tf's fold in a mapPartitions kernel over
+    // the landed toks table — NO shuffle at any corpus size (the r16
+    // form aggregated the doctf table: a corpus-sized (doc, type)-row
+    // exchange for per-doc state that never needed to leave its row;
+    // an expression-HOF run-length draft measured 66s at sf3 — the
+    // nested array lambdas re-evaluate their inputs per reference —
+    // so this is the codec/argmin kernel seam instead, ~0.5s).
+    // Exactness: per-type nanos replicate the round(tf·ln tf, 9) →
+    // decimal(18,9) Column chain digit-for-digit — Spark's Round on a
+    // double is BigDecimal.valueOf(d).setScale(9, HALF_UP) (shortest
+    // decimal repr, same as here), and a 9dp decimal ≤ 17 significant
+    // digits round-trips the double exactly, so movePointRight(9) is
+    // the identical integer grid; longs sum exact and order-free
+    // (≡ the decimal sum). The long accumulator bounds the doc at
+    // n·ln(n) ≤ 9.2e9 ≈ a 4e8-token single document — far past any
+    // real document. tf values repeat heavily, so nanos are memoized
+    // per partition.
+    import s.implicits._
     Tables.spreadScan(s, DocArtifacts.toksDir(dir),
         DocArtifacts.toks(s, dir).select(col("doc_id"), col("toks")))
-      .filter(size(col("toks")) > 0)
-      .select(col("doc_id"),
-        size(col("toks")).cast("long").as("n_toks"),
-        size(starts).cast("long").as("n_distinct"),
-        (aggregate(tfs, lit(0L), nanos9).cast("double") / lit(1.0e9))
-          .as("s_tlnt"))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val nanosOf = new java.util.HashMap[Int, java.lang.Long]
+        def nanos(tf: Int): Long = {
+          val hit = nanosOf.get(tf)
+          if (hit != null) hit.longValue
+          else {
+            val v = java.math.BigDecimal
+              .valueOf(tf.toDouble * math.log(tf.toDouble))
+              .setScale(9, java.math.RoundingMode.HALF_UP)
+              .movePointRight(9).longValueExact()
+            nanosOf.put(tf, v)
+            v
+          }
+        }
+        it.flatMap { case (id, toks) =>
+          if (toks.isEmpty) None
+          else {
+            val m = new java.util.HashMap[String, Int](toks.length * 2)
+            toks.foreach(t => m.merge(t, 1, Integer.sum _))
+            var s9 = 0L
+            val vs = m.values.iterator()
+            while (vs.hasNext) s9 += nanos(vs.next())
+            Some((id, toks.length.toLong, m.size.toLong, s9))
+          }
+        }
+      }
+      .toDF("doc_id", "n_toks", "n_distinct", "__s9")
       .select(col("doc_id"), col("n_toks"), col("n_distinct"),
         round(log(col("n_toks").cast("double"))
-          - col("s_tlnt") / col("n_toks").cast("double"), 6)
+          - (col("__s9").cast("double") / lit(1.0e9))
+            / col("n_toks").cast("double"), 6)
           .as("entropy_nats"))
   }
 
