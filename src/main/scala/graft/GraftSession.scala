@@ -53,6 +53,16 @@ object GraftSession {
       // value via the builder it passes to `tuned`.
       .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // report the bucketed landings' per-bucket SORT ORDER to the
+      // planner: the bucket writer repartitions to one file per bucket
+      // (Scale.ensureBucketsLanded), which is exactly the regime this
+      // flag requires — with it the co-located orderkey SMJs
+      // (q4/q17/etl_fk_audit) skip their sort nodes entirely (the sf3
+      // lineitem-orders SMJ measured 3.4s WITH the re-sort, 1.1s
+      // without); off, Spark conservatively re-sorts every bucketed
+      // scan because a multi-file bucket only guarantees order within
+      // each file
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       // timezone-naive parquet timestamps (timestamp[us] with no tz)
       // must read as TimestampType, not TIMESTAMP_NTZ: the session is
       // pinned UTC so the values are identical, every chrono function

@@ -634,9 +634,14 @@ object Etl {
               // rides the landed PK contract: a duplicated o_orderkey
               // would double-count its lineitems here (the exchange
               // path, not this one, is the defense when that contract
-              // is in question)
+              // is in question). MERGE hint: both sides are bucketed
+              // AND sorted on the key with one file per bucket, so the
+              // SMJ is exchange-free and sort-free — without the hint
+              // AQE's size estimate converts this to a BHJ that
+              // driver-collects the full parent key set (measured
+              // 3.2s vs 0.4s at sf3 for the 4.5M-key orders side)
               df.join(s.table(Scale.bucketTableNames(dir)._1)
-                .select(col(pk).as(s"__p$i")),
+                .select(col(pk).as(s"__p$i")).hint("merge"),
                 col(ck) === col(s"__p$i"), "left")
             else
               // parent key set is DEDUPED before the broadcast: these

@@ -242,7 +242,8 @@ object Relational {
     Scale.ensureBucketsLanded(s, dir)
     val (ordT, liT) = Scale.bucketTableNames(dir)
     s.table(ordT)
-      .join(s.table(liT).select(col("l_orderkey"), col("l_shipdate")),
+      .join(s.table(liT).select(col("l_orderkey"), col("l_shipdate"))
+          .hint("merge"),
         col("o_orderkey") === col("l_orderkey") &&
           col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
         "left_semi")

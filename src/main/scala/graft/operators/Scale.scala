@@ -105,7 +105,12 @@ object Scale {
   def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
     ensureBucketsLanded(s, dir)
     val (ord, li) = bucketTableNames(dir)
-    s.table(li).join(s.table(ord), col("l_orderkey") === col("o_orderkey"))
+    // MERGE hint: the landings are bucketed AND sorted with one file
+    // per bucket, so the SMJ runs exchange-free and sort-free; without
+    // it AQE's size estimate converts to a BHJ that driver-collects
+    // the orders side (the etl_fk_audit lesson — 3.2s vs 0.4s at sf3)
+    s.table(li).join(s.table(ord).hint("merge"),
+        col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n_items"),
         sum(dec2(col("l_extendedprice"))).cast("double")
