@@ -299,21 +299,28 @@ object Ranking {
         "nBuckets^|measures| cells per group — melt past 3 measures")
     val base = df.select(gCols ++
       mcols.map(m => col(m).cast("double").as(m)): _*)
-    // pass 1: all boundaries in one sampled aggregate (no groupBy —
-    // measures are columns, so one row carries every bounds array).
-    // Accuracy 250, not the melted form's 1000: boundaries only shape
-    // BALANCE (contiguity gives exactness whatever they are), and the
-    // quantile-summary insert/compress cost scales with accuracy —
-    // measured ~2.5s of the sf3 wall at 1000 on a 900k-row sample.
-    val brow = base.sample(0.05, 7L)
-      .agg(percentile_approx(col(mcols.head),
-          array(boundaryQs(nBuckets): _*), lit(250)).as(mcols.head),
-        mcols.tail.map(m => percentile_approx(col(m),
-          array(boundaryQs(nBuckets): _*), lit(250)).as(m)): _*)
-      .collect().head
+    // pass 1: EQUI-WIDTH boundaries from one min/max aggregate —
+    // boundaries only shape BALANCE (contiguity gives exactness
+    // whatever they are), and min/max is a plain combinable aggregate
+    // that parquet footer statistics serve without decoding data pages
+    // (spark.sql.parquet.aggregatePushdown), where the r16 sampled
+    // percentile_approx pass paid a QuantileSummaries insert/compress
+    // over a 900k-row sample (~0.5-1s of the sf3 wall). Value-skewed
+    // columns get less even buckets than sampled quantiles would give;
+    // the refinement stage scans a couple of fatter buckets, which is
+    // balance, not correctness — the contiguity argument is unchanged.
+    val aggs = mcols.zipWithIndex.flatMap { case (m, i) =>
+      Seq(min(col(m)).as(s"__mn$i"), max(col(m)).as(s"__mx$i")) }
+    val brow = base.agg(aggs.head, aggs.tail: _*).collect().head
     val bmap: Map[String, Seq[Double]] = mcols.zipWithIndex.flatMap {
       case (m, i) =>
-        if (brow.isNullAt(i)) None else Some(m -> brow.getSeq[Double](i))
+        if (brow.isNullAt(2 * i)) None
+        else {
+          val lo = brow.getDouble(2 * i)
+          val hi = brow.getDouble(2 * i + 1)
+          Some(m -> (1 until nBuckets).map(k =>
+            lo + (hi - lo) * k / nBuckets))
+        }
     }.toMap
     // a NULL measure value gets the −1 sentinel bucket: the joint
     // contingency must still count the row for its other measures (the

@@ -102,10 +102,17 @@ object Sampling {
     * by construction), never a single-task global window: one cheap
     * count pass + one bucket-partitioned row_number. */
   def shuffleOrder(s: SparkSession, dir: String): DataFrame = {
+    // the draw chains the LANDED content hash (DocArtifacts stats `h`
+    // = md5(text)) instead of re-digesting the raw text: the op reads
+    // two scalar columns off columnar storage — both passes of the
+    // two-pass ranking skip the text pages entirely — and the key is
+    // just as content-derived/deterministic (md5 over doc_id + the
+    // content digest). The oracle re-derives the same chain from the
+    // raw text, so the order stays engine-checked end to end.
     val key = md5(concat(lit("shuffle:"), col("doc_id").cast("string"),
-      lit(":"), col("text")))
+      lit(":"), col("h")))
     val hc = Ranking.hexCharsFor(Tables.rowCount(s, dir, "documents"))
-    val base = Tables.documents(s, dir)
+    val base = DocArtifacts.stats(s, dir)
       .withColumn("shuffle_key", key)
       .withColumn("__bkt", Ranking.hexPrefixBucket(col("shuffle_key"), hc))
     Ranking.bucketedRowNumber(base, Nil, "__bkt", 1 << (4 * hc),
@@ -403,10 +410,10 @@ object Sampling {
         |FROM assigned GROUP BY split""".stripMargin,
     "smp_shuffle" ->
       """SELECT doc_id,
-        |  md5('shuffle:' || CAST(doc_id AS VARCHAR) || ':' || text)
+        |  md5('shuffle:' || CAST(doc_id AS VARCHAR) || ':' || md5(text))
         |    AS shuffle_key,
         |  row_number() OVER (ORDER BY
-        |    md5('shuffle:' || CAST(doc_id AS VARCHAR) || ':' || text),
+        |    md5('shuffle:' || CAST(doc_id AS VARCHAR) || ':' || md5(text)),
         |    doc_id) AS shuffle_pos
         |FROM documents""".stripMargin,
     "smp_weighted" ->

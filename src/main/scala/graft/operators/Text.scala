@@ -815,11 +815,22 @@ object Text {
     * (DocArtifacts — one corpus tokenize amortized across all shingle
     * consumers) instead of re-deriving it. */
   def novelty(s: SparkSession, dir: String): DataFrame = {
+    // ONE shingle-keyed exchange: the per-shingle first-seen doc is a
+    // window min over the shingle partition — the r16 groupBy + join
+    // back paid the same exchange plus a sort-merge of both branches.
+    // The exchange keys on xxhash64 of the shingle (the bigram-logprob
+    // discipline): 8-byte fixed keys shuffle/sort far cheaper than the
+    // ~25-byte 3-gram strings, the output only COUNTS per doc, and a
+    // 64-bit collision (≲10⁻⁷ at 10⁸ distinct shingles) shifts one
+    // doc's count by one — the DuckDB oracle still derives first-seen
+    // from the raw strings, so a collision surfaces as a loud hash
+    // mismatch, never silently. Window partitioned by the hash: group
+    // cardinality IS the distinct-shingle count — massively parallel,
+    // never single-task.
     val sh = DocArtifacts.shingles3(s, dir)
-      .select(col("doc_id"), col("shingle"))
-    val first = sh.groupBy(col("shingle"))
-      .agg(min(col("doc_id")).as("first_doc"))
-    sh.join(first, Seq("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+    val w = Window.partitionBy(col("h"))
+    sh.withColumn("first_doc", min(col("doc_id")).over(w))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),
         count(when(col("first_doc") === col("doc_id"), 1)).as("n_novel"))
