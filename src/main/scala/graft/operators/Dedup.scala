@@ -552,22 +552,33 @@ object Dedup {
     * (unchanged recall) while no join group carries more than ~target
     * A-rows — the storm bucket becomes g parallel groups of ≤ target·w
     * comparisons. Narrow buckets (w ≤ target, the common case) get
-    * g = 1: zero replication, the exact pre-salt plan. The width table
-    * is co-partitioned with the band key (reused exchange, never a
-    * broadcast — bucket count is data-scale). */
+    * g = 1: zero replication, the exact pre-salt plan. Only STORM
+    * buckets (w > target) carry a non-trivial g, so the width join is
+    * a broadcast of the storms alone under the saltedProbePairs
+    * two-regime discipline (persisted, COUNTED under a bounded probe;
+    * past [[stormBroadcastCap]] both sides take the shuffle width-join
+    * — safe at any storm count). The r16 form joined the full
+    * corpus-sized width table into both sides: two extra data-sized
+    * exchanges per pair stage. */
   private[graft] def saltedBandPairs(banded: DataFrame,
       target: Int): DataFrame = {
-    val widths = banded.groupBy(col("band_id"), col("band_hash"))
+    val storms = banded.groupBy(col("band_id"), col("band_hash"))
       .agg(count(lit(1)).as("__w"))
-    val salted = banded.join(widths, Seq("band_id", "band_hash"))
-      .withColumn("__g", ceil(col("__w") / lit(target)).cast("int"))
-    val a = salted.select(col("band_id"), col("band_hash"),
-      pmod(xxhash64(col("doc_id")), col("__g").cast("long")).cast("int")
-        .as("__salt"),
-      col("doc_id").as("doc_a"))
-    val b = salted.select(col("band_id"), col("band_hash"),
-      explode(sequence(lit(0), col("__g") - 1)).as("__salt"),
-      col("doc_id").as("doc_b"))
+      .filter(col("__w") > target)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val fits = storms.limit(stormBroadcastCap.toInt + 1).count() <=
+      stormBroadcastCap
+    val side = if (fits) broadcast(storms) else storms
+    val g = coalesce(ceil(col("__w") / lit(target)).cast("int"), lit(1))
+    val a = banded.join(side, Seq("band_id", "band_hash"), "left")
+      .select(col("band_id"), col("band_hash"),
+        pmod(xxhash64(col("doc_id")), g.cast("long")).cast("int")
+          .as("__salt"),
+        col("doc_id").as("doc_a"))
+    val b = banded.join(side, Seq("band_id", "band_hash"), "left")
+      .select(col("band_id"), col("band_hash"),
+        explode(sequence(lit(0), g - 1)).as("__salt"),
+        col("doc_id").as("doc_b"))
     a.join(b, Seq("band_id", "band_hash", "__salt"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
