@@ -410,7 +410,7 @@ object Bench {
     // scaffolding and landing ops pay real file writes each run — label
     // them so the batch-compute number is visible on its own
     val ioOps = Set("etl_partitioned_write", "etl_json_landing",
-      "etl_csv_landing", "etl_manifest")
+      "etl_csv_landing", "etl_manifest", "mm_shard_write")
     def bucketOf(name: String): String =
       if (name.startsWith("stream_")) "streaming"
       else if (ioOps.contains(name)) "io_landing" else "batch"

@@ -133,22 +133,27 @@ object Multimodal {
     (n, total)
   }
 
-  /** REAL image decode — the first leg of the codec seam swapped from
-    * stub to real, feasible in this container because javax.imageio's
-    * PNG/BMP/GIF readers are pure JVM (no native libs): a payload that
-    * IS a PNG decodes to its integer BT.601 luma grid (per-pixel
-    * (299·R + 587·G + 114·B)/1000 — all-integer, so the spec
-    * re-derives the expected output from the same pixels exactly);
-    * anything else returns None and keeps the deterministic stub grid,
+  /** REAL image decode — the codec seam's real leg, feasible in this
+    * container because javax.imageio's PNG/JPEG/BMP/GIF readers are
+    * pure JVM (no native libs): a payload whose magic bytes name one
+    * of those formats decodes to its integer BT.601 luma grid
+    * (per-pixel (299·R + 587·G + 114·B)/1000 — all-integer, so the
+    * spec re-derives the expected output from the same decoded pixels
+    * exactly; for JPEG the decode itself is deterministic for a given
+    * payload, which is all the byte-exactness contract needs); any
+    * other payload returns None and keeps the deterministic stub grid,
     * so the text-payload corpus (and its SQL oracle) is bit-unchanged.
-    * Decode failures of a claimed-PNG payload return None too —
+    * Decode failures of a claimed-image payload return None too —
     * quarantine-not-crash, the etl_quarantine discipline. */
-  private[graft] def decodePng(payload: Array[Byte])
+  private[graft] def decodeImage(payload: Array[Byte])
       : Option[(Int, Array[Byte])] = {
-    val isPng = payload.length > 8 &&
-      payload(0) == 0x89.toByte && payload(1) == 'P'.toByte &&
-      payload(2) == 'N'.toByte && payload(3) == 'G'.toByte
-    if (!isPng) None
+    def b(i: Int): Int = payload(i) & 0xff
+    val isImage = payload.length > 8 && (
+      (b(0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+        (b(0) == 0xff && b(1) == 0xd8 && b(2) == 0xff) || // JPEG
+        (b(0) == 'B' && b(1) == 'M') ||                   // BMP
+        (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8'))
+    if (!isImage) None
     else try {
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(payload))
@@ -200,7 +205,7 @@ object Multimodal {
         val payload = r.getAs[Array[Byte]]("payload")
         // real-decode leg first (PNG → luma grid at the image's own
         // width), stub grid otherwise — one shared pooling kernel
-        val (n, total) = decodePng(payload) match {
+        val (n, total) = decodeImage(payload) match {
           case Some((w, px)) => blockResize(px, w, factor = 2)
           case None => blockResize(payload, GridW, factor = 2)
         }
@@ -348,6 +353,148 @@ object Multimodal {
           .as("spans_next"))
   }
 
+  /** POSIX ustar header for one tar member — hand-rolled because the
+    * container has no commons-compress, and tar is 512-byte arithmetic:
+    * name(100) mode(8) uid(8) gid(8) size(12, octal) mtime(12)
+    * chksum(8) typeflag(1) linkname(100) magic("ustar\0") version("00")
+    * + zero padding. All metadata pinned (mode 0644, uid/gid/mtime 0)
+    * so the archive bytes are a pure function of (name, payload) —
+    * deterministic across runs and engines. */
+  private[graft] def tarHeader(name: String, size: Long): Array[Byte] = {
+    val h = new Array[Byte](512)
+    def put(off: Int, s: String): Unit = {
+      val b = s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      System.arraycopy(b, 0, h, off, b.length)
+    }
+    put(0, name.take(100))
+    put(100, "0000644\u0000")
+    put(108, "0000000\u0000")
+    put(116, "0000000\u0000")
+    put(124, f"$size%011o\u0000")
+    put(136, "00000000000\u0000")
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte) // chksum as spaces
+    h(156) = '0'                                   // regular file
+    put(257, "ustar\u000000")
+    var sum = 0L
+    var i = 0
+    while (i < 512) { sum += h(i) & 0xff; i += 1 }
+    put(148, f"$sum%06o\u0000 ")
+    h
+  }
+
+  /** Streaming tar reader for the round-trip spec and any downstream
+    * consumer: (member name, payload bytes) in archive order. */
+  private[graft] def readTar(bytes: Array[Byte])
+      : Seq[(String, Array[Byte])] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String,
+      Array[Byte])]
+    var p = 0
+    while (p + 512 <= bytes.length && bytes(p) != 0) {
+      val name = new String(bytes, p, 100,
+        java.nio.charset.StandardCharsets.US_ASCII).takeWhile(_ != 0)
+      val size = java.lang.Long.parseLong(new String(bytes, p + 124, 11,
+        java.nio.charset.StandardCharsets.US_ASCII).trim, 8)
+      val data = java.util.Arrays.copyOfRange(bytes, p + 512,
+        p + 512 + size.toInt)
+      out += ((name, data))
+      p += 512 + ((size.toInt + 511) / 512) * 512
+    }
+    out.toSeq
+  }
+
+  /** Landing dir for the written shards (the mhLshDir contract:
+    * computable from `dir` alone). */
+  private[graft] def shardsDir(dir: String): String =
+    graft.Tables.landingDir("tarshards", dir)
+
+  /** REAL shard writer — the tar leg that completes [[shardPack]]'s
+    * plan into a WebDataset-style training handoff: every planned
+    * shard becomes an actual tar archive (one member per document,
+    * named `<doc_id>.txt`, metadata pinned — see [[tarHeader]]) in a
+    * landing dir, written by the task that owns the shard's rows
+    * (repartition on shard_id; payload bytes move exactly once, to
+    * their writer). Members keep the plan's deterministic content-hash
+    * order; end-of-archive is the two zero blocks with no blocking-
+    * factor padding, so the archive size is exact 512-byte arithmetic.
+    *
+    * The emitted MANIFEST is the op's checkable output — per shard:
+    * member count, payload bytes, and the tar's byte size, each a pure
+    * function of the plan that the SQL oracle recomputes (tar_bytes =
+    * Σ (512 + ceil(n/512)·512) + 1024). The round-trip spec reads the
+    * written archives back member-by-member and asserts byte equality
+    * with the source payloads. At 100 TB the 8 KiB test budget becomes
+    * the usual 100 MB-1 GB shard (budgetBits is the only knob); the
+    * write pattern — one task streams its shards to storage — is the
+    * production shape already. */
+  def shardWrite(s: SparkSession, dir: String): DataFrame = {
+    val out = shardsDir(dir)
+    // reset the landing dir on the driver (idempotent re-run)
+    val outPath = new org.apache.hadoop.fs.Path(out)
+    val fs = outPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(outPath)) fs.delete(outPath, true)
+    fs.mkdirs(outPath)
+    val plan = shardPack(s, dir)
+      .join(Tables.documents(s, dir)
+        .select(col("doc_id"), col("text").cast("binary").as("payload")),
+        "doc_id")
+      .select(col("shard_id"), col("offset_in_shard"), col("doc_id"),
+        col("payload"))
+      .repartition(col("shard_id"))
+    val schema = StructType(Seq(
+      StructField("shard_id", LongType),
+      StructField("n_members", LongType),
+      StructField("n_payload_bytes", LongType),
+      StructField("tar_bytes", LongType)))
+    val enc = RowEncoder.encoderFor(schema)
+    plan.sortWithinPartitions(col("shard_id"), col("offset_in_shard"),
+        col("doc_id"))
+      .mapPartitions { rows =>
+        // a fresh Configuration resolves the landing dir's scheme on
+        // the executor (local/HDFS/S3A all route through the same
+        // FileSystem API; no session state is needed for the write)
+        val fs2 = new org.apache.hadoop.fs.Path(out)
+          .getFileSystem(new org.apache.hadoop.conf.Configuration())
+        // rows arrive sorted by (shard, offset): stream each shard's
+        // members into its archive, emit the manifest row on close
+        var cur = -1L
+        var os: java.io.OutputStream = null
+        var nm = 0L
+        var pb = 0L
+        var tb = 0L
+        def close(): Option[Row] = {
+          if (os == null) None
+          else {
+            os.write(new Array[Byte](1024)) // end-of-archive
+            os.close(); os = null
+            Some(Row(cur, nm, pb, tb + 1024L))
+          }
+        }
+        val body = rows.flatMap { r =>
+          val sid = r.getLong(0)
+          val fin = if (sid != cur) close() else None
+          if (sid != cur) {
+            cur = sid; nm = 0L; pb = 0L; tb = 0L
+            os = fs2.create(new org.apache.hadoop.fs.Path(
+              out, f"shard-$sid%06d.tar"), true)
+          }
+          val payload = r.getAs[Array[Byte]](3)
+          os.write(tarHeader(s"${r.getLong(2)}.txt", payload.length.toLong))
+          os.write(payload)
+          val pad = (512 - payload.length % 512) % 512
+          if (pad > 0) os.write(new Array[Byte](pad))
+          nm += 1L; pb += payload.length.toLong
+          tb += 512L + payload.length.toLong + pad
+          fin.iterator
+        }
+        body ++ new Iterator[Row] {
+          private var done = false
+          def hasNext: Boolean = !done && os != null
+          def next(): Row = { done = true; close().get }
+        }
+      }(enc)
+      .orderBy(col("shard_id"))
+  }
+
   /** Byte-distribution stats over the binary payload — the cheap
     * corruption / wrong-codec detector a media landing runs before any
     * decode: distinct byte count, collision probability (the Simpson
@@ -400,7 +547,8 @@ object Multimodal {
     "mm_binary_pipeline" -> (binaryPipelineChecked _),
     "mm_frame_sample" -> (frameSample _),
     "mm_audio_window" -> (audioWindow _),
-    "mm_resize" -> (resize _))
+    "mm_resize" -> (resize _),
+    "mm_shard_write" -> (shardWrite _))
 
   val oracles: Map[String, String] = Map(
     // byte histogram re-derived from code points (ASCII corpus);
@@ -441,6 +589,26 @@ object Multimodal {
         |  CAST(so - (so // 8192) * 8192 AS BIGINT) AS offset_in_shard,
         |  so + n_bytes > ((so // 8192) + 1) * 8192 AS spans_next
         |FROM o""".stripMargin,
+    // the written manifest is pure 512-byte arithmetic over the same
+    // plan: tar_bytes = Σ (512 header + payload padded to 512) + the
+    // two end-of-archive zero blocks
+    "mm_shard_write" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+        |    md5('shard:' || CAST(doc_id AS VARCHAR)) AS hk
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, n_bytes,
+        |    CAST(COALESCE(SUM(n_bytes) OVER (ORDER BY hk, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS so
+        |  FROM t)
+        |SELECT CAST(so // 8192 AS BIGINT) AS shard_id,
+        |  COUNT(*) AS n_members,
+        |  CAST(SUM(n_bytes) AS BIGINT) AS n_payload_bytes,
+        |  CAST(SUM(512 + ((n_bytes + 511) // 512) * 512) + 1024
+        |    AS BIGINT) AS tar_bytes
+        |FROM o GROUP BY 1 ORDER BY 1""".stripMargin,
     // every phash bit recomputed from code points: bit d set iff the
     // stride class's byte sum cross-multiplied beats the global sum
     // (exact integers, strict >, matching stubPhash)

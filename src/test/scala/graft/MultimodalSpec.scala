@@ -120,4 +120,81 @@ class MultimodalSpec extends SparkSpec {
         / c.length).sum)
     assert(got(2L) == sWant, s"stub leg diverged: ${got(2L)} vs $sWant")
   }
+
+  test("mm_resize REAL decode: a generated JPEG rides the same seam — " +
+      "expected output re-derived from ImageIO's own decoded pixels") {
+    import java.awt.image.BufferedImage
+    val (w, h) = (24, 16)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 10) << 16) | ((y * 15) << 8) | ((x * y) % 256))
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", baos)
+    val jpg = baos.toByteArray
+    assert((jpg(0) & 0xff) == 0xff && (jpg(1) & 0xff) == 0xd8,
+      "generated payload must carry the JPEG magic")
+    // JPEG decode is lossy vs the source but DETERMINISTIC for the
+    // payload: the expectation derives from the decoded pixels, which
+    // is exactly the byte-exactness contract the operator makes
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(jpg))
+    val luma = Array.tabulate(h * w) { i =>
+      val rgb = back.getRGB(i % w, i / w)
+      ((((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+        (rgb & 0xff) * 114) / 1000).toByte
+    }
+    val ow = (w + 1) / 2
+    val cells = luma.zipWithIndex
+      .groupBy { case (_, i) => (i / w / 2) * ow + (i % w / 2) }
+    val wantN = cells.size.toLong
+    val wantSum = cells.values
+      .map(c => c.map(_._1 & 0xff).map(_.toLong).sum / c.length).sum
+    import spark.implicits._
+    val got = operators.Multimodal.resizeRows(
+        Seq((7L, jpg)).toDF("doc_id", "payload"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(7L) == ((jpg.length.toLong, wantN, wantSum)),
+      s"JPEG leg: got ${got(7L)}, want ($wantN, $wantSum)")
+  }
+
+  test("mm_shard_write round-trip: every written tar reads back " +
+      "member-by-member byte-equal to the source payloads, and the " +
+      "manifest is exact 512-byte arithmetic") {
+    val manifest = operators.Multimodal.shardWrite(spark, sfTiny)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val docs = Tables.documents(spark, sfTiny)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).getBytes("UTF-8")).toMap
+    val plan = operators.Multimodal.shardPack(spark, sfTiny)
+      .select(col("shard_id"), col("doc_id")).collect()
+      .map(r => r.getLong(1) -> r.getLong(0)).toMap
+    val outDir = new java.io.File(
+      new java.net.URI("file://" +
+        operators.Multimodal.shardsDir(sfTiny)).getPath)
+    val tars = outDir.listFiles().filter(_.getName.endsWith(".tar"))
+    assert(tars.length == manifest.size, "one archive per manifest row")
+    var members = 0L
+    tars.foreach { f =>
+      val sid = f.getName.stripPrefix("shard-").stripSuffix(".tar").toLong
+      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+      val (nm, pb, tb) = manifest(sid)
+      assert(bytes.length.toLong == tb,
+        s"shard $sid: file ${bytes.length}B vs manifest ${tb}B")
+      val read = operators.Multimodal.readTar(bytes)
+      assert(read.length.toLong == nm, s"shard $sid member count")
+      assert(read.map(_._2.length.toLong).sum == pb,
+        s"shard $sid payload bytes")
+      read.foreach { case (name, payload) =>
+        val id = name.stripSuffix(".txt").toLong
+        assert(plan(id) == sid, s"doc $id landed in shard $sid, " +
+          s"plan says ${plan(id)}")
+        assert(java.util.Arrays.equals(payload, docs(id)),
+          s"doc $id: tar payload diverges from the source bytes")
+      }
+      members += read.length
+    }
+    assert(members == docs.size, "every document is in exactly one shard")
+  }
 }
