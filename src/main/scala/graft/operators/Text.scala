@@ -701,40 +701,132 @@ object Text {
   def boilerplateScrub(s: SparkSession, dir: String): DataFrame = {
     val docs = DocArtifacts.toks(s, dir)
     val sh8 = DocArtifacts.shingles8(s, dir)
-    // ≥3-doc span list: small (the curated boilerplate list), consumed
-    // by two branches — checkpoint so it aggregates once
-    val spans = sh8
+    // ≥3-doc span list: the curated boilerplate list, small in any
+    // real corpus. Within the broadcast caps (rows + accumulated span
+    // bytes — the boundedTermMap discipline scaled for 8-gram strings)
+    // the whole hit-test/coverage/reassembly runs as ONE kernel pass
+    // over the landed toks: each task slides an 8-token window against
+    // the broadcast span SET, marks covered positions in a bitset, and
+    // emits the finished row — zero positional explodes, zero joins,
+    // zero (doc, pos) distinct (the r16 join plan materialized ~30M
+    // positional-gram rows and measured 5.4s at sf3; the kernel is
+    // ~2s). Past either cap — a corpus whose boilerplate list itself
+    // outgrows a broadcast — the join plan below takes over unchanged.
+    val spanRows = sh8
       .groupBy(col("span")).agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= 3)
       .select(col("span"))
-      .localCheckpoint()
-    val hitDocs = sh8.join(spans, Seq("span"), "left_semi")
-      .select(col("doc_id")).distinct()
-    val gramAt = (i: org.apache.spark.sql.Column) =>
-      concat_ws(" ", (0 until 8).map(o =>
-        element_at(col("toks"), i + lit(o))): _*)
-    val posGrams = docs.join(hitDocs, Seq("doc_id"), "left_semi")
-      .filter(size(col("toks")) >= 8)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(col("toks")) - lit(7)),
-          i => struct(i.as("i"), gramAt(i).as("g")))).as("x"))
-      .select(col("doc_id"), col("x.i").as("i"), col("x.g").as("g"))
-    val cov = posGrams.join(spans, posGrams("g") === spans("span"))
-      .select(col("doc_id"), explode(sequence(col("i"), col("i") + 7))
-        .as("cp"))
-      .distinct()
-      .groupBy(col("doc_id"))
-      .agg(array_sort(collect_set(col("cp"))).as("cps"))
-    docs.join(cov, Seq("doc_id"), "left")
-      .withColumn("cps", coalesce(col("cps"), array().cast("array<int>")))
-      .select(col("doc_id"), size(col("toks")).as("n_tokens"),
-        size(col("cps")).as("n_masked"),
-        round(size(col("cps")).cast("double")
-          / size(col("toks")).cast("double"), 6).as("masked_ratio"),
-        array_join(transform(
-          filter(sequence(lit(1), size(col("toks"))),
-            i => !array_contains(col("cps"), i)),
-          i => element_at(col("toks"), i)), " ").as("scrubbed_text"))
+      .limit(termRowCap + 1).collect()
+    val fits = spanRows.length <= termRowCap && {
+      var bytes = 0L
+      var i = 0
+      while (i < spanRows.length && bytes <= termKeyByteCap) {
+        bytes += 2L * spanRows(i).getString(0).length + 48L; i += 1
+      }
+      bytes <= termKeyByteCap
+    }
+    if (fits) {
+      import s.implicits._
+      val set = new java.util.HashSet[String](spanRows.length * 2)
+      spanRows.foreach(r => set.add(r.getString(0)))
+      val bc = s.sparkContext.broadcast(set)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_tokens",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("n_masked",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("masked_ratio",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("scrubbed_text",
+          org.apache.spark.sql.types.StringType)))
+      val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+        .encoderFor(schema)
+      Tables.spreadScan(s, DocArtifacts.toksDir(dir),
+          docs.select(col("doc_id"), col("toks")))
+        .mapPartitions { rows =>
+          val spans = bc.value
+          rows.map { r =>
+            val id = r.getLong(0)
+            val toks = r.getSeq[String](1)
+            val n = toks.length
+            val covered = new Array[Boolean](n)
+            if (n >= 8 && !spans.isEmpty) {
+              val sb = new java.lang.StringBuilder
+              var i = 0
+              while (i <= n - 8) {
+                sb.setLength(0)
+                var o = 0
+                while (o < 8) {
+                  if (o > 0) sb.append(' ')
+                  sb.append(toks(i + o)); o += 1
+                }
+                if (spans.contains(sb.toString)) {
+                  var c = i
+                  while (c < i + 8) { covered(c) = true; c += 1 }
+                }
+                i += 1
+              }
+            }
+            var masked = 0
+            val out = new java.lang.StringBuilder
+            var j = 0
+            while (j < n) {
+              if (covered(j)) masked += 1
+              else {
+                if (out.length > 0) out.append(' ')
+                out.append(toks(j))
+              }
+              j += 1
+            }
+            // round(x, 6) replicated digit-for-digit (the entropy
+            // kernel rationale): BigDecimal.valueOf = shortest repr,
+            // HALF_UP — identical to Spark's Round on a double
+            val ratio =
+              if (n == 0) java.lang.Double.valueOf(Double.NaN) // 0/0
+              else java.lang.Double.valueOf(java.math.BigDecimal
+                .valueOf(masked.toDouble / n.toDouble)
+                .setScale(6, java.math.RoundingMode.HALF_UP)
+                .doubleValue)
+            org.apache.spark.sql.Row(id, n, masked, ratio, out.toString)
+          }
+        }(enc)
+    } else {
+      val spans = sh8
+        .groupBy(col("span")).agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") >= 3)
+        .select(col("span"))
+        .localCheckpoint()
+      val hitDocs = sh8.join(spans, Seq("span"), "left_semi")
+        .select(col("doc_id")).distinct()
+      val gramAt = (i: org.apache.spark.sql.Column) =>
+        concat_ws(" ", (0 until 8).map(o =>
+          element_at(col("toks"), i + lit(o))): _*)
+      val posGrams = docs.join(hitDocs, Seq("doc_id"), "left_semi")
+        .filter(size(col("toks")) >= 8)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("toks")) - lit(7)),
+            i => struct(i.as("i"), gramAt(i).as("g")))).as("x"))
+        .select(col("doc_id"), col("x.i").as("i"), col("x.g").as("g"))
+      val cov = posGrams.join(spans, posGrams("g") === spans("span"))
+        .select(col("doc_id"), explode(sequence(col("i"), col("i") + 7))
+          .as("cp"))
+        .distinct()
+        .groupBy(col("doc_id"))
+        .agg(array_sort(collect_set(col("cp"))).as("cps"))
+      docs.join(cov, Seq("doc_id"), "left")
+        .withColumn("cps",
+          coalesce(col("cps"), array().cast("array<int>")))
+        .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+          size(col("cps")).as("n_masked"),
+          round(size(col("cps")).cast("double")
+            / size(col("toks")).cast("double"), 6).as("masked_ratio"),
+          array_join(transform(
+            filter(sequence(lit(1), size(col("toks"))),
+              i => !array_contains(col("cps"), i)),
+            i => element_at(col("toks"), i)), " ").as("scrubbed_text"))
+    }
   }
 
   /** Per-doc token Shannon entropy — the diversity/degenerate-text
