@@ -123,7 +123,10 @@ class PlanAudit extends SparkSpec {
         // partitioned by bucket; the Aggregate-child check below holds
         // the bounded claim to the plan shape.
         "mm_shard_pack", "q23_revenue_deciles", "smp_interleave",
-        "smp_shuffle", "txt_pack", "txt_vocab_coverage")
+        "smp_shuffle", "txt_pack", "txt_vocab_coverage",
+        // mm_shard_write inherits mm_shard_pack's offset window (same
+        // bucketedPrefixSum, ≤ nBuckets rows by construction)
+        "mm_shard_write")
     val violations = scala.collection.mutable.ListBuffer.empty[String]
     println("=====AUDIT START=====")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
