@@ -451,9 +451,30 @@ object Multimodal {
       .mapPartitions { rows =>
         // a fresh Configuration resolves the landing dir's scheme on
         // the executor (local/HDFS/S3A all route through the same
-        // FileSystem API; no session state is needed for the write)
-        val fs2 = new org.apache.hadoop.fs.Path(out)
-          .getFileSystem(new org.apache.hadoop.conf.Configuration())
+        // FileSystem API; no session state is needed for the write).
+        // Checksums off: Hadoop's ChecksumFileSystem otherwise writes a
+        // .crc twin per archive — double the file creates for a landing
+        // whose tar bytes are already manifest-verified end to end.
+        // Plain local paths skip the Hadoop stream wrappers entirely
+        // (measured ~3ms of per-archive overhead on the many-small-tar
+        // test budget; a production 100 MB-1 GB shard never notices,
+        // and an HDFS/S3A landing keeps the FileSystem branch).
+        val isLocal = !out.contains("://")
+        val fs2 =
+          if (isLocal) null
+          else {
+            val f = new org.apache.hadoop.fs.Path(out)
+              .getFileSystem(new org.apache.hadoop.conf.Configuration())
+            f.setWriteChecksum(false)
+            f.setVerifyChecksum(false)
+            f
+          }
+        def create(name: String): java.io.OutputStream =
+          if (isLocal)
+            new java.io.BufferedOutputStream(
+              new java.io.FileOutputStream(new java.io.File(out, name)),
+              1 << 16)
+          else fs2.create(new org.apache.hadoop.fs.Path(out, name), true)
         // rows arrive sorted by (shard, offset): stream each shard's
         // members into its archive, emit the manifest row on close
         var cur = -1L
@@ -474,8 +495,7 @@ object Multimodal {
           val fin = if (sid != cur) close() else None
           if (sid != cur) {
             cur = sid; nm = 0L; pb = 0L; tb = 0L
-            os = fs2.create(new org.apache.hadoop.fs.Path(
-              out, f"shard-$sid%06d.tar"), true)
+            os = create(f"shard-$sid%06d.tar")
           }
           val payload = r.getAs[Array[Byte]](3)
           os.write(tarHeader(s"${r.getLong(2)}.txt", payload.length.toLong))
