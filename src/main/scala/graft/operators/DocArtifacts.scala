@@ -178,35 +178,47 @@ object DocArtifacts {
           // of each paying the corpus-sized counting pass per query.
           // Folded through a bounded-memory per-partition hash-map
           // kernel: instances collapse to partial (bigram, n) counts in
-          // place, and the map FLUSHES partials past 4M entries, so
-          // executor heap is bounded by configuration even on a corpus
-          // whose per-partition distinct-bigram count is huge — partial
+          // place, and the map DRAINS to the output iterator past 4M
+          // entries before more input is consumed — the batches are
+          // yielded lazily (a chained fill/drain iterator, never an
+          // accumulating buffer), so executor heap is bounded by the
+          // flush cap plus one in-flight batch even on a corpus whose
+          // per-partition distinct-bigram count is huge — partial
           // counts re-merge exactly in the one combining shuffle.
           Future {
             import s.implicits._
             base.select(col("toks")).as[Seq[String]]
               .mapPartitions { it =>
-                val m = new java.util.HashMap[String, Long]
-                val out = scala.collection.mutable.ArrayBuffer
-                  .empty[(String, Long)]
-                def flush(): Unit = {
-                  val e = m.entrySet().iterator()
-                  while (e.hasNext) {
-                    val kv = e.next(); out += ((kv.getKey, kv.getValue))
+                new Iterator[(String, Long)] {
+                  private val m = new java.util.HashMap[String, Long]
+                  private var drain: java.util.Iterator[
+                    java.util.Map.Entry[String, Long]] =
+                    java.util.Collections.emptyIterator()
+                  // consume input until the map passes the cap (or the
+                  // partition ends), then expose the batch for draining
+                  private def refill(): Unit = {
+                    m.clear()
+                    while (it.hasNext && m.size <= 4000000) {
+                      val toks = it.next()
+                      var i = 0
+                      while (i < toks.length - 1) {
+                        m.merge(toks(i) + " " + toks(i + 1), 1L,
+                          Long.box(_) + _)
+                        i += 1
+                      }
+                    }
+                    drain = m.entrySet().iterator()
                   }
-                  m.clear()
-                }
-                it.foreach { toks =>
-                  var i = 0
-                  while (i < toks.length - 1) {
-                    m.merge(toks(i) + " " + toks(i + 1), 1L,
-                      Long.box(_) + _)
-                    i += 1
+                  def hasNext: Boolean =
+                    drain.hasNext || {
+                      it.hasNext && { refill(); drain.hasNext }
+                    }
+                  def next(): (String, Long) = {
+                    if (!hasNext) throw new NoSuchElementException
+                    val kv = drain.next()
+                    (kv.getKey, kv.getValue)
                   }
-                  if (m.size > 4000000) flush()
                 }
-                flush()
-                out.iterator
               }
               .toDF("bigram", "n")
               .groupBy(col("bigram"))

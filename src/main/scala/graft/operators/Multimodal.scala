@@ -217,6 +217,74 @@ object Multimodal {
   private val FrameLen = 256
   private val FrameHop = 128
 
+  /** REAL WAV PCM decode — the codec seam's audio leg, feasible in
+    * this container because javax.sound.sampled's WAV reader is pure
+    * JVM (the decodeImage precedent): a payload with the RIFF/WAVE
+    * magic decodes to one unsigned-8-bit amplitude byte per sample
+    * frame — 16-bit PCM maps via the unsigned grid (s+32768)>>8,
+    * multi-channel frames average channel-wise (integer division) —
+    * all-integer, so the spec re-derives the expected frames from the
+    * PCM bytes it generated itself. Any other payload (the whole text
+    * corpus) returns None and keeps the raw-byte framing, so the SQL
+    * oracle is bit-unchanged. Non-PCM encodings and decode failures of
+    * a claimed-WAV payload return None too — quarantine-not-crash, the
+    * etl_quarantine discipline. */
+  private[graft] def decodeWavPcm(payload: Array[Byte])
+      : Option[Array[Byte]] = {
+    val isWav = payload.length > 44 &&
+      payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' &&
+      payload(3) == 'F' && payload(8) == 'W' && payload(9) == 'A' &&
+      payload(10) == 'V' && payload(11) == 'E'
+    if (!isWav) None
+    else try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val fmt = ais.getFormat
+      val enc = fmt.getEncoding
+      val signed =
+        enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+      val unsigned =
+        enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+      val bits = fmt.getSampleSizeInBits
+      val ch = fmt.getChannels
+      if ((!signed && !unsigned) || (bits != 8 && bits != 16) || ch < 1)
+        None
+      else {
+        val raw = ais.readAllBytes()
+        val bps = bits / 8
+        val frameBytes = bps * ch
+        val nFrames = raw.length / frameBytes
+        val outArr = new Array[Byte](nFrames)
+        var f = 0
+        while (f < nFrames) {
+          var acc = 0
+          var c = 0
+          while (c < ch) {
+            val off = f * frameBytes + c * bps
+            val u =
+              if (bits == 8) {
+                if (signed) (raw(off) + 128) & 0xff else raw(off) & 0xff
+              } else {
+                val v16 =
+                  if (fmt.isBigEndian)
+                    ((raw(off) & 0xff) << 8) | (raw(off + 1) & 0xff)
+                  else
+                    ((raw(off + 1) & 0xff) << 8) | (raw(off) & 0xff)
+                val ug =
+                  if (signed) (v16.toShort.toInt + 32768) else v16
+                ug >> 8
+              }
+            acc += u
+            c += 1
+          }
+          outArr(f) = (acc / ch).toByte
+          f += 1
+        }
+        Some(outArr)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   private val audioSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("frame_idx", IntegerType),
@@ -225,20 +293,30 @@ object Multimodal {
 
   /** Audio framing leg: the payload as fixed 256-byte windows on a
     * 128-byte hop — the STFT window/hop shape of an audio feature
-    * pipeline, minus the real DSP: per frame, the exact byte "energy"
-    * (sum) and peak. Same batched mapPartitions codec boundary as
-    * binaryPipeline (one decoder context per task, zero shuffles);
-    * payloads shorter than one window emit no frames — dropped, not
-    * padded, on both engines. Integer math only, so every frame row is
-    * recomputed byte-for-byte by the oracle. */
-  def audioWindow(s: SparkSession, dir: String): DataFrame = {
-    val withPayload = Tables.documents(s, dir).select(
-      col("doc_id"), col("text").cast("binary").as("payload"))
+    * pipeline: per frame, the exact "energy" (sum) and peak over the
+    * amplitude bytes. WAV payloads frame over REAL decoded PCM samples
+    * ([[decodeWavPcm]]); anything else frames over the raw bytes, so
+    * the text corpus (and its SQL oracle) is bit-unchanged. Same
+    * batched mapPartitions codec boundary as binaryPipeline (one
+    * decoder context per task, zero shuffles); inputs shorter than one
+    * window emit no frames — dropped, not padded, on both engines.
+    * Integer math only, so every frame row is recomputed byte-for-byte
+    * by the oracle. */
+  def audioWindow(s: SparkSession, dir: String): DataFrame =
+    audioWindowRows(Tables.documents(s, dir).select(
+      col("doc_id"), col("text").cast("binary").as("payload")))
+
+  /** The framing pipeline over arbitrary (doc_id, payload) rows —
+    * package-visible so the spec can drive the REAL WAV decode leg
+    * with a generated RIFF/WAVE payload (the resizeRows precedent). */
+  private[graft] def audioWindowRows(withPayload: DataFrame)
+      : DataFrame = {
     val enc = RowEncoder.encoderFor(audioSchema)
     withPayload.mapPartitions { rows =>
       rows.flatMap { r =>
-        val payload = r.getAs[Array[Byte]]("payload")
         val id = r.getLong(0)
+        val raw = r.getAs[Array[Byte]](1)
+        val payload = decodeWavPcm(raw).getOrElse(raw)
         val n = if (payload.length < FrameLen) 0
           else (payload.length - FrameLen) / FrameHop + 1
         (0 until n).iterator.map { k =>
@@ -426,13 +504,36 @@ object Multimodal {
     * the usual 100 MB-1 GB shard (budgetBits is the only knob); the
     * write pattern — one task streams its shards to storage — is the
     * production shape already. */
-  def shardWrite(s: SparkSession, dir: String): DataFrame = {
+  def shardWrite(s: SparkSession, dir: String): DataFrame =
+    shardWriteImpl(s, dir, forceHadoopFs = false)
+
+  /** Implementation seam: `forceHadoopFs = true` routes the write
+    * through the Hadoop FileSystem branch even when the resolved FS is
+    * local — the spec's way of exercising the remote-FS code path
+    * (ChecksumFileSystem under `file:`) without a real HDFS/S3A. */
+  private[graft] def shardWriteImpl(s: SparkSession, dir: String,
+      forceHadoopFs: Boolean): DataFrame = {
     val out = shardsDir(dir)
     // reset the landing dir on the driver (idempotent re-run)
     val outPath = new org.apache.hadoop.fs.Path(out)
     val fs = outPath.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(outPath)) fs.delete(outPath, true)
     fs.mkdirs(outPath)
+    // Resolve local-vs-remote ONCE, on the driver, through the SAME
+    // configuration the mkdirs above used (fs.defaultFS included): the
+    // java.io fast path is taken only when the resolved FileSystem is
+    // actually the local one, so a scheme-less path on a cluster whose
+    // defaultFS is HDFS/S3A routes every executor write through the
+    // Hadoop API against the directory the driver just prepared —
+    // never to executor-local java.io disk. The executor re-resolves
+    // from the driver-QUALIFIED URI (scheme+authority pinned), so both
+    // sides name the same filesystem by construction.
+    val qualified = fs.makeQualified(outPath)
+    val isLocal = !forceHadoopFs &&
+      (fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
+        fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem])
+    val localDir = if (isLocal) qualified.toUri.getPath else null
+    val outUri = qualified.toString
     val plan = shardPack(s, dir)
       .join(Tables.documents(s, dir)
         .select(col("doc_id"), col("text").cast("binary").as("payload")),
@@ -449,36 +550,72 @@ object Multimodal {
     plan.sortWithinPartitions(col("shard_id"), col("offset_in_shard"),
         col("doc_id"))
       .mapPartitions { rows =>
-        // a fresh Configuration resolves the landing dir's scheme on
-        // the executor (local/HDFS/S3A all route through the same
-        // FileSystem API; no session state is needed for the write).
-        // Checksums off: Hadoop's ChecksumFileSystem otherwise writes a
-        // .crc twin per archive — double the file creates for a landing
-        // whose tar bytes are already manifest-verified end to end.
-        // Plain local paths skip the Hadoop stream wrappers entirely
-        // (measured ~3ms of per-archive overhead on the many-small-tar
-        // test budget; a production 100 MB-1 GB shard never notices,
-        // and an HDFS/S3A landing keeps the FileSystem branch).
-        val isLocal = !out.contains("://")
+        // The executor re-resolves the driver-qualified URI (scheme and
+        // authority pinned above) — local/HDFS/S3A all route through
+        // the same FileSystem API. Checksums off: Hadoop's
+        // ChecksumFileSystem otherwise writes a .crc twin per archive —
+        // double the file creates for a landing whose tar bytes are
+        // already manifest-verified end to end. Plain local paths skip
+        // the Hadoop stream wrappers entirely (measured ~3ms of
+        // per-archive overhead on the many-small-tar test budget; a
+        // production 100 MB-1 GB shard never notices, and an HDFS/S3A
+        // landing keeps the FileSystem branch).
         val fs2 =
           if (isLocal) null
           else {
-            val f = new org.apache.hadoop.fs.Path(out)
+            val f = new org.apache.hadoop.fs.Path(outUri)
               .getFileSystem(new org.apache.hadoop.conf.Configuration())
             f.setWriteChecksum(false)
             f.setVerifyChecksum(false)
             f
           }
-        def create(name: String): java.io.OutputStream =
-          if (isLocal)
-            new java.io.BufferedOutputStream(
-              new java.io.FileOutputStream(new java.io.File(out, name)),
-              1 << 16)
-          else fs2.create(new org.apache.hadoop.fs.Path(out, name), true)
-        // rows arrive sorted by (shard, offset): stream each shard's
-        // members into its archive, emit the manifest row on close
+        // Commit protocol: each archive streams into a temp name that
+        // carries the TASK ATTEMPT id, and is renamed to its final name
+        // only after the end-of-archive blocks are flushed — a
+        // speculative or zombie attempt writing the same shard can
+        // never corrupt a committed archive (attempts write disjoint
+        // temp files; the bytes are deterministic, so whichever rename
+        // lands first is the archive). A task that dies mid-shard
+        // leaves only an un-renamed temp behind — the completion
+        // listener below closes the in-flight stream.
+        val attemptId = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
         var cur = -1L
         var os: java.io.OutputStream = null
+        var tmpName: String = null
+        var finName: String = null
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit] { _ =>
+            if (os != null) {
+              try os.close() catch { case _: java.io.IOException => () }
+              os = null
+            }
+          })
+        def create(fin: String): java.io.OutputStream = {
+          finName = fin
+          tmpName = s"$fin.$attemptId.tmp"
+          if (isLocal)
+            new java.io.BufferedOutputStream(
+              new java.io.FileOutputStream(
+                new java.io.File(localDir, tmpName)), 1 << 16)
+          else fs2.create(
+            new org.apache.hadoop.fs.Path(outUri, tmpName), true)
+        }
+        def commit(): Unit =
+          if (isLocal) {
+            val t = new java.io.File(localDir, tmpName)
+            val f = new java.io.File(localDir, finName)
+            if (!t.renameTo(f) && !(f.exists() && t.delete()))
+              sys.error(s"shard commit failed: $tmpName -> $finName")
+          } else {
+            val t = new org.apache.hadoop.fs.Path(outUri, tmpName)
+            val f = new org.apache.hadoop.fs.Path(outUri, finName)
+            // first committed attempt wins; a later identical attempt
+            // just drops its temp
+            if (fs2.exists(f)) fs2.delete(t, false)
+            else if (!fs2.rename(t, f))
+              sys.error(s"shard commit failed: $tmpName -> $finName")
+          }
         var nm = 0L
         var pb = 0L
         var tb = 0L
@@ -487,6 +624,7 @@ object Multimodal {
           else {
             os.write(new Array[Byte](1024)) // end-of-archive
             os.close(); os = null
+            commit()
             Some(Row(cur, nm, pb, tb + 1024L))
           }
         }

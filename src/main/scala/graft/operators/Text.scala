@@ -857,7 +857,12 @@ object Text {
     // (≡ the decimal sum). The long accumulator bounds the doc at
     // n·ln(n) ≤ 9.2e9 ≈ a 4e8-token single document — far past any
     // real document. tf values repeat heavily, so nanos are memoized
-    // per partition.
+    // per partition. The nano-sum → double step is ONE correctly-
+    // rounded conversion (BigDecimal.valueOf(s9, 9).doubleValue — the
+    // oracle's decimal(18,9)→double cast exactly), not long→double
+    // then /1e9, whose first rounding already loses bits past 2⁵³
+    // nanos (~an n·ln(tf) mass of a 0.5–1M-token doc) and could then
+    // flip round(…,6) on a half-way boundary.
     import s.implicits._
     Tables.spreadScan(s, DocArtifacts.toksDir(dir),
         DocArtifacts.toks(s, dir).select(col("doc_id"), col("toks")))
@@ -884,15 +889,15 @@ object Text {
             var s9 = 0L
             val vs = m.values.iterator()
             while (vs.hasNext) s9 += nanos(vs.next())
-            Some((id, toks.length.toLong, m.size.toLong, s9))
+            Some((id, toks.length.toLong, m.size.toLong,
+              java.math.BigDecimal.valueOf(s9, 9).doubleValue))
           }
         }
       }
-      .toDF("doc_id", "n_toks", "n_distinct", "__s9")
+      .toDF("doc_id", "n_toks", "n_distinct", "__s_tlnt")
       .select(col("doc_id"), col("n_toks"), col("n_distinct"),
         round(log(col("n_toks").cast("double"))
-          - (col("__s9").cast("double") / lit(1.0e9))
-            / col("n_toks").cast("double"), 6)
+          - col("__s_tlnt") / col("n_toks").cast("double"), 6)
           .as("entropy_nats"))
   }
 
@@ -910,18 +915,20 @@ object Text {
     // ONE shingle-keyed exchange: the per-shingle first-seen doc is a
     // window min over the shingle partition — the r16 groupBy + join
     // back paid the same exchange plus a sort-merge of both branches.
-    // The exchange keys on xxhash64 of the shingle (the bigram-logprob
-    // discipline): 8-byte fixed keys shuffle/sort far cheaper than the
-    // ~25-byte 3-gram strings, the output only COUNTS per doc, and a
-    // 64-bit collision (≲10⁻⁷ at 10⁸ distinct shingles) shifts one
-    // doc's count by one — the DuckDB oracle still derives first-seen
-    // from the raw strings, so a collision surfaces as a loud hash
-    // mismatch, never silently. Window partitioned by the hash: group
+    // The partition key is (xxhash64(shingle), shingle): the 8-byte
+    // hash prefix resolves nearly every sort comparison before the
+    // ~25-byte string is touched, while the string in the key keeps
+    // the result EXACT at any scale — a 64-bit first-seen key alone
+    // is birthday-bounded at n²/2·2⁻⁶⁴ (≈2.7×10⁻⁴ already at 10⁸
+    // distinct shingles, and ≫1 at a 100 TB corpus's ~10¹¹), so
+    // hash-only identity is not a scale-safe discipline for this op.
+    // Window partitioned by the (hash, shingle) pair: group
     // cardinality IS the distinct-shingle count — massively parallel,
     // never single-task.
     val sh = DocArtifacts.shingles3(s, dir)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
-    val w = Window.partitionBy(col("h"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"),
+        col("shingle"))
+    val w = Window.partitionBy(col("h"), col("shingle"))
     sh.withColumn("first_doc", min(col("doc_id")).over(w))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),

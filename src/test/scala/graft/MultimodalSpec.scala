@@ -197,4 +197,101 @@ class MultimodalSpec extends SparkSpec {
     }
     assert(members == docs.size, "every document is in exactly one shard")
   }
+
+  test("mm_audio_window REAL decode: a generated 16-bit PCM WAV " +
+      "decodes through javax.sound and the frames re-derive from the " +
+      "same samples; a stereo WAV averages channels; text payloads " +
+      "keep the raw-byte framing bit-for-bit") {
+    import javax.sound.sampled._
+    def wavBytes(samples: Array[Short], channels: Int): Array[Byte] = {
+      // interleaved 16-bit little-endian PCM frames
+      val pcm = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (s, i) =>
+        pcm(2 * i) = (s & 0xff).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val fmt = new AudioFormat(8000f, 16, channels, true, false)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt,
+        samples.length / channels)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    def amp(s: Short): Int = (s.toInt + 32768) >> 8
+    // 700 mono sample frames -> 700 amplitude bytes -> 4 windows
+    val mono = Array.tabulate(700)(i =>
+      ((i * 2347 + 11) % 65536 - 32768).toShort)
+    // 600 stereo frames: amplitude = channel-average (integer division)
+    val stereo = Array.tabulate(1200)(i =>
+      ((i * 911 + 5) % 65536 - 32768).toShort)
+    def expectedFrames(a: Array[Int]): Seq[(Int, Long, Int)] = {
+      val n = if (a.length < 256) 0 else (a.length - 256) / 128 + 1
+      (0 until n).map { k =>
+        val w = a.slice(k * 128, k * 128 + 256)
+        (k, w.map(_.toLong).sum, w.max)
+      }
+    }
+    val monoAmp = mono.map(amp)
+    val stereoAmp = Array.tabulate(600)(f =>
+      (amp(stereo(2 * f)) + amp(stereo(2 * f + 1))) / 2)
+    val text = ("not a wav, just bytes " * 20).getBytes("UTF-8")
+    val textAmp = text.map(_ & 0xff)
+    import spark.implicits._
+    val got = operators.Multimodal.audioWindowRows(
+        Seq((1L, wavBytes(mono, 1)), (2L, wavBytes(stereo, 2)),
+          (3L, text)).toDF("doc_id", "payload"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r =>
+        (r.getInt(1), r.getLong(2), r.getInt(3))).sortBy(_._1).toSeq)
+      .toMap
+    assert(got(1L) == expectedFrames(monoAmp), "mono WAV leg")
+    assert(got(2L) == expectedFrames(stereoAmp), "stereo WAV leg")
+    assert(got(3L) == expectedFrames(textAmp),
+      "non-WAV payloads must keep the raw-byte framing")
+  }
+
+  test("mm_shard_write Hadoop-FS branch: forcing the remote-FS code " +
+      "path through the local ChecksumFileSystem writes the same " +
+      "byte-exact archives, with checksums off (no .crc twins) and " +
+      "no leftover temp files") {
+    val manifest = operators.Multimodal
+      .shardWriteImpl(spark, sfTiny, forceHadoopFs = true)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val docs = Tables.documents(spark, sfTiny)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).getBytes("UTF-8")).toMap
+    val outDir = new java.io.File(
+      new java.net.URI("file://" +
+        operators.Multimodal.shardsDir(sfTiny)).getPath)
+    val files = outDir.listFiles()
+    assert(!files.exists(_.getName.endsWith(".crc")),
+      "setWriteChecksum(false) must suppress ChecksumFileSystem's " +
+        ".crc twin per archive")
+    assert(!files.exists(_.getName.endsWith(".tmp")),
+      "every temp file must be renamed away by the commit")
+    val tars = files.filter(_.getName.endsWith(".tar"))
+    assert(tars.length == manifest.size, "one archive per manifest row")
+    var members = 0L
+    tars.foreach { f =>
+      val sid = f.getName.stripPrefix("shard-").stripSuffix(".tar").toLong
+      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+      val (nm, pb, tb) = manifest(sid)
+      assert(bytes.length.toLong == tb,
+        s"shard $sid: file ${bytes.length}B vs manifest ${tb}B")
+      val read = operators.Multimodal.readTar(bytes)
+      assert(read.length.toLong == nm, s"shard $sid member count")
+      assert(read.map(_._2.length.toLong).sum == pb,
+        s"shard $sid payload bytes")
+      read.foreach { case (name, payload) =>
+        val id = name.stripSuffix(".txt").toLong
+        assert(java.util.Arrays.equals(payload, docs(id)),
+          s"doc $id: tar payload diverges from the source bytes")
+      }
+      members += read.length
+    }
+    assert(members == docs.size, "every document is in exactly one shard")
+  }
 }
