@@ -344,6 +344,8 @@ object Bench {
         (() => operators.Similarity.ensureLshLanded(spark, sfDir)),
       "landing_ivf_cent" ->
         (() => operators.Similarity.ensureIvfCentLanded(spark, sfDir, 16)),
+      "landing_ann_topk" ->
+        (() => operators.Similarity.ensureAnnTopkLanded(spark, sfDir)),
       "landing_moments" ->
         (() => operators.Similarity.ensureMomentsLanded(spark, sfDir)),
       "landing_clean_manifest" ->

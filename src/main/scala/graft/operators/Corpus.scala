@@ -368,13 +368,17 @@ object Corpus {
                 s6 += t.get(toks(i))
                 i += 1
               }
-              Some((id, toks.length.toLong, s6))
+              // one correctly-rounded micro-sum → double conversion
+              // (the entropy kernel's discipline): the oracle's
+              // decimal→double cast exactly, never long→double-then-
+              // divide, which double-rounds past 2⁵³ micros
+              Some((id, toks.length.toLong,
+                java.math.BigDecimal.valueOf(s6, 6).doubleValue))
             }
           }
         }
-        .toDF("doc_id", "n_toks", "__s6")
-        .select(col("doc_id"), col("n_toks"),
-          (col("__s6").cast("double") / lit(1.0e6)).as("dsir_logweight"))
+        .toDF("doc_id", "n_toks", "dsir_logweight")
+        .select(col("doc_id"), col("n_toks"), col("dsir_logweight"))
     } else {
       val tf = DocArtifacts.doctf(s, dir)
         .select(col("doc_id"), col("tok"), col("tf"))

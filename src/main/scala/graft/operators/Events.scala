@@ -418,17 +418,24 @@ object Events {
     val perUser = Tables.events(s, dir)
       .select(col("user_id"), col("ts").cast("date").as("day"))
       .groupBy(col("user_id"))
-      .agg(collect_set(col("day")).as("days"))
+      .agg(sort_array(collect_set(col("day"))).as("days"))
     // one explode emits BOTH tagged streams per user (k=0 activity
     // days, k=1 covered anchors), so a single bounded aggregate yields
     // dau and wau together — no second pass over the exchange, no join;
-    // anchors that aren't real activity days drop at the dau>0 filter
+    // anchors that aren't real activity days drop at the dau>0 filter.
+    // The anchor stream is built from EXACT per-day coverage intervals
+    // over the sorted day array — day d covers [d, min(d+6, next-1)],
+    // so each (user, anchor) is emitted exactly once by construction
+    // and the flatten-7×-then-array_distinct pass (the profiled hot
+    // lambda: 7 structs built and deduped per activity day) disappears.
     perUser
       .select(explode(concat(
         transform(col("days"), d => struct(d.as("day"), lit(0).as("k"))),
-        transform(array_distinct(flatten(transform(col("days"),
-            d => sequence(d, date_add(d, 6))))),
-          a => struct(a.as("day"), lit(1).as("k"))))).as("x"))
+        flatten(transform(col("days"), (d, i) =>
+          transform(sequence(d, least(date_add(d, 6),
+              coalesce(date_sub(try_element_at(col("days"), i + 2), 1),
+                date_add(d, 6)))),
+            a => struct(a.as("day"), lit(1).as("k"))))))).as("x"))
       .groupBy(col("x.day").as("day"))
       .agg(count(when(col("x.k") === 0, 1)).as("dau"),
         count(when(col("x.k") === 1, 1)).as("wau"))

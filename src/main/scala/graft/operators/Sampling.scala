@@ -140,10 +140,19 @@ object Sampling {
       .withColumn("weight", lit(1) + length(col("source")) % 3)
       .withColumn("__hk", col("h"))
       .withColumn("__bkt", Ranking.hexPrefixBucket(col("__hk"), hc))
-    val ranked = Ranking.bucketedRowNumber(base, Seq("source"), "__bkt",
-        1 << (4 * hc), Seq(col("__hk"), col("doc_id")), "src_rank")
-      .withColumn("vt",
-        col("src_rank").cast("double") / col("weight").cast("double"))
+    // ONE count pass serves everything the op needs beyond the data
+    // pass: the per-(source, bucket) counts ARE bucketedRowNumber's
+    // aux table (collected here instead of broadcast-joined — same
+    // |sources|·nBuckets bound either way), per-source totals and
+    // weights fold from the same rows, and the source-registry cap
+    // check reads the collected keys. The r17 shape paid three
+    // driver-visible jobs for this (srcStats collect + the ranking's
+    // count pass + its broadcast build); this is two scans total:
+    // count pass + the final ranked projection.
+    val cntRows = base.groupBy(col("source"), col("__bkt"))
+      .agg(count(lit(1)).as("c"), first(col("weight")).as("w"))
+      .collect()
+    val bySrc = cntRows.groupBy(_.getString(0))
     // The global position is CLOSED-FORM from the per-source totals:
     // stride scheduling emits each source's ranks as the arithmetic
     // ladder r/w, so the number of rows ordered strictly before
@@ -161,11 +170,12 @@ object Sampling {
     // projection; the per-source stat table is bounded by the source
     // registry (the dedup_source_overlap discipline), guarded by cap
     // with the ranking plan as fallback.
-    val srcStats = base.groupBy(col("source"))
-      .agg(first(col("weight")).as("w"), count(lit(1)).as("n"))
-      .limit(65).collect()
-    if (srcStats.length > 64) {
-      // unbounded registry: fall back to the exact two-pass ranking
+    if (bySrc.size > 64) {
+      // unbounded registry: fall back to the exact two-pass rankings
+      val ranked = Ranking.bucketedRowNumber(base, Seq("source"), "__bkt",
+          1 << (4 * hc), Seq(col("__hk"), col("doc_id")), "src_rank")
+        .withColumn("vt",
+          col("src_rank").cast("double") / col("weight").cast("double"))
       val vb = Ranking.bucketsFor(nDocs, 256)
       val bucketed = Ranking.withValueBucket(ranked, col("vt"), "__vbkt",
         vb)
@@ -174,9 +184,34 @@ object Sampling {
         .select(col("doc_id"), col("source"), col("weight"),
           col("src_rank"), round(col("vt"), 6).as("vt"), col("pos"))
     } else {
-      val stats = array(srcStats.map { r =>
-        struct(lit(r.getString(0)).as("src"),
-          lit(r.getInt(1).toLong).as("w"), lit(r.getLong(2)).as("n"))
+      // per-(source, bucket) exclusive rank offsets from the collected
+      // counts (bucketedRowNumber step 2, driver-side), and per-source
+      // (w, n) stats for the closed-form position — one data structure,
+      // zero further jobs before the output pass
+      val offRows = bySrc.toSeq.flatMap { case (src, rows) =>
+        var run = 0L
+        rows.sortBy(_.getInt(1)).map { r =>
+          val off = run
+          run += r.getLong(2)
+          (src, r.getInt(1), off)
+        }
+      }
+      val srcStats = bySrc.toSeq.map { case (src, rows) =>
+        (src, rows.head.getInt(3).toLong, rows.map(_.getLong(2)).sum)
+      }
+      import s.implicits._
+      val offDf = offRows.toDF("source", "__bkt", "__off")
+      val localW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"), col("__bkt"))
+        .orderBy(col("__hk"), col("doc_id"))
+      val ranked = base
+        .join(broadcast(offDf), Seq("source", "__bkt"), "left")
+        .withColumn("src_rank",
+          coalesce(col("__off"), lit(0L)) + row_number().over(localW))
+        .withColumn("vt",
+          col("src_rank").cast("double") / col("weight").cast("double"))
+      val stats = array(srcStats.map { case (src, w0, n) =>
+        struct(lit(src).as("src"), lit(w0).as("w"), lit(n).as("n"))
       }: _*)
       def floorDiv(t: org.apache.spark.sql.Column, d: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
         ((t - pmod(t, d)) / d).cast("long")
