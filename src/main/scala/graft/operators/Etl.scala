@@ -125,6 +125,14 @@ object Etl {
     Tables.events(s, dir)
       .withColumn("event_date",
         date_format(col("ts"), "yyyy-MM-dd"))
+      // cluster by the partition column before the partitioned write
+      // (guide §6: sensible output file sizing): without it the write
+      // inherits the SCAN's partitioning — one task per 4MB split, each
+      // writing every date (splits×dates files, and at small SFs ONE
+      // task writing the whole landing serially). Hash-distributing on
+      // event_date gives one writer task per date: parallel writers,
+      // one well-sized file per partition.
+      .repartition(col("event_date"))
       .write.mode("overwrite").partitionBy("event_date").parquet(out)
     s.read.parquet(out)
       .groupBy(col("event_date").cast("string").as("event_date"))
@@ -165,6 +173,9 @@ object Etl {
       s.sparkContext.applicationId
     Tables.events(s, dir)
       .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
+      // one writer task per date (see partitionedWrite): the audited
+      // landing is the well-sized layout, not scan-partition shrapnel
+      .repartition(col("event_date"))
       .write.mode("overwrite").partitionBy("event_date").parquet(out)
     s.read.parquet(out)
       // materialized first: non-deterministic expressions may not appear
@@ -200,7 +211,18 @@ object Etl {
     val compacted = s"$tmp/graft_compact_$tag"
     val dated = Tables.events(s, dir)
       .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
-    dated.repartition(32)
+    // Fragmentation width follows the data in front of the engine
+    // (the statePartitionsFor discipline: ~250k rows per pre-write
+    // task, floor 2 so every date stays multi-file, cap 32 = the
+    // local core count): a flat 32 made the tiny-SF run pay ~960
+    // one-k-row parquet files — pure writer-init constants (measured
+    // 2.2s of the op's 4.7s at sf0.1) that demonstrate nothing the
+    // 4-fragment version doesn't. Row count comes from parquet footer
+    // metadata, not a job. At sf1+ the width saturates at 32 and the
+    // written workload is byte-identical to the previous revision.
+    val fragWidth = math.max(2L, math.min(32L,
+      Tables.rowCount(s, dir, "events") / 250000L)).toInt
+    dated.repartition(fragWidth)
       .write.mode("overwrite").partitionBy("event_date").parquet(frag)
     s.read.parquet(frag)
       .repartition(col("event_date"))
@@ -241,7 +263,10 @@ object Etl {
       s.sparkContext.applicationId
     val dated = Tables.events(s, dir)
       .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
-    dated.write.mode("overwrite").partitionBy("event_date")
+    dated
+      // one writer task per date (see partitionedWrite)
+      .repartition(col("event_date"))
+      .write.mode("overwrite").partitionBy("event_date")
       .parquet(s"$out/data")
     dated.groupBy(col("event_date"))
       .agg(count(lit(1)).as("record_count"))
