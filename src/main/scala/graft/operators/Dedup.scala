@@ -65,6 +65,11 @@ object Dedup {
 
   def sourceSimilarity(s: SparkSession, dir: String): DataFrame = {
     val k = 32
+    // NOTE (r18, measured): reading the LANDED doctoks table here
+    // instead of re-tokenizing text was tried and is SLOWER locally
+    // (0.76s → 1.07s isolated at sf0.1, twice) — the array<string>
+    // parquet decode of token arrays costs more than the regex
+    // tokenize over 1-string rows at bench scale; kept on raw text.
     Tables.documents(s, dir)
       .withColumn("toks", tokens(col("text")))
       .select(col("source"),
@@ -141,7 +146,16 @@ object Dedup {
       java.util.Arrays.compareUnsigned(
         a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
         b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val srcs: Seq[String] = sh.select(col("source")).distinct()
+    // source registry from the DOCUMENTS scan, not a corpus-shingle
+    // distinct (guide §2.3 — scan fewer bytes for the same decision):
+    // the registry probe only needs the source vocabulary, and the
+    // documents table is orders of magnitude smaller than the exploded
+    // shingle landing. A source whose docs yield zero shingles gets a
+    // bit no mask ever sets — nOf stays 0, no pair passes shared>0 —
+    // so the output is unchanged; sources ⊇ shingle-sources keeps the
+    // ≤32 regime check conservative.
+    val srcs: Seq[String] = Tables.documents(s, dir)
+      .select(col("source")).distinct()
       .collect().map(_.getString(0)).sorted(utf8Order).toSeq
     if (srcs.size <= 32 && srcs.nonEmpty) sourceOverlapMask(s, sh, srcs)
     else sourceOverlapSets(sh)

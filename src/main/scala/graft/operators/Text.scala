@@ -407,13 +407,17 @@ object Text {
     * so ordering is reproducible across engines. */
   def tfidfTopk(s: SparkSession, dir: String): DataFrame = {
     val k = 3
-    val words = DocArtifacts.toks(s, dir)
-      .select(col("doc_id"), explode(col("toks")).as("term"))
     // doc count from footer metadata (Tables.rowCount) — the catalog
     // statistic, not a count job
     val nDocs = Tables.rowCount(s, dir, "documents").toDouble
-    val tf = words.groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+    // per-doc term frequencies straight from the LANDED doctf table
+    // (guide §2.4 — remove the pass outright): the previous form
+    // re-exploded the token arrays TWICE (once under tf, once under
+    // the df subtree — Catalyst does not share the aggregate across
+    // the self-join), re-paying the corpus-sized explode+count both
+    // times; doctf already holds exactly that aggregate, columnar
+    val tf = DocArtifacts.doctf(s, dir)
+      .select(col("doc_id"), col("tok").as("term"), col("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val scored = tf.join(broadcast(df), "term")
       .withColumn("tfidf", round(col("tf").cast("double") *

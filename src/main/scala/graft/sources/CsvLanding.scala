@@ -39,6 +39,10 @@ object CsvLanding {
         col("event_type").as("source"),
         col("value"), col("props"),
         date_format(col("ts"), "yyyy-MM-dd").as("event_date"))
+      // one writer task per date (guide §6 — see JsonLanding): avoids
+      // splits×dates landing shrapnel and the serial one-task write at
+      // small SFs
+      .repartition(col("event_date"))
       .write.mode("overwrite").option("header", "true")
       // lz4: same landing profile as the JSON leg — text landings
       // compress ~3x; locally a wash (page cache), on real remote

@@ -37,13 +37,21 @@ object JsonLanding {
         col("event_type").as("source"),
         col("ts"), col("value"), col("props"),
         date_format(col("ts"), "yyyy-MM-dd").as("event_date"))
+      // cluster by the partition column before the partitioned write
+      // (guide §6, the Etl.partitionedWrite fix): off the raw scan
+      // partitioning every 4MB-split task writes every date —
+      // splits×dates files at scale, ONE task writing all dates
+      // serially at small SFs. One writer task per date gives parallel
+      // writers and one well-sized file per partition, and the
+      // read-back pays |dates| file opens instead of splits×dates.
+      .repartition(col("event_date"))
       // lz4: the uncompressed text landing is ~6x the source parquet
       // (332 MB at 30x). On the local page-cache-backed bench the
       // round-trip is a wash (3.24s vs 3.27s — the write drops ~1.2s,
       // the read pays ~0.4s back in decompress, the rest is cache);
       // on real object-store/HDFS landings the 3x byte cut is the
-      // whole game. Per-date file counts keep read parallelism
-      // despite lz4 being unsplittable.
+      // whole game. One lz4 file per date keeps read parallelism at
+      // |dates| tasks despite lz4 being unsplittable.
       .write.mode("overwrite").option("compression", "lz4")
       .partitionBy("event_date").json(out)
     s.read.schema(landedSchema.add(StructField("event_date", StringType)))
