@@ -659,8 +659,8 @@ object Streams {
   private[graft] def statePartitionsFor(nEvents: Long): Int =
     math.max(8L, math.min(32L, nEvents / 250000L)).toInt
 
-  private def withStatePartitions[T](s: SparkSession, dir: String)(
-      body: => T): T =
+  private def withStatePartitions[T](s: SparkSession, dir: String,
+      keepNoDataBatches: Boolean)(body: => T): T =
     // the set/run/restore mutates SESSION-global conf: serialize all
     // streaming-op construction behind one lock so two concurrent
     // streaming ops cannot interleave set and restore (second setter
@@ -670,6 +670,8 @@ object Streams {
     // clones the conf; documented here as the serial-only contract.
     Streams.synchronized {
       val prev = s.conf.get("spark.sql.shuffle.partitions")
+      val prevNoData =
+        s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
       // explicit knob wins; otherwise derive from the events footer
       // row count (no job — the rowCount is parquet metadata)
       val n = try s.conf.get("spark.graft.stream.statePartitions")
@@ -678,8 +680,31 @@ object Streams {
             try graft.Tables.rowCount(s, dir, "events")
             catch { case scala.util.control.NonFatal(_) => 0L }).toString }
       s.conf.set("spark.sql.shuffle.partitions", n)
-      try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      // No-data micro-batches exist to advance watermark-dependent
+      // OUTPUT (event-time timeout flushes, append-mode window
+      // finalization); for this block's other queries they only evict
+      // already-emitted state, at the cost of one full extra trigger —
+      // every state partition re-opens/commits its store(s) and a
+      // Complete-mode sink rewrites its whole output again (measured:
+      // stream_dedup 1.75 → 1.29s isolated at sf0.1). Complete-mode
+      // snapshots, eager-emit inner joins, NoTimeout fMGWS and
+      // stateless routing all produce their final rows in the data
+      // batch, so the extra trigger is pure scaffolding for them.
+      // stream_sessionize is the one query whose OUTPUT needs the
+      // post-watermark trigger (EventTimeTimeout flush) and keeps it.
+      if (!keepNoDataBatches)
+        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      try body finally {
+        s.conf.set("spark.sql.shuffle.partitions", prev)
+        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+          prevNoData)
+      }
     }
+
+  /** Queries whose OUTPUT depends on a trigger firing after the
+    * watermark passes (event-time timeouts) — they keep Spark's
+    * default no-data micro-batches; see [[withStatePartitions]]. */
+  private val needsNoDataBatches = Set("stream_sessionize")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map[
       String, (SparkSession, String) => DataFrame](
@@ -696,7 +721,8 @@ object Streams {
     "stream_incremental_landing" -> (incrementalLanding _)
   ).map { case (name, fn) =>
     name -> ((s: SparkSession, d: String) =>
-      withStatePartitions(s, d)(fn(s, d)))
+      withStatePartitions(s, d,
+        keepNoDataBatches = needsNoDataBatches(name))(fn(s, d)))
   }
 
   /** The streaming windowed agg is epoch-aligned, so the batch SQL oracle
