@@ -649,15 +649,19 @@ object Streams {
   /** Default state-partition count derived from the event volume in
     * front of the engine (the maxPartitionBytes/quantizerK discipline:
     * knobs follow the data, not a constant): ~250k events per state
-    * partition, floored at the measured local sweet spot (8 — see
-    * [[withStatePartitions]]) and capped at 32 (the local core count;
-    * a cluster deployment sets the knob explicitly to its own peak key
-    * cardinality). The r12 sf3 sweep measured the fixed-8 default
-    * scaling stream_sessionize 2.9× per 3× data — per-partition state
-    * snapshots grow with volume while the per-trigger store constant
-    * stays flat, so the split point must move with the data. */
+    * partition, floored at the measured local sweet spot (re-measured
+    * at 4 in r18 after the no-data-batch removal halved per-trigger
+    * store commits — stream_join_attribution 1.84s at 8 → 1.64s at 4,
+    * its 4 stores/partition dominating; 8 was the optimum only while
+    * every op paid two triggers) and capped at 32 (the local core
+    * count; a cluster deployment sets the knob explicitly to its own
+    * peak key cardinality). The r12 sf3 sweep measured the fixed-8
+    * default scaling stream_sessionize 2.9× per 3× data —
+    * per-partition state snapshots grow with volume while the
+    * per-trigger store constant stays flat, so the split point must
+    * move with the data. */
   private[graft] def statePartitionsFor(nEvents: Long): Int =
-    math.max(8L, math.min(32L, nEvents / 250000L)).toInt
+    math.max(4L, math.min(32L, nEvents / 250000L)).toInt
 
   private def withStatePartitions[T](s: SparkSession, dir: String,
       keepNoDataBatches: Boolean)(body: => T): T =
