@@ -82,9 +82,50 @@ object Relational {
     * (partial agg does all the work); the scan prunes to 7 columns. */
   def q1PricingSummary(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
-    li.filter(col("l_shipdate") <= ts("2000-09-02"))
+    val grouped = li.filter(col("l_shipdate") <= ts("2000-09-02"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
-      .agg(
+    // Two-regime sums on the catalog row count (the q14 discipline:
+    // footer metadata, no job). Within 5e7 fact rows every measure
+    // rides EXACT LONG fixed-point units — qty/base in 1e-2, the
+    // scale-4 disc_price in 1e-4, the scale-6 charge in 1e-6; each
+    // per-row unit value is the integral unscaled value of the exact
+    // decimal (≤ 1.2e11 for charge at TPC-H's ~$110k price cap), so
+    // 5e7 rows keep every sum under 2^63 (6e18, a 1.5× margin even
+    // with every row at the price cap; real sums sit ~30× lower) — at
+    // long-
+    // add codegen cost instead of four boxed decimal(28,2)/(33,4)/
+    // (36,6) accumulators (the decimal Sum buffer is non-compact past
+    // 18 digits). The unit sums convert back through an EXACT decimal
+    // division (scale-6 quotient ≥ the true scale, so no rounding)
+    // and the same round/cast tail as the decimal form — bit-identical
+    // output. Past 5e7 rows the decimal plan takes over unchanged.
+    def backTo2(unitSum: Column, unit: Int): Column =
+      (unitSum.cast(DecimalType(38, 0)) / lit(unit)).cast("double")
+    def backTo2Rounded(unitSum: Column, unit: Int): Column =
+      round(unitSum.cast(DecimalType(38, 0)) / lit(unit), 2).cast("double")
+    if (Tables.rowCount(s, dir, "lineitem") <= 50L * 1000 * 1000) {
+      // cents extraction WITHOUT the per-row BigDecimal cast: the money
+      // columns are exact POSITIVE 2dp values by the data contract, so
+      // v·100 lands within ~1e-5 of the true integer (|v| ≤ 1e9 at
+      // double precision) and floor(v·100 + 0.5) IS that integer —
+      // the same value cast(v as decimal(18,2))·100 produces, at pure
+      // double-multiply cost
+      def cents(c: Column): Column = (c * 100 + 0.5).cast("long")
+      val qty2 = cents(col("l_quantity"))
+      val bp2 = cents(col("l_extendedprice"))
+      // exact decimal products in integer units: dec2(ep)·(1−dec2(d))
+      // has unscaled value ep_cents·(100−d_cents) at scale 4, and the
+      // charge's extra ·(1+tax) factor appends ·(100+tax_cents) at
+      // scale 6 — integer arithmetic, bit-identical to the decimal form
+      val dp4 = bp2 * (lit(100L) - cents(col("l_discount")))
+      val ch6 = dp4 * (lit(100L) + cents(col("l_tax")))
+      grouped.agg(
+        backTo2(sum(qty2), 100).as("sum_qty"),
+        backTo2(sum(bp2), 100).as("sum_base_price"),
+        backTo2Rounded(sum(dp4), 10000).as("sum_disc_price"),
+        backTo2Rounded(sum(ch6), 1000000).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+    } else grouped.agg(
         outd(sum(dec2(col("l_quantity")))).as("sum_qty"),
         outd(sum(dec2(col("l_extendedprice")))).as("sum_base_price"),
         outd2(sum(discPrice(col("l_extendedprice"), col("l_discount"))))

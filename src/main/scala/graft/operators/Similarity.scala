@@ -1363,14 +1363,9 @@ object Similarity {
     // training sample: smallest-id-hash draw, spread over the cores the
     // SAMPLE justifies (the trainKmeans repartition-before-checkpoint
     // lesson — limit() collapses to one partition)
-    val sampleParts = math.max(1L, math.min(
-      s.sparkContext.defaultParallelism.toLong,
-      math.min(n, cap) * m / 1024L)).toInt
     val trainEmb = (if (n > cap)
         emb.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(cap.toInt)
       else emb)
-    val trainSubs = subsOf(trainEmb).repartition(sampleParts)
-      .localCheckpoint()
     // seeds: the k lowest vec_ids' subvectors FROM THE SAMPLE; cluster
     // id = seed vec_id (the kmeans convention). Iteration state rides
     // the driver — the codebook is bounded by SCHEMA (m × k × subdim =
@@ -1380,24 +1375,37 @@ object Similarity {
     import s.implicits._
     def centDf(rows: Seq[(Int, Long, Seq[Double])]): DataFrame =
       rows.toDF("sub", "cluster", "cv")
-    var centRows: Seq[(Int, Long, Seq[Double])] =
-      trainEmb.orderBy(col("vec_id")).limit(k)
-        .select(col("vec_id").as("cluster"),
-          explode(array((0 until m).map(i =>
-            struct(lit(i).as("sub"),
-              slice(col("vd"), i * subDim + 1, subDim).as("cv"))): _*))
-            .as("x"))
-        .select(col("x.sub").as("sub"), col("cluster"),
-          col("x.cv").as("cv"))
-        .collect()
-        .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2))).toSeq
+    // the training slice COLLECTS ONCE: ≤ trainSampleCap(k) vectors BY
+    // CONSTRUCTION (4096 at k = 16, constant at any corpus size), the
+    // same driver-boundedness class as the per-sweep codebook collects
+    // the r17 form already did. That form ran each sweep as a Spark
+    // job pair (argmin assign + means aggregate) over the 4096-row
+    // sample — ~6 jobs of per-job constants for arithmetic a driver
+    // loop finishes instantly (guide §1.2: fix the job shape first).
+    // The driver sweeps below run the SAME argmin kernel (ascending
+    // cluster ids, strict <, the (‖x‖²+‖c‖²)−2·x·c operand order,
+    // left-to-right dots — dotD's documented accumulation) and the
+    // SAME mean arithmetic (round(x,9) → exact DECIMAL(28,9) 9dp-unit
+    // integer sum → decimal→double cast → double divide), so the
+    // landed codebook — the only training artifact the oracle or the
+    // final coding ever sees — is bit-identical to the Spark-sweep
+    // form's.
+    val sample: Array[(Long, Array[Double])] = trainEmb
+      .select(col("vec_id"), col("vd")).as[(Long, Array[Double])]
+      .collect()
+    // seeds: the k lowest vec_ids' subvectors FROM THE SAMPLE; cluster
+    // id = seed vec_id (the kmeans convention)
+    var centRows: Seq[(Int, Long, Seq[Double])] = sample
+      .sortBy(_._1).take(k).toSeq.flatMap { case (id, vd) =>
+        (0 until m).map(i =>
+          (i, id, vd.slice(i * subDim, (i + 1) * subDim).toSeq))
+      }
     def dotSeq(a: Array[Double], b: Array[Double]): Double = {
       var acc = 0.0
       var i = 0
       while (i < a.length) { acc += a(i) * b(i); i += 1 }
       acc
     }
-    val typedTrain = trainSubs.as[(Long, Int, Array[Double], Double)]
     // per-sub code arrays sorted ascending: the kernel's strict < is
     // then exactly min_by over struct(dist, cluster)
     def codeMap(c: Seq[(Int, Long, Seq[Double])])
@@ -1427,32 +1435,53 @@ object Similarity {
           (sub, bestC, id, sv, bestD)
         }
       }.toDF("sub", "cluster", "vec_id", "sv", "dist")
+    // Spark's mean expression, replicated operand-for-operand:
+    // round(x, 9) is the double's shortest-decimal HALF_UP round;
+    // the DECIMAL(28,9) cast re-rounds that double's shortest decimal
+    // rendering to exact 9dp units; the units sum as integers
+    // (order-free); decimal→double is BigDecimal.doubleValue; the
+    // member-count division is double arithmetic.
+    def unit9(x: Double): Long = {
+      val r = java.math.BigDecimal.valueOf(x)
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue
+      java.math.BigDecimal.valueOf(r)
+        .setScale(9, java.math.RoundingMode.HALF_UP)
+        .unscaledValue().longValueExact()
+    }
     for (_ <- 1 to sweeps) {
-      val assign = assignedK(typedTrain, codeMap(centRows))
-      // per-(sub, cluster, dim) means via round → exact DECIMAL →
-      // associative SUM (the dimStats discipline): order-independent
-      // and map-side combinable, so no task ever materializes a
-      // cluster's member list. That matters HERE and not in
-      // trainKmeans: k is fixed at 16 codes per subspace, so cluster
-      // width grows linearly with the corpus — an ordered fold would
-      // hold n/16 values in one task's list — while the coarse
-      // quantizer's derived k pins its cells at ~256 vectors.
-      import org.apache.spark.sql.types.DecimalType
-      val means = assign
-        .select(col("sub"), col("cluster"),
-          posexplode(col("sv")).as(Seq("i", "x")))
-        .groupBy(col("sub"), col("cluster"), col("i"))
-        .agg((sum(round(col("x"), 9).cast(DecimalType(28, 9)))
-            .cast("double") / count(lit(1)).cast("double")).as("c"))
-        .groupBy(col("sub"), col("cluster"))
-        .agg(collect_list(struct(col("i"), col("c"))).as("cs"))
-        .select(col("sub"), col("cluster"),
-          transform(array_sort(col("cs")), e => e.getField("c")).as("cv"))
-        .collect()
-        .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Double](2)).toMap
+      val cm = codeMap(centRows)
+      val sums = new java.util.HashMap[(Int, Long), (Array[Long], Long)]
+      sample.foreach { case (_, vd) =>
+        var sub = 0
+        while (sub < m) {
+          val sv = vd.slice(sub * subDim, (sub + 1) * subDim)
+          val nx2 = dotSeq(sv, sv)
+          val cs = cm(sub)
+          var bestC = -1L
+          var bestD = Double.PositiveInfinity
+          var i = 0
+          while (i < cs.length) {
+            val t = cs(i)
+            val d = (nx2 + t._3) - 2.0 * dotSeq(sv, t._2)
+            if (d < bestD) { bestD = d; bestC = t._1 }
+            i += 1
+          }
+          val key = (sub, bestC)
+          var e = sums.get(key)
+          if (e == null) { e = (new Array[Long](subDim), 0L) }
+          var j = 0
+          while (j < subDim) { e._1(j) += unit9(sv(j)); j += 1 }
+          sums.put(key, (e._1, e._2 + 1L))
+          sub += 1
+        }
+      }
       // empty clusters keep their previous centroid
       centRows = centRows.map { case (sub, c, prev) =>
-        (sub, c, means.getOrElse((sub, c), prev)) }
+        val e = sums.get((sub, c))
+        if (e == null) (sub, c, prev)
+        else (sub, c, e._1.toSeq.map(u =>
+          java.math.BigDecimal.valueOf(u, 9).doubleValue / e._2.toDouble))
+      }
     }
     centDf(centRows).write.mode("overwrite").parquet(pqCodebookDir(dir))
     // final coding against the LANDED codebook (parquet round-trips
