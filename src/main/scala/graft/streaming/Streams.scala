@@ -34,43 +34,53 @@ case class SessionRow(user_id: Long, session_id: Long,
     sum_cents: Long)
 /** Slim per-event state record: ts + tie-break id + exact cents. The
   * watermark column, user_id (the group key) and the raw double ride
-  * only the INPUT rows — state volume is inherently ~event-count for a
-  * sparse stream, so every stored byte is paid twice per flush
-  * (snapshot out, snapshot in). */
+  * only the INPUT rows. */
 case class PendEv(ts_us: Long, event_id: Long, cents: Long)
-/** Sessionize state, PACKED as three primitive long arrays (column-major
-  * pending events) instead of List[PendEv]: the product-list encoder
-  * walks a MapObjects loop with per-element row conversion on every
-  * state read/write, while primitive arrays serialize as one
-  * UnsafeArrayData memcpy each — the dominant term of the fMGWS
-  * state-store floor (r13 profiled ~10s at 30× as typed-state ser/de).
-  * Pack/unpack at the state boundary is three list traversals, paid
-  * only when state actually changes. NOTE: like the r13 List[PendEv]
-  * slimming, this is a state-format break for persisted checkpoints
-  * (STREAMING.md's compatibility section). */
-case class SessState(ts: Array[Long], ids: Array[Long],
-    cents: Array[Long], emitted: Long) {
-  def pending: List[PendEv] = {
-    val b = List.newBuilder[PendEv]
+/** A pending session as an AGGREGATE — start/end, event count, exact
+  * cent sum. Session membership depends only on the ≤30-min gap chain,
+  * and the union of two valid sessions whose interval gap is ≤ the
+  * session gap is itself a valid session (any inserted event only
+  * shrinks adjacent gaps), so pending state never needs the raw
+  * events: sessions merge by sorted-interval coalescing, exactly the
+  * grouping a full event-level re-sort would produce. */
+case class SessAgg(start_us: Long, end_us: Long, n: Long, cents: Long)
+/** Sessionize state, PACKED as primitive long arrays (column-major
+  * pending SESSIONS, ascending start) — r14 packed raw events this
+  * way; r18 aggregates them first (state format v4): state volume
+  * drops from ~event-count to ~session-count rows and the
+  * watermark/timeout flush emits straight from the aggregates instead
+  * of rebuilding and re-sorting every pending event list (profiled at
+  * 30×: the flush batch cost ≈ the 3M-row data batch itself). Arrays
+  * serialize as one UnsafeArrayData memcpy each — the r14 lesson
+  * retained. NOTE: a state-format break for persisted checkpoints
+  * (STREAMING.md's compatibility section; versionedCheckpoint). */
+case class SessState(starts: Array[Long], ends: Array[Long],
+    ns: Array[Long], cents: Array[Long], emitted: Long) {
+  def pending: List[SessAgg] = {
+    val b = List.newBuilder[SessAgg]
     var i = 0
-    while (i < ts.length) { b += PendEv(ts(i), ids(i), cents(i)); i += 1 }
+    while (i < starts.length) {
+      b += SessAgg(starts(i), ends(i), ns(i), cents(i)); i += 1
+    }
     b.result()
   }
 }
 object SessState {
-  def pack(pending: List[PendEv], emitted: Long): SessState = {
+  def pack(pending: List[SessAgg], emitted: Long): SessState = {
     val n = pending.size
-    val ts = new Array[Long](n)
-    val ids = new Array[Long](n)
+    val starts = new Array[Long](n)
+    val ends = new Array[Long](n)
+    val ns = new Array[Long](n)
     val cents = new Array[Long](n)
     var i = 0
     var rest = pending
     while (rest.nonEmpty) {
       val e = rest.head
-      ts(i) = e.ts_us; ids(i) = e.event_id; cents(i) = e.cents
+      starts(i) = e.start_us; ends(i) = e.end_us
+      ns(i) = e.n; cents(i) = e.cents
       i += 1; rest = rest.tail
     }
-    SessState(ts, ids, cents, emitted)
+    SessState(starts, ends, ns, cents, emitted)
   }
 }
 case class FunnelEv(user_id: Long, event_id: Long, ts_us: Long,
@@ -195,12 +205,14 @@ object Streams {
     * stateful case class ([[SessState]]/[[PendEv]]/[[FunnelState]]) or
     * a stateful query's state schema. History: v1 = pre-r13
     * `List[Ev]` pending; v2 = r13 `List[PendEv]` (slimmed tuple);
-    * v3 = r14 packed primitive long arrays. STREAMING.md's
+    * v3 = r14 packed primitive long arrays; v4 = r18 packed SESSION
+    * AGGREGATES (start/end/n/cents per pending session — state is
+    * session-count, not event-count). STREAMING.md's
     * compatibility section carries the same ledger; a durable
     * deployment routes its checkpoint through [[versionedCheckpoint]]
     * so the NEXT break fails with a named error at restore instead of
     * a state-store misread. */
-  private[graft] val stateFormatVersion = 3
+  private[graft] val stateFormatVersion = 4
 
   /** Resolve the checkpoint dir for a DURABLE stateful query under
     * `base`, encoding [[stateFormatVersion]] in the path and failing
@@ -250,34 +262,70 @@ object Streams {
   private[graft] def sessionizePipeline(s: SparkSession,
       stream: DataFrame, queryName: String,
       checkpointBase: Option[String] = None): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
     import s.implicits._
     val gapUs = 1800L * 1000000L
 
-    /** Split a user's full event list into gap-delimited sessions.
-      * Sessions accumulate reversed (head prepend + head compare) so the
-      * fold is linear — list append/last would be quadratic per user. */
-    def sessionsOf(evs: List[PendEv]): List[List[PendEv]] =
-      evs.sortBy(e => (e.ts_us, e.event_id))
-        .foldLeft(List.empty[List[PendEv]]) { (acc, e) =>
-          acc match {
-            case (h :: t) :: rest if e.ts_us - h.ts_us <= gapUs =>
-              (e :: h :: t) :: rest
-            case _ => List(e) :: acc
+    /** Fold a user's SORTED event array into gap-delimited session
+      * aggregates (ascending start). Linear. */
+    def aggsOf(evs: Array[PendEv]): List[SessAgg] = {
+      if (evs.isEmpty) Nil
+      else {
+        val b = List.newBuilder[SessAgg]
+        var start = evs(0).ts_us
+        var end = start
+        var n = 0L
+        var cents = 0L
+        var i = 0
+        while (i < evs.length) {
+          val e = evs(i)
+          if (e.ts_us - end > gapUs) {
+            b += SessAgg(start, end, n, cents)
+            start = e.ts_us; n = 0L; cents = 0L
           }
-        }.map(_.reverse).reverse
+          end = e.ts_us; n += 1L; cents += e.cents
+          i += 1
+        }
+        b += SessAgg(start, end, n, cents)
+        b.result()
+      }
+    }
 
-    def row(user: Long, sid: Long, ss: List[PendEv]): SessionRow =
-      SessionRow(user, sid, ss.head.ts_us, ss.last.ts_us, ss.size.toLong,
-        ss.iterator.map(_.cents).sum)
+    /** Merge two ascending-start session lists and coalesce: two
+      * sessions whose interval gap is ≤ the session gap are one session
+      * (see [[SessAgg]] — inserted events only shrink adjacent gaps, so
+      * interval coalescing equals the event-level re-sort grouping; a
+      * new batch's session bridging TWO pending sessions coalesces both
+      * in the single sorted pass). */
+    def mergeCoalesce(a: List[SessAgg], b: List[SessAgg]): List[SessAgg] = {
+      val out = List.newBuilder[SessAgg]
+      var cur: SessAgg = null
+      var xs = a
+      var ys = b
+      while (xs.nonEmpty || ys.nonEmpty) {
+        val next =
+          if (ys.isEmpty || (xs.nonEmpty && xs.head.start_us <= ys.head.start_us)) {
+            val h = xs.head; xs = xs.tail; h
+          } else { val h = ys.head; ys = ys.tail; h }
+        if (cur == null) cur = next
+        else if (next.start_us - cur.end_us <= gapUs)
+          cur = SessAgg(cur.start_us, math.max(cur.end_us, next.end_us),
+            cur.n + next.n, cur.cents + next.cents)
+        else { out += cur; cur = next }
+      }
+      if (cur != null) out += cur
+      out.result()
+    }
+
+    def row(user: Long, sid: Long, ss: SessAgg): SessionRow =
+      SessionRow(user, sid, ss.start_us, ss.end_us, ss.n, ss.cents)
 
     // A session is FINAL only once the watermark passed its end + gap —
     // no admissible late event can extend or merge it. Earlier gap-closed
     // sessions stay pending until then, so multi-batch streams never emit
     // a session the batch form would have merged. Finalized sessions are
     // always a time-ordered PREFIX of a user's sessions (session k+1
-    // starts after session k ends), so the per-user ordinal is a simple
-    // emitted-count carried in state.
+    // starts after session k ends, so ends ascend with starts), and the
+    // per-user ordinal is a simple emitted-count carried in state.
     // State never drops the ordinal counter: a user whose sessions all
     // flushed keeps an empty-pending state row so a later return gets
     // the NEXT ordinal, not a restart at 1 (per-user-lifetime ids are
@@ -286,25 +334,26 @@ object Streams {
     val fn: (Long, Iterator[Ev], GroupState[SessState]) =>
         Iterator[SessionRow] = (user, evs, state) => {
       val st = state.getOption.getOrElse(SessState.pack(Nil, 0L))
-      val all = st.pending ++
-        evs.map(e => PendEv(e.ts_us, e.event_id, e.cents)).toList
+      val newEvs = evs.map(e => PendEv(e.ts_us, e.event_id, e.cents)).toArray
+      java.util.Arrays.sort(newEvs,
+        Ordering.by((e: PendEv) => (e.ts_us, e.event_id)))
+      val all = mergeCoalesce(st.pending, aggsOf(newEvs))
       if (state.hasTimedOut) {
         // watermark passed last_end + gap: every pending session is
-        // final (sessionsOf runs ONCE — the flush visits every pending
-        // event, so a second sort here would double the flush CPU)
-        val fin = sessionsOf(all)
-        state.update(SessState.pack(Nil, st.emitted + fin.size))
-        fin.zipWithIndex.map { case (ss, i) =>
+        // final — emitted straight from the aggregates, no event
+        // rebuild, no re-sort (the pre-v4 flush re-sorted every
+        // pending event list and cost as much as the data batch)
+        state.update(SessState.pack(Nil, st.emitted + all.size))
+        all.zipWithIndex.map { case (ss, i) =>
           row(user, st.emitted + i + 1, ss) }.iterator
       } else {
         val wmUs = state.getCurrentWatermarkMs() * 1000L
-        val (fin, pending) = sessionsOf(all)
-          .partition(ss => ss.last.ts_us + gapUs < wmUs)
-        state.update(SessState.pack(pending.flatten, st.emitted + fin.size))
+        val (fin, pending) = all.partition(ss => ss.end_us + gapUs < wmUs)
+        state.update(SessState.pack(pending, st.emitted + fin.size))
         if (pending.nonEmpty)
           // a timeout exactly at the watermark is rejected by Spark
           state.setTimeoutTimestamp(math.max(
-            pending.last.last.ts_us / 1000L + 1800L * 1000L,
+            pending.last.end_us / 1000L + 1800L * 1000L,
             state.getCurrentWatermarkMs() + 1L))
         fin.zipWithIndex.map { case (ss, i) =>
           row(user, st.emitted + i + 1, ss) }.iterator
@@ -314,26 +363,58 @@ object Streams {
     val out = stream
       .select(col("user_id"), col("event_id"),
         unix_micros(col("ts")).as("ts_us"),
-        // exact DECIMAL(18,2) in integer cents via the codegen'd cast
-        // (see Ev's scaladoc) — the lambda never touches BigDecimal
-        (col("value").cast(DecimalType(18, 2)) * lit(100))
-          .cast("long").as("cents"),
+        // exact integer cents WITHOUT the per-row BigDecimal cast: the
+        // value column is positive exact-2dp by the data contract, so
+        // floor(v·100 + 0.5) is the same integer the DECIMAL(18,2)
+        // cast produced (v·100 sits within ~1e-5 of it at double
+        // precision) — measured on the q1 twin at ~30% of the op
+        (col("value") * 100 + 0.5).cast("long").as("cents"),
         col("ts"))
       .withWatermark("ts", "30 minutes")
       .as[Ev]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(fn)
-    val writer = out.writeStream
+    // PARQUET sink, not the memory sink (guide §5 — the driver should
+    // do no data work): session volume is ~corpus-sized (~1 session
+    // per few events), and the memory sink funnels every emitted row
+    // through a driver-side append under a lock — the flush batch was
+    // profiled at sf3 costing as much as the 3M-row data batch, half
+    // of it sink collection. The file sink writes from executors in
+    // parallel and the read-back is a columnar scan; at 100 TB the
+    // memory sink is simply a driver OOM. Unique per-run output dir:
+    // the file sink's _spark_metadata log pins committed batch ids,
+    // so reusing a dir across fresh-checkpoint runs would read stale
+    // commits.
+    val outDir = s"${System.getProperty("java.io.tmpdir")}/graft_sessout_" +
+      queryName.replaceAll("[^0-9a-zA-Z]", "_") + "_" +
+      s.sparkContext.applicationId + "_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val chk = checkpointBase.map(b => versionedCheckpoint(s, b))
+      .getOrElse(outDir + "_chk")
+    val q = out.writeStream
       .outputMode(OutputMode.Append)
-      .format("memory").queryName(queryName)
-    val q = checkpointBase
-      .map(b => writer.option("checkpointLocation",
-        versionedCheckpoint(s, b)))
-      .getOrElse(writer)
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", chk)
       .start()
-    try q.processAllAvailable() finally q.stop()
-    s.table(queryName)
+    try q.processAllAvailable() finally {
+      // debug seam: per-microbatch durations on stderr when asked
+      if (s.conf.getOption("spark.graft.debug.streamProgress")
+          .contains("true"))
+        q.recentProgress.foreach(p => System.err.println(
+          s"[stream-progress] $queryName batch=${p.batchId} " +
+            s"rows=${p.numInputRows} durationMs=${p.durationMs} " +
+            p.stateOperators.map(o => s"state(rows=${o.numRowsTotal}," +
+              s"mem=${o.memoryUsedBytes},upd=${o.allUpdatesTimeMs}," +
+              s"commit=${o.commitTimeMs})").mkString(" ")))
+      q.stop()
+    }
+    // explicit schema: a zero-emission run (empty corpus) leaves only
+    // _spark_metadata behind, and schema inference over zero files
+    // would fail where the typed schema reads an empty table
+    s.read.schema(org.apache.spark.sql.Encoders.product[SessionRow].schema)
+      .parquet(outDir)
   }
 
   /** Streaming twin of Events.campaignStats — the per-campaign ads
