@@ -375,18 +375,31 @@ object Streams {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(fn)
-    // PARQUET sink, not the memory sink (guide §5 — the driver should
-    // do no data work): session volume is ~corpus-sized (~1 session
-    // per few events), and the memory sink funnels every emitted row
-    // through a driver-side append under a lock — the flush batch was
-    // profiled at sf3 costing as much as the 3M-row data batch, half
-    // of it sink collection. The file sink writes from executors in
-    // parallel and the read-back is a columnar scan; at 100 TB the
-    // memory sink is simply a driver OOM. Unique per-run output dir:
-    // the file sink's _spark_metadata log pins committed batch ids,
-    // so reusing a dir across fresh-checkpoint runs would read stale
-    // commits.
-    val outDir = s"${System.getProperty("java.io.tmpdir")}/graft_sessout_" +
+    runAppendToParquet(s, out.toDF(), queryName,
+      org.apache.spark.sql.Encoders.product[SessionRow].schema,
+      checkpointBase)
+  }
+
+  /** Run an APPEND-mode streaming query to completion through a
+    * PARQUET sink and hand back the landed result, instead of the
+    * memory sink (guide §5 — the driver should do no data work): for
+    * row-per-input-shaped output (sessions, quarantined records, join
+    * matches, funnel snapshots) the memory sink funnels every emitted
+    * row through a driver-side synchronized append — profiled at sf3
+    * costing as much as the data batch itself on stream_sessionize —
+    * and `s.table()` then serves the whole result out of driver
+    * memory; at 100 TB that sink is simply a driver OOM. The file
+    * sink writes from executors in parallel and the read-back is a
+    * columnar scan. Unique per-run output dir: the file sink's
+    * `_spark_metadata` log pins committed batch ids, so reusing a dir
+    * across fresh-checkpoint runs would read stale commits. Explicit
+    * read schema: a zero-emission run leaves only `_spark_metadata`
+    * behind, and schema inference over zero files would fail where
+    * the typed schema reads an empty table. */
+  private[graft] def runAppendToParquet(s: SparkSession, out: DataFrame,
+      queryName: String, schema: org.apache.spark.sql.types.StructType,
+      checkpointBase: Option[String] = None): DataFrame = {
+    val outDir = s"${System.getProperty("java.io.tmpdir")}/graft_streamout_" +
       queryName.replaceAll("[^0-9a-zA-Z]", "_") + "_" +
       s.sparkContext.applicationId + "_" +
       java.util.UUID.randomUUID().toString.take(8)
@@ -410,11 +423,7 @@ object Streams {
               s"commit=${o.commitTimeMs})").mkString(" ")))
       q.stop()
     }
-    // explicit schema: a zero-emission run (empty corpus) leaves only
-    // _spark_metadata behind, and schema inference over zero files
-    // would fail where the typed schema reads an empty table
-    s.read.schema(org.apache.spark.sql.Encoders.product[SessionRow].schema)
-      .parquet(outDir)
+    s.read.schema(schema).parquet(outDir)
   }
 
   /** Streaming twin of Events.campaignStats — the per-campaign ads
@@ -557,6 +566,11 @@ object Streams {
       col("user_id") === col("click_user") &&
         col("purchase_ts") >= col("click_ts") &&
         col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+    // memory sink retained: match volume here is join-selectivity
+    // bounded (~1e4 rows at sf3) and the parquet sink's per-batch file
+    // commit + checkpoint + read-back measured SLOWER (3.36 -> 3.72s
+    // sf3) — the driver-append cost the file sink removes only
+    // dominates for corpus-sized output (sessionize, quarantine)
     val q = joined.writeStream
       .outputMode(OutputMode.Append)
       .format("memory").queryName("graft_stream_join_attr")
@@ -578,12 +592,9 @@ object Streams {
     * oracle). */
   def quarantine(s: SparkSession, dir: String): DataFrame = {
     val flagged = graft.operators.Etl.quarantineFlags(eventStream(s, dir))
-    val q = flagged.writeStream
-      .outputMode(OutputMode.Append)
-      .format("memory").queryName("graft_stream_quarantine")
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    s.table("graft_stream_quarantine").orderBy(col("event_id"))
+    runAppendToParquet(s, flagged, "graft_stream_quarantine",
+      flagged.schema)
+      .orderBy(col("event_id"))
   }
 
   /** Streaming top-k heavy hitters — the continuous form of
@@ -694,6 +705,10 @@ object Streams {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(fn)
+    // memory sink retained: snapshot volume is revision-bounded (small
+    // vs the corpus) and the parquet sink measured SLOWER (2.03 ->
+    // 2.92s sf3) — see runAppendToParquet's scaladoc for when the file
+    // sink pays off
     val q = out.writeStream
       .outputMode(OutputMode.Append)
       .format("memory").queryName(queryName)
