@@ -407,11 +407,16 @@ object Dedup {
           .select(col("doc_a"), col("doc_b"),
             size(col("sh_a")).as("sz_a"), size(col("sh_b")).as("sz_b"),
             size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"),
-            size(array_distinct(concat(col("sh_a"), col("sh_b"))))
-              .as("uni"),
             aggregate(zip_with(col("sig_a"), col("sig_b"),
               (x, y) => when(x === y, 1).otherwise(0)),
               lit(0), (acc, v) => acc + v).cast("long").as("n_agree"))
+          // shingle arrays are per-doc DISTINCT (wordShingles), so
+          // |A∪B| = |A| + |B| − |A∩B| exactly — arithmetic instead of
+          // the per-PAIR array_distinct(concat(...)) hash-set build
+          // over sz_a+sz_b strings (guide §2.3: shuffle/compute fewer
+          // bytes; pair count ≫ doc count). Derived in a second
+          // projection so `inter` is computed once.
+          .withColumn("uni", col("sz_a") + col("sz_b") - col("inter"))
         // both writes hang off the persisted base (block-level locking
         // dedupes its first materialization): concurrent actions, the
         // DocArtifacts discipline
@@ -550,11 +555,28 @@ object Dedup {
         round(abs(col("est") - col("j")), 6).as("abs_err"))
   }
 
-  /** Unrounded Jaccard — threshold form. */
-  private def rawJaccard(a: org.apache.spark.sql.Column,
-      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    size(array_intersect(a, b)).cast("double") /
-      size(array_union(a, b)).cast("double")
+  /** Exact-Jaccard verification of candidate pairs carrying DISTINCT
+    * hash/shingle arrays as sh_a/sh_b: size-ratio prefilter, then the
+    * threshold filter and the rounded output share ONE array_intersect
+    * — |A∪B| = |A|+|B|−|A∩B| for distinct arrays, so the union is
+    * arithmetic and the old form's array_union per pair (built a
+    * second per-pair hash set in both the filter AND the projection)
+    * disappears; codegen subexpression elimination computes the
+    * remaining intersect once per operator. inter and uni are the
+    * same integers as before, so the divide and round are
+    * bit-identical to the oracle's. */
+  private def verifiedJaccard(cands: DataFrame, keyA: String,
+      keyB: String): DataFrame = {
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+      .cast("double")
+    val rawj = inter /
+      ((size(col("sh_a")) + size(col("sh_b"))).cast("double") - inter)
+    cands
+      .filter(size(col("sh_a")) <= size(col("sh_b")) * 2 &&
+        size(col("sh_b")) <= size(col("sh_a")) * 2)
+      .filter(rawj >= 0.5)
+      .select(col(keyA), col(keyB), round(rawj, 6).as("jaccard"))
+  }
 
   /** Candidate id-pairs from an exploded (doc_id, band_id, band_hash)
     * table, with heavy-hitter bucket salting. A plain band self-join
@@ -647,12 +669,7 @@ object Dedup {
     val banded = base.select(col("doc_id"),
       posexplode(col("bands")).as(Seq("band_id", "band_hash")))
     val pairs = saltedBandPairs(banded, target = 64)
-    attach(pairs, base, "hs")
-      .filter(size(col("sh_a")) <= size(col("sh_b")) * 2 &&
-        size(col("sh_b")) <= size(col("sh_a")) * 2)
-      .filter(rawJaccard(col("sh_a"), col("sh_b")) >= 0.5)
-      .select(col("doc_a"), col("doc_b"),
-        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+    verifiedJaccard(attach(pairs, base, "hs"), "doc_a", "doc_b")
   }
 
   /** Deterministic landing dir for the SimHash fingerprint table: the
@@ -1125,16 +1142,12 @@ object Dedup {
     val corpus = banded.filter(pmod(col("doc_id"), lit(5)) =!= 0)
     val batch = banded.filter(pmod(col("doc_id"), lit(5)) === 0)
     val pairs = saltedProbePairs(corpus, batch, target)
-    pairs
+    verifiedJaccard(pairs
       .join(base.select(col("doc_id").as("doc_batch"), col("hs").as("sh_a")),
         "doc_batch")
       .join(base.select(col("doc_id").as("doc_corpus"), col("hs").as("sh_b")),
-        "doc_corpus")
-      .filter(size(col("sh_a")) <= size(col("sh_b")) * 2 &&
-        size(col("sh_b")) <= size(col("sh_a")) * 2)
-      .filter(rawJaccard(col("sh_a"), col("sh_b")) >= 0.5)
-      .select(col("doc_batch"), col("doc_corpus"),
-        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+        "doc_corpus"),
+      "doc_batch", "doc_corpus")
   }
 
   /** Per-source duplication telemetry — the dashboard row a corpus
