@@ -152,24 +152,41 @@ object Relational {
       .limit(10)
   }
 
-  /** TPC-H Q5 shape: 6-way star join, region-filtered. All dims broadcast;
-    * the only big shuffle is orders⋈lineitem. The c_nationkey=s_nationkey
-    * constraint rides along as a post-join filter on broadcast columns. */
+  /** TPC-H Q5 shape: 6-way star join, region-filtered. The region
+    * restriction is pushed to BOTH dim sides before any fact work
+    * (guide §3 join-graph pruning): the final chain forces
+    * s_nationkey ∈ ASIA and c_nationkey = s_nationkey, so customers
+    * and suppliers outside the region can never survive — pre-joining
+    * nation⋈region (5 rows) into each dim drops ~4/5 of both
+    * broadcasts AND of every intermediate row they admit, row-set
+    * provably unchanged. Join order (ord⋈cust)⋈li: the region cut
+    * lands before the only data-sized shuffle, so the orders⋈lineitem
+    * join carries 1/5 of the build rows the tail-filter form paid;
+    * n_name rides the supplier broadcast so the old nation/region
+    * tail joins disappear (7 joins → 4). */
   def q5LocalSupplier(s: SparkSession, dir: String): DataFrame = {
-    val reg = Tables.region(s, dir).filter(col("r_name") === "ASIA")
-    val nat = Tables.nation(s, dir)
+    val asianNat = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir)
+          .filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
     val cust = Tables.customer(s, dir)
+      .join(broadcast(asianNat.select(col("n_nationkey"))),
+        col("c_nationkey") === col("n_nationkey"), "left_semi")
+      .select(col("c_custkey"), col("c_nationkey"))
     val sup = Tables.supplier(s, dir)
+      .join(broadcast(asianNat),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
     val ord = Tables.orders(s, dir)
       .filter(col("o_orderdate") >= ts("1996-01-01") &&
         col("o_orderdate") < ts("1997-01-01"))
     val li = Tables.lineitem(s, dir)
-    li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+    li.join(ord.join(broadcast(cust),
+          col("o_custkey") === col("c_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
         col("c_nationkey") === col("s_nationkey"))
-      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
-      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
       .agg(outd(sum(discPrice(col("l_extendedprice"), col("l_discount"))))
         .as("revenue"))
