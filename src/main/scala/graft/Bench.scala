@@ -353,7 +353,11 @@ object Bench {
       "landing_buckets" ->
         (() => operators.Scale.ensureBucketsLanded(spark, sfDir)),
       "landing_mhlsh" ->
-        (() => operators.Dedup.ensureMhLshLanded(spark, sfDir)))
+        (() => operators.Dedup.ensureMhLshLanded(spark, sfDir)),
+      // r18: full-graph CC labels land once for cluster/cluster_stats
+      // (previously each re-ran the hash-min fixpoint per query)
+      "landing_cc_full" ->
+        (() => operators.Dedup.ensureCcFullLanded(spark, sfDir)))
     // (skippable for single-op local iteration loops)
     val landingTimes =
       if (sys.env.contains("SPARK_GRAFT_NO_PRELAND")) Nil

@@ -727,8 +727,42 @@ object Dedup {
     * data work stays distributed, and labels are localCheckpoint'ed per
     * round so the iterative plan doesn't accrete lineage. cluster_id =
     * min doc_id of the component — canonical-copy selection for free. */
-  def cluster(s: SparkSession, dir: String): DataFrame =
-    clusterOfPairs(ngramJaccard(s, dir).select(col("doc_a"), col("doc_b")))
+  def cluster(s: SparkSession, dir: String): DataFrame = {
+    ensureCcFullLanded(s, dir)
+    s.read.parquet(ccFullDir(dir))
+  }
+
+  /** Landing dir for the FULL-graph component labels — the
+    * simhashFpDir contract: computable from `dir` alone. */
+  private[graft] def ccFullDir(dir: String): String =
+    graft.Tables.landingDir("ccfull", dir)
+
+  /** Land-once memo for the FULL-graph component labels: `cluster` and
+    * `clusterStats` both need the same hash-min fixpoint over the
+    * verified ngram-Jaccard pair graph, and each re-ran the
+    * O(diameter)-round propagation per query (≈2 full CC runs per
+    * sweep). One landing; both read it. Distinct from [[ccLabelsDir]]:
+    * the corpus-only labels are NOT the full labels restricted (batch
+    * docs bridge corpus components), so both landings exist. The
+    * oracle re-derives the fixpoint from raw text via a recursive CTE,
+    * so the landing stays end-to-end checked. */
+  private val ccFullLanded = scala.collection.concurrent.TrieMap
+    .empty[(Int, String, String), scala.concurrent.Future[Unit]]
+  /** Test hook (the clearTuningMemo discipline). */
+  private[graft] def clearCcFullMemo(): Unit = ccFullLanded.clear()
+  private[graft] def ensureCcFullLanded(s: SparkSession,
+      dir: String): Unit = {
+    ensureTuningLanded(s, dir)
+    graft.Tables.landOnce(ccFullLanded,
+      (System.identityHashCode(s.sparkContext), dir,
+        graft.Tables.fingerprint(s, dir, "documents"))) {
+      clusterOfPairs(
+        s.read.parquet(tuningCandDir(dir))
+          .filter(col("inter") * 2 >= col("uni"))
+          .select(col("doc_a"), col("doc_b")))
+        .write.mode("overwrite").parquet(ccFullDir(dir))
+    }
+  }
 
   /** Landing dir for the CORPUS-side component labels — the production
     * state a near-dup clustering pipeline maintains between runs (the
