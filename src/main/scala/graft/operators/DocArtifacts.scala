@@ -130,16 +130,29 @@ object DocArtifacts {
           // (corpus_token_budget_trim today; any budget sweep tomorrow)
           // is one scan + rollup instead of re-running the 4-stage
           // prefix sum per query.
-          Future(Ranking.bucketedPrefixSum(
-              Ranking.withValueBucket(scalar, col("q_sort"),
-                "q_bucket", Ranking.bucketsFor(
-                  Tables.rowCount(s, dir, "documents"), 256)),
-              "q_bucket", Ranking.bucketsFor(
-                Tables.rowCount(s, dir, "documents"), 256),
-              Seq(col("q_sort"), col("h"), col("doc_id")),
-              col("n_tokens"), "cum_excl", group = Seq("source"),
-              totalName = Some("tokens_total"))
-            .write.mode("overwrite").parquet(statsDir(dir))),
+          Future {
+            val nDocs = Tables.rowCount(s, dir, "documents")
+            val bucketed = Ranking.withValueBucket(scalar, col("q_sort"),
+              "q_bucket", Ranking.bucketsFor(nDocs, 256))
+            // two-regime on the footer count (the q1/q14 discipline):
+            // within smallWindowRows the per-source direct window (one
+            // exchange + sort, worst task = nDocs rows) replaces the
+            // bucket plan's three extra stages; the values and the
+            // landed schema are identical either way (q_bucket still
+            // rides from withValueBucket)
+            val stats =
+              if (nDocs <= Ranking.smallWindowRows)
+                Ranking.directPrefixSum(bucketed,
+                  Seq(col("q_sort"), col("h"), col("doc_id")),
+                  col("n_tokens"), "cum_excl", group = Seq("source"),
+                  totalName = Some("tokens_total"))
+              else Ranking.bucketedPrefixSum(bucketed,
+                "q_bucket", Ranking.bucketsFor(nDocs, 256),
+                Seq(col("q_sort"), col("h"), col("doc_id")),
+                col("n_tokens"), "cum_excl", group = Seq("source"),
+                totalName = Some("tokens_total"))
+            stats.write.mode("overwrite").parquet(statsDir(dir))
+          },
           Future(base.select(col("doc_id"), col("source"),
               explode(wordShingles(col("toks"), 3)).as("shingle"))
             .write.mode("overwrite").parquet(sh3Dir(dir))),
