@@ -43,8 +43,25 @@ object Ranking {
     * same count pass — no extra scan). */
   def bucketedRowNumber(df: DataFrame, group: Seq[String], bkt: String,
       nBuckets: Int, order: Seq[Column], rnName: String,
-      totalName: Option[String] = None): DataFrame = {
+      totalName: Option[String] = None,
+      smallRows: Option[Long] = None): DataFrame = {
     val gCols = group.map(col)
+    // small-input regime (callers pass the driving table's footer row
+    // count): for GROUPED ranks at or under [[smallWindowRows]] a
+    // direct per-group window replaces the count/offset/broadcast
+    // stages — identical ranks, because the bucket column is
+    // contiguous w.r.t. `order` (the plan's exactness invariant), so
+    // offset(bkt) + within-bucket row_number IS the group-wide
+    // row_number over `order`. Group-less callers never take this
+    // branch (single-task window — the PlanAudit rule).
+    if (group.nonEmpty && smallRows.exists(_ <= smallWindowRows)) {
+      val wTot = Window.partitionBy(gCols: _*)
+      val w = Window.partitionBy(gCols: _*).orderBy(order: _*)
+      val withTot = totalName.fold(df)(tn =>
+        df.withColumn(tn, count(lit(1)).over(wTot)))
+      return withTot.withColumn(rnName,
+        row_number().over(w).cast("long"))
+    }
     val cnt = df.groupBy(gCols :+ col(bkt): _*)
       .agg(count(lit(1)).as("__bc"))
     // offsets AND group totals from windows over the count table itself:

@@ -43,7 +43,8 @@ object Sampling {
       .withColumn("__hk", md5(col("text")))
       .withColumn("__bkt", Ranking.hexPrefixBucket(col("__hk"), hc))
     Ranking.bucketedRowNumber(base, Seq("lang"), "__bkt", 1 << (4 * hc),
-        Seq(col("__hk"), col("doc_id")), "rn", totalName = Some("n_lang"))
+        Seq(col("__hk"), col("doc_id")), "rn", totalName = Some("n_lang"),
+        smallRows = Some(Tables.rowCount(s, dir, "documents")))
       .filter(col("rn") <= ceil(col("n_lang") / 10))
       .select(col("lang"), col("doc_id"), col("rn").cast("int").as("rn"))
   }
@@ -65,7 +66,8 @@ object Sampling {
       .withColumn("__bkt", Ranking.hexPrefixBucket(col("__hk"), hc))
     val ranked = Ranking.bucketedRowNumber(base, Seq("label"), "__bkt",
       1 << (4 * hc),
-      Seq(col("__hk"), col("vec_id")), "rn", totalName = Some("n_label"))
+      Seq(col("__hk"), col("vec_id")), "rn", totalName = Some("n_label"),
+      smallRows = Some(Tables.rowCount(s, dir, "embeddings")))
     val minCount = Tables.embeddings(s, dir)
       .groupBy(col("label")).agg(count(lit(1)).as("n"))
       .agg(min(col("n")).as("m"))

@@ -596,7 +596,8 @@ object Text {
     val tile = Ranking.ntileFromRank(col("rn"), col("n_lang"), 3)
     Ranking.bucketedRowNumber(bucketed, Seq("lang"), "__bkt", nb,
         Seq(col("mean_logprob").desc, col("doc_id")), "rn",
-        totalName = Some("n_lang"))
+        totalName = Some("n_lang"),
+        smallRows = Some(graft.Tables.rowCount(s, dir, "documents")))
       .select(col("doc_id"), col("lang"), col("mean_logprob"),
         when(tile === 1, "head").when(tile === 2, "middle")
           .otherwise(lit("tail")).as("bucket"))
