@@ -382,6 +382,8 @@ object Similarity {
     * different scale factor) always retrains. */
   private val kmeansLanded = scala.collection.concurrent.TrieMap
     .empty[(Int, String, String), scala.concurrent.Future[Unit]]
+  /** Test hook (the DocArtifacts.clearMemo discipline). */
+  private[graft] def clearKmeansMemo(): Unit = kmeansLanded.clear()
   private[graft] def ensureKmeansLanded(s: SparkSession, dir: String): Unit = {
     graft.Tables.landOnce(kmeansLanded,
       (System.identityHashCode(s.sparkContext), dir,
@@ -1244,7 +1246,11 @@ object Similarity {
     // by quantizerK's cap (k × d ≤ 4096 × 64 doubles), never raw data
     // volume — see [[lloydBroadcast]].
     import s.implicits._
-    lloydBroadcast(s, emb, k, sweeps)
+    // the sample is EXACTLY min(n, cap) rows (limit), so the driver
+    // regime's collect is hard-bounded; the two-level coarse caller
+    // keeps the broadcast loop (its hash-mod slice is only
+    // expectation-bounded)
+    lloydBroadcast(s, emb, k, sweeps, sampleAtMost = math.min(n, cap))
       .toDF("cluster", "cv")
       .write.mode("overwrite").parquet(kmeansCentDir(dir))
   }
@@ -1260,10 +1266,92 @@ object Similarity {
     * doubles binarily, so the returned centroids are bit-identical to
     * the pre-refactor inline loop. Seeds = the k lowest vec_ids of the
     * sample; empty clusters keep their previous centroid. */
-  private def lloydBroadcast(s: SparkSession, emb: DataFrame, k: Int,
+  /** Sample-size bound for the all-driver Lloyd regime: ≤ this many
+    * sample vectors (× d=64 doubles ≈ 32 MB at the cap) collect ONCE
+    * and all sweeps run on the driver — the emb_pq r18 discipline:
+    * ~3 stages × sweeps of cluster jobs over a CONSTANT-size sample
+    * collapse to one collect. Operand-identical math (same argmin
+    * kernel order, same vec_id-ascending mean fold), so the landed
+    * centroids are bit-identical to the broadcast loop's. Past the
+    * bound the per-sweep broadcast loop below runs unchanged. */
+  private[graft] val lloydDriverCap = 65536L
+
+  private def lloydDriver(rows: Array[(Long, Array[Double])], k: Int,
       sweeps: Int): Seq[(Long, Seq[Double])] = {
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    // seeds: the k lowest vec_ids (the orderBy(vec_id).limit(k) draw)
+    val sorted = rows.sortBy(_._1)
+    var centRows: Seq[(Long, Seq[Double])] =
+      sorted.take(k).map { case (id, v) => id -> v.toSeq }.toSeq
+    for (_ <- 1 to sweeps) {
+      val centArr: Array[(Long, Array[Double], Double)] = centRows
+        .map { case (c, cv) =>
+          val a = cv.toArray
+          (c, a, dot(a, a))
+        }
+        .sortBy(_._1).toArray
+      // same kernel as the executor path: (‖x‖²+‖c‖²) − 2·x·c,
+      // centroids ascending id, strict < (lower-id tie-break)
+      val byCluster = new java.util.HashMap[Long,
+        scala.collection.mutable.ArrayBuffer[(Long, Array[Double])]]
+      var r = 0
+      while (r < rows.length) {
+        val (id, v) = rows(r)
+        val nx2 = dot(v, v)
+        var bestC = -1L
+        var bestD = Double.PositiveInfinity
+        var c = 0
+        while (c < centArr.length) {
+          val t = centArr(c)
+          val d = (nx2 + t._3) - 2.0 * dot(v, t._2)
+          if (d < bestD) { bestD = d; bestC = t._1 }
+          c += 1
+        }
+        var buf = byCluster.get(bestC)
+        if (buf == null) {
+          buf = new scala.collection.mutable.ArrayBuffer[(Long, Array[Double])]
+          byCluster.put(bestC, buf)
+        }
+        buf += ((id, v))
+        r += 1
+      }
+      // per-(cluster, dim) means folded in vec_id-ascending order —
+      // operand-for-operand the sweepMeans array_sort fold
+      val means = new java.util.HashMap[Long, Seq[Double]]
+      byCluster.forEach { (cl, members) =>
+        val ms = members.sortBy(_._1).toArray
+        val d = ms(0)._2.length
+        val cv = new Array[Double](d)
+        var i = 0
+        while (i < d) {
+          var acc = 0.0
+          var j = 0
+          while (j < ms.length) { acc += ms(j)._2(i); j += 1 }
+          cv(i) = acc / ms.length
+          i += 1
+        }
+        means.put(cl, cv.toSeq)
+      }
+      centRows = centRows.map { case (c, prev) =>
+        val m = means.get(c)
+        c -> (if (m == null) prev else m)
+      }
+    }
+    centRows
+  }
+
+  private def lloydBroadcast(s: SparkSession, emb: DataFrame, k: Int,
+      sweeps: Int, sampleAtMost: Long = Long.MaxValue):
+      Seq[(Long, Seq[Double])] = {
     import s.implicits._
     val typed = emb.as[(Long, Array[Double])]
+    if (sampleAtMost <= lloydDriverCap)
+      return lloydDriver(typed.collect(), k, sweeps)
     var centRows: Seq[(Long, Seq[Double])] =
       emb.orderBy(col("vec_id")).limit(k)
         .select(col("vec_id"), col("vd")).collect()
