@@ -692,7 +692,13 @@ object Dedup {
     * fingerprint function itself (a custom codegen Expression DuckDB
     * cannot run) stays Spark-side. */
   def simhash(s: SparkSession, dir: String): DataFrame = {
-    val base = hashShingled(s, dir)
+    // the LSH landing's (doc_id, hs) is EXACTLY hashShingled's output
+    // (same tokenize, same shingleHash64, same non-empty filter), so
+    // read it instead of re-paying the corpus tokenize + hash pass —
+    // array<long> parquet decode is cheap (the array<string> caveat
+    // from dedup_source_similarity does not apply to longs; measured)
+    ensureMhLshLanded(s, dir)
+    val base = s.read.parquet(mhLshDir(dir))
       .select(col("doc_id"),
         graft.functions.SketchExprs.simhash64(col("hs")).as("fp"))
       .persist(StorageLevel.MEMORY_AND_DISK)
