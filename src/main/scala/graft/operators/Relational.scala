@@ -136,14 +136,25 @@ object Relational {
   }
 
   /** TPC-H Q3 shape: selective dim filter → fact join → agg → top-k.
-    * customer is the small side (broadcast); orders/lineitem join is a
-    * shuffle join on the order key that AQE can skew-split. */
+    * Both fact sides ride the shared orderkey bucket landing (the
+    * q4/q17/etl_fk_audit landing, r18): the orders⋈lineitem join is a
+    * ZERO-exchange co-located SMJ, and because l_orderkey is in the
+    * group keys the aggregate inherits the bucket partitioning too —
+    * no data-sized exchange anywhere; the only movement is the
+    * broadcast customer probe and the 10-row TakeOrdered. At 100 TB
+    * the one-time bucketed landing replaces re-shuffling both fact
+    * tables per query (guide §2.1). */
   def q3ShippingPriority(s: SparkSession, dir: String): DataFrame = {
+    Scale.ensureBucketsLanded(s, dir)
+    val (ordT, liT) = Scale.bucketTableNames(dir)
     val cutoff = ts("1998-01-01")
     val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
-    val ord = Tables.orders(s, dir).filter(col("o_orderdate") < cutoff)
-    val li = Tables.lineitem(s, dir).filter(col("l_shipdate") > cutoff)
-    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+    val ord = s.table(ordT).filter(col("o_orderdate") < cutoff)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+    val li = s.table(liT).filter(col("l_shipdate") > cutoff)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    li.join(ord.hint("merge"), col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(outd(sum(discPrice(col("l_extendedprice"), col("l_discount"))))

@@ -76,19 +76,22 @@ object Scale {
       // o_orderpriority / o_orderdate / l_shipdate ride along for the
       // orderkey-join consumers (q4's semi-join condition); columnar
       // pruning keeps narrower consumers at their own columns
+      // o_custkey rides along for q3's customer probe (r18) — columnar
+      // pruning keeps narrower consumers at their own columns
       landBucketed(
         Tables.orders(s, dir).select(col("o_orderkey"),
           col("o_orderstatus"), col("o_orderpriority"),
-          col("o_orderdate")),
+          col("o_orderdate"), col("o_custkey")),
         "orders", ordName, "o_orderkey")
       // l_partkey / l_suppkey ride along for etl_fk_audit: the audit's
       // lineitem dim edges fold into this landing's scan (one lineitem
       // pass for all three edges), and parquet column pruning keeps
       // q17's join scan at its two columns regardless
+      // l_discount rides along for q3's revenue term (r18)
       landBucketed(
         Tables.lineitem(s, dir).select(col("l_orderkey"),
-          col("l_extendedprice"), col("l_partkey"), col("l_suppkey"),
-          col("l_shipdate")),
+          col("l_extendedprice"), col("l_discount"), col("l_partkey"),
+          col("l_suppkey"), col("l_shipdate")),
         "lineitem", liName, "l_orderkey")
     }
   }
