@@ -213,6 +213,94 @@ object Tables {
         }
       })
 
+  /** Footer min/max STATISTICS of one primitive column, folded across
+    * every file and row group on the driver — catalog metadata exactly
+    * like [[rowCount]] (a production engine serves filter-less MIN/MAX
+    * from its metastore / file statistics; Spark itself does the same
+    * through `spark.sql.parquet.aggregatePushdown`). No data pages are
+    * decoded and no Spark job runs. Returns Some((lo, hi)) over the
+    * column's non-null values; None when the column is absent, a chunk
+    * lacks trustworthy statistics, the physical type is not a plain
+    * numeric (decimal/binary/etc. need logical-type decoding this
+    * helper deliberately does not attempt), or every chunk is all-null
+    * — callers MUST treat None as "derive it from a scan instead".
+    * Memoized on the content fingerprint like rowCount. */
+  private val colMinMaxMemo = scala.collection.concurrent.TrieMap
+    .empty[String, Option[(Double, Double)]]
+  def columnMinMax(s: SparkSession, dir: String, name: String,
+      column: String): Option[(Double, Double)] =
+    colMinMaxMemo.getOrElseUpdate(
+      s"$dir/$name/$column@${fingerprint(s, dir, name)}", {
+        import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+        import scala.jdk.CollectionConverters._
+        val conf = s.sparkContext.hadoopConfiguration
+        val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+        val fs = p.getFileSystem(conf)
+        if (!fs.exists(p)) None
+        else try {
+          var lo = Double.PositiveInfinity
+          var hi = Double.NegativeInfinity
+          var sawValues = false
+          var trusted = true
+          val it = fs.listFiles(p, true)
+          while (trusted && it.hasNext) {
+            val st = it.next()
+            if (st.getPath.getName.endsWith(".parquet")) {
+              val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+                org.apache.parquet.hadoop.util.HadoopInputFile
+                  .fromPath(st.getPath, conf))
+              try {
+                val blocks = r.getFooter.getBlocks
+                var bi = 0
+                while (trusted && bi < blocks.size()) {
+                  val b = blocks.get(bi)
+                  val chunk = b.getColumns.asScala
+                    .find(_.getPath.toDotString == column)
+                  chunk match {
+                    case None => trusted = false // column absent
+                    case Some(c) =>
+                      val pt = c.getPrimitiveType
+                      // plain numerics only: a logical annotation
+                      // (decimal over ints, date, …) changes the raw
+                      // value's meaning — refuse rather than mis-scale
+                      val plain = pt.getLogicalTypeAnnotation == null &&
+                        Set(INT32, INT64, FLOAT, DOUBLE)
+                          .contains(pt.getPrimitiveTypeName)
+                      val stats = c.getStatistics
+                      if (!plain || stats == null || stats.isEmpty)
+                        trusted = false
+                      else if (!stats.hasNonNullValue) {
+                        // all-null chunk is fine ONLY when the null
+                        // count proves it; otherwise stats are unset
+                        if (!(stats.isNumNullsSet &&
+                            stats.getNumNulls == c.getValueCount))
+                          trusted = false
+                      } else {
+                        def d(v: Any): Double = v match {
+                          case x: java.lang.Integer => x.toDouble
+                          case x: java.lang.Long => x.toDouble
+                          case x: java.lang.Float => x.toDouble
+                          case x: java.lang.Double => x
+                          case _ => trusted = false; 0.0
+                        }
+                        val mn = d(stats.genericGetMin)
+                        val mx = d(stats.genericGetMax)
+                        if (trusted) {
+                          sawValues = true
+                          if (mn < lo) lo = mn
+                          if (mx > hi) hi = mx
+                        }
+                      }
+                  }
+                  bi += 1
+                }
+              } finally r.close()
+            }
+          }
+          if (trusted && sawValues) Some((lo, hi)) else None
+        } catch { case scala.util.control.NonFatal(_) => None }
+      })
+
   /** Cheap content fingerprint of one landed table under `dir` — file
     * count, total bytes, and max modification time from the filesystem
     * listing (footer-free, no data scan). Keys the landed-artifact

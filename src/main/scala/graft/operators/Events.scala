@@ -632,34 +632,58 @@ object Events {
             .as("sortv")))).as("dv"))
       .select(col("user_id"), col("monetary_dec"),
         col("dv.dim").as("dim"), col("dv.sortv").as("sortv"))
-    val qs = (1 until nB).map(i => lit(i.toDouble / nB))
-    val bounds = longFmt.groupBy(col("dim"))
-      .agg(percentile_approx(col("sortv"), array(qs: _*), lit(10000))
-        .as("bs"))
-    val ann = longFmt.join(broadcast(bounds), "dim")
-      .withColumn("bkt", aggregate(col("bs"), lit(0),
-        (acc, b) => acc + when(col("sortv") >= b, 1).otherwise(0)))
-      .drop("bs")
-    val cnts = ann.groupBy(col("dim"), col("bkt"))
-      .agg(count(lit(1)).as("c"))
-    // bucket counts → rank offsets without any global window (tiny
-    // explode/re-aggregate, same trick as Ranking.bucketedRowNumber)
-    val offs = cnts.filter(col("bkt") < lit(nB - 1))
-      .select(col("dim"),
-        explode(sequence(col("bkt") + lit(1), lit(nB - 1))).as("bkt"),
-        col("c"))
-      .groupBy(col("dim"), col("bkt")).agg(sum(col("c")).as("off"))
-    // every user ranks in every dimension, so N is one number
-    val total = cnts.filter(col("dim") === "r")
-      .agg(sum(col("c")).as("n_total"))
-    val w = Window.partitionBy(col("dim"), col("bkt"))
-      .orderBy(col("sortv"), col("user_id"))
-    val quartiled = ann
-      .join(broadcast(offs), Seq("dim", "bkt"), "left")
-      .crossJoin(broadcast(total))
-      .withColumn("q", Ranking.ntileFromRank(
-        coalesce(col("off"), lit(0L)) + row_number().over(w),
-        col("n_total"), 4))
+    // Two-regime quartiling (r19, the Ranking.smallWindowRows
+    // discipline). The regime gate is the USER count — one cheap count
+    // job over the pinned checkpoint (the events aggregation is NOT
+    // re-run), because the per-dim windows of the small regime hold
+    // |users| rows each, and the events footer count over-gates by the
+    // events-per-user factor.
+    val ranked = if (per.count() <= Ranking.smallWindowRows) {
+      // small regime: ONE window pass partitioned by dim ranks all
+      // three dimensions and carries n as count over the same
+      // partition — the boundary job and the count/offset/total
+      // broadcast subtrees of the bucket plan are all per-query
+      // stage constants this regime deletes (guide §1.2/§2.4); the
+      // 3-partition exchange is bounded by the gate, never corpus-sized
+      val w = Window.partitionBy(col("dim"))
+        .orderBy(col("sortv"), col("user_id"))
+      longFmt.withColumn("q", Ranking.ntileFromRank(
+        row_number().over(w).cast("long"),
+        count(lit(1)).over(Window.partitionBy(col("dim"))), 4))
+    } else {
+      // bucket plan (unchanged past the gate): approx boundaries →
+      // exact per-(dim, bucket) counts → offsets → bucket-partitioned
+      // window, no task ever holds more than ~n/nB rows of one dim
+      val qs = (1 until nB).map(i => lit(i.toDouble / nB))
+      val bounds = longFmt.groupBy(col("dim"))
+        .agg(percentile_approx(col("sortv"), array(qs: _*), lit(10000))
+          .as("bs"))
+      val ann = longFmt.join(broadcast(bounds), "dim")
+        .withColumn("bkt", aggregate(col("bs"), lit(0),
+          (acc, b) => acc + when(col("sortv") >= b, 1).otherwise(0)))
+        .drop("bs")
+      val cnts = ann.groupBy(col("dim"), col("bkt"))
+        .agg(count(lit(1)).as("c"))
+      // bucket counts → rank offsets without any global window (tiny
+      // explode/re-aggregate, same trick as Ranking.bucketedRowNumber)
+      val offs = cnts.filter(col("bkt") < lit(nB - 1))
+        .select(col("dim"),
+          explode(sequence(col("bkt") + lit(1), lit(nB - 1))).as("bkt"),
+          col("c"))
+        .groupBy(col("dim"), col("bkt")).agg(sum(col("c")).as("off"))
+      // every user ranks in every dimension, so N is one number
+      val total = cnts.filter(col("dim") === "r")
+        .agg(sum(col("c")).as("n_total"))
+      val w = Window.partitionBy(col("dim"), col("bkt"))
+        .orderBy(col("sortv"), col("user_id"))
+      ann
+        .join(broadcast(offs), Seq("dim", "bkt"), "left")
+        .crossJoin(broadcast(total))
+        .withColumn("q", Ranking.ntileFromRank(
+          coalesce(col("off"), lit(0L)) + row_number().over(w),
+          col("n_total"), 4))
+    }
+    val quartiled = ranked
       .groupBy(col("user_id"))
       .agg(max(when(col("dim") === "r", col("q"))).as("r_q"),
         max(when(col("dim") === "f", col("q"))).as("f_q"),

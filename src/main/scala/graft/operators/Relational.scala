@@ -104,13 +104,15 @@ object Relational {
     def backTo2Rounded(unitSum: Column, unit: Int): Column =
       round(unitSum.cast(DecimalType(38, 0)) / lit(unit), 2).cast("double")
     if (Tables.rowCount(s, dir, "lineitem") <= 50L * 1000 * 1000) {
-      // cents extraction WITHOUT the per-row BigDecimal cast: the money
-      // columns are exact POSITIVE 2dp values by the data contract, so
-      // v·100 lands within ~1e-5 of the true integer (|v| ≤ 1e9 at
-      // double precision) and floor(v·100 + 0.5) IS that integer —
-      // the same value cast(v as decimal(18,2))·100 produces, at pure
-      // double-multiply cost
-      def cents(c: Column): Column = (c * 100 + 0.5).cast("long")
+      // cents extraction WITHOUT the per-row BigDecimal cast — the
+      // shared Money helper: fast floor(v·100+0.5) path iff the
+      // positive-≤1e9 contract PROVABLY holds per footer statistics
+      // (no job), else the exact decimal extraction per row (still the
+      // long-unit plan). Contract + proof live in functions.Money.
+      val fastOk = Seq("l_quantity", "l_extendedprice", "l_discount",
+        "l_tax").forall(
+        graft.functions.Money.fastPathHolds(s, dir, "lineitem", _))
+      def cents(c: Column): Column = graft.functions.Money.cents(c, fastOk)
       val qty2 = cents(col("l_quantity"))
       val bp2 = cents(col("l_extendedprice"))
       // exact decimal products in integer units: dec2(ep)·(1−dec2(d))
@@ -280,10 +282,17 @@ object Relational {
     // min_cost = cents/100.0 is the correctly rounded double of the
     // exact value — bit-identical to the oracle's decimal→double cast.
     val base = packBase
+    // cents via the shared Money extraction (r19): the footer-gated
+    // fast path drops the per-row double→BigDecimal→long round-trip
+    // the decimal cast paid on every lineitem row; packedOrFail's own
+    // envelope guard still rejects out-of-range cents either way
+    val centsOk =
+      graft.functions.Money.fastPathHolds(s, dir, "lineitem",
+        "l_extendedprice")
     val best = Tables.lineitem(s, dir)
       .groupBy(col("l_partkey"))
       .agg(min(packedOrFail("q2_min_cost_supplier",
-        (dec2(col("l_extendedprice")) * 100).cast("long"),
+        graft.functions.Money.cents(col("l_extendedprice"), centsOk),
         col("l_suppkey"))).as("packed"))
       .select(col("l_partkey"),
         expr(s"packed div ${base}L").as("cost_cents"),
@@ -615,9 +624,14 @@ object Relational {
     // through the same decimal→double arithmetic as before — the
     // oracle is unchanged.
     val base = packBase
+    // per-row cents via the shared footer-gated Money extraction (r19,
+    // the q2 discipline); the qc SUM keeps the long-cents plan either way
+    val qtyOk = graft.functions.Money.fastPathHolds(s, dir, "lineitem",
+      "l_quantity")
     val perSupp = Tables.lineitem(s, dir)
       .groupBy(col("l_partkey"), col("l_suppkey"))
-      .agg(sum((dec2(col("l_quantity")) * 100).cast("long")).as("qc"))
+      .agg(sum(graft.functions.Money.cents(col("l_quantity"), qtyOk))
+        .as("qc"))
     val perPart = perSupp.groupBy(col("l_partkey"))
       .agg(sum(col("qc")).as("part_qc"),
         count(lit(1)).as("n_suppliers"),

@@ -17,13 +17,15 @@ import org.apache.spark.sql.types._
 /** ts stays in the Dataset: dropping the watermark column would strip the
   * watermark the event-time timeout needs. Top-level case classes: encoder
   * codegen requires publicly accessible types. */
-/** cents is the exact DECIMAL(18,2) of the raw double in integer cents,
-  * computed by the CODEGEN'D decimal cast in the select feeding the
-  * typed boundary — not per-event BigDecimal in the lambda (r14: at 30×
-  * the stream carries ~18M events; the lambda-side toString+BigDecimal
-  * conversion was measurable against the ~1.4s batch twin). Spark's
-  * double→decimal cast is the same toString HALF_UP conversion, so the
-  * cent values are bit-identical to the batch DECIMAL sum's terms. */
+/** cents is the exact integer cents of the raw double, computed by the
+  * shared Money extraction in the select feeding the typed boundary —
+  * never per-event BigDecimal in the lambda (r14: at 30× the stream
+  * carries ~18M events; the lambda-side toString+BigDecimal conversion
+  * was measurable against the ~1.4s batch twin). Money.cents takes the
+  * floor(v·100+0.5) fast path only when footer statistics PROVE the
+  * positive-≤1e9 contract (functions.Money scaladoc), else the decimal
+  * cast; on conforming data both equal the batch DECIMAL sum's terms
+  * bit for bit. */
 case class Ev(user_id: Long, event_id: Long, ts_us: Long,
     cents: Long, ts: java.sql.Timestamp)
 /** session_id is the per-user 1-based ordinal by start time (the batch
@@ -188,7 +190,9 @@ object Streams {
       .schema(eventsSchema(TimestampType))
       .parquet(sentDir)
     val union = eventStream(s, dir).unionByName(sentinel)
-    sessionizePipeline(s, union, "graft_stream_sessions")
+    sessionizePipeline(s, union, "graft_stream_sessions",
+      centsFastOk =
+        graft.functions.Money.fastPathHolds(s, dir, "events", "value"))
       .filter(col("user_id") >= 0)
       .select(col("user_id"), col("session_id"), col("n_events"),
         timestamp_micros(col("session_start_us")).as("session_start"),
@@ -199,6 +203,34 @@ object Streams {
         // rounded value of the exact decimal — identical to the batch
         // DECIMAL(18,2)-sum → double cast
         (col("sum_cents").cast("double") / lit(100.0)).as("sum_value"))
+  }
+
+  /** Ephemeral stream-sink dirs registered for recursive deletion at
+    * JVM exit (one hook, many dirs): the read-back DataFrame returned
+    * to callers stays valid for the whole session, and the JVM's end
+    * sweeps the tmp space a run leaves behind. Deletion failures are
+    * ignored — tmp cleanup must never mask a real failure. */
+  private val exitCleanup = new java.util.concurrent.ConcurrentLinkedQueue[
+    String]()
+  private lazy val exitHookInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      exitCleanup.forEach { d =>
+        try {
+          val p = java.nio.file.Paths.get(d)
+          if (java.nio.file.Files.exists(p)) {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(p).sorted(
+              java.util.Comparator.reverseOrder())
+              .iterator().asScala.foreach(f =>
+                try java.nio.file.Files.deleteIfExists(f)
+                catch { case scala.util.control.NonFatal(_) => () })
+          }
+        } catch { case scala.util.control.NonFatal(_) => () }
+      }
+    }, "graft-streamout-cleanup"))
+  private def cleanupAtExit(dir: String): Unit = {
+    exitHookInstalled
+    exitCleanup.add(dir)
   }
 
   /** Streaming STATE-FORMAT version — bump on ANY breaking change to a
@@ -261,7 +293,8 @@ object Streams {
     * the recompute contract). */
   private[graft] def sessionizePipeline(s: SparkSession,
       stream: DataFrame, queryName: String,
-      checkpointBase: Option[String] = None): DataFrame = {
+      checkpointBase: Option[String] = None,
+      centsFastOk: Boolean = false): DataFrame = {
     import s.implicits._
     val gapUs = 1800L * 1000000L
 
@@ -363,12 +396,13 @@ object Streams {
     val out = stream
       .select(col("user_id"), col("event_id"),
         unix_micros(col("ts")).as("ts_us"),
-        // exact integer cents WITHOUT the per-row BigDecimal cast: the
-        // value column is positive exact-2dp by the data contract, so
-        // floor(v·100 + 0.5) is the same integer the DECIMAL(18,2)
-        // cast produced (v·100 sits within ~1e-5 of it at double
-        // precision) — measured on the q1 twin at ~30% of the op
-        (col("value") * 100 + 0.5).cast("long").as("cents"),
+        // exact integer cents via the SHARED Money extraction: the
+        // fast floor(v·100+0.5) path only when the caller PROVED the
+        // positive-≤1e9 contract (sessionize checks footer stats;
+        // spec-driven synthetic streams default to the decimal path) —
+        // measured on the q1 twin at ~30% of the op
+        graft.functions.Money.cents(col("value"), centsFastOk)
+          .as("cents"),
         col("ts"))
       .withWatermark("ts", "30 minutes")
       .as[Ev]
@@ -399,12 +433,32 @@ object Streams {
   private[graft] def runAppendToParquet(s: SparkSession, out: DataFrame,
       queryName: String, schema: org.apache.spark.sql.types.StructType,
       checkpointBase: Option[String] = None): DataFrame = {
-    val outDir = s"${System.getProperty("java.io.tmpdir")}/graft_streamout_" +
-      queryName.replaceAll("[^0-9a-zA-Z]", "_") + "_" +
-      s.sparkContext.applicationId + "_" +
-      java.util.UUID.randomUUID().toString.take(8)
-    val chk = checkpointBase.map(b => versionedCheckpoint(s, b))
-      .getOrElse(outDir + "_chk")
+    // DURABLE path (checkpointBase set): the sink dir derives
+    // DETERMINISTICALLY from the same versioned base, next to the
+    // checkpoint — a resumed query skips batches already committed in
+    // the checkpoint, so its output MUST accumulate in the same dir
+    // across runs (a per-run dir would silently drop exactly those
+    // batches' rows — the r18 advisor's restart gap). The version in
+    // the path moves checkpoint and sink together across declared
+    // state-format breaks. EPHEMERAL path: unique per-run dir under
+    // java.io.tmpdir (the file sink's `_spark_metadata` log pins
+    // committed batch ids, so reusing a dir across fresh-checkpoint
+    // runs would read stale commits), registered for deletion at JVM
+    // exit so repeated bench/verify runs don't accumulate corpus-sized
+    // parquet in /tmp (the old memory sink freed on q.stop()).
+    val (outDir, chk) = checkpointBase match {
+      case Some(b) =>
+        val c = versionedCheckpoint(s, b)
+        (c + "_out", c)
+      case None =>
+        val o = s"${System.getProperty("java.io.tmpdir")}/graft_streamout_" +
+          queryName.replaceAll("[^0-9a-zA-Z]", "_") + "_" +
+          s.sparkContext.applicationId + "_" +
+          java.util.UUID.randomUUID().toString.take(8)
+        cleanupAtExit(o)
+        cleanupAtExit(o + "_chk")
+        (o, o + "_chk")
+    }
     val q = out.writeStream
       .outputMode(OutputMode.Append)
       .format("parquet")

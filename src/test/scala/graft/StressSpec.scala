@@ -328,12 +328,38 @@ class StressSpec extends SparkSpec {
   test("hash-min CC converges on a worst-case 60-long chain") {
     import spark.implicits._
     // a path graph maximizes diameter: label 1 must walk 59 hops
+    // (under the r19 edge cap this takes the driver union-find regime)
     val chain = (1L to 59L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val labels = operators.Dedup.clusterOfPairs(chain)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels.size == 60)
     assert(labels.values.forall(_ == 1L),
       s"chain must collapse to one component: ${labels.toSeq.sortBy(_._1).take(5)}")
+  }
+
+  test("CC regimes agree: driver union-find == distributed hash-min " +
+      "on a multi-component random graph") {
+    import spark.implicits._
+    // deterministic pseudo-random graph with several components, rings
+    // and tails — both regimes must emit the SAME (node -> min label)
+    val rnd = new scala.util.Random(42)
+    val edges = (
+      (1L to 59L).map(i => (i, i + 1)) ++                // chain 1..60
+      (100L to 119L).map(i => (i, 100L + (i - 99L) % 20L)) ++ // ring
+      Seq((200L, 201L), (202L, 203L), (201L, 203L)) ++   // merged pair
+      (0 until 80).map { _ =>
+        val a = 300L + rnd.nextInt(40)
+        val b = 300L + rnd.nextInt(40)
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 != e._2)
+    ).toDF("doc_a", "doc_b")
+    val viaDriver = operators.Dedup.clusterOfPairs(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaFixpoint = operators.Dedup.clusterOfPairsDistributed(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDriver == viaFixpoint,
+      s"regimes disagree: ${viaDriver.toSeq.sorted.take(5)} vs " +
+        s"${viaFixpoint.toSeq.sorted.take(5)}")
   }
 
   test("near-linear scaling: 10x corpus stays within 2x-per-10x wall time") {
