@@ -575,17 +575,55 @@ object Events {
     * not a row count, so gap days in the calendar are handled correctly
     * where a ROWS frame would silently span them. Runs over the bounded
     * pre-aggregated daily table (same posture as hourlyAnomaly). */
-  def rollingRevenue(s: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.events(s, dir)
+  def rollingRevenue(s: SparkSession, dir: String): DataFrame =
+    rollingRevenueOf(Tables.events(s, dir),
+      smallDomain =
+        Tables.rowCount(s, dir, "events") <= Ranking.smallWindowRows)
+
+  /** Two-regime 7-day rolling sum (r19, verdict item 7). Under the
+    * footer gate: the original global range window over the bounded
+    * day table (the explode/filter of the partitioned form measured
+    * +0.15s of constants at sf0.1, stash-paired). Past the gate —
+    * fact volume where a years-long day domain is plausible — the
+    * window partitions by YEAR, with each year's last 6 days
+    * DUPLICATED into the next year's partition as frame-contributor
+    * context rows (filtered from output): every output row's frame
+    * covers exactly the global frame, in-year days directly and the
+    * prior-year tail via its context copies (WindowHardeningSpec pins
+    * both regimes equal across a year boundary). */
+  private[graft] def rollingRevenueOf(events: DataFrame,
+      smallDomain: Boolean): DataFrame = {
+    val daily = events
       .filter(col("event_type") === "purchase")
       .groupBy(col("ts").cast("date").as("day"))
       .agg(sum(dec2(col("value"))).as("day_rev_dec"))
-    val w = Window.orderBy(col("day_num"))
-      .rangeBetween(-6, Window.currentRow)
-    daily
       .withColumn("day_num", datediff(col("day"), lit("1970-01-01")))
-      .withColumn("rolling_dec",
-        sum(col("day_rev_dec")).over(w))
+    val rolled =
+      if (smallDomain) {
+        val w = Window.orderBy(col("day_num"))
+          .rangeBetween(-6, Window.currentRow)
+        daily.withColumn("rolling_dec", sum(col("day_rev_dec")).over(w))
+      } else {
+        val nextYearStart =
+          make_date(year(col("day")) + 1, lit(1), lit(1))
+        val exploded = daily.select(col("day"), col("day_rev_dec"),
+          col("day_num"),
+          explode(when(col("day") >= date_sub(nextYearStart, 6),
+            array(struct(year(col("day")).as("__wy"),
+                lit(false).as("__ctx")),
+              struct((year(col("day")) + 1).as("__wy"),
+                lit(true).as("__ctx"))))
+            .otherwise(array(struct(year(col("day")).as("__wy"),
+              lit(false).as("__ctx"))))).as("__e"))
+          .select(col("day"), col("day_rev_dec"), col("day_num"),
+            col("__e.__wy").as("__wy"), col("__e.__ctx").as("__ctx"))
+        val w = Window.partitionBy(col("__wy")).orderBy(col("day_num"))
+          .rangeBetween(-6, Window.currentRow)
+        exploded
+          .withColumn("rolling_dec", sum(col("day_rev_dec")).over(w))
+          .filter(!col("__ctx"))
+      }
+    rolled
       .select(col("day"),
         outd(col("day_rev_dec")).as("day_revenue"),
         outd(col("rolling_dec")).as("rolling_7d_revenue"))

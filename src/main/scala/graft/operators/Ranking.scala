@@ -339,7 +339,9 @@ object Ranking {
     * the `percentile` aggregate). */
   def groupedPercentilesWide(df: DataFrame, group: Seq[String],
       measures: Seq[(String, Seq[(String, Double)])],
-      nBuckets: Int = 64): DataFrame = {
+      nBuckets: Int = 64,
+      minMaxOf: String => Option[(Double, Double)] = _ => None)
+      : DataFrame = {
     val gCols = group.map(col)
     val mcols = measures.map(_._1)
     require(mcols.size <= 3,
@@ -347,28 +349,35 @@ object Ranking {
         "nBuckets^|measures| cells per group — melt past 3 measures")
     val base = df.select(gCols ++
       mcols.map(m => col(m).cast("double").as(m)): _*)
-    // pass 1: EQUI-WIDTH boundaries from one min/max aggregate —
-    // boundaries only shape BALANCE (contiguity gives exactness
-    // whatever they are), and min/max is a plain combinable aggregate
-    // that parquet footer statistics serve without decoding data pages
-    // (spark.sql.parquet.aggregatePushdown), where the r16 sampled
-    // percentile_approx pass paid a QuantileSummaries insert/compress
-    // over a 900k-row sample (~0.5-1s of the sf3 wall). Value-skewed
-    // columns get less even buckets than sampled quantiles would give;
-    // the refinement stage scans a couple of fatter buckets, which is
-    // balance, not correctness — the contiguity argument is unchanged.
-    val aggs = mcols.zipWithIndex.flatMap { case (m, i) =>
-      Seq(min(col(m)).as(s"__mn$i"), max(col(m)).as(s"__mx$i")) }
-    val brow = base.agg(aggs.head, aggs.tail: _*).collect().head
-    val bmap: Map[String, Seq[Double]] = mcols.zipWithIndex.flatMap {
-      case (m, i) =>
-        if (brow.isNullAt(2 * i)) None
-        else {
-          val lo = brow.getDouble(2 * i)
-          val hi = brow.getDouble(2 * i + 1)
-          Some(m -> (1 until nBuckets).map(k =>
-            lo + (hi - lo) * k / nBuckets))
-        }
+    // pass 1: EQUI-WIDTH boundaries — boundaries only shape BALANCE
+    // (contiguity gives exactness whatever they are), so min/max can
+    // come from the CALLER's catalog statistics (`minMaxOf`, e.g.
+    // Tables.columnMinMax over parquet footers — a driver-side read,
+    // no job; r19 measured the scan-side aggregate at ~0.3s warm /
+    // 3.5s cold at sf0.1 against 13 ms of footer reads, q13). Only
+    // measures the hint cannot serve (missing/untrusted stats) fall
+    // back to one min/max aggregate job; an all-null measure stays out
+    // of bmap either way and rides the single-bucket fallback. The r16
+    // note stands: equi-width boundaries on value-skewed columns give
+    // less even buckets than sampled quantiles would — balance, not
+    // correctness.
+    val hinted: Map[String, (Double, Double)] =
+      mcols.flatMap(m => minMaxOf(m).map(m -> _)).toMap
+    val missing = mcols.filterNot(hinted.contains)
+    val scanned: Map[String, (Double, Double)] =
+      if (missing.isEmpty) Map.empty
+      else {
+        val aggs = missing.zipWithIndex.flatMap { case (m, i) =>
+          Seq(min(col(m)).as(s"__mn$i"), max(col(m)).as(s"__mx$i")) }
+        val brow = base.agg(aggs.head, aggs.tail: _*).collect().head
+        missing.zipWithIndex.flatMap { case (m, i) =>
+          if (brow.isNullAt(2 * i)) None
+          else Some(m -> (brow.getDouble(2 * i), brow.getDouble(2 * i + 1)))
+        }.toMap
+      }
+    val bmap: Map[String, Seq[Double]] = mcols.flatMap { m =>
+      (hinted.get(m) orElse scanned.get(m)).map { case (lo, hi) =>
+        m -> (1 until nBuckets).map(k => lo + (hi - lo) * k / nBuckets) }
     }.toMap
     // a NULL measure value gets the −1 sentinel bucket: the joint
     // contingency must still count the row for its other measures (the
